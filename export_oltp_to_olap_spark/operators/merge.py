@@ -1,0 +1,60 @@
+"""Idempotent merge/upsert for the batch harness (parquet targets).
+
+The reference's cross-batch semantics: new data overwrites stored rows
+with the same key, untouched keys survive (Postgres ON CONFLICT, ref
+``sync_oltp_to_olap.py:56-93``).  On a parquet lake without table-format
+transactions the equivalent is read-modify-write:
+
+    merged = latest_by_key(new ∪ current, keys, [is_new desc, tiebreak])
+
+then an atomic directory swap (write to ``<path>.tmp`` then rename).  With
+Delta/Iceberg on a real deployment this whole module collapses to
+``MERGE INTO`` (SURVEY.md §4.3.1); the parquet path keeps the same
+semantics dependency-free for the harness.
+
+K1 note (ref :406-410): the reference commits all 7 tables in one OLAP
+transaction.  Parquet gives per-table atomicity only; ``merge_star``
+writes dims before facts so readers never see a fact whose FK dimensions
+haven't landed (the same dims-before-facts order as ref :337-345).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators.dedup import latest_by_key
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> None:
+    """Upsert ``new_rows`` into the parquet table at ``path`` by ``keys``.
+
+    New rows win over stored rows with the same key; within ``new_rows``
+    the ``tiebreak`` columns (descending) pick the winner, making the
+    reference's scan-order-dependent LWW deterministic (SURVEY.md §7.4).
+    """
+    if os.path.exists(path):
+        current = spark.read.parquet(path).select(*new_rows.columns)
+        unioned = new_rows.withColumn("__src", F.lit(1)).unionByName(
+            current.withColumn("__src", F.lit(0))
+        )
+    else:
+        unioned = new_rows.withColumn("__src", F.lit(1))
+    order = [F.col("__src").desc()] + [F.col(t).desc() for t in tiebreak]
+    merged = latest_by_key(unioned, keys, order).drop("__src")
+
+    tmp = f"{path}.__tmp_merge"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

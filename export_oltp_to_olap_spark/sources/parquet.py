@@ -1,0 +1,73 @@
+"""Parquet catalog over a fixture directory.
+
+The driver harness stores each table as ``{sf_dir}/{name}.parquet``
+(TESTDATA.md).  ``Catalog`` lazily exposes them as DataFrames; reads are
+plain ``spark.read.parquet`` so Catalyst's parquet source gets full
+predicate pushdown / column pruning (check with ``.explain``: the scan
+node shows ``PushedFilters`` and a pruned ``ReadSchema``).
+
+At 100 TB the same interface is backed by a partitioned lakehouse table
+(directory-partitioned or Iceberg/Delta); nothing downstream changes
+because consumers only see DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+KNOWN_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Lazy table catalog over one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = self.path(name)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"fixture table {name!r} not found at {path} "
+                    f"(sf_dir={self.sf_dir!r})"
+                )
+            self._cache[name] = self.spark.read.parquet(path)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in KNOWN_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = KNOWN_TABLES) -> None:
+        """Register every table as a temp view for the SQL API."""
+        for n in names:
+            if os.path.exists(self.path(n)):
+                self.table(n).createOrReplaceTempView(n)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = KNOWN_TABLES
+) -> dict[str, DataFrame]:
+    """Eagerly build the name→DataFrame dict for the given tables."""
+    cat = Catalog(spark, sf_dir)
+    return {n: cat.table(n) for n in names}
