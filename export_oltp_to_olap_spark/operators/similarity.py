@@ -1,0 +1,338 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant is the scale path (candidates from random-hyperplane buckets,
+exact re-scoring on candidates only).
+
+Engine-portable arithmetic: element products are computed in DOUBLE
+(float→double widening is exact, one rounding per product in both
+engines), accumulated in DECIMAL (order-independent), rounded to scale 12
+and cast back to DOUBLE.  The double→decimal element cast itself carries
+~1e-13 engine noise (DuckDB scales in double arithmetic, which is lossy
+once value×10^16 exceeds 2^53), so the *output* cosine is rounded to 6
+decimals and every rank/threshold decision is taken on the rounded value
+— noise 7 orders of magnitude below the rounding grain cannot flip a
+comparison, and identical rounded keys make window ranks deterministic
+via the vec_id tiebreak.
+
+Scale notes (1e9+ vectors):
+* brute force is O(Q×N×d) — fine for reranking, wrong for retrieval;
+  the plan keeps Q broadcast so N never shuffles.
+* hyperplane LSH buckets cut N to E[N/2^P] per probe; the bucket join is
+  an equi-join on the bucket id (shuffle on small keys), then exact
+  scoring on candidates.  An IVF variant would k-means the corpus and
+  probe nearest centroids — same join shape with learned buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DOT_DECIMAL = "decimal(38,16)"
+
+
+def _exact_dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two float arrays → DOUBLE (engine-portable)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DOT_DECIMAL)
+    )
+    acc = F.aggregate(
+        prods,
+        F.lit(0).cast(DOT_DECIMAL),
+        lambda s, x: (s + x).cast(DOT_DECIMAL),
+    )
+    return F.round(acc, 12).cast("double")
+
+
+def _exact_norm(a: Column) -> Column:
+    sq = F.transform(
+        a, lambda x: (x.cast("double") * x.cast("double")).cast(DOT_DECIMAL)
+    )
+    acc = F.aggregate(
+        sq, F.lit(0).cast(DOT_DECIMAL), lambda s, x: (s + x).cast(DOT_DECIMAL)
+    )
+    return F.sqrt(F.round(acc, 12).cast("double"))
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("norm", _exact_norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (by vec_id), self excluded.  Output: (query_id, neighbor_id, cos, rank).
+    """
+    from pyspark.sql import Window
+
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = base.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cos",
+        F.round(
+            _exact_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_NORMS_CTE = """
+elems AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(round(SUM(CAST(e * e AS DECIMAL(38,16))), 12) AS DOUBLE)) AS norm
+  FROM elems GROUP BY vec_id
+)
+""".strip()
+
+COSINE_TOPK_SQL = f"""
+WITH {_NORMS_CTE},
+dots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         CAST(round(SUM(CAST(q.e * d.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id < 10 AND d.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.norm * nd.norm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup).
+
+    Brute-force all-pairs at fixture scale; the threshold cut is exact
+    (see module docstring), so this is oracle-checkable.
+    """
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+COSINE_NEARDUP_SQL = f"""
+WITH {_NORMS_CTE},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(round(SUM(CAST(a.e * b.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.norm * nb.norm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.norm * nb.norm), 6) >= 0.4
+"""
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+#
+# Banded OR-construction: L independent bands of b hyperplanes each; two
+# vectors are candidates if they agree on ALL b sign bits of ANY band.
+# P(candidate | angle θ) = 1 − (1 − (1−θ/π)^b)^L — at (L=4, b=2) recall is
+# ≈0.85 for cos 0.35 and rises with similarity, while candidate volume
+# stays ≈L/2^b of the full pair space.  At corpus scale, raise b to shrink
+# buckets and L to recover recall (cost ∝ L × Σ bucket²).
+
+N_BANDS = 4
+PLANES_PER_BAND = 2
+DIM = 64
+
+
+def _hyperplanes(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 (no RNG → reproducible and
+    restatable inside the SQL oracle)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) < 8 else -1)
+        planes.append(row)
+    return planes
+
+
+def _band_key(vec: Column, planes: list[list[int]], band: int, b: int) -> Column:
+    """Band bucket id: sign-bit string of this band's hyperplane dots.
+
+    Signs come from exact decimal sums, so bucket assignment is
+    deterministic and engine-identical even for near-zero projections.
+    """
+    bits = []
+    for row in planes[band * b : (band + 1) * b]:
+        plane = F.array(*[F.lit(float(v)) for v in row])
+        bits.append(F.when(_exact_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_cosine_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """Banded-LSH near-dup: candidates agree on any band's bucket; exact
+    cosine re-scores candidates only.  Recall < 1 by construction — the
+    oracle restates the same pipeline, and tests measure recall against
+    ``cosine_neardup``."""
+    planes = _hyperplanes(n_bands * planes_per_band)
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    bands = [
+        base.select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.lit(band).alias("band"),
+            _band_key(F.col("embedding"), planes, band, planes_per_band).alias("bucket"),
+        )
+        for band in range(n_bands)
+    ]
+    bucketed = bands[0]
+    for extra in bands[1:]:
+        bucketed = bucketed.unionByName(extra)
+
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        "band",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        "band",
+        "bucket",
+    )
+    candidates = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "emb_a", "norm_a", "vec_b", "emb_b", "norm_b")
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "cos",
+            F.round(
+                _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def _planes_sql_values(planes: list[list[int]]) -> str:
+    rows = []
+    for j, row in enumerate(planes):
+        for i, v in enumerate(row):
+            rows.append(f"({j},{i + 1},{v}.0)")
+    return ", ".join(rows)
+
+
+def lsh_cosine_neardup_sql(
+    threshold: float = 0.35,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    planes = _hyperplanes(n_bands * planes_per_band)
+    return f"""
+WITH {_NORMS_CTE},
+planes(j, i, w) AS (VALUES {_planes_sql_values(planes)}),
+proj AS (
+  SELECT e.vec_id, p.j,
+         CAST(round(SUM(CAST(e.e * p.w AS DECIMAL(38,16))), 12) AS DOUBLE) AS d
+  FROM elems e JOIN planes p ON e.i = p.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, j // {planes_per_band} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id, j // {planes_per_band}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN elems ea ON ea.vec_id = c.vec_a
+  JOIN elems eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.norm * nb.norm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
+"""

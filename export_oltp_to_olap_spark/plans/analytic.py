@@ -1,0 +1,288 @@
+"""Breadth of the analytic surface: grouping sets, set ops, semi/anti
+joins, pivot, point/range filters, top-k, scalar-function suite.
+
+Thin demonstrations over the fixture tables — each is an operator family
+from SURVEY.md §2 (B3/B4, G, H, plus the free Spark analytics the star
+exists for), registered with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.plans.flagship import EXACT_SUM_SQL, exact_sum
+
+
+def rollup_revenue(tables: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP over region→nation with exact revenue sums (D: grouping sets)."""
+    li, orders = tables["lineitem"], tables["orders"]
+    cust, nation, region = tables["customer"], tables["nation"], tables["region"]
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(
+            F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first()
+        )
+    )
+
+
+ROLLUP_REVENUE_SQL = f"""
+SELECT r_name AS region, n_name AS nation,
+       {EXACT_SUM_SQL.format(expr="l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST
+"""
+
+
+def cube_order_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """CUBE over (status, priority) with counts and exact totals."""
+    orders = tables["orders"]
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_ORDER_STATS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {EXACT_SUM_SQL.format(expr="o_totalprice")} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def setops_customers(tables: dict[str, DataFrame]) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
+    sets, tagged so one result covers all three (H)."""
+    cust = tables["customer"]
+    rich = cust.where(F.col("c_acctbal") > 6000).select("c_custkey")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    union = rich.union(building).distinct().withColumn("op", F.lit("union"))
+    intersect = rich.intersect(building).withColumn("op", F.lit("intersect"))
+    except_ = rich.subtract(building).withColumn("op", F.lit("except"))
+    return union.unionByName(intersect).unionByName(except_).select("op", "c_custkey")
+
+
+SETOPS_CUSTOMERS_SQL = """
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 6000),
+building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM rich UNION SELECT c_custkey FROM building)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM building)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM building)
+"""
+
+
+def semi_anti_customers(tables: dict[str, DataFrame]) -> DataFrame:
+    """LEFT SEMI (has orders) / LEFT ANTI (no orders) — J4's primitive."""
+    cust, orders = tables["customer"], tables["orders"]
+    keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust.join(keys, "c_custkey", "left_semi").select(
+        F.lit("has_orders").alias("op"), "c_custkey"
+    )
+    without = cust.join(keys, "c_custkey", "left_anti").select(
+        F.lit("no_orders").alias("op"), "c_custkey"
+    )
+    return with_orders.unionByName(without)
+
+
+SEMI_ANTI_SQL = """
+SELECT 'has_orders' AS op, c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'no_orders' AS op, c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def pivot_priority_status(tables: dict[str, DataFrame]) -> DataFrame:
+    """Pivot order counts: rows = priority, columns = status (fixed set)."""
+    orders = tables["orders"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_STATUSES))
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def point_filter_customer(tables: dict[str, DataFrame], key: int = 42) -> DataFrame:
+    """B3: parameterized point filter — pushed to the scan (the
+    incremental-sync predicate, ref :207)."""
+    return tables["customer"].where(F.col("c_custkey") == key)
+
+
+POINT_FILTER_SQL = "SELECT * FROM customer WHERE c_custkey = 42"
+
+
+def date_range_orders(tables: dict[str, DataFrame]) -> DataFrame:
+    """B4: date-range predicate + per-status counts."""
+    orders = tables["orders"]
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+DATE_RANGE_SQL = f"""
+SELECT o_orderstatus, count(*) AS n,
+       {EXACT_SUM_SQL.format(expr="o_totalprice")} AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def correlated_lookup(tables: dict[str, DataFrame], order_key: int = 7) -> DataFrame:
+    """A7: the reference's correlated point lookup (orden → id_cliente,
+    ref :383-386) on fixture shapes: orderkey → custkey."""
+    return tables["orders"].where(F.col("o_orderkey") == order_key).select("o_custkey")
+
+
+CORRELATED_LOOKUP_SQL = "SELECT o_custkey FROM orders WHERE o_orderkey = 7"
+
+
+def topk_orders(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
+    """G: global ORDER BY + LIMIT with total tiebreak (TakeOrderedAndProject
+    in the physical plan — no global sort materialization)."""
+    return (
+        tables["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def scalar_function_suite(tables: dict[str, DataFrame]) -> DataFrame:
+    """F-family breadth: string/math/conditional scalar functions in one
+    projection (each maps to the same ANSI function in DuckDB)."""
+    cust = tables["customer"]
+    return cust.select(
+        "c_custkey",
+        F.lower("c_name").alias("lower_name"),
+        F.upper("c_mktsegment").alias("upper_seg"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("tag"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("masked_name"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(b)")).alias(
+            "seg_or_b"
+        ),
+        F.abs(F.col("c_acctbal")).alias("abs_bal"),
+        F.round(F.col("c_acctbal"), 1).alias("bal_r1"),
+        F.floor(F.col("c_acctbal")).cast("double").alias("bal_floor"),
+        F.ceil(F.col("c_acctbal")).cast("double").alias("bal_ceil"),
+        F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("pos")).alias("sign"),
+    )
+
+
+SCALAR_SUITE_SQL = """
+SELECT c_custkey,
+       lower(c_name) AS lower_name,
+       upper(c_mktsegment) AS upper_seg,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substring(c_name, 1, 8) AS name_prefix,
+       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked_name,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '(b)') AS seg_or_b,
+       abs(c_acctbal) AS abs_bal,
+       round(c_acctbal, 1) AS bal_r1,
+       CAST(floor(c_acctbal) AS DOUBLE) AS bal_floor,
+       CAST(ceil(c_acctbal) AS DOUBLE) AS bal_ceil,
+       CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign
+FROM customer
+"""
+
+
+def distinct_agg_orders(tables: dict[str, DataFrame]) -> DataFrame:
+    """Distinct aggregation: exact countDistinct per group (D)."""
+    orders = tables["orders"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def approx_distinct_parts(tables: dict[str, DataFrame]) -> DataFrame:
+    """approx_count_distinct (HLL++) — no oracle (DuckDB's approx sketch
+    differs); driver records the weaker rows-only check, and tests bound
+    the relative error against the exact count."""
+    li = tables["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -1,0 +1,148 @@
+"""Event-stream analytics over the ``events`` fixture table.
+
+Batch forms of the streaming-adjacent operators: sessionization (the
+window-gap pattern), JSON property extraction (the fixture's ``props``
+payload), and the CDC NOTIFY decode (reference worker_sync.py:88-102)
+applied to a synthesized (channel, payload) feed so it's oracle-checkable
+on fixture data.  The true streaming forms live in ``streaming/cdc.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.functions.events import decode_cdc_event, json_prop
+from export_oltp_to_olap_spark.plans.flagship import EXACT_SUM_SQL, exact_sum
+
+SESSION_GAP_SEC = 1800
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Split each user's event stream into sessions at >gap_sec silences.
+
+    Classic lag + cumulative-sum-of-breaks; the per-user window shuffles
+    once on user_id and both window functions share that partitioning
+    (one exchange, two window specs over it).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    sec = F.unix_timestamp("ts")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            sec - F.lag(sec).over(w) > gap_sec, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select("user_id", "session_id", "n_events", "session_start", "session_end", "total_value")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - lag(CAST(epoch(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       {EXACT_SUM_SQL.format(expr="value")} AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """Extract the JSON ``props.k`` int and aggregate per event_type —
+    the fixture form of semi-structured payload handling."""
+    k = json_prop("props", "k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            exact_sum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       {EXACT_SUM_SQL.format(expr="value")} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def cdc_decode_events(events: DataFrame) -> DataFrame:
+    """Synthesize the NOTIFY feed shape from fixture events, then decode
+    with the engine's F11/F12 expressions (ref worker_sync.py:88-102):
+    channel "<event_type>_sync", payload "<event_type>:<event_id>"."""
+    feed = events.select(
+        F.concat(F.col("event_type"), F.lit("_sync")).alias("channel"),
+        F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")).alias(
+            "payload"
+        ),
+    )
+    decoded = decode_cdc_event(feed)
+    return (
+        decoded.groupBy("table", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("record_id").alias("min_id"),
+            F.max("record_id").alias("max_id"),
+        )
+        .orderBy("table", "op")
+    )
+
+
+CDC_DECODE_SQL = """
+WITH feed AS (
+  SELECT event_type || '_sync' AS channel,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS payload
+  FROM events
+),
+decoded AS (
+  SELECT lower(regexp_replace(channel, '_sync$', '')) AS "table",
+         lower(str_split(payload, ':')[1]) AS op,
+         CAST(str_split(payload, ':')[2] AS BIGINT) AS record_id
+  FROM feed
+)
+SELECT "table", op, count(*) AS n,
+       min(record_id) AS min_id, max(record_id) AS max_id
+FROM decoded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

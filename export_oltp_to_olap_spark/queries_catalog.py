@@ -9,7 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from export_oltp_to_olap_spark.plans import flagship, star_oracle
+from export_oltp_to_olap_spark.operators import neardup, similarity
+from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
+from export_oltp_to_olap_spark.plans import events as events_plans
+from export_oltp_to_olap_spark.plans import text_queries
 from export_oltp_to_olap_spark.plans.fact import fact_source
 from export_oltp_to_olap_spark.plans.fixtures_adapter import oltp_tables_from_fixtures
 from export_oltp_to_olap_spark.plans.star import build_star
@@ -112,3 +115,198 @@ def q_fact_source(spark: SparkSession, sf_dir: str):
     PKs (ref :241-248)."""
     oltp = _oltp(spark, sf_dir)
     return fact_source(oltp["ventas"], oltp["orden"], oltp["orden_producto"], oltp["productos"])
+
+
+# ---------------------------------------------------------------------------
+# Analytic-surface breadth (§2.B/D/G/H + grouping sets, pivot, set ops)
+# ---------------------------------------------------------------------------
+
+
+@register("rollup_revenue", analytic.ROLLUP_REVENUE_SQL)
+def q_rollup(spark: SparkSession, sf_dir: str):
+    """ROLLUP grouping sets with exact sums."""
+    return analytic.rollup_revenue(_tables(spark, sf_dir))
+
+
+@register("cube_order_stats", analytic.CUBE_ORDER_STATS_SQL)
+def q_cube(spark: SparkSession, sf_dir: str):
+    """CUBE grouping sets."""
+    return analytic.cube_order_stats(_tables(spark, sf_dir))
+
+
+@register("setops_customers", analytic.SETOPS_CUSTOMERS_SQL)
+def q_setops(spark: SparkSession, sf_dir: str):
+    """UNION / INTERSECT / EXCEPT distinct semantics (H)."""
+    return analytic.setops_customers(_tables(spark, sf_dir))
+
+
+@register("semi_anti_customers", analytic.SEMI_ANTI_SQL)
+def q_semi_anti(spark: SparkSession, sf_dir: str):
+    """LEFT SEMI + LEFT ANTI joins (J4 primitive)."""
+    return analytic.semi_anti_customers(_tables(spark, sf_dir))
+
+
+@register("pivot_priority_status", analytic.PIVOT_SQL)
+def q_pivot(spark: SparkSession, sf_dir: str):
+    """Pivot with a fixed column set."""
+    return analytic.pivot_priority_status(_tables(spark, sf_dir))
+
+
+@register("point_filter_customer", analytic.POINT_FILTER_SQL)
+def q_point_filter(spark: SparkSession, sf_dir: str):
+    """B3 point predicate, pushed to the scan."""
+    return analytic.point_filter_customer(_tables(spark, sf_dir))
+
+
+@register("date_range_orders", analytic.DATE_RANGE_SQL)
+def q_date_range(spark: SparkSession, sf_dir: str):
+    """B4 date-range predicate + aggregation."""
+    return analytic.date_range_orders(_tables(spark, sf_dir))
+
+
+@register("correlated_lookup", analytic.CORRELATED_LOOKUP_SQL)
+def q_correlated(spark: SparkSession, sf_dir: str):
+    """A7 correlated point lookup."""
+    return analytic.correlated_lookup(_tables(spark, sf_dir))
+
+
+@register("topk_orders", analytic.TOPK_ORDERS_SQL)
+def q_topk_orders(spark: SparkSession, sf_dir: str):
+    """G global sort + limit (TakeOrderedAndProject)."""
+    return analytic.topk_orders(_tables(spark, sf_dir))
+
+
+@register("scalar_function_suite", analytic.SCALAR_SUITE_SQL)
+def q_scalar_suite(spark: SparkSession, sf_dir: str):
+    """F-family scalar functions in one projection."""
+    return analytic.scalar_function_suite(_tables(spark, sf_dir))
+
+
+@register("distinct_agg_orders", analytic.DISTINCT_AGG_SQL)
+def q_distinct_agg(spark: SparkSession, sf_dir: str):
+    """Exact distinct aggregation per group."""
+    return analytic.distinct_agg_orders(_tables(spark, sf_dir))
+
+
+@register("approx_distinct_parts", None)  # HLL sketch: no cross-engine oracle
+def q_approx_distinct(spark: SparkSession, sf_dir: str):
+    """approx_count_distinct (rows-only check; error bound in tests)."""
+    return analytic.approx_distinct_parts(_tables(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionize, JSON, CDC decode (§2.F11/F12 + streaming-adjacent)
+# ---------------------------------------------------------------------------
+
+
+@register("events_sessionize", events_plans.SESSIONIZE_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str):
+    """Gap-based sessionization (lag + running sum windows)."""
+    return events_plans.sessionize(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("events_json_stats", events_plans.EVENTS_JSON_SQL)
+def q_events_json(spark: SparkSession, sf_dir: str):
+    """JSON property extraction over events.props."""
+    return events_plans.events_json_stats(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("cdc_decode", events_plans.CDC_DECODE_SQL)
+def q_cdc_decode(spark: SparkSession, sf_dir: str):
+    """NOTIFY channel/payload decode (F11/F12, ref worker_sync.py:88-102)."""
+    return events_plans.cdc_decode_events(_tables(spark, sf_dir, ("events",))["events"])
+
+
+# ---------------------------------------------------------------------------
+# North-star: dedup family over documents
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return _tables(spark, sf_dir, ("documents",))["documents"]
+
+
+@register("exact_dedup_documents", neardup.EXACT_DEDUP_SQL)
+def q_exact_dedup(spark: SparkSession, sf_dir: str):
+    """Exact dedup: one keeper per distinct text."""
+    return neardup.exact_dedup_docs(_docs(spark, sf_dir))
+
+
+@register("ngram_jaccard_neardup", neardup.NGRAM_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    """Exact 3-gram shingle Jaccard pairs ≥ 0.7."""
+    return neardup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register("minhash_near_dup", neardup.MINHASH_LSH_SQL)
+def q_minhash(spark: SparkSession, sf_dir: str):
+    """MinHash+LSH candidates, exact-Jaccard verified ≥ 0.8."""
+    return neardup.minhash_lsh_neardup(_docs(spark, sf_dir))
+
+
+@register("simhash_fingerprints", neardup.SIMHASH_FP_SQL)
+def q_simhash_fp(spark: SparkSession, sf_dir: str):
+    """60-bit SimHash fingerprints (engine-portable bit arithmetic)."""
+    return neardup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register("simhash_near_dup", neardup.SIMHASH_NEARDUP_SQL)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str):
+    """SimHash pairs with Hamming distance ≤ 8."""
+    return neardup.simhash_neardup(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(spark: SparkSession, sf_dir: str):
+    return _tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+@register("ann_cosine_topk", similarity.COSINE_TOPK_SQL)
+def q_ann_topk(spark: SparkSession, sf_dir: str):
+    """Brute-force cosine top-10 for the first 10 query vectors."""
+    return similarity.cosine_topk(_embeddings(spark, sf_dir))
+
+
+@register("embedding_cosine_neardup", similarity.COSINE_NEARDUP_SQL)
+def q_cosine_neardup(spark: SparkSession, sf_dir: str):
+    """All-pairs cosine ≥ 0.4 (embedding near-dup)."""
+    return similarity.cosine_neardup(_embeddings(spark, sf_dir))
+
+
+@register("lsh_cosine_neardup", similarity.lsh_cosine_neardup_sql())
+def q_lsh_neardup(spark: SparkSession, sf_dir: str):
+    """Hyperplane-LSH bucketed near-dup (the ANN scale path)."""
+    return similarity.lsh_cosine_neardup(_embeddings(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+@register("text_quality", text_queries.TEXT_QUALITY_SQL)
+def q_text_quality(spark: SparkSession, sf_dir: str):
+    """Quality features + blended score per document."""
+    return text_queries.text_quality(_docs(spark, sf_dir))
+
+
+@register("text_lang_id", text_queries.TEXT_LANG_ID_SQL)
+def q_text_lang(spark: SparkSession, sf_dir: str):
+    """Marker-stopword language identification."""
+    return text_queries.text_lang_id(_docs(spark, sf_dir))
+
+
+@register("text_fingerprints", text_queries.TEXT_FINGERPRINTS_SQL)
+def q_text_fp(spark: SparkSession, sf_dir: str):
+    """md5 + token-set content fingerprints."""
+    return text_queries.text_fingerprints(_docs(spark, sf_dir))
+
+
+@register("token_stats_by_source", text_queries.TOKEN_STATS_SQL)
+def q_token_stats(spark: SparkSession, sf_dir: str):
+    """Corpus token statistics per source."""
+    return text_queries.token_stats_by_source(_docs(spark, sf_dir))

@@ -50,8 +50,28 @@ class Catalog:
                     f"fixture table {name!r} not found at {path} "
                     f"(sf_dir={self.sf_dir!r})"
                 )
-            self._cache[name] = self.spark.read.parquet(path)
+            self._cache[name] = self._read(path)
         return self._cache[name]
+
+    def _read(self, path: str) -> DataFrame:
+        """Read one parquet table, normalizing nanosecond timestamps.
+
+        The ``events`` fixture stores TIMESTAMP(NANOS), which Spark's
+        parquet reader rejects; with ``nanosAsLong`` they surface as
+        LongType nanos and are floor-divided to microseconds (integer
+        ``div`` — a double division would lose precision above 2^53 ns),
+        matching DuckDB's nanos→micros read-time truncation exactly.
+        """
+        from pyspark.sql import functions as F
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        for field, dtype in df.dtypes:
+            if field == "ts" and dtype == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in KNOWN_TABLES:
