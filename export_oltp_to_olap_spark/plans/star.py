@@ -13,9 +13,11 @@ ref :416-423, SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import os
+from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.operators.ri_repair import repair_missing_dims
@@ -70,13 +72,21 @@ class StarSchema:
         return {name: getattr(self, name) for name in STAR_WRITE_ORDER}
 
 
-def build_star(oltp: dict[str, DataFrame], sk_mode: str = "dense_rank") -> StarSchema:
+def build_star(
+    oltp: dict[str, DataFrame], sk_mode: str = "dense_rank", repair: bool = True
+) -> StarSchema:
     """Build the whole star from reference-shaped OLTP DataFrames.
 
     RI repair (ref :272-314): after building dims from their own sources,
     extend dim_categoria / dim_cliente / dim_producto with null-filled
     placeholders for any FK the fact carries that the dim lacks, so every
     fact row's FK resolves — set-wise left-anti instead of per-row probes.
+
+    ``repair=False`` skips placeholder generation — the dim-only
+    incremental path (ref ``_sync_clientes``/``_sync_categorias``/
+    ``_sync_productos`` upsert their dimension without touching the fact,
+    ref :194-236); repairing there against an unrestricted fact source
+    would mint placeholders for every key outside the slice.
     """
     dim_cliente = build_dim_cliente(oltp["clientes"], oltp["orden"])
     dim_categoria = build_dim_categoria(oltp["categoria"])
@@ -95,10 +105,13 @@ def build_star(oltp: dict[str, DataFrame], sk_mode: str = "dense_rank") -> StarS
         dim_envio,
     )
 
-    src = fact_source(oltp["ventas"], oltp["orden"], oltp["orden_producto"], oltp["productos"])
-    dim_categoria = repair_missing_dims(src, dim_categoria, ["id_categoria"])
-    dim_cliente = repair_missing_dims(src, dim_cliente, ["id_cliente"])
-    dim_producto = repair_missing_dims(src, dim_producto, ["id_producto"])
+    if repair:
+        src = fact_source(
+            oltp["ventas"], oltp["orden"], oltp["orden_producto"], oltp["productos"]
+        )
+        dim_categoria = repair_missing_dims(src, dim_categoria, ["id_categoria"])
+        dim_cliente = repair_missing_dims(src, dim_cliente, ["id_cliente"])
+        dim_producto = repair_missing_dims(src, dim_producto, ["id_producto"])
 
     return StarSchema(
         dim_cliente=dim_cliente,
@@ -116,55 +129,160 @@ def build_star(oltp: dict[str, DataFrame], sk_mode: str = "dense_rank") -> StarS
 # ---------------------------------------------------------------------------
 
 
-def filter_oltp_for_key(
-    oltp: dict[str, DataFrame], table: str, record_id: int | None
+def _fact_slice(
+    oltp: dict[str, DataFrame], ventas_r: DataFrame, affected_orders: DataFrame
 ) -> dict[str, DataFrame]:
-    """Restrict the OLTP inputs to the slice affected by one changed record
-    — the engine's form of the reference's ``WHERE pk = %s`` interpolation
-    (ref :203-208, :220, :232, :250-255).  Catalyst pushes these filters
-    into the source scans (JDBC pushdown / parquet row-group pruning).
+    """Restrict every OLTP input to the slice one set of changed orders
+    touches.  ``productos``/``clientes`` are narrowed by semi-joins so the
+    dim builders re-emit only affected members — safe for the fact chain
+    because the fact's inner joins can only reach products on affected
+    order lines and customers owning affected orders anyway.  The customer
+    narrowing is the reference's orden→cliente cascade (ref :379-386) done
+    set-wise."""
+    out = dict(oltp)
+    out["ventas"] = ventas_r
+    owners = (
+        oltp["orden"]
+        .join(F.broadcast(affected_orders), on="id_orden", how="left_semi")
+        .select("id_cliente")
+        .where(F.col("id_cliente").isNotNull())
+        .distinct()
+    )
+    out["clientes"] = oltp["clientes"].join(
+        F.broadcast(owners), on="id_cliente", how="left_semi"
+    )
+    affected_products = (
+        oltp["orden_producto"]
+        .join(F.broadcast(affected_orders), on="id_orden", how="left_semi")
+        .select("id_producto")
+        .where(F.col("id_producto").isNotNull())
+        .distinct()
+    )
+    out["productos"] = oltp["productos"].join(
+        F.broadcast(affected_products), on="id_producto", how="left_semi"
+    )
+    return out
+
+
+def filter_oltp_for_keys(
+    oltp: dict[str, DataFrame], table: str, record_ids: Sequence[int]
+) -> dict[str, DataFrame]:
+    """Restrict the OLTP inputs to the slice affected by a set of changed
+    records — the set-wise form of the reference's ``WHERE pk = %s``
+    interpolation (ref :203-208, :220, :232, :250-255).  Catalyst pushes
+    the resulting IN-filters into the source scans (JDBC pushdown /
+    parquet row-group pruning); CDC micro-batches keep the key sets small.
 
     Routing (ref :367-404):
-      * clientes/categoria/productos → that dimension's source row
-      * ventas → fact rows of that sale
-      * orden → fact rows of that order + the owning customer (cascade,
-        ref :379-386)
-      * orden_producto → fact rows of the parent order (PK probe,
+      * clientes/categoria/productos → those dimensions' source rows
+      * ventas → fact rows of those sales
+      * orden → fact rows of those orders + the owning customers
+        (cascade, ref :379-386)
+      * orden_producto → fact rows of the parent orders (PK probe,
         ref :387-401)
       * unknown table → full rebuild (ref :402-404)
     """
-    if record_id is None:
+    ids = [int(i) for i in record_ids]
+    if not ids:
         return oltp
     t = table.lower()
     out = dict(oltp)
-    rid = F.lit(record_id)
     if t == "clientes":
-        out["clientes"] = oltp["clientes"].where(F.col("id_cliente") == rid)
+        out["clientes"] = oltp["clientes"].where(F.col("id_cliente").isin(ids))
     elif t == "categoria":
-        out["categoria"] = oltp["categoria"].where(F.col("id_categoria") == rid)
+        out["categoria"] = oltp["categoria"].where(F.col("id_categoria").isin(ids))
     elif t == "productos":
-        out["productos"] = oltp["productos"].where(F.col("id_producto") == rid)
+        out["productos"] = oltp["productos"].where(F.col("id_producto").isin(ids))
     elif t == "ventas":
-        out["ventas"] = oltp["ventas"].where(F.col("id_venta") == rid)
+        ventas_r = oltp["ventas"].where(F.col("id_venta").isin(ids))
+        return _fact_slice(oltp, ventas_r, ventas_r.select("id_orden").distinct())
     elif t == "orden":
-        out["ventas"] = oltp["ventas"].where(F.col("id_orden") == rid)
-        # cascade: refresh the customer owning this order (ref :379-386)
-        owner = oltp["orden"].where(F.col("id_orden") == rid).select("id_cliente")
-        out["clientes"] = oltp["clientes"].join(
-            F.broadcast(owner), on="id_cliente", how="left_semi"
-        )
+        ventas_r = oltp["ventas"].where(F.col("id_orden").isin(ids))
+        affected = oltp["orden"].where(F.col("id_orden").isin(ids)).select("id_orden").distinct()
+        return _fact_slice(oltp, ventas_r, affected)
     elif t == "orden_producto":
         pk = resolve_orden_producto_pk(oltp["orden_producto"])
-        parent = (
-            oltp["orden_producto"].where(F.col(pk) == rid).select("id_orden")
+        parents = (
+            oltp["orden_producto"].where(F.col(pk).isin(ids)).select("id_orden").distinct()
         )
-        out["ventas"] = oltp["ventas"].join(
-            F.broadcast(parent), on="id_orden", how="left_semi"
-        )
+        ventas_r = oltp["ventas"].join(F.broadcast(parents), on="id_orden", how="left_semi")
+        return _fact_slice(oltp, ventas_r, parents)
     else:
         # unknown table → full sync fallback (ref :402-404)
         return oltp
     return out
+
+
+def filter_oltp_for_key(
+    oltp: dict[str, DataFrame], table: str, record_id: int | None
+) -> dict[str, DataFrame]:
+    """Single-record form of :func:`filter_oltp_for_keys` (ref §3.2)."""
+    if record_id is None:
+        return oltp
+    return filter_oltp_for_keys(oltp, table, [record_id])
+
+
+# ---------------------------------------------------------------------------
+# Star persistence: initial load + idempotent merge (ref ON CONFLICT keys)
+# ---------------------------------------------------------------------------
+
+# Business/merge key per OLAP table — the reference's ON CONFLICT targets
+# (ref :59, :74, :86, :117 via fecha, :153, :167, :181).
+STAR_MERGE_KEYS: dict[str, tuple[str, ...]] = {
+    "dim_cliente": ("id_cliente",),
+    "dim_categoria": ("id_categoria",),
+    "dim_producto": ("id_producto",),
+    "dim_tiempo": ("fecha",),
+    "dim_metodo_pago": ("metodo_pago",),
+    "dim_envio": ("estado_envio", "metodo_envio"),
+    "hecho_ventas": (
+        "id_tiempo",
+        "id_cliente",
+        "id_producto",
+        "id_categoria",
+        "id_metodo_pago",
+        "id_envio",
+    ),
+}
+
+
+def star_table_path(target_dir: str, name: str) -> str:
+    return os.path.join(target_dir, name)
+
+
+def write_star(
+    star: StarSchema, target_dir: str, tables: Sequence[str] | None = None
+) -> None:
+    """Initial full load: overwrite each OLAP table, dims before fact
+    (the reference's FK topological order, ref :337-345)."""
+    for name in STAR_WRITE_ORDER:
+        if tables is not None and name not in tables:
+            continue
+        getattr(star, name).write.mode("overwrite").parquet(
+            star_table_path(target_dir, name)
+        )
+
+
+def merge_star(
+    spark: SparkSession,
+    star: StarSchema,
+    target_dir: str,
+    tables: Sequence[str] | None = None,
+) -> None:
+    """Idempotent key-merge of (a slice of) the star into stored targets —
+    the cross-batch ON CONFLICT semantics (ref :56-93, :150-191), dims
+    before fact."""
+    from export_oltp_to_olap_spark.operators.merge import merge_into_parquet
+
+    for name in STAR_WRITE_ORDER:
+        if tables is not None and name not in tables:
+            continue
+        merge_into_parquet(
+            spark,
+            getattr(star, name),
+            star_table_path(target_dir, name),
+            STAR_MERGE_KEYS[name],
+        )
 
 
 def build_star_incremental(

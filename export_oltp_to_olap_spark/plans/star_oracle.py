@@ -144,12 +144,10 @@ SELECT id_envio, estado_envio, metodo_envio FROM dim_envio
 
 # Fact oracle -----------------------------------------------------------------
 
-HECHO_VENTAS_SQL = f"""
-WITH {OLTP_CTE_SQL},
-{_DIM_TIEMPO_CTE},
-{_DIM_METODO_PAGO_CTE},
-{_DIM_ENVIO_CTE},
-{_FACT_SOURCE_CTE},
+# Shared tail: surrogate resolution (J5) + null guard (B5) + grain dedup
+# (J1/D3).  Expects CTEs fact_src / dim_tiempo / dim_metodo_pago /
+# dim_envio in scope — full or slice-restricted versions alike.
+_HECHO_RESOLVE_TAIL = """
 resolved AS (
   SELECT t.id_tiempo, s.id_cliente, s.id_producto, s.id_categoria,
          mp.id_metodo_pago, e.id_envio,
@@ -180,7 +178,57 @@ dedup AS (
 SELECT id_tiempo, id_cliente, id_producto, id_categoria, id_metodo_pago,
        id_envio, cantidad, total_venta, costo_envio, margen
 FROM dedup WHERE rn = 1
+""".strip()
+
+HECHO_VENTAS_SQL = f"""
+WITH {OLTP_CTE_SQL},
+{_DIM_TIEMPO_CTE},
+{_DIM_METODO_PAGO_CTE},
+{_DIM_ENVIO_CTE},
+{_FACT_SOURCE_CTE},
+{_HECHO_RESOLVE_TAIL}
 """
+
+
+def incremental_hecho_sql(orden_id: int) -> str:
+    """Oracle for the §3.2 incremental path: the hecho slice one changed
+    order produces.  Mirrors ``filter_oltp_for_keys(oltp, "orden", [id])``
+    + ``build_star`` exactly: ventas restricted to the order, productos
+    semi-joined to the order's lines, slice dims with slice-relative
+    dense_rank surrogate keys, dim_envio from the unrestricted orden."""
+    return f"""
+WITH {OLTP_CTE_SQL},
+ventas_r AS (SELECT * FROM oltp_ventas WHERE id_orden = {orden_id}),
+productos_r AS (
+  SELECT * FROM oltp_productos WHERE id_producto IN (
+    SELECT DISTINCT id_producto FROM oltp_orden_producto
+    WHERE id_orden = {orden_id} AND id_producto IS NOT NULL)
+),
+fechas AS (
+  SELECT DISTINCT CAST(fecha_venta AS DATE) AS fecha
+  FROM ventas_r WHERE fecha_venta IS NOT NULL
+),
+dim_tiempo AS (
+  SELECT dense_rank() OVER (ORDER BY fecha) AS id_tiempo, fecha FROM fechas
+),
+dim_metodo_pago AS (
+  SELECT dense_rank() OVER (ORDER BY metodo_pago) AS id_metodo_pago,
+         metodo_pago
+  FROM (SELECT DISTINCT metodo_pago FROM ventas_r WHERE metodo_pago IS NOT NULL)
+),
+{_DIM_ENVIO_CTE},
+fact_src AS (
+  SELECT v.id_venta, op.id_op, v.fecha_venta, o.id_cliente, op.id_producto,
+         p.id_categoria, v.metodo_pago, o.estado_envio, o.metodo_envio,
+         op.cantidad, op.precio_unitario, p.precio, p.costo, o.costo_envio
+  FROM ventas_r v
+  JOIN oltp_orden o ON v.id_orden = o.id_orden
+  JOIN oltp_orden_producto op ON v.id_orden = op.id_orden
+  JOIN productos_r p ON op.id_producto = p.id_producto
+),
+{_HECHO_RESOLVE_TAIL}
+"""
+
 
 # Fact-source join (J3/B2) as its own checkable operator ----------------------
 

@@ -109,6 +109,15 @@ def q_hecho_ventas(spark: SparkSession, sf_dir: str):
     return _star(spark, sf_dir).hecho_ventas
 
 
+@register("incremental_orden_hecho", star_oracle.incremental_hecho_sql(7))
+def q_incremental_hecho(spark: SparkSession, sf_dir: str):
+    """§3.2 incremental path: the hecho slice for one changed order —
+    key-restricted inputs through the same build (ref :377-401)."""
+    from export_oltp_to_olap_spark.plans.star import build_star_incremental
+
+    return build_star_incremental(_oltp(spark, sf_dir), "orden", record_id=7).hecho_ventas
+
+
 @register("star_fact_source", star_oracle.FACT_SOURCE_SQL)
 def q_fact_source(spark: SparkSession, sf_dir: str):
     """J3/B2: the raw 4-way fact-source join, 12-col projection +
