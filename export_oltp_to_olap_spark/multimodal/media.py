@@ -1,0 +1,295 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+North-star extension (no analog in the reference, which is flat-relational
+only — SURVEY.md §1.1): a 100 TB training-data pipeline carries media as
+bytes next to its metadata and runs decode / feature-extraction / resize /
+frame-sampling as Arrow-batched Python over ``mapInPandas``.
+
+Design for scale:
+
+* **Bytes stay opaque to the engine.**  The ``content`` column is
+  ``BinaryType``; Spark shuffles/spills it without interpreting it, and
+  Parquet stores it as a byte-array column that column-pruning skips
+  entirely when a query touches only metadata.
+* **Metadata is a typed struct**, so predicates like
+  ``meta.width > 512`` prune at the scan (parquet column statistics work
+  on struct leaves) without ever reading a byte of media.
+* **Python only where unavoidable.**  Feature extraction over raw bytes is
+  genuinely non-relational, so it runs in ``mapInPandas`` — Arrow moves
+  whole columnar batches across the JVM↔Python boundary, numpy processes
+  each batch vectorized; never one Python call per row.
+* **Codec decode is STUBBED.**  Real image/audio decoding needs PIL /
+  torchaudio / ffmpeg, none of which ship in this container.  The
+  ``decode_*`` functions raise ``NotImplementedError`` unless the codec
+  import succeeds; the deterministic fake (``fake_decode_array``) keeps
+  every downstream shape real and testable.  The Spark-side plumbing —
+  schemas, batch iteration, partitioning, explode of sampled frames — is
+  the real, tested artifact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+    import pandas as pd
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", META_SCHEMA),
+    ]
+)
+
+KINDS = ("image", "audio", "video")
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from ``documents``.
+
+    Stands in for a real ingest (S3 byte fetch / tar unpack): ``content``
+    is the UTF-8 encoding of the document text — deterministic, varied
+    lengths, reproducible in any engine via ``encode()`` — and ``meta`` is
+    derived arithmetically from ``doc_id``.  All JVM-side expressions; the
+    Python boundary starts only at feature extraction.
+    """
+    did = F.col("doc_id")
+    return documents.select(
+        did.alias("media_id"),
+        F.element_at(F.array(*[F.lit(k) for k in KINDS]), (did % 3 + 1).cast("int")).alias(
+            "kind"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("raw").alias("format"),
+            (did % 640 + 64).cast("int").alias("width"),
+            (did % 480 + 48).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            ((did % 30 + 1) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode layer: real codecs stubbed, deterministic fake for the pipeline
+# ---------------------------------------------------------------------------
+
+
+def decode_image(content: bytes) -> "np.ndarray":
+    """Decode an encoded image to an HxWx3 array.  STUB: needs PIL."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real image decode needs PIL/Pillow (not in this container); "
+            "use fake_decode_array for the deterministic test path"
+        ) from exc
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+
+
+def decode_audio(content: bytes) -> "np.ndarray":
+    """Decode encoded audio to a 1-D PCM array.  STUB: needs soundfile."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "real audio decode needs soundfile/librosa (not in this "
+            "container); use fake_decode_array for the deterministic path"
+        ) from exc
+    raise NotImplementedError("unreachable in this container")
+
+
+def fake_decode_array(content: bytes) -> "np.ndarray":
+    """Deterministic stand-in decode: raw bytes as a uint8 array.
+
+    Keeps every downstream shape (dtype, vectorized reductions, frame
+    slicing) identical to a real decode so the plumbing is fully tested.
+    """
+    import numpy as np
+
+    return np.frombuffer(content, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction / frame sampling — Arrow-batched mapInPandas
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("std_byte", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item byte statistics via ``mapInPandas``.
+
+    One Arrow batch in → one pandas DataFrame out; numpy reductions run
+    per batch (vectorized across rows' buffers), no per-row Python
+    function dispatch through Spark.  At 100 TB this is the pattern for
+    any bytes→features stage: the batch size is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, so executor memory
+    is bounded regardless of table size, and partitioning is preserved
+    (no shuffle — a pure map stage).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "size_bytes": [],
+                "mean_byte": [],
+                "std_byte": [],
+                "byte_entropy": [],
+            }
+            for content in pdf["content"]:
+                arr = fake_decode_array(content)
+                out["size_bytes"].append(len(arr))
+                if len(arr) == 0:
+                    out["mean_byte"].append(0.0)
+                    out["std_byte"].append(0.0)
+                    out["byte_entropy"].append(0.0)
+                    continue
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / len(arr)
+                out["mean_byte"].append(float(arr.mean()))
+                out["std_byte"].append(float(arr.std()))
+                out["byte_entropy"].append(float(-(p * np.log2(p)).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256, stride: int = 4) -> DataFrame:
+    """Frame-sample ``video`` items: every ``stride``-th fixed-size chunk.
+
+    The deterministic fake of ffmpeg keyframe extraction: chunking raw
+    bytes stands in for frames, so the output shape (one row per sampled
+    frame, binary payload, ordinal) and the explode-style fan-out are
+    real.  Runs as a pure map stage — fan-out happens inside the Arrow
+    batch, no join or shuffle.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids: list[int] = []
+            nos: list[int] = []
+            frames: list[bytes] = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if kind != "video":
+                    continue
+                n_frames = max(len(content) // frame_bytes, 1)
+                for no in range(0, n_frames, stride):
+                    ids.append(mid)
+                    nos.append(no)
+                    frames.append(bytes(content[no * frame_bytes : (no + 1) * frame_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image item.  STUB: raises unless PIL is present; the
+    signature and schema (same media schema, updated meta) are the
+    contract a codec-enabled deployment fills in."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            for content in pdf["content"]:
+                decode_image(content)  # raises NotImplementedError w/o PIL
+            yield pdf
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only query (oracle-checkable: never touches the bytes)
+# ---------------------------------------------------------------------------
+
+
+def media_metadata_stats(documents: DataFrame) -> DataFrame:
+    """Per-kind metadata profile of the synthesized media table.
+
+    Touches ``meta`` struct leaves and ``octet_length`` of the content
+    only — no Python, no decode.  Over a *stored* media parquet the same
+    plan reads just the needed leaf columns (struct-leaf pruning), so a
+    metadata profile of a 100 TB media lake never fetches the bytes;
+    ``octet_length`` would come from a persisted ``size_bytes`` column.
+    """
+    media = synthesize_media(documents)
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.round(F.avg(F.col("meta.width")), 2).alias("avg_width"),
+            F.round(F.avg(F.col("meta.height")), 2).alias("avg_height"),
+            F.max(F.col("meta.duration_ms")).alias("max_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+MEDIA_METADATA_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         encode(text) AS content,
+         CAST(doc_id % 640 + 64 AS INTEGER) AS width,
+         CAST(doc_id % 480 + 48 AS INTEGER) AS height,
+         CAST((doc_id % 30 + 1) * 1000 AS INTEGER) AS duration_ms
+  FROM documents
+)
+SELECT kind,
+       count(*) AS n_items,
+       CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
+       round(avg(width), 2) AS avg_width,
+       round(avg(height), 2) AS avg_height,
+       max(duration_ms) AS max_duration_ms
+FROM media
+GROUP BY kind
+ORDER BY kind
+""".strip()

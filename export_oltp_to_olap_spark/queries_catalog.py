@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from export_oltp_to_olap_spark.multimodal import media
 from export_oltp_to_olap_spark.operators import neardup, similarity
 from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
 from export_oltp_to_olap_spark.plans import events as events_plans
@@ -319,3 +320,28 @@ def q_text_fp(spark: SparkSession, sf_dir: str):
 def q_token_stats(spark: SparkSession, sf_dir: str):
     """Corpus token statistics per source."""
     return text_queries.token_stats_by_source(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@register("media_metadata_stats", media.MEDIA_METADATA_SQL)
+def q_media_metadata(spark: SparkSession, sf_dir: str):
+    """Metadata-only profile of binary media (no decode, no Python)."""
+    return media.media_metadata_stats(_docs(spark, sf_dir))
+
+
+@register("media_feature_extract", None)  # numpy-over-bytes: no SQL oracle
+def q_media_features(spark: SparkSession, sf_dir: str):
+    """Arrow-batched mapInPandas byte-feature extraction (rows-only
+    check; exact values tested against a pure-Python oracle in tests)."""
+    return media.extract_features(media.synthesize_media(_docs(spark, sf_dir)))
+
+
+@register("media_frame_sample", None)  # byte-chunking fan-out: no SQL oracle
+def q_media_frames(spark: SparkSession, sf_dir: str):
+    """Frame sampling of video items — mapInPandas fan-out (rows-only
+    check; counts tested in tests)."""
+    return media.sample_frames(media.synthesize_media(_docs(spark, sf_dir)))

@@ -1,0 +1,99 @@
+"""Multimodal pipeline: mapInPandas plumbing, deterministic fake decode,
+stubbed codec boundaries."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.multimodal import media as M
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf0001):
+    return load_tables(spark, sf0001, ("documents",))["documents"]
+
+
+@pytest.fixture(scope="module")
+def media_df(docs):
+    return M.synthesize_media(docs)
+
+
+def test_media_schema_and_determinism(media_df):
+    assert media_df.schema.simpleString() == M.MEDIA_SCHEMA.simpleString()
+    a = sorted(r["media_id"] for r in media_df.select("media_id").collect())
+    b = sorted(r["media_id"] for r in media_df.select("media_id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_feature_extract_matches_python_oracle(docs, media_df):
+    """Spark mapInPandas features == pure-Python recompute per document."""
+    feats = {r["media_id"]: r for r in M.extract_features(media_df).collect()}
+    raw = docs.select("doc_id", "text").limit(20).collect()
+    assert len(feats) == docs.count()
+    for row in raw:
+        content = row["text"].encode("utf-8")
+        got = feats[row["doc_id"]]
+        assert got["size_bytes"] == len(content)
+        want_mean = sum(content) / len(content)
+        assert got["mean_byte"] == pytest.approx(want_mean, rel=1e-9)
+        counts: dict[int, int] = {}
+        for byte in content:
+            counts[byte] = counts.get(byte, 0) + 1
+        want_entropy = -sum(
+            (c / len(content)) * math.log2(c / len(content)) for c in counts.values()
+        )
+        assert got["byte_entropy"] == pytest.approx(want_entropy, rel=1e-9)
+
+
+def test_frame_sample_counts_and_kind(media_df):
+    """One row per sampled frame, videos only, counts match the chunking
+    formula ceil-free: range(0, max(len//256,1), 4)."""
+    frames = M.sample_frames(media_df, frame_bytes=256, stride=4)
+    got = (
+        frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    )
+    sizes = {
+        r["media_id"]: len(r["content"])
+        for r in media_df.where(F.col("kind") == "video").collect()
+    }
+    assert {r["media_id"] for r in got} == set(sizes)
+    for r in got:
+        n_frames = max(sizes[r["media_id"]] // 256, 1)
+        assert r["n"] == len(range(0, n_frames, 4))
+    first = frames.orderBy("media_id", "frame_no").first()
+    assert isinstance(first["frame"], (bytes, bytearray))
+    assert len(first["frame"]) <= 256
+
+
+def test_resize_is_stubbed_without_codec(media_df):
+    """The real-codec path is a clearly-marked stub: NotImplementedError
+    surfaces through the Spark job when PIL is absent."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub path not applicable")
+    except ImportError:
+        pass
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        M.resize_images(media_df.limit(1), 32, 32).collect()
+
+
+def test_fake_decode_roundtrip():
+    arr = M.fake_decode_array(b"\x00\x01\xff")
+    assert list(arr) == [0, 1, 255]
+    assert arr.dtype.name == "uint8"
+
+
+def test_metadata_stats_no_python_stage(media_df, docs):
+    """The metadata profile plan contains no Python/Arrow eval stage —
+    it must stay JVM-side end to end."""
+    plan = M.media_metadata_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
