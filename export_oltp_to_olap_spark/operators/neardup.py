@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import tokens, word_shingles
+from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -68,8 +69,12 @@ GROUP BY text
 
 def shingle_index(docs: DataFrame, n: int = 3, max_df: int | None = None) -> DataFrame:
     """Distinct (doc_id, shingle) pairs; optional document-frequency cap."""
+    # Spread BEFORE the explode: the shingle fan-out and the md5s layered
+    # on it downstream are the CPU cost, and they must not inherit a
+    # single-file input's 1-partition layout.
     idx = (
-        docs.select("doc_id", F.explode(word_shingles("text", n)).alias("sh"))
+        spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(word_shingles("text", n)).alias("sh"))
         .distinct()
     )
     if max_df is not None:
@@ -153,17 +158,45 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
 MINHASH_N_HASHES = 16
 
 
+def doc_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shs): each document's DISTINCT shingle set as one array.
+
+    The zero-shuffle form of the inverted index: the set lives in a row,
+    so signature derivation and pair verification become per-row / per-
+    pair array expressions instead of explode→distinct→re-join passes.
+    One compact row per doc (~KB) is also the shape that lets AQE
+    broadcast the whole map under candidate joins at fixture scale.
+    """
+    return spread_for_compute(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.array_distinct(word_shingles("text", n)).alias("shs")
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_N_HASHES) -> DataFrame:
     """(doc_id, h, mh): per-doc min of md5("<h>:"+shingle) for each of the
     ``n_hashes`` hash functions.  md5-hex min is an order-total,
-    engine-portable MinHash."""
-    idx = shingle_index(docs)
-    hs = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
-    return (
-        idx.select("doc_id", "sh", hs)
-        .withColumn("hv", F.md5(F.concat_ws(":", F.col("h"), F.col("sh"))))
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("mh"))
+    engine-portable MinHash.
+
+    All ``n_hashes`` minima are per-row array reductions over the doc's
+    shingle set — no explode, no shuffle, nothing recomputed: H×|set|
+    md5s per row, embarrassingly parallel.  The long (doc_id, h, mh)
+    shape the LSH join needs is recovered with ``stack`` afterwards.
+    """
+    def _mh(h: int):
+        # NB: a `lambda s, h=h:` default-arg capture would be read by
+        # PySpark as a TWO-argument lambda, binding `h` to the array
+        # *index* — the closure factory keeps the lambda unary.
+        return F.array_min(
+            F.transform(F.col("shs"), lambda s: F.md5(F.concat_ws(":", F.lit(h), s)))
+        )
+
+    sets = doc_shingle_sets(docs)
+    wide = sets.select(
+        "doc_id", *[_mh(h).alias(f"mh{h}") for h in range(n_hashes)]
+    )
+    stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_hashes))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_hashes}, {stack_args}) AS (h, mh)")
     )
 
 
@@ -193,21 +226,19 @@ def minhash_lsh_neardup(
         .distinct()
     )
 
-    idx = shingle_index(docs)
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ia = idx.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
-    ib = idx.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
-    common = (
-        candidates.join(ia, "doc_a")
-        .join(ib, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # Verify by joining each candidate pair to the two compact per-doc
+    # shingle-set rows (AQE broadcasts the small side) and intersecting
+    # in-row: shuffle volume ∝ candidates + docs, never candidates ×
+    # shingles.
+    sets = doc_shingle_sets(docs)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     return (
-        common.join(sa, "doc_a")
+        candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn("n_a", F.size("shs_a"))
+        .withColumn("n_b", F.size("shs_b"))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -260,7 +291,8 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     CAST('0x'… ), Spark via conv(…, 16, 10).
     """
     tok = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
         .distinct()
         .withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     )

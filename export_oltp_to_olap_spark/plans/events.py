@@ -146,3 +146,75 @@ FROM decoded
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (Spark window()/frame specs; SURVEY.md §2.I3 note —
+# the reference has no event-time ops, these are the analytic surface)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_hourly_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows with per-type stats.
+
+    ``F.window`` is the same operator Structured Streaming uses with a
+    watermark; batch form here so it is oracle-checkable.  One hash-agg
+    shuffle on (window, event_type); the distinct user count adds the
+    standard second phase.
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_HOURLY_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {EXACT_SUM_SQL.format(expr="value")} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def user_moving_value(events: DataFrame, frame: int = 3) -> DataFrame:
+    """Per-user moving sum over a ROWS frame (last ``frame``+1 events).
+
+    Frame-spec window breadth (ROWS BETWEEN): the running sum is a
+    DECIMAL accumulation so the double is engine-exact; one shuffle on
+    user_id shared with the ordering.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-frame, 0)
+    )
+    moving = F.round(
+        F.sum(F.col("value").cast("decimal(28,10)")).over(w), 2
+    ).cast("double")
+    return events.select(
+        "user_id", "event_id", "ts", "value", moving.alias("moving_value")
+    )
+
+
+USER_MOVING_VALUE_SQL = """
+SELECT user_id, event_id, ts, value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS moving_value
+FROM events
+"""

@@ -11,12 +11,14 @@ from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import (
     LANG_MARKERS,
+    SQL_TOKENS,
     doc_fingerprint,
     lang_predict,
     lang_scores,
     quality_features,
     quality_score,
     sql_lang_count,
+    tokens,
 )
 
 
@@ -169,4 +171,34 @@ SELECT source,
 FROM per_doc
 GROUP BY source
 ORDER BY source
+"""
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate per document.
+
+    The subword estimate charges ceil(len(word)/4) pieces per word — the
+    standard ~4-chars-per-token heuristic — as a per-row array reduction
+    (no shuffle, codegen-friendly arithmetic identical in DuckDB).
+    """
+    toks = tokens("text")
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / F.lit(4.0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len({SQL_TOKENS.format(t="text")}) AS BIGINT) AS n_ws_tokens,
+       CAST(list_sum(list_transform({SQL_TOKENS.format(t="text")},
+                                    t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
 """

@@ -227,6 +227,18 @@ def q_cdc_decode(spark: SparkSession, sf_dir: str):
     return events_plans.cdc_decode_events(_tables(spark, sf_dir, ("events",))["events"])
 
 
+@register("events_tumbling_hourly", events_plans.TUMBLING_HOURLY_SQL)
+def q_tumbling(spark: SparkSession, sf_dir: str):
+    """Tumbling event-time windows (the streaming window op, batch form)."""
+    return events_plans.tumbling_hourly_stats(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("events_user_moving_value", events_plans.USER_MOVING_VALUE_SQL)
+def q_moving_value(spark: SparkSession, sf_dir: str):
+    """ROWS-frame moving sum per user (frame-spec window breadth)."""
+    return events_plans.user_moving_value(_tables(spark, sf_dir, ("events",))["events"])
+
+
 # ---------------------------------------------------------------------------
 # North-star: dedup family over documents
 # ---------------------------------------------------------------------------
@@ -320,6 +332,12 @@ def q_text_fp(spark: SparkSession, sf_dir: str):
 def q_token_stats(spark: SparkSession, sf_dir: str):
     """Corpus token statistics per source."""
     return text_queries.token_stats_by_source(_docs(spark, sf_dir))
+
+
+@register("token_count_bpe", text_queries.TOKEN_COUNT_BPE_SQL)
+def q_token_bpe(spark: SparkSession, sf_dir: str):
+    """Whitespace + BPE-ish subword token counting per document."""
+    return text_queries.token_count_bpe(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
