@@ -394,3 +394,152 @@ JOIN norms na ON na.vec_id = vec_a
 JOIN norms nb ON nb.vec_id = vec_b
 WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — learned buckets, the retrieval-scale path
+# ---------------------------------------------------------------------------
+#
+# Corpus vectors are assigned to their nearest centroid (the inverted
+# lists); a query probes only its `nprobe` nearest centroids and scores
+# the vectors in those lists: cost Q × (C + N·nprobe/C) instead of Q × N.
+# Centroids here are the first `n_centroids` corpus vectors — a
+# deterministic stand-in for k-means so the DuckDB oracle can restate
+# training exactly; production swaps in `pyspark.ml.clustering.KMeans`
+# centroids with the identical assignment/probe plan (same join shape,
+# learned buckets — SCALE.md).
+#
+# Nearest-centroid argmax uses RAW double cosines (no rounding): a
+# cross-engine flip needs two centroid similarities within ~1e-13 —
+# negligible, and deliberately NOT rounded because rounding would
+# manufacture exact ties at the grain.  Final neighbor scores use the
+# exact decimal dot, so reported values and ranks are engine-exact.
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _centroid_rank_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cen_id"))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    n_queries: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """IVF top-k: probe ``nprobe`` nearest centroid lists per query, exact
+    cosine over probed candidates only.  Recall < 1 by construction (a
+    true neighbor can live in an unprobed list) — measured against the
+    brute-force baseline in tests; the oracle restates this exact
+    pipeline so the check is deterministic."""
+    from pyspark.sql import Window
+
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    centroids = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cen_id"),
+        F.col("embedding").alias("cen_emb"),
+        F.col("norm").alias("cen_norm"),
+    )
+    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim",
+        _fast_dot(F.col("embedding"), F.col("cen_emb"))
+        / (F.col("norm") * F.col("cen_norm")),
+    )
+    w_cen = _centroid_rank_window()
+    ranked = sims.withColumn("cen_rank", F.row_number().over(w_cen))
+    # inverted lists: every vector lives in exactly its nearest list
+    assigned = ranked.where(F.col("cen_rank") == 1).select(
+        "vec_id", "embedding", "norm", "cen_id"
+    )
+    # each query probes its nprobe nearest lists
+    probes = (
+        ranked.where((F.col("vec_id") < n_queries) & (F.col("cen_rank") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), "cen_id")
+    )
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        probes.join(assigned, "cen_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                _exact_dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("norm")),
+                6,
+            ),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_cosine_topk_sql(
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    n_queries: int = 10,
+    k: int = 10,
+) -> str:
+    return f"""
+WITH {_NORMS_CTE},
+cen_sims AS (
+  SELECT v.vec_id, c.vec_id AS cen_id,
+         SUM(v.e * c.e) / (nv.norm * nc.norm) AS sim
+  FROM elems v
+  JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY v.vec_id, c.vec_id, nv.norm, nc.norm
+),
+ranked AS (
+  SELECT vec_id, cen_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS cen_rank
+  FROM cen_sims
+),
+assigned AS (SELECT vec_id, cen_id FROM ranked WHERE cen_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cen_id FROM ranked
+  WHERE vec_id < {n_queries} AND cen_rank <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cen_id = p.cen_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CAST(round(SUM(CAST(eq.e * en.e AS DECIMAL(38,16))), 12) AS DOUBLE)
+               / (nq.norm * nn.norm), 6) AS cos
+  FROM cand c
+  JOIN elems eq ON eq.vec_id = c.query_id
+  JOIN elems en ON en.vec_id = c.neighbor_id AND en.i = eq.i
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nn ON nn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, nq.norm, nn.norm
+),
+topk AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM topk WHERE rank <= {k}
+"""

@@ -305,6 +305,12 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str):
     return similarity.lsh_cosine_neardup(_embeddings(spark, sf_dir))
 
 
+@register("ivf_cosine_topk", similarity.ivf_cosine_topk_sql())
+def q_ivf_topk(spark: SparkSession, sf_dir: str):
+    """IVF inverted-list ANN: probe nprobe nearest centroid lists."""
+    return similarity.ivf_cosine_topk(_embeddings(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis over documents
 # ---------------------------------------------------------------------------

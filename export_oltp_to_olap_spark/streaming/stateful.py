@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator: ``applyInPandasWithState``.
+
+The reference keeps NO stream-side state (every event re-reads OLTP and
+upserts — SURVEY.md §2.I6).  This module shows the engine's surface for
+operators that genuinely need cross-batch state, the pattern a
+training-data pipeline uses for running per-key accumulators, dedup-seen
+sets, or rate trackers:
+
+* state lives in Spark's checkpointed state store, keyed by the group —
+  executor-partitioned, recovered on restart, no driver bottleneck;
+* each micro-batch hands the operator Arrow-batched pandas frames for
+  the key plus its ``GroupState``; the operator updates state and emits
+  output rows (update output mode).
+
+Accumulation uses integer cents (``round(value*100)`` per event) so
+totals are exact and batch-split-independent — summing doubles across
+restarts would drift by accumulation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
+STATE_SCHEMA = "n_events long, total_cents long"
+
+
+def _update_user_totals(
+    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    n_events, total_cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_events += len(pdf)
+        total_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n_events, total_cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n_events], "total_cents": [total_cents]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Running (n_events, total_cents) per user across micro-batches.
+
+    Works on a streaming DataFrame with ``user_id``/``value`` columns;
+    emits one updated row per user per batch that saw that user.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

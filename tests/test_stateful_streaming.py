@@ -1,0 +1,66 @@
+"""applyInPandasWithState: cross-batch state survives micro-batch splits
+and totals match the batch aggregation exactly."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from export_oltp_to_olap_spark.streaming.stateful import running_user_totals
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def test_running_totals_across_batches(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    batch1 = [(1, 10.25), (1, 0.75), (2, 5.5)]
+    batch2 = [(1, 1.0), (3, 2.25), (2, 0.5), (2, 1.0)]
+    for fname, rows in [("b1.json", batch1), ("b2.json", batch2)]:
+        with open(feed / fname, "w") as f:
+            for uid, val in rows:
+                f.write(
+                    json.dumps(
+                        {"user_id": uid, "value": val, "ts": "2026-01-01 00:00:00"}
+                    )
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    latest: dict[int, tuple[int, int]] = {}
+    n_batches = []
+
+    def sink(batch_df, batch_id):
+        n_batches.append(batch_id)
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["n_events"], r["total_cents"])
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(n_batches) >= 2, "maxFilesPerTrigger=1 should yield 2+ batches"
+    all_rows = batch1 + batch2
+    expected = {}
+    for uid, val in all_rows:
+        n, cents = expected.get(uid, (0, 0))
+        expected[uid] = (n + 1, cents + round(val * 100))
+    assert latest == expected
