@@ -31,10 +31,18 @@ DEFAULT_HEADLINE = [
     "star_hecho_ventas",
     "star_dim_cliente",
     "minhash_near_dup",
-    "ann_cosine_topk",
-    "text_quality",
+    "ngram_jaccard_neardup",
+    "simhash_near_dup",
     "exact_dedup_documents",
+    "ann_cosine_topk",
+    "ivf_cosine_topk",
+    "lsh_cosine_neardup",
+    "embedding_cosine_neardup",
+    "text_quality",
+    "token_count_bpe",
+    "media_feature_extract",
     "events_sessionize",
+    "events_tumbling_hourly",
 ]
 
 

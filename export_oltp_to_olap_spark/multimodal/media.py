@@ -165,6 +165,13 @@ def extract_features(media: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # Inline decode (== fake_decode_array): the closure must not
+        # reference package globals so it pickles by value and runs on
+        # workers that don't have the package on sys.path; the shipped
+        # package (shipping.ensure_shipped) is belt-and-suspenders.
+        def decode(content: bytes) -> "np.ndarray":
+            return np.frombuffer(content, dtype=np.uint8)
+
         for pdf in it:
             out = {
                 "media_id": pdf["media_id"],
@@ -175,7 +182,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "byte_entropy": [],
             }
             for content in pdf["content"]:
-                arr = fake_decode_array(content)
+                arr = decode(content)
                 out["size_bytes"].append(len(arr))
                 if len(arr) == 0:
                     out["mean_byte"].append(0.0)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from export_oltp_to_olap_spark import shipping
 from export_oltp_to_olap_spark.multimodal import media
 from export_oltp_to_olap_spark.operators import neardup, similarity
 from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
@@ -361,6 +362,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str):
 def q_media_features(spark: SparkSession, sf_dir: str):
     """Arrow-batched mapInPandas byte-feature extraction (rows-only
     check; exact values tested against a pure-Python oracle in tests)."""
+    shipping.ensure_shipped(spark)
     return media.extract_features(media.synthesize_media(_docs(spark, sf_dir)))
 
 
@@ -368,4 +370,5 @@ def q_media_features(spark: SparkSession, sf_dir: str):
 def q_media_frames(spark: SparkSession, sf_dir: str):
     """Frame sampling of video items — mapInPandas fan-out (rows-only
     check; counts tested in tests)."""
+    shipping.ensure_shipped(spark)
     return media.sample_frames(media.synthesize_media(_docs(spark, sf_dir)))

@@ -53,6 +53,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     Works on a streaming DataFrame with ``user_id``/``value`` columns;
     emits one updated row per user per batch that saw that user.
     """
+    from export_oltp_to_olap_spark import shipping
+
+    shipping.ensure_shipped(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType=OUTPUT_SCHEMA,

@@ -1,0 +1,43 @@
+"""Watermarked event-time windows over a streaming event feed.
+
+The reference has no event-time semantics — late NOTIFY events simply
+trigger another idempotent re-sync (SURVEY.md §2.I3).  For the analytic
+surface, Structured Streaming's watermark + window operators handle late
+data with bounded state:
+
+* ``withWatermark(ts, delay)`` — the engine tracks ``max(ts) - delay``;
+  windows older than the watermark are finalized (emitted once in append
+  mode) and their state dropped, so state size is bounded by the delay,
+  not the stream length.
+* Late events within the delay are incorporated before the window
+  finalizes; events later than the watermark are dropped — the documented
+  trade against unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time counts with late-data tolerance = watermark.
+
+    Append-mode output: one final row per (window, event_type) once the
+    watermark passes the window end.  The batch twin (oracle-checked) is
+    ``plans.events.tumbling_hourly_stats``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,89 @@
+"""Scale operators: salted aggregation equivalence, bucketed no-shuffle joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators.skew import salted_agg
+from export_oltp_to_olap_spark.sources.bucketed import read_bucketed, write_bucketed
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    """Salting must be result-invariant — same aggregates as plain
+    groupBy on a genuinely skewed key (event_type: 5 values, ~200 rows
+    each)."""
+    events = load_tables(spark, SRC, ("events",))["events"]
+    plain = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    salted = salted_agg(
+        events,
+        ["event_type"],
+        [("count", F.lit(1), "n"), ("min", "value", "lo"), ("max", "value", "hi")],
+        n_salts=8,
+    )
+    assert _rows(salted.select("event_type", "n", "lo", "hi")) == _rows(plain)
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    events = load_tables(spark, SRC, ("events",))["events"]
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(events, ["event_type"], [("avg", "value", "a")])
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """The first stage must actually fan a single key out over salts."""
+    events = load_tables(spark, SRC, ("events",))["events"]
+    one_key = events.where(F.col("event_type") == "click")
+    salted = one_key.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+    n_salts_used = salted.select("__salt").distinct().count()
+    assert n_salts_used >= 4, "hot key not spread across salt buckets"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT a shuffle —
+    the plan must contain no Exchange above either scan."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        tables = load_tables(spark, SRC, ("orders", "lineitem"))
+        write_bucketed(
+            tables["lineitem"].select("l_orderkey", "l_quantity"),
+            "t_lineitem_bkt",
+            ["l_orderkey"],
+            n_buckets=8,
+            sort_keys=["l_orderkey"],
+        )
+        write_bucketed(
+            tables["orders"].select("o_orderkey", "o_totalprice"),
+            "t_orders_bkt",
+            ["o_orderkey"],
+            n_buckets=8,
+            sort_keys=["o_orderkey"],
+        )
+        li = read_bucketed(spark, "t_lineitem_bkt")
+        orders = read_bucketed(spark, "t_orders_bkt")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and the result is right
+        expected = (
+            tables["lineitem"]
+            .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")

@@ -1,0 +1,87 @@
+"""Watermark semantics: in-delay late events counted, beyond-delay dropped,
+windows finalized exactly once (append mode).
+
+The file source's watermark advances with 1-2 batches of lag, so the
+too-late event is scheduled several batches after the advancing event —
+the drop is then unambiguous for any lag ≤ 2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from export_oltp_to_olap_spark.streaming.windows import windowed_event_counts
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _write(feed, name, rows, order: int):
+    """One feed file per micro-batch, with a distinct increasing mtime —
+    the file source orders batches by modification time, and
+    same-millisecond writes would make watermark progression
+    nondeterministic."""
+    path = feed / name
+    with open(path, "w") as f:
+        for ts, et in rows:
+            f.write(json.dumps({"ts": ts, "event_type": et}) + "\n")
+    base = 1_700_000_000
+    os.utime(path, (base + order, base + order))
+
+
+def test_watermark_accepts_in_delay_late_and_drops_beyond(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # window 10:00 content: 10:05, 10:10, then 10:20 arriving one batch
+    # late but within every possible watermark (wm ≤ 09:40 at that point)
+    _write(feed, "b1.json", [("2026-01-01 10:05:00", "click"), ("2026-01-01 10:10:00", "click")], 1)
+    _write(feed, "b2.json", [("2026-01-01 10:20:00", "click"), ("2026-01-01 12:00:00", "click")], 2)
+    # advance event time well past the 10:00 window across several batches
+    _write(feed, "b3.json", [("2026-01-01 13:00:00", "click")], 3)
+    _write(feed, "b4.json", [("2026-01-01 14:00:00", "click")], 4)
+    # by now the watermark is ≥ 12:30 under any 1-2 batch lag → 10:30 is
+    # beyond the 30-minute tolerance and must be dropped
+    _write(feed, "b5.json", [("2026-01-01 10:30:00", "click")], 5)
+    _write(feed, "b6.json", [("2026-01-01 16:00:00", "click")], 6)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(feed))
+    )
+    finalized: dict[str, int] = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.collect():
+            key = str(r["window_start"])
+            assert key not in finalized, "append mode must emit each window once"
+            finalized[key] = r["n_events"]
+
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # the 10:00 window must have finalized and counted exactly the three
+    # in-watermark events — the beyond-watermark 10:30 must be absent
+    assert finalized["2026-01-01 10:00:00"] == 3, finalized
+    # anything else that finalized must match the true per-window counts
+    truth = {
+        "2026-01-01 12:00:00": 1,
+        "2026-01-01 13:00:00": 1,
+        "2026-01-01 14:00:00": 1,
+        "2026-01-01 16:00:00": 1,
+    }
+    for key, n in finalized.items():
+        if key in truth:
+            assert n == truth[key], finalized
