@@ -152,10 +152,12 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
 """
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (banded, R=1) with exact-Jaccard verification
+# MinHash + LSH (banded, R=2) with exact-Jaccard verification
 # ---------------------------------------------------------------------------
 
 MINHASH_N_HASHES = 16
+MINHASH_BAND_R = 2  # rows per band; bands = n_hashes // R
+_MH_MOD = 1_000_000_007  # modulus for the (a + h·b) mod p hash family
 
 
 def doc_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -172,28 +174,48 @@ def doc_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_N_HASHES) -> DataFrame:
-    """(doc_id, h, mh): per-doc min of md5("<h>:"+shingle) for each of the
-    ``n_hashes`` hash functions.  md5-hex min is an order-total,
-    engine-portable MinHash.
+def _minhash_wide(sets: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}): per-doc minima of H hash functions.
 
-    All ``n_hashes`` minima are per-row array reductions over the doc's
-    shingle set — no explode, no shuffle, nothing recomputed: H×|set|
-    md5s per row, embarrassingly parallel.  The long (doc_id, h, mh)
-    shape the LSH join needs is recovered with ``stack`` afterwards.
+    ONE md5 per shingle (not H): the 128-bit digest is split into two
+    60-bit integers (a, b) and the H-member family is the classic
+    universal-hash derivation h_i(x) = (a mod p + i·(b mod p)) mod p.
+    Engine-portable — DuckDB derives identical integers via
+    CAST('0x'||substr(md5..) AS BIGINT) — and ~H× cheaper than hashing
+    H prefixed copies of every shingle.  All minima are per-row array
+    reductions; the (a, b) array is a materialized projection, so
+    codegen computes the md5s once per row no matter how many hash
+    functions read them.
     """
-    def _mh(h: int):
-        # NB: a `lambda s, h=h:` default-arg capture would be read by
-        # PySpark as a TWO-argument lambda, binding `h` to the array
-        # *index* — the closure factory keeps the lambda unary.
-        return F.array_min(
-            F.transform(F.col("shs"), lambda s: F.md5(F.concat_ws(":", F.lit(h), s)))
-        )
-
-    sets = doc_shingle_sets(docs)
-    wide = sets.select(
-        "doc_id", *[_mh(h).alias(f"mh{h}") for h in range(n_hashes)]
+    ab = sets.select(
+        "doc_id",
+        F.transform(
+            F.col("shs"),
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("a"),
+                F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long").alias("b"),
+            ),
+        ).alias("ab"),
     )
+
+    def _family_member(h: int):
+        # NB: closure factory, not `lambda x, h=h` — PySpark reads a
+        # two-parameter lambda as (element, index), which would bind h
+        # to the array *index* instead of the hash-function id.
+        return lambda x: (x["a"] % _MH_MOD + F.lit(h) * (x["b"] % _MH_MOD)) % _MH_MOD
+
+    return ab.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("ab"), _family_member(h))).alias(f"mh{h}")
+            for h in range(n_hashes)
+        ],
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_N_HASHES) -> DataFrame:
+    """(doc_id, h, mh) long-form MinHash signatures (see `_minhash_wide`)."""
+    wide = _minhash_wide(doc_shingle_sets(docs), n_hashes)
     stack_args = ", ".join(f"{h}, mh{h}" for h in range(n_hashes))
     return wide.select(
         "doc_id", F.expr(f"stack({n_hashes}, {stack_args}) AS (h, mh)")
@@ -204,21 +226,42 @@ def minhash_lsh_neardup(
     docs: DataFrame,
     n_hashes: int = MINHASH_N_HASHES,
     threshold: float = 0.8,
+    band_r: int = MINHASH_BAND_R,
 ) -> DataFrame:
-    """LSH candidates (any shared (h, min-hash) band) → exact-Jaccard
-    verify → (doc_a, doc_b, jaccard).
+    """Banded LSH candidates → exact-Jaccard verify → (doc_a, doc_b, jaccard).
 
-    With R=1 bands, P(candidate | jaccard=s) = 1-(1-s)^H; at H=16 and
-    s ≥ 0.8 recall is ≥ 1-1e-11 — verification makes precision exact.
+    Bands of R=2 rows: candidate iff some band's (mh_{2i}, mh_{2i+1})
+    pair matches exactly.  P(candidate | jaccard=s) = 1-(1-s²)^(H/R);
+    at H=16, R=2, s ≥ 0.8 recall ≥ 0.9997, while low-similarity noise
+    pairs (the R=1 failure mode: any single shared minimum) drop by
+    orders of magnitude — measured 157k→~1k candidates for 256 true
+    pairs on the sf0.1 documents fixture.  Verification makes precision
+    exact, so every reported pair is a true ≥-threshold pair.
     """
-    sig = minhash_signatures(docs, n_hashes)
-    a, b = sig.alias("a"), sig.alias("b")
+    sets = doc_shingle_sets(docs)
+    # The compact per-doc sets feed BOTH the signature derivation and
+    # the verify joins; persist so tokenization+md5 runs once.  (At
+    # corpus scale this is the table you'd checkpoint to storage.)
+    sets = sets.persist()
+
+    n_bands = n_hashes // band_r
+    wide = _minhash_wide(sets, n_hashes)
+    band_tuples = ", ".join(
+        f"{bnd}, {', '.join(f'mh{bnd * band_r + r}' for r in range(band_r))}"
+        for bnd in range(n_bands)
+    )
+    key_cols = [f"k{r}" for r in range(band_r)]
+    bands = wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {band_tuples}) AS (band, {', '.join(key_cols)})"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
             b,
             on=[
-                F.col("a.h") == F.col("b.h"),
-                F.col("a.mh") == F.col("b.mh"),
+                F.col("a.band") == F.col("b.band"),
+                *[F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols],
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
@@ -230,7 +273,6 @@ def minhash_lsh_neardup(
     # shingle-set rows (AQE broadcasts the small side) and intersecting
     # in-row: shuffle volume ∝ candidates + docs, never candidates ×
     # shingles.
-    sets = doc_shingle_sets(docs)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     return (
@@ -248,16 +290,35 @@ def minhash_lsh_neardup(
     )
 
 
+_MINHASH_BANDS = MINHASH_N_HASHES // MINHASH_BAND_R
+
 MINHASH_LSH_SQL = f"""
 WITH {_SHINGLE_CTE},
+ab AS (
+  SELECT doc_id, sh,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(sh), 16, 15) AS BIGINT) AS b
+  FROM shingles
+),
 sig AS (
-  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || sh)) AS mh
-  FROM shingles, generate_series(0, {MINHASH_N_HASHES - 1}) AS g(h)
+  SELECT doc_id, h,
+         min((a % {_MH_MOD} + h * (b % {_MH_MOD})) % {_MH_MOD}) AS mh
+  FROM ab, generate_series(0, {MINHASH_N_HASHES - 1}) AS g(h)
   GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, CAST(h / {MINHASH_BAND_R} AS INTEGER) AS band,
+         min(CASE WHEN h % {MINHASH_BAND_R} = 0 THEN mh END) AS k0,
+         min(CASE WHEN h % {MINHASH_BAND_R} = 1 THEN mh END) AS k1
+  FROM sig
+  GROUP BY 1, 2
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b ON a.h = b.h AND a.mh = b.mh AND a.doc_id < b.doc_id
+  FROM bands a
+  JOIN bands b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+   AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
@@ -311,19 +372,79 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 def simhash_neardup(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Fixture-scale does the direct self-join on fingerprints (docs² pairs
-    over a 1-column table); the 100 TB path bands the 60 bits into
-    (max_hamming+1) segments and equi-joins on segment value first.
+    Two-level scale design (no N² stage anywhere):
+
+    1. **Collapse identical fingerprints** — near-dup corpora contain
+       large clusters of byte-identical templates (sf0.1 fixture: 5000
+       docs → 3812 distinct fingerprints, largest cluster 251 docs).
+       Grouping to (fingerprint, sorted doc_id list) first means every
+       later stage works per *distinct* fingerprint, so a 251-doc
+       cluster is one row, not 251 rows flooding every hash bucket.
+       Intra-cluster pairs (hamming = 0) are enumerated combinatorially
+       from the list — output-bound, no join.
+    2. **Banded (pigeonhole) candidates across fingerprints** — split
+       the 60 bits into ``max_hamming + 1`` equal segments; two
+       fingerprints within ``max_hamming`` bits MUST agree on at least
+       one whole segment, so an equi-join on (segment_id, value) over
+       distinct fingerprints finds every qualifying pair (lossless —
+       the oracle's full self-join verifies) while producing only
+       bucket-collision candidates.  The exact ``bit_count`` filter
+       restores precision, then the two doc_id lists expand to pairs.
     """
+    n_segs = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_segs
+    mask = (1 << seg_bits) - 1
     fp = simhash_fingerprints(docs)
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+    groups = fp.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+
+    # Intra-cluster: all pairs within one identical-fingerprint group.
+    # ids is sorted, so doc_a < doc_b falls out of the slice positions.
+    intra = (
+        groups.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"),
+        )
+        .withColumn("hamming", F.lit(0))
+    )
+
+    # Cross-cluster: banded candidates over distinct fingerprints.
+    seg_tuples = ", ".join(
+        f"{s}, shiftright(simhash, {s * seg_bits}) & {mask}" for s in range(n_segs)
+    )
+    segs = groups.select(
+        "simhash", "ids", F.expr(f"stack({n_segs}, {seg_tuples}) AS (seg, sv)")
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.seg") == F.col("b.seg"),
+                F.col("a.sv") == F.col("b.sv"),
+                F.col("a.simhash") < F.col("b.simhash"),
+            ],
+        )
+        .select(
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+        )
+        .distinct()  # a pair of fingerprints may collide on >1 segment
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
+        .select("da", F.explode("ids_b").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
+    return intra.unionByName(inter)
 
 
 def _simhash_sql_votes() -> str:

@@ -299,42 +299,56 @@ def lsh_cosine_neardup(
     ``cosine_neardup``."""
     planes = _hyperplanes(n_bands * planes_per_band)
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    bands = [
-        base.select(
-            "vec_id",
-            "embedding",
-            "norm",
-            F.lit(band).alias("band"),
-            _band_key(F.col("embedding"), planes, band, planes_per_band).alias("bucket"),
-        )
+    # All band keys in ONE projection + stack (not a union of per-band
+    # branches): a union re-reads and re-projects the source once per
+    # band per join side — 2·L scans and exchanges where one suffices.
+    key_cols = [
+        _band_key(F.col("embedding"), planes, band, planes_per_band).alias(f"bk{band}")
         for band in range(n_bands)
     ]
-    bucketed = bands[0]
-    for extra in bands[1:]:
-        bucketed = bucketed.unionByName(extra)
+    stack_args = ", ".join(f"{band}, bk{band}" for band in range(n_bands))
+    bucketed = base.select("vec_id", *key_cols).select(
+        "vec_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, bucket)")
+    )
 
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-        "band",
-        "bucket",
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-        "band",
-        "bucket",
-    )
+    # Candidates carry ONLY the id pair: the bucket self-join fans out to
+    # ~Σ bucket² rows, and dragging two 64-float arrays through that join
+    # and its distinct() made the shuffle ~100× wider than needed.  Ids
+    # dedup cheaply; the embeddings re-attach afterwards via two joins to
+    # the compact base (broadcast under AQE — corpus-sized, not
+    # candidate-sized).
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     candidates = (
         a.join(b, on=["band", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "emb_a", "norm_a", "vec_b", "emb_b", "norm_b")
+        .select("vec_a", "vec_b")
         .distinct()
     )
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    # Two-phase scoring (as in cosine_neardup): every candidate pays the
+    # cheap double dot; the exact decimal dot reruns only within the
+    # margin, so the final answer is identical and the interpreted
+    # decimal path runs on survivors, not the whole candidate set.
     return (
-        candidates.withColumn(
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "cos_pre",
+            _fast_dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .where(F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN))
+        .withColumn(
             "cos",
             F.round(
                 _exact_dot(F.col("emb_a"), F.col("emb_b"))
