@@ -43,6 +43,8 @@ DEFAULT_HEADLINE = [
     "media_feature_extract",
     "events_sessionize",
     "events_tumbling_hourly",
+    "purchases_asof_clicks",
+    "orders_price_percentiles",
 ]
 
 

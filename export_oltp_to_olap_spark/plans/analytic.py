@@ -286,3 +286,39 @@ def approx_distinct_parts(tables: dict[str, DataFrame]) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+def orders_price_percentiles(tables: dict[str, DataFrame]) -> DataFrame:
+    """EXACT continuous percentiles of order value per priority.
+
+    Spark's ``percentile`` (exact, sort-based — not percentile_approx)
+    and DuckDB's ``quantile_cont`` share the (n-1)·p linear-interpolation
+    definition, so the oracle matches to double precision; outputs round
+    to 4 decimals to absorb last-ulp interpolation noise.  At scale the
+    exact percentile sorts each group once; swap to percentile_approx
+    when an error bound is acceptable and the cardinality is huge.
+    """
+    orders = tables["orders"]
+    pct = lambda p: F.round(F.expr(f"percentile(o_totalprice, {p})"), 4)  # noqa: E731
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

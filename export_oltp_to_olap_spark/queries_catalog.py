@@ -11,7 +11,7 @@ from pyspark.sql import SparkSession
 
 from export_oltp_to_olap_spark import shipping
 from export_oltp_to_olap_spark.multimodal import media
-from export_oltp_to_olap_spark.operators import neardup, similarity
+from export_oltp_to_olap_spark.operators import asof, neardup, similarity
 from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
 from export_oltp_to_olap_spark.plans import events as events_plans
 from export_oltp_to_olap_spark.plans import text_queries
@@ -203,6 +203,19 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str):
 def q_approx_distinct(spark: SparkSession, sf_dir: str):
     """approx_count_distinct (rows-only check; error bound in tests)."""
     return analytic.approx_distinct_parts(_tables(spark, sf_dir))
+
+
+@register("orders_price_percentiles", analytic.ORDERS_PRICE_PERCENTILES_SQL)
+def q_price_percentiles(spark: SparkSession, sf_dir: str):
+    """Exact continuous percentiles (p50/p90/p99) per order priority."""
+    return analytic.orders_price_percentiles(_tables(spark, sf_dir, ("orders",)))
+
+
+@register("purchases_asof_clicks", asof.PURCHASES_ASOF_CLICKS_SQL)
+def q_asof(spark: SparkSession, sf_dir: str):
+    """As-of join: each purchase to the user's latest prior click
+    (union-tag plan, one shuffle — operators/asof.py)."""
+    return asof.purchases_asof_clicks(_tables(spark, sf_dir, ("events",))["events"])
 
 
 # ---------------------------------------------------------------------------
