@@ -44,6 +44,7 @@ DEFAULT_HEADLINE = [
     "events_sessionize",
     "events_tumbling_hourly",
     "purchases_asof_clicks",
+    "clicks_before_purchase",
     "orders_price_percentiles",
 ]
 

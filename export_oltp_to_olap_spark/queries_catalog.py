@@ -11,7 +11,7 @@ from pyspark.sql import SparkSession
 
 from export_oltp_to_olap_spark import shipping
 from export_oltp_to_olap_spark.multimodal import media
-from export_oltp_to_olap_spark.operators import asof, neardup, similarity
+from export_oltp_to_olap_spark.operators import asof, neardup, rangejoin, similarity
 from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
 from export_oltp_to_olap_spark.plans import events as events_plans
 from export_oltp_to_olap_spark.plans import text_queries
@@ -216,6 +216,15 @@ def q_asof(spark: SparkSession, sf_dir: str):
     """As-of join: each purchase to the user's latest prior click
     (union-tag plan, one shuffle — operators/asof.py)."""
     return asof.purchases_asof_clicks(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("clicks_before_purchase", rangejoin.CLICKS_BEFORE_PURCHASE_SQL)
+def q_range_join(spark: SparkSession, sf_dir: str):
+    """Bucketed interval join: clicks in the hour before each purchase
+    (operators/rangejoin.py — never materializes per-key cross products)."""
+    return rangejoin.clicks_before_purchase(
+        _tables(spark, sf_dir, ("events",))["events"]
+    )
 
 
 # ---------------------------------------------------------------------------
