@@ -41,3 +41,36 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def session_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Data-driven session windows per user: a session extends while
+    events arrive within ``gap`` of the previous one and closes after a
+    silence of ``gap``.
+
+    ``session_window`` keeps per-key open-session state; the watermark
+    closes sessions whose end is older than ``max(ts) - watermark`` and
+    drops their state, so state is bounded by (active keys × open
+    sessions), not stream length.  The batch twin (oracle-checked,
+    same gap semantics via lag + cumulative-sum) is
+    ``plans.events.sessionize``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -85,3 +85,69 @@ def test_watermark_accepts_in_delay_late_and_drops_beyond(spark, tmp_path):
     for key, n in finalized.items():
         if key in truth:
             assert n == truth[key], finalized
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_session(feed, name, rows, order: int):
+    path = feed / name
+    with open(path, "w") as f:
+        for ts, uid, val in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid, "value": val}) + "\n")
+    base = 1_700_000_000
+    os.utime(path, (base + order, base + order))
+
+
+def test_session_window_merges_and_splits(spark, tmp_path):
+    """Events within the gap merge into one session (even across
+    micro-batches); a silence longer than the gap starts a new session."""
+    from export_oltp_to_olap_spark.streaming.windows import session_event_stats
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # user 1: 10:00 and 10:20 (within 30-min gap -> one session), then
+    # 12:00 (after >30-min silence -> second session).  user 2: lone event.
+    _write_session(feed, "b1.json", [("2026-01-01 10:00:00", 1, 1.0)], 1)
+    _write_session(feed, "b2.json", [("2026-01-01 10:20:00", 1, 2.0), ("2026-01-01 10:00:00", 2, 5.0)], 2)
+    _write_session(feed, "b3.json", [("2026-01-01 12:00:00", 1, 4.0)], 3)
+    # advance event time so every session above is past the watermark
+    _write_session(feed, "b4.json", [("2026-01-01 15:00:00", 9, 0.0)], 4)
+    _write_session(feed, "b5.json", [("2026-01-01 16:00:00", 9, 0.0)], 5)
+    _write_session(feed, "b6.json", [("2026-01-01 17:00:00", 9, 0.0)], 6)
+
+    stream = (
+        spark.readStream.schema(SESSION_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    out: dict[tuple, tuple] = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.collect():
+            key = (r["user_id"], str(r["session_start"]))
+            assert key not in out, "append mode must emit each session once"
+            out[key] = (str(r["session_end"]), r["n_events"], r["total_value"])
+
+    q = (
+        session_event_stats(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # cross-batch merge: one session 10:00-10:50 (end = last event + gap)
+    assert out[(1, "2026-01-01 10:00:00")] == ("2026-01-01 10:50:00", 2, 3.0), out
+    # silence split: a separate session at 12:00
+    assert out[(1, "2026-01-01 12:00:00")] == ("2026-01-01 12:30:00", 1, 4.0), out
+    # lone-event session for user 2
+    assert out[(2, "2026-01-01 10:00:00")] == ("2026-01-01 10:30:00", 1, 5.0), out
