@@ -1,0 +1,88 @@
+"""Physical-plan quality gates — the properties that matter at 100 TB.
+
+Correctness tests prove the answers are right; these prove the PLANS are
+right: filters reach the parquet scan, scans read only needed columns,
+fixture-scale joins broadcast instead of shuffling both sides, and the
+hot paths stay inside whole-stage codegen.  A regression here silently
+multiplies cost at scale long before it shows in a 600k-row benchmark.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from export_oltp_to_olap_spark import registry
+
+registry._ensure_loaded()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_filter_pushed_to_parquet_scan(spark, sf001):
+    plan = _plan(spark, sf001, "point_filter_customer")
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_custkey,42\)", plan), plan
+
+
+def test_date_range_filter_pushed_to_scan(spark, sf001):
+    plan = _plan(spark, sf001, "date_range_orders")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan", plan) or re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual", plan
+    ), plan
+
+
+def test_column_pruning_reaches_scan(spark, sf001):
+    """exact dedup touches only (doc_id, text); the documents scan must
+    not read any other column."""
+    plan = _plan(spark, sf001, "exact_dedup_documents")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, plan
+    for cols in scans:
+        names = {c.split("#")[0] for c in cols.split(",") if c}
+        assert names <= {"doc_id", "text"}, names
+
+
+def test_fixture_scale_joins_broadcast(spark, sf001):
+    """The flagship 5-table join and the star fact build must broadcast
+    every dimension side — zero sort-merge joins at fixture scale."""
+    for name in ("flagship_revenue", "star_fact_source", "star_hecho_ventas"):
+        plan = _plan(spark, sf001, name)
+        assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast joins"
+
+
+def test_hot_paths_in_wholestage_codegen(spark, sf001):
+    """Codegen spans (the `*(N)` node prefixes) only appear in the AQE
+    final plan, and only the DataFrame's OWN execution finalizes it —
+    `.count()` would plan a different query, so collect() first."""
+    for name in ("pricing_summary", "flagship_revenue", "star_hecho_ventas"):
+        df = registry.REGISTRY[name].fn(spark, sf001)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, f"{name}: AQE never finalized"
+        assert "*(" in plan, f"{name} runs interpreted (no codegen spans)"
+
+
+def test_no_cartesian_products_anywhere(spark, sf001):
+    """Only the brute-force ANN baseline is allowed a cross join (it is
+    one by definition, with the small side broadcast)."""
+    allowed = {"ann_cosine_topk", "embedding_cosine_neardup"}
+    for name, reg in sorted(registry.REGISTRY.items()):
+        if name in allowed:
+            continue
+        plan = _plan(spark, sf001, name)
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+@pytest.mark.parametrize("name", ["purchases_asof_clicks", "clicks_before_purchase"])
+def test_time_join_operators_have_no_quadratic_stage(spark, sf001, name):
+    """As-of and interval joins must never appear as nested-loop/cartesian
+    plans — that is exactly the blowup they exist to avoid."""
+    plan = _plan(spark, sf001, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
