@@ -11,7 +11,13 @@ from pyspark.sql import SparkSession
 
 from export_oltp_to_olap_spark import shipping
 from export_oltp_to_olap_spark.multimodal import media
-from export_oltp_to_olap_spark.operators import asof, neardup, rangejoin, similarity
+from export_oltp_to_olap_spark.operators import (
+    asof,
+    neardup,
+    rangejoin,
+    sampling,
+    similarity,
+)
 from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
 from export_oltp_to_olap_spark.plans import events as events_plans
 from export_oltp_to_olap_spark.plans import text_queries
@@ -275,6 +281,13 @@ def _docs(spark: SparkSession, sf_dir: str):
 def q_exact_dedup(spark: SparkSession, sf_dir: str):
     """Exact dedup: one keeper per distinct text."""
     return neardup.exact_dedup_docs(_docs(spark, sf_dir))
+
+
+@register("corpus_split_summary", sampling.SPLIT_SUMMARY_SQL)
+def q_split_summary(spark: SparkSession, sf_dir: str):
+    """Deterministic hash-based train/val/test split + per-split token
+    volume (operators/sampling.py — stable under repartition/append)."""
+    return sampling.split_summary(_docs(spark, sf_dir))
 
 
 @register("ngram_jaccard_neardup", neardup.NGRAM_JACCARD_SQL)

@@ -1,0 +1,39 @@
+"""Properties of deterministic hash sampling/splits (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from export_oltp_to_olap_spark.operators.sampling import (
+    assign_splits,
+    deterministic_sample,
+)
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+
+def _docs(spark, sf001):
+    return load_tables(spark, sf001, ("documents",))["documents"]
+
+
+def test_splits_are_exhaustive_and_stable_under_repartition(spark, sf001):
+    docs = _docs(spark, sf001)
+    a = {r["doc_id"]: r["split"] for r in assign_splits(docs, "doc_id").collect()}
+    assert len(a) == docs.count()  # every row got exactly one split
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # membership is a pure function of the key
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert abs(train / n - 0.8) < 0.06  # 500 docs: ~binomial noise
+
+
+def test_same_salt_samples_nest_different_salts_decorrelate(spark, sf001):
+    docs = _docs(spark, sf001)
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    assert s10 <= s20  # growing the budget only ADDS rows (stable eval sets)
+    other = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 0.2, salt="other").collect()
+    }
+    assert other != s20  # a fresh salt draws an independent subset
