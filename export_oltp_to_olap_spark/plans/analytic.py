@@ -322,3 +322,33 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def grouping_sets_orders(tables: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of cube/rollup: exactly
+    the requested aggregation levels ((status), (priority), ()), computed
+    in ONE pass with partial aggregation shared across sets (Expand +
+    hash-agg), instead of three scans unioned.
+    """
+    orders = tables["orders"]
+    orders.createOrReplaceTempView("__orders_gs")
+    return tables["orders"].sparkSession.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               {EXACT_SUM_SQL.format(expr="o_totalprice")} AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {EXACT_SUM_SQL.format(expr="o_totalprice")} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""

@@ -211,6 +211,12 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str):
     return analytic.approx_distinct_parts(_tables(spark, sf_dir))
 
 
+@register("grouping_sets_orders", analytic.GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str):
+    """Explicit GROUPING SETS (single-pass Expand, not unioned scans)."""
+    return analytic.grouping_sets_orders(_tables(spark, sf_dir, ("orders",)))
+
+
 @register("orders_price_percentiles", analytic.ORDERS_PRICE_PERCENTILES_SQL)
 def q_price_percentiles(spark: SparkSession, sf_dir: str):
     """Exact continuous percentiles (p50/p90/p99) per order priority."""
