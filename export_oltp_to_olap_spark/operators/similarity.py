@@ -4,24 +4,32 @@ Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
 variant is the scale path (candidates from random-hyperplane buckets,
 exact re-scoring on candidates only).
 
-Engine-portable arithmetic: element products are computed in DOUBLE
-(float→double widening is exact, one rounding per product in both
-engines), accumulated in DECIMAL (order-independent), rounded to scale 12
-and cast back to DOUBLE.  The double→decimal element cast itself carries
-~1e-13 engine noise (DuckDB scales in double arithmetic, which is lossy
-once value×10^16 exceeds 2^53), so the *output* cosine is rounded to 6
-decimals and every rank/threshold decision is taken on the rounded value
-— noise 7 orders of magnitude below the rounding grain cannot flip a
-comparison, and identical rounded keys make window ranks deterministic
-via the vec_id tiebreak.
+Two-phase scoring everywhere: a cheap vectorized double PRESCORE cuts the
+pair space, then an exact-decimal RESCORE fixes values and order.
+
+* PRESCORE runs as an Arrow-batched ``pandas_udf`` — one numpy ``einsum``
+  per batch, ~100× the throughput of evaluating a 64-step interpreted
+  higher-order function per pair (measured: the HOF prescore alone cost
+  ~55 µs/pair, dominating round-1's 114 s all-pairs run).  numpy's
+  pairwise summation differs from a sequential double sum by ~1e-13
+  relative — far inside every margin below.
+* RESCORE uses element products in DOUBLE (float→double widening is
+  exact), accumulated in DECIMAL (order-independent), rounded to scale 12
+  and cast back to DOUBLE.  The double→decimal element cast itself carries
+  ~1e-13 engine noise (DuckDB scales in double arithmetic, which is lossy
+  once value×10^16 exceeds 2^53), so the *output* cosine is rounded to 6
+  decimals and every rank/threshold decision is taken on the rounded value
+  — noise 7 orders of magnitude below the rounding grain cannot flip a
+  comparison, and identical rounded keys make window ranks deterministic
+  via the vec_id tiebreak.
 
 Scale notes (1e9+ vectors):
 * brute force is O(Q×N×d) — fine for reranking, wrong for retrieval;
   the plan keeps Q broadcast so N never shuffles.
-* hyperplane LSH buckets cut N to E[N/2^P] per probe; the bucket join is
-  an equi-join on the bucket id (shuffle on small keys), then exact
-  scoring on candidates.  An IVF variant would k-means the corpus and
-  probe nearest centroids — same join shape with learned buckets.
+* hyperplane LSH buckets cut the candidate space; the bucket join is an
+  equi-join on the bucket id (shuffle on small keys), then exact scoring
+  on candidates.  The IVF variant probes nearest centroid lists — same
+  join shape with learned buckets.
 """
 
 from __future__ import annotations
@@ -59,22 +67,34 @@ def _exact_norm(a: Column) -> Column:
     return F.sqrt(F.round(acc, 12).cast("double"))
 
 
-def _fast_dot(a: Column, b: Column) -> Column:
-    """Plain double-sum dot product — the cheap PRESCORE.
+def _pair_dot_udf():
+    """Vectorized double dot product of two array columns — the PRESCORE.
 
-    Within ~1e-13 relative of the exact decimal dot for unit-scale
-    embeddings; used only to cut the pair space before exact rescoring,
-    with a margin far wider than that noise, so it can never change the
-    final answer.
+    Built fresh per plan (nested def → cloudpickle ships it by value, no
+    package import needed on workers).  Each Arrow batch becomes two
+    (n, d) float64 matrices and one ``einsum`` — no per-row Python
+    dispatch.  Within ~1e-13 relative of the exact decimal dot for
+    unit-scale embeddings; used only to cut the pair space before exact
+    rescoring, with a margin far wider than that noise, so it can never
+    change the final answer.
     """
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a, b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype(np.float64, copy=False)
+        B = np.vstack(b.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return pair_dot
 
 
-# Prescore margin: decimal-vs-double divergence is ≤ ~1e-13; 1e-6 leaves
+# Prescore margin: prescore-vs-exact divergence is ≤ ~1e-13; 1e-6 leaves
 # seven orders of magnitude of slack.
 PRESCORE_MARGIN = 1e-6
 
@@ -98,6 +118,7 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
     queries = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -107,14 +128,14 @@ def cosine_topk(
     pairs = base.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    # Two-phase top-k: rank every pair by the cheap double prescore, keep
-    # a 2k shortlist per query, exact-rescore only the shortlist.  A true
-    # top-k member can miss the 2k cut only if ≥ k shortlist scores sit
-    # within double-noise (~1e-13) of it — not a property of real
+    # Two-phase top-k: rank every pair by the cheap vectorized prescore,
+    # keep a 2k shortlist per query, exact-rescore only the shortlist.  A
+    # true top-k member can miss the 2k cut only if ≥ k shortlist scores
+    # sit within prescore noise (~1e-13) of it — not a property of real
     # embedding data; the exact rescore then makes order and values exact.
     pre = pairs.withColumn(
         "cos_pre",
-        _fast_dot(F.col("q_emb"), F.col("embedding"))
+        pair_dot(F.col("q_emb"), F.col("embedding"))
         / (F.col("q_norm") * F.col("norm")),
     )
     w_pre = Window.partitionBy("query_id").orderBy(
@@ -186,8 +207,11 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup).
 
     Brute-force all-pairs at fixture scale; the threshold cut is exact
-    (see module docstring), so this is oracle-checkable.
+    (see module docstring), so this is oracle-checkable.  This is the
+    EXACTNESS BASELINE — O(N²) by definition; the scale path is
+    ``lsh_cosine_neardup`` (recall measured against this in tests).
     """
+    pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
     a = base.select(
         F.col("vec_id").alias("vec_a"),
@@ -199,15 +223,15 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    # Two-phase scoring: every pair pays only the cheap double dot; the
-    # exact-decimal dot (interpreted, ~10× dearer) reruns only for pairs
+    # Two-phase scoring: every pair pays only the vectorized prescore; the
+    # exact-decimal dot (interpreted, ~100× dearer) reruns only for pairs
     # already within PRESCORE_MARGIN of the threshold.  Same final answer
-    # (margin ≫ double noise), ~N²→survivors cost for the exact path.
+    # (margin ≫ prescore noise), ~N²→survivors cost for the exact path.
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cos_pre",
-            _fast_dot(F.col("emb_a"), F.col("emb_b"))
+            pair_dot(F.col("emb_a"), F.col("emb_b"))
             / (F.col("norm_a") * F.col("norm_b")),
         )
         .where(F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN))
@@ -245,13 +269,29 @@ WHERE round(dot / (na.norm * nb.norm), 6) >= 0.4
 #
 # Banded OR-construction: L independent bands of b hyperplanes each; two
 # vectors are candidates if they agree on ALL b sign bits of ANY band.
-# P(candidate | angle θ) = 1 − (1 − (1−θ/π)^b)^L — at (L=4, b=2) recall is
-# ≈0.85 for cos 0.35 and rises with similarity, while candidate volume
-# stays ≈L/2^b of the full pair space.  At corpus scale, raise b to shrink
-# buckets and L to recover recall (cost ∝ L × Σ bucket²).
+# P(candidate | angle θ) = 1 − (1 − (1−θ/π)^b)^L.
+#
+# Parameter choice is EMPIRICAL, measured on the fixture corpus (numpy
+# replay of the exact md5 planes below, sf0.1 = 2 000 vectors):
+#
+#   L=4,  b=2  → 68.4 % of the pair space, recall@0.4 0.88  (round 1: no prune)
+#   L=24, b=4  → 77.6 %, recall@0.4 0.99
+#   L=64, b=8  → 24.5 %, recall@0.4 0.85, recall@0.35 0.78   ← default
+#   L=96, b=10 → 11.1 %, recall@0.4 0.64
+#
+# The corpus' matched pairs sit at cos 0.35–0.5 — barely above the random
+# background (median cos ≈ 0) — so the LSH gap exponent is weak:
+# ρ = ln(1/p₁)/ln(1/p₂) = ln(1/0.614)/ln(1/0.5) ≈ 0.70, and recall ≥ 0.9 at
+# cos 0.35 measurably costs ≥ 65 % of the pair space (no real pruning).
+# L=64/b=8 is the measured Pareto knee: 4× pruning at 0.85 recall for the
+# 0.4-threshold band.  At true near-dup thresholds (cos ≥ 0.8, the usual
+# dedup regime) the same construction prunes orders of magnitude harder —
+# p₁ = 0.80 gives p₁^8 ≈ 0.17 per band vs 0.004 background.
+# tests/test_similarity_recall.py pins recall ≥ 0.7 AND candidates ≤ 35 %
+# of the pair space so a parameter regression in either direction fails.
 
-N_BANDS = 4
-PLANES_PER_BAND = 2
+N_BANDS = 64
+PLANES_PER_BAND = 8
 DIM = 64
 
 
@@ -268,23 +308,75 @@ def _hyperplanes(n_planes: int, dim: int = DIM) -> list[list[int]]:
     return planes
 
 
-def _band_key(vec: Column, planes: list[list[int]], band: int, b: int) -> Column:
-    """Band bucket id: sign-bit string of this band's hyperplane dots.
+def _band_keys_udf(n_bands: int, planes_per_band: int):
+    """All L band keys in ONE vectorized projection: each Arrow batch is a
+    single (n, d) × (d, L·b) GEMM, signs packed to per-band bitstrings.
 
-    Signs come from exact decimal sums, so bucket assignment is
-    deterministic and engine-identical even for near-zero projections.
+    Signs come from plain double projections.  Cross-engine double
+    summation differs by ~1e-13 ulps, so a sign flip needs a projection
+    within 1e-13 of zero — vanishingly unlikely and self-healing (the
+    exact rescore keeps precision exact either way).
     """
-    bits = []
-    for row in planes[band * b : (band + 1) * b]:
-        plane = F.array(*[F.lit(float(v)) for v in row])
-        # Sign from the plain double projection.  Cross-engine double
-        # summation differs by ~1e-13 ulps, so a sign flip needs a
-        # projection within 1e-13 of zero — vanishingly unlikely and
-        # self-healing (the exact rescore keeps precision exact either
-        # way); paying a decimal-exact dot per plane per row for it
-        # doubled the operator's runtime.
-        bits.append(F.when(_fast_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(n_bands * planes_per_band)
+    b = planes_per_band
+
+    @pandas_udf("array<string>")
+    def band_keys(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        P = np.asarray(planes, dtype=np.float64)  # (L·b, d)
+        X = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+        bits = np.where(X @ P.T >= 0.0, "1", "0")  # (n, L·b)
+        nb = bits.shape[1] // b
+        return pd.Series(
+            [
+                ["".join(row[band * b : (band + 1) * b]) for band in range(nb)]
+                for row in bits
+            ]
+        )
+
+    return band_keys
+
+
+def lsh_candidate_pairs(
+    embeddings: DataFrame,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """LSH candidate id pairs (vec_a < vec_b) — the pruning stage alone.
+
+    Public so tests can assert the candidate volume is ≪ N²/2 (the whole
+    point of the scale path) independently of the scoring stages.
+    """
+    band_keys = _band_keys_udf(n_bands, planes_per_band)
+    base = spread_for_compute(embeddings, "vec_id")
+    # One GEMM per batch produces all band keys; posexplode fans out to
+    # (band, bucket) rows.  (Round 1 built L key columns as interpreted
+    # HOF expressions + stack — the GEMM replaces L·b interpreted dots
+    # per row with one matrix multiply.)
+    bucketed = base.select(
+        "vec_id",
+        F.posexplode(band_keys(F.col("embedding"))).alias("band", "bucket"),
+    )
+    # Candidates carry ONLY the id pair: the bucket self-join fans out to
+    # ~Σ bucket² rows, and dragging two 64-float arrays through that join
+    # and its distinct() made the shuffle ~100× wider than needed.  Ids
+    # dedup cheaply; the embeddings re-attach afterwards via two joins to
+    # the compact base (broadcast under AQE — corpus-sized, not
+    # candidate-sized).
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 def lsh_cosine_neardup(
@@ -297,34 +389,9 @@ def lsh_cosine_neardup(
     cosine re-scores candidates only.  Recall < 1 by construction — the
     oracle restates the same pipeline, and tests measure recall against
     ``cosine_neardup``."""
-    planes = _hyperplanes(n_bands * planes_per_band)
+    pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    # All band keys in ONE projection + stack (not a union of per-band
-    # branches): a union re-reads and re-projects the source once per
-    # band per join side — 2·L scans and exchanges where one suffices.
-    key_cols = [
-        _band_key(F.col("embedding"), planes, band, planes_per_band).alias(f"bk{band}")
-        for band in range(n_bands)
-    ]
-    stack_args = ", ".join(f"{band}, bk{band}" for band in range(n_bands))
-    bucketed = base.select("vec_id", *key_cols).select(
-        "vec_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, bucket)")
-    )
-
-    # Candidates carry ONLY the id pair: the bucket self-join fans out to
-    # ~Σ bucket² rows, and dragging two 64-float arrays through that join
-    # and its distinct() made the shuffle ~100× wider than needed.  Ids
-    # dedup cheaply; the embeddings re-attach afterwards via two joins to
-    # the compact base (broadcast under AQE — corpus-sized, not
-    # candidate-sized).
-    a = bucketed.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    b = bucketed.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
-    candidates = (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    candidates = lsh_candidate_pairs(embeddings, n_bands, planes_per_band)
     ea = base.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -336,7 +403,7 @@ def lsh_cosine_neardup(
         F.col("norm").alias("norm_b"),
     )
     # Two-phase scoring (as in cosine_neardup): every candidate pays the
-    # cheap double dot; the exact decimal dot reruns only within the
+    # vectorized prescore; the exact decimal dot reruns only within the
     # margin, so the final answer is identical and the interpreted
     # decimal path runs on survivors, not the whole candidate set.
     return (
@@ -344,7 +411,7 @@ def lsh_cosine_neardup(
         .join(eb, "vec_b")
         .withColumn(
             "cos_pre",
-            _fast_dot(F.col("emb_a"), F.col("emb_b"))
+            pair_dot(F.col("emb_a"), F.col("emb_b"))
             / (F.col("norm_a") * F.col("norm_b")),
         )
         .where(F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN))
@@ -361,23 +428,25 @@ def lsh_cosine_neardup(
     )
 
 
-def _planes_sql_values(planes: list[list[int]]) -> str:
-    rows = []
-    for j, row in enumerate(planes):
-        for i, v in enumerate(row):
-            rows.append(f"({j},{i + 1},{v}.0)")
-    return ", ".join(rows)
-
-
 def lsh_cosine_neardup_sql(
     threshold: float = 0.35,
     n_bands: int = N_BANDS,
     planes_per_band: int = PLANES_PER_BAND,
+    dim: int = DIM,
 ) -> str:
-    planes = _hyperplanes(n_bands * planes_per_band)
+    # Planes are restated by GENERATING the same md5-keyed signs in SQL
+    # (md5 is engine-identical), not by inlining a VALUES list — at
+    # L=64 × b=8 × d=64 the literal form would be 32 768 rows of SQL text.
+    n_planes = n_bands * planes_per_band
     return f"""
 WITH {_NORMS_CTE},
-planes(j, i, w) AS (VALUES {_planes_sql_values(planes)}),
+planes AS (
+  SELECT j, i + 1 AS i,
+         CASE WHEN strpos('01234567',
+                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_planes}) t1(j), range({dim}) t2(i)
+),
 proj AS (
   SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
   FROM elems e JOIN planes p ON e.i = p.i
@@ -417,11 +486,13 @@ WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
 # Corpus vectors are assigned to their nearest centroid (the inverted
 # lists); a query probes only its `nprobe` nearest centroids and scores
 # the vectors in those lists: cost Q × (C + N·nprobe/C) instead of Q × N.
-# Centroids here are the first `n_centroids` corpus vectors — a
+# Default centroids are the first `n_centroids` corpus vectors — a
 # deterministic stand-in for k-means so the DuckDB oracle can restate
-# training exactly; production swaps in `pyspark.ml.clustering.KMeans`
-# centroids with the identical assignment/probe plan (same join shape,
-# learned buckets — SCALE.md).
+# training exactly; `centroid_mode="kmeans"` swaps in learned
+# `pyspark.ml.clustering.KMeans` centroids with the identical
+# assignment/probe plan (same join shape, learned buckets — SCALE.md).
+# The k-means mode has no SQL oracle (iterative training isn't
+# SQL-expressible); its retrieval quality is pinned by the recall test.
 #
 # Nearest-centroid argmax uses RAW double cosines (no rounding): a
 # cross-engine flip needs two centroid similarities within ~1e-13 —
@@ -439,29 +510,62 @@ def _centroid_rank_window():
     return Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cen_id"))
 
 
+def _kmeans_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    """Learned IVF centroids via pyspark.ml KMeans (fixed seed).
+
+    Returns (cen_id, cen_emb, cen_norm).  Training is an iterative Spark
+    job over the corpus — exactly what a retrieval-quality IVF build does
+    at scale (sampled corpus, k=√N lists); the fixture keeps k small.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = base.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=42, maxIter=20, initMode="k-means||").fit(feats)
+    rows = [
+        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = base.sparkSession
+    cen = spark.createDataFrame(rows, "cen_id bigint, cen_emb array<double>")
+    return cen.withColumn("cen_norm", _exact_norm(F.col("cen_emb")))
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
     n_queries: int = 10,
     k: int = 10,
+    centroid_mode: str = "first",
 ) -> DataFrame:
     """IVF top-k: probe ``nprobe`` nearest centroid lists per query, exact
     cosine over probed candidates only.  Recall < 1 by construction (a
     true neighbor can live in an unprobed list) — measured against the
     brute-force baseline in tests; the oracle restates this exact
-    pipeline so the check is deterministic."""
+    pipeline so the check is deterministic.
+
+    ``centroid_mode``: "first" (deterministic, oracle-restatable) or
+    "kmeans" (learned lists — better recall, no SQL oracle).
+    """
     from pyspark.sql import Window
 
+    pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    centroids = base.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cen_id"),
-        F.col("embedding").alias("cen_emb"),
-        F.col("norm").alias("cen_norm"),
-    )
+    if centroid_mode == "kmeans":
+        centroids = _kmeans_centroids(base, n_centroids)
+    elif centroid_mode == "first":
+        centroids = base.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cen_id"),
+            F.col("embedding").alias("cen_emb"),
+            F.col("norm").alias("cen_norm"),
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown centroid_mode: {centroid_mode!r}")
     sims = base.crossJoin(F.broadcast(centroids)).withColumn(
         "sim",
-        _fast_dot(F.col("embedding"), F.col("cen_emb"))
+        pair_dot(F.col("embedding"), F.col("cen_emb"))
         / (F.col("norm") * F.col("cen_norm")),
     )
     w_cen = _centroid_rank_window()
@@ -480,18 +584,32 @@ def ivf_cosine_topk(
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    scored = (
+    # Two-phase rescore (as in cosine_topk): vectorized prescore over all
+    # probed candidates, 2k shortlist per query, exact decimal rescore on
+    # the shortlist only — same final top-k (margin argument identical).
+    pre = (
         probes.join(assigned, "cen_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(queries), "query_id")
         .withColumn(
-            "cos",
-            F.round(
-                _exact_dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("norm")),
-                6,
-            ),
+            "cos_pre",
+            pair_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
         )
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pre").desc(), F.col("vec_id")
+    )
+    shortlist = pre.withColumn("prerank", F.row_number().over(w_pre)).where(
+        F.col("prerank") <= 2 * k
+    )
+    scored = shortlist.withColumn(
+        "cos",
+        F.round(
+            _exact_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ),
     )
     w_k = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (

@@ -407,9 +407,10 @@ def q_media_features(spark: SparkSession, sf_dir: str):
     return media.extract_features(media.synthesize_media(_docs(spark, sf_dir)))
 
 
-@register("media_frame_sample", None)  # byte-chunking fan-out: no SQL oracle
+@register("media_frame_sample", media.FRAME_DIGEST_SQL)
 def q_media_frames(spark: SparkSession, sf_dir: str):
-    """Frame sampling of video items — mapInPandas fan-out (rows-only
-    check; counts tested in tests)."""
+    """Frame sampling of video items — mapInPandas fan-out; registered
+    output digests each binary frame (md5 + size) so the driver can
+    value-hash it (raw binary broke round 1's check)."""
     shipping.ensure_shipped(spark)
-    return media.sample_frames(media.synthesize_media(_docs(spark, sf_dir)))
+    return media.sampled_frame_digests(_docs(spark, sf_dir))

@@ -27,6 +27,26 @@ def test_every_query_runs_and_every_oracle_key_exists(spark, sf001):
         assert k in qs, f"oracle {k} has no query"
 
 
+def test_no_oracle_queries_run_and_are_driver_serializable(spark, sf001):
+    """Every registered query WITHOUT an oracle must still execute and
+    produce values the driver's rows-only check can record.  Round 1:
+    ``media_frame_sample`` was registered but returned raw binary and
+    silently produced no CORRECTNESS row — this guard makes that class of
+    drop a pytest failure instead."""
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    for name in sorted(set(qs) - set(oracles)):
+        df = qs[name](spark, sf001)
+        rows = df.collect()
+        assert rows, f"{name} returned no rows at sf0.001"
+        for r in rows[:10]:
+            for col, v in zip(df.columns, r):
+                assert not isinstance(v, (bytes, bytearray)), (
+                    f"{name}.{col} returns raw binary — the driver check "
+                    f"cannot hash it; digest it instead"
+                )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
