@@ -288,8 +288,9 @@ def sampled_frame_digests(documents: DataFrame) -> DataFrame:
 
 # DuckDB has no BLOB substring/slice, so the oracle chunks the VARCHAR
 # text instead — byte-identical to the Spark side because the corpus is
-# pure ASCII (asserted: octet_length(encode(text)) == length(text) for
-# every document at every SF; md5(VARCHAR) hashes its UTF-8 bytes).
+# pure ASCII (octet_length(encode(text)) == length(text); asserted by
+# tests/test_multimodal.py::test_documents_corpus_is_ascii over the
+# fixture SFs; md5(VARCHAR) hashes its UTF-8 bytes).
 FRAME_DIGEST_SQL = """
 WITH media AS (
   SELECT doc_id AS media_id, text AS content

@@ -48,7 +48,12 @@ def asof_join(
     """
     on = list(on)
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
-    r = right.select(
+    # A right row with NULL ts can never satisfy `right.ts <= left.ts`
+    # (DuckDB ASOF: the comparison is never true for NULL), but under
+    # `orderBy(ts.asc)` Spark sorts NULLs FIRST, so an unfiltered NULL-ts
+    # row would be carried into every left row of its key.  Drop them
+    # before the union.
+    r = right.where(F.col(ts_col).isNotNull()).select(
         *on, F.col(ts_col).alias(ts_col), F.lit(0).alias("_side"), payload
     )
     l_cols = left.columns

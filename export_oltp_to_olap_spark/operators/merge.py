@@ -7,7 +7,10 @@ transactions the equivalent is read-modify-write:
 
     merged = latest_by_key(new ∪ current, keys, [is_new desc, tiebreak])
 
-then an atomic directory swap (write to ``<path>.tmp`` then rename).  With
+then a near-atomic directory swap (write aside, rename the current table
+aside, rename the new one in — a crash mid-swap leaves the previous table
+recoverable aside, never zero copies; true atomicity needs a table format
+or a filesystem with atomic dir-exchange).  With
 Delta/Iceberg on a real deployment this whole module collapses to
 ``MERGE INTO`` (SURVEY.md §4.3.1); the parquet path keeps the same
 semantics dependency-free for the harness.
@@ -43,6 +46,11 @@ def merge_into_parquet(
     the ``tiebreak`` columns (descending) pick the winner, making the
     reference's scan-order-dependent LWW deterministic (SURVEY.md §7.4).
     """
+    old = f"{path}.__old_merge"
+    if not os.path.exists(path) and os.path.exists(old):
+        # A previous merge crashed between its two swap renames; the
+        # pre-merge table is intact aside — restore it before reading.
+        os.rename(old, path)
     if os.path.exists(path):
         current = spark.read.parquet(path).select(*new_rows.columns)
         unioned = new_rows.withColumn("__src", F.lit(1)).unionByName(
@@ -53,8 +61,18 @@ def merge_into_parquet(
     order = [F.col("__src").desc()] + [F.col(t).desc() for t in tiebreak]
     merged = latest_by_key(unioned, keys, order).drop("__src")
 
+    # Swap via rename-aside: write tmp → move current aside → move tmp in
+    # → drop the aside copy.  `tmp`/`old` share `path`'s parent directory,
+    # so every rename stays on one filesystem.  A crash mid-swap leaves the
+    # previous table intact at `<path>.__old_merge` (recoverable by hand or
+    # by the next merge); the rmtree-then-rename it replaces had a window
+    # where the table existed nowhere.
     tmp = f"{path}.__tmp_merge"
     merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

@@ -287,7 +287,7 @@ WHERE round(dot / (na.norm * nb.norm), 6) >= 0.4
 # 0.4-threshold band.  At true near-dup thresholds (cos ≥ 0.8, the usual
 # dedup regime) the same construction prunes orders of magnitude harder —
 # p₁ = 0.80 gives p₁^8 ≈ 0.17 per band vs 0.004 background.
-# tests/test_similarity_recall.py pins recall ≥ 0.7 AND candidates ≤ 35 %
+# tests/test_similarity_recall.py pins recall ≥ 0.7 AND candidates ≤ 30 %
 # of the pair space so a parameter regression in either direction fails.
 
 N_BANDS = 64
@@ -314,8 +314,11 @@ def _band_keys_udf(n_bands: int, planes_per_band: int):
 
     Signs come from plain double projections.  Cross-engine double
     summation differs by ~1e-13 ulps, so a sign flip needs a projection
-    within 1e-13 of zero — vanishingly unlikely and self-healing (the
-    exact rescore keeps precision exact either way).
+    within 1e-13 of zero — vanishingly unlikely.  If one ever occurred it
+    would change the candidate SET (a pair near threshold could survive in
+    one engine and not the other), which the exact rescore cannot repair —
+    that residual, measure-zero oracle-mismatch risk is accepted, not
+    healed; the rescore only guarantees exact scores for surviving pairs.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -58,7 +58,13 @@ def resolve_orden_producto_pk(orden_producto: DataFrame) -> str:
 
 @dataclass
 class StarSchema:
-    """The seven OLAP DataFrames, lazily composed."""
+    """The seven OLAP DataFrames, lazily composed.
+
+    ``sk_mode`` records which surrogate-key scheme built the surrogate-keyed
+    dims — persisted alongside written targets so a later merge can refuse
+    to mix key spaces (dense_rank ids are relative to the slice that built
+    them; xxhash64 ids are global — SURVEY.md §7.4).
+    """
 
     dim_cliente: DataFrame
     dim_categoria: DataFrame
@@ -67,6 +73,7 @@ class StarSchema:
     dim_metodo_pago: DataFrame
     dim_envio: DataFrame
     hecho_ventas: DataFrame
+    sk_mode: str = "dense_rank"
 
     def tables(self) -> dict[str, DataFrame]:
         return {name: getattr(self, name) for name in STAR_WRITE_ORDER}
@@ -121,6 +128,7 @@ def build_star(
         dim_metodo_pago=dim_metodo_pago,
         dim_envio=dim_envio,
         hecho_ventas=fact,
+        sk_mode=sk_mode,
     )
 
 
@@ -250,11 +258,54 @@ def star_table_path(target_dir: str, name: str) -> str:
     return os.path.join(target_dir, name)
 
 
+_STAR_META_FILE = "_star_meta.json"
+
+
+def _read_star_meta(target_dir: str) -> dict | None:
+    import json
+
+    meta_path = os.path.join(target_dir, _STAR_META_FILE)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _write_star_meta(target_dir: str, sk_mode: str) -> None:
+    import json
+
+    os.makedirs(target_dir, exist_ok=True)
+    meta_path = os.path.join(target_dir, _STAR_META_FILE)
+    with open(meta_path, "w", encoding="utf-8") as fh:
+        json.dump({"sk_mode": sk_mode}, fh)
+
+
+def _check_sk_mode(star: StarSchema, target_dir: str, overwrite: bool) -> None:
+    """Refuse to mix surrogate-key spaces in one stored star.
+
+    dense_rank ids are relative to the slice that built them; xxhash64
+    ids are global.  An initial dense_rank load followed by an xxhash64
+    CDC merge (or vice versa) would silently interleave two key spaces —
+    the library-API hole the CLI already guards (cli.py sk_mode notice).
+    The written ``_star_meta.json`` makes the stored mode first-class.
+    """
+    meta = None if overwrite else _read_star_meta(target_dir)
+    if meta is not None and meta.get("sk_mode") not in (None, star.sk_mode):
+        raise ValueError(
+            f"stored star at {target_dir} was built with "
+            f"sk_mode={meta['sk_mode']!r}; merging a {star.sk_mode!r} slice "
+            "would mix surrogate-key spaces — rebuild with --full-refresh "
+            "or build the slice with the stored mode"
+        )
+    _write_star_meta(target_dir, star.sk_mode)
+
+
 def write_star(
     star: StarSchema, target_dir: str, tables: Sequence[str] | None = None
 ) -> None:
     """Initial full load: overwrite each OLAP table, dims before fact
     (the reference's FK topological order, ref :337-345)."""
+    _check_sk_mode(star, target_dir, overwrite=tables is None)
     for name in STAR_WRITE_ORDER:
         if tables is not None and name not in tables:
             continue
@@ -271,9 +322,11 @@ def merge_star(
 ) -> None:
     """Idempotent key-merge of (a slice of) the star into stored targets —
     the cross-batch ON CONFLICT semantics (ref :56-93, :150-191), dims
-    before fact."""
+    before fact.  Raises if the stored star was built with a different
+    ``sk_mode`` (key-space mixing guard)."""
     from export_oltp_to_olap_spark.operators.merge import merge_into_parquet
 
+    _check_sk_mode(star, target_dir, overwrite=False)
     for name in STAR_WRITE_ORDER:
         if tables is not None and name not in tables:
             continue

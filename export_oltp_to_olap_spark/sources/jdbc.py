@@ -138,14 +138,34 @@ def upsert_postgres(
     table: str,
     key_columns: list[str],
     batch_size: int = 1000,
+    tiebreak: list[str] | None = None,
+    partition_writer=None,
 ) -> None:
     """Distributed upsert sink (production analog of operators.merge).
 
     Each partition opens one connection and writes batched upserts; with
     N output partitions that is N parallel writers — repartition the
     DataFrame to the write-parallelism the target DB tolerates.
+
+    In-batch LWW is resolved HERE, before the write: rows are deduped to
+    one winner per key (``tiebreak`` columns descending pick it, making
+    the reference's scan-order LWW deterministic), so ON CONFLICT never
+    races two rows of the same key inside one statement — Postgres raises
+    "cannot affect row a second time" if it does.
+
+    ``partition_writer`` is injectable for contract tests (defaults to
+    the psycopg2 executor-side writer).
     """
-    columns = df.columns
-    df.foreachPartition(
-        lambda rows: _pg_upsert_partition(rows, cfg, table, columns, key_columns, batch_size)
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.operators.dedup import latest_by_key
+
+    # Without a tiebreak the winner is arbitrary (the reference's
+    # scan-order LWW); with one it is deterministic.
+    order = [F.col(t).desc() for t in tiebreak] if tiebreak else [F.lit(1)]
+    deduped = latest_by_key(df, list(key_columns), order)
+    columns = deduped.columns
+    writer = partition_writer or _pg_upsert_partition
+    deduped.foreachPartition(
+        lambda rows: writer(rows, cfg, table, columns, key_columns, batch_size)
     )

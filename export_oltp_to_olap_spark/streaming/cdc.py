@@ -93,18 +93,31 @@ def read_event_feed(
     return reader.json(feed_dir)
 
 
+# Driver-side bound on distinct (table, record_id) keys collected per
+# micro-batch.  Beyond this, enumerating keys stops paying for itself (the
+# IN-filters it feeds grow past what pushdown handles well) and the
+# collect() would otherwise grow with batch cardinality without limit —
+# the full-rebuild fallback is the same recovery path the reference uses
+# for unknown events (ref :402-404) and converges identically because
+# every merge is an idempotent upsert of current OLTP state.
+MAX_COLLECTED_KEYS = 10_000
+
+
 def apply_cdc_events(
     batch: DataFrame,
     oltp: dict[str, DataFrame],
     target_dir: str,
     sk_mode: str = "xxhash64",
+    max_keys: int = MAX_COLLECTED_KEYS,
 ) -> None:
     """Apply one micro-batch of change events to the stored star.
 
     Mirrors the reference dispatcher per event *table* instead of per
     event: for each table with events, build the affected star slice and
-    key-merge it.  Unknown tables or NULL record ids trigger the
-    reference's full-sync fallback (ref :99-102, :402-404).
+    key-merge it.  Unknown tables, NULL record ids, or more than
+    ``max_keys`` distinct changed keys trigger the reference's full-sync
+    fallback (ref :99-102, :402-404) — so driver memory for the collected
+    key list is bounded regardless of micro-batch size.
     """
     if sk_mode == "dense_rank":
         raise ValueError(
@@ -112,7 +125,12 @@ def apply_cdc_events(
             "a merged star; incremental/streaming merges need sk_mode='xxhash64'"
         )
     spark = batch.sparkSession
-    events = batch.select("table", "record_id").distinct().collect()
+    # limit(max_keys + 1): collect at most one row past the cap — enough
+    # to detect overflow, never an unbounded driver materialization.
+    events = batch.select("table", "record_id").distinct().limit(max_keys + 1).collect()
+    if len(events) > max_keys:
+        merge_star(spark, build_star(oltp, sk_mode=sk_mode), target_dir)
+        return
 
     by_table: dict[str, list[int]] = defaultdict(list)
     full_sync = False

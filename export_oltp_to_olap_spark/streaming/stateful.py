@@ -32,6 +32,19 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
 STATE_SCHEMA = "n_events long, total_cents long"
 
 
+def cents_half_up(values) -> int:
+    """Sum of per-value integer cents, rounding ties HALF_UP (away from
+    zero) — the same mode as Spark's ``F.round`` in the batch rollup
+    (streaming/rollup.py), so streaming and batch accumulators agree on
+    exact half-cents.  numpy/pandas ``.round()`` is half-to-even and
+    disagrees (e.g. 0.125 → 12 cents instead of 13)."""
+    import numpy as np
+
+    cents = np.asarray(values, dtype=np.float64) * 100.0
+    half_up = np.copysign(np.floor(np.abs(cents) + 0.5), cents)
+    return int(half_up.astype("int64").sum())
+
+
 def _update_user_totals(
     key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
 ) -> Iterator["pd.DataFrame"]:
@@ -40,7 +53,7 @@ def _update_user_totals(
     n_events, total_cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n_events += len(pdf)
-        total_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        total_cents += cents_half_up(pdf["value"].to_numpy())
     state.update((n_events, total_cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n_events], "total_cents": [total_cents]}

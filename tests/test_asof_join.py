@@ -40,6 +40,27 @@ def test_asof_join_semantics(spark):
     assert out == {"L10": "R5", "L20": "R20", "L3": None, "M10": None}
 
 
+def test_asof_join_null_ts_rows(spark):
+    """A right row with NULL ts can never match (`right.ts <= left.ts` is
+    never true for NULL) — it must not be carried into left rows just
+    because NULLs sort first.  A left row with NULL ts matches nothing."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "L10"), (1, None, "Lnull")],
+        "k long, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "Rnull"), (1, _ts(5), "R5")],
+        "k long, ts timestamp, rval string",
+    )
+    out = {
+        r["lval"]: r["r_rval"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rval"]
+        ).collect()
+    }
+    assert out == {"L10": "R5", "Lnull": None}
+
+
 def test_asof_join_matches_naive_range_join(spark, sf001):
     """The one-shuffle union-tag plan equals the quadratic range-join
     definition on real data."""

@@ -22,6 +22,20 @@ def media_df(docs):
     return M.synthesize_media(docs)
 
 
+def test_documents_corpus_is_ascii(spark, sf0001, sf001):
+    """FRAME_DIGEST_SQL chunks VARCHAR text where Spark chunks bytes;
+    they are byte-identical only while every document is pure ASCII
+    (octet_length(utf8) == char length).  Pin that property on the fixture
+    corpora so a non-ASCII regeneration fails loudly instead of silently
+    hash-mismatching the oracle (ADVICE r2)."""
+    for sf_dir in (sf0001, sf001):
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        offenders = docs.where(
+            F.octet_length(F.col("text")) != F.length(F.col("text"))
+        ).count()
+        assert offenders == 0, f"non-ASCII documents in {sf_dir}"
+
+
 def test_media_schema_and_determinism(media_df):
     assert media_df.schema.simpleString() == M.MEDIA_SCHEMA.simpleString()
     a = sorted(r["media_id"] for r in media_df.select("media_id").collect())

@@ -8,7 +8,10 @@ import json
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from export_oltp_to_olap_spark.streaming.stateful import running_user_totals
+from export_oltp_to_olap_spark.streaming.stateful import (
+    cents_half_up,
+    running_user_totals,
+)
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -64,3 +67,17 @@ def test_running_totals_across_batches(spark, tmp_path):
         n, cents = expected.get(uid, (0, 0))
         expected[uid] = (n + 1, cents + round(val * 100))
     assert latest == expected
+
+
+def test_cents_rounding_matches_batch_rollup(spark):
+    """The streaming accumulator and the batch rollup (Spark F.round,
+    HALF_UP) must agree on exact half-cents — numpy/pandas .round() is
+    half-to-even and would disagree on 0.125 etc. (VERDICT r2 item 5)."""
+    values = [0.125, 0.135, 1.005, 2.675, -0.125, 10.0, 0.994999]
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    spark_cents = df.select(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    ).first()["c"]
+    assert cents_half_up(values) == spark_cents
+    # And the specific half-to-even disagreement is real: 0.125 must be 13.
+    assert cents_half_up([0.125]) == 13
