@@ -6,12 +6,16 @@ Reference entry points (SURVEY.md §3):
 * ``python sync_oltp_to_olap.py --table T --op O --id N`` → ``sync --table …``
 * ``python main.py worker`` (LISTEN/NOTIFY loop)       → ``worker``
 * ``python main.py once`` (one-shot full sync)         → ``once``
+* ``python main.py web`` (health/status/trigger HTTP)  → ``web``
 
 The ``--op`` flag is accepted and ignored exactly like the reference
 (deletes are not propagated — ref sync_oltp_to_olap.py:416-423, SURVEY.md
-§3.2).  The web entry point (HTTP health/trigger, ref main.py:120-133) is
-an ops concern outside the engine; its observables map to
-``StreamingQuery.lastProgress`` and Spark's own UI/metrics.
+§3.2).  The ``web`` subcommand serves the reference's ops surface
+(``/health``, ``/worker-status`` staleness classification, token-gated
+``/sync`` — ref main.py:42-133) via ``ops_http``; the worker writes the
+``worker_status.json`` heartbeat artifact (ref worker_sync.py:62-79)
+from a ``StreamingQueryListener`` + wall-clock ticker when
+``--status-file`` is given.
 
 Sources: ``--source-dir`` points at fixture-shaped parquet (the harness
 path).  A production deployment swaps ``load_oltp`` for JDBC reads via
@@ -31,6 +35,7 @@ Usage examples::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -82,8 +87,22 @@ def cmd_sync(args: argparse.Namespace, spark: SparkSession) -> int:
 
 
 def cmd_worker(args: argparse.Namespace, spark: SparkSession) -> int:
-    """CDC worker: event feed → streaming merge (ref §3.3)."""
+    """CDC worker: event feed → streaming merge (ref §3.3), with the
+    reference's heartbeat artifact when ``--status-file`` is given
+    (ref worker_sync.py:62-79)."""
     from export_oltp_to_olap_spark.streaming.cdc import start_cdc_stream
+
+    ticker_stop = None
+    if args.status_file:
+        from export_oltp_to_olap_spark.ops_http import (
+            HeartbeatListener,
+            start_heartbeat_ticker,
+            write_worker_status,
+        )
+
+        write_worker_status(args.status_file, {"event": "starting"})
+        spark.streams.addListener(HeartbeatListener(args.status_file))
+        ticker_stop = start_heartbeat_ticker(args.status_file)
 
     oltp = load_oltp(spark, args.source_dir)
     query = start_cdc_stream(
@@ -94,8 +113,69 @@ def cmd_worker(args: argparse.Namespace, spark: SparkSession) -> int:
         args.checkpoint,
         available_now=not args.continuous,
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        if ticker_stop is not None:
+            ticker_stop.set()
     print(f"worker: drained feed {args.feed_dir} into {args.target_dir}")
+    return 0
+
+
+def make_sync_runner(spark: SparkSession, source_dir: str, target_dir: str):
+    """The /sync trigger body: in-process full or per-record sync against
+    the warm session (replaces the reference's subprocess fork per hit,
+    ref main.py:88-103 — same response keys, no per-request startup)."""
+    import time as _time
+
+    from export_oltp_to_olap_spark.plans.star import (
+        build_star,
+        build_star_incremental,
+        merge_star,
+    )
+
+    def run(table: str | None, op: str | None, record_id: int | None) -> dict:
+        t0 = _time.perf_counter()
+        oltp = load_oltp(spark, source_dir)
+        if table is None:
+            star = build_star(oltp, sk_mode="xxhash64")
+            detail = f"sync: full rebuild merged into {target_dir}"
+        else:
+            star = build_star_incremental(
+                oltp, table, op, record_id, sk_mode="xxhash64"
+            )
+            detail = f"sync: incremental {table} id={record_id} merged into {target_dir}"
+        merge_star(spark, star, target_dir)
+        return {
+            "returncode": 0,
+            "stdout": [detail, f"elapsed_seconds={_time.perf_counter() - t0:.3f}"],
+            "stderr": [],
+        }
+
+    return run
+
+
+def cmd_web(args: argparse.Namespace, spark: SparkSession | None) -> int:
+    """Ops HTTP server (ref main.py web subcommand)."""
+    from export_oltp_to_olap_spark.ops_http import start_ops_server
+
+    sync_runner = None
+    if args.source_dir and args.target_dir:
+        if spark is None:  # pragma: no cover - main() always passes one
+            from export_oltp_to_olap_spark.session import get_spark
+
+            spark = get_spark(app_name="web")
+        sync_runner = make_sync_runner(spark, args.source_dir, args.target_dir)
+    server = start_ops_server(args.host, args.port, args.status_file, sync_runner)
+    host, port = server.server_address[:2]
+    print(f"web: ops server on {host}:{port} (status file {args.status_file})")
+    try:
+        while True:  # serve until interrupted (ref main.py:133)
+            import time as _time
+
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
     return 0
 
 
@@ -133,13 +213,36 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="keep running (default drains the feed and exits, like `once`)",
     )
+    worker.add_argument(
+        "--status-file",
+        default=None,
+        help="write the worker_status.json heartbeat artifact here "
+        "(ref worker_sync.py:62-79)",
+    )
     worker.set_defaults(fn=cmd_worker)
+
+    web = sub.add_parser(
+        "web", help="health/worker-status/sync HTTP server (ref main.py web)"
+    )
+    web.add_argument("--host", default=os.getenv("HOST", "127.0.0.1"))
+    web.add_argument("--port", type=int, default=int(os.getenv("PORT", "8080")))
+    web.add_argument(
+        "--status-file",
+        default=os.getenv("WORKER_STATUS_FILE", "worker_status.json"),
+        help="heartbeat artifact read by /worker-status",
+    )
+    web.add_argument("--source-dir", default=None, help="enables /sync when set")
+    web.add_argument("--target-dir", default=None, help="enables /sync when set")
+    web.set_defaults(fn=cmd_web)
     return p
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if spark is None:
+    needs_spark = not (
+        args.command == "web" and not (args.source_dir and args.target_dir)
+    )
+    if spark is None and needs_spark:
         from export_oltp_to_olap_spark.session import get_spark
 
         spark = get_spark(app_name=f"cli-{args.command}")

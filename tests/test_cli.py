@@ -1,11 +1,19 @@
-"""CLI entry-point parity (ref §3 lifecycle: sync / incremental / worker)."""
+"""CLI + ops-HTTP entry-point parity (ref §3 lifecycle: sync /
+incremental / worker / web, worker heartbeat artifact)."""
 
 from __future__ import annotations
 
 import json
 import os
+import time
+import urllib.request
 
-from export_oltp_to_olap_spark.cli import main
+from export_oltp_to_olap_spark.cli import main, make_sync_runner
+from export_oltp_to_olap_spark.ops_http import (
+    classify_worker_status,
+    start_ops_server,
+    write_worker_status,
+)
 from export_oltp_to_olap_spark.plans.star import STAR_WRITE_ORDER, star_table_path
 
 SRC = "/root/testdata/sf0.001"
@@ -78,3 +86,124 @@ def test_cli_worker_drains_feed(spark, tmp_path):
     assert rc == 0
     assert os.path.exists(star_table_path(target, "hecho_ventas"))
     assert _read(spark, target, "hecho_ventas").count() > 0
+
+
+def test_cli_worker_writes_heartbeat_artifact(spark, tmp_path):
+    """--status-file produces the reference's worker_status.json
+    (ref worker_sync.py:62-79): fresh last_heartbeat, classified up."""
+    target = str(tmp_path / "olap")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "events.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"table": "orden", "op": "update", "record_id": 7,
+                 "ts": "2026-01-01 00:00:00"}
+            )
+            + "\n"
+        )
+    status_file = str(tmp_path / "worker_status.json")
+    rc = main(
+        [
+            "worker",
+            "--source-dir", SRC,
+            "--feed-dir", str(feed),
+            "--target-dir", target,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--status-file", status_file,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    with open(status_file, encoding="utf-8") as fh:
+        data = json.load(fh)
+    assert abs(time.time() - data["last_heartbeat"]) < 120
+    assert classify_worker_status(status_file)["worker"] == "up"
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read()
+
+
+def _get_json(url):
+    status, body = _get(url)
+    return status, json.loads(body)
+
+
+def test_ops_http_endpoints(spark, tmp_path, monkeypatch):
+    """All three reference endpoints (ref main.py:42-113): /health OK,
+    /worker-status staleness classification, token-gated /sync that runs
+    a real incremental sync in-process."""
+    monkeypatch.setenv("SYNC_TOKEN", "s3cret")
+    status_file = str(tmp_path / "worker_status.json")
+    target = str(tmp_path / "olap")
+    main(["sync", "--source-dir", SRC, "--target-dir", target], spark=spark)
+
+    server = start_ops_server(
+        "127.0.0.1", 0, status_file, make_sync_runner(spark, SRC, target)
+    )
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for path in ("/", "/health", "/healthz"):
+            status, body = _get(base + path)
+            assert (status, body) == (200, b"OK")
+
+        # not_started → up → stale classification
+        status, doc = _get_json(base + "/worker-status")
+        assert (status, doc["worker"]) == (200, "not_started")
+        write_worker_status(status_file)
+        status, doc = _get_json(base + "/worker-status")
+        assert doc["worker"] == "up" and doc["age_seconds"] < 120
+        stale_ts = int(time.time()) - 500
+        with open(status_file, "w", encoding="utf-8") as fh:
+            json.dump({"last_heartbeat": stale_ts}, fh)
+        _, doc = _get_json(base + "/worker-status")
+        assert doc["worker"] == "stale" and doc["age_seconds"] >= 500
+
+        # token gate: missing/wrong token → 403, correct token → 200
+        before = sorted(map(tuple, _read(spark, target, "hecho_ventas").collect()))
+        try:
+            urllib.request.urlopen(base + "/sync?table=orden&id=7", timeout=10)
+            raise AssertionError("missing token must 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+            assert json.loads(e.read()) == {"error": "forbidden"}
+        status, doc = _get_json(base + "/sync?table=orden&op=update&id=7&token=s3cret")
+        assert status == 200 and doc["returncode"] == 0
+        assert any("incremental orden" in line for line in doc["stdout"])
+        after = sorted(map(tuple, _read(spark, target, "hecho_ventas").collect()))
+        assert before == after  # re-sync of unchanged data is a no-op
+
+        status, _ = _get(base + "/sync?token=s3cret")  # full sync, no table
+        assert status == 200
+
+        try:
+            _get(base + "/nonexistent")
+            raise AssertionError("unknown path must 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_ops_http_sync_disabled_and_error_doc(tmp_path, monkeypatch):
+    """Without an attached engine /sync is 503; a corrupt status file
+    classifies as error (ref main.py:64-65)."""
+    monkeypatch.delenv("SYNC_TOKEN", raising=False)
+    status_file = str(tmp_path / "worker_status.json")
+    with open(status_file, "w", encoding="utf-8") as fh:
+        fh.write("{not json")
+    server = start_ops_server("127.0.0.1", 0, status_file, sync_runner=None)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        _, doc = _get_json(base + "/worker-status")
+        assert doc["worker"] == "error"
+        try:
+            _get(base + "/sync")
+            raise AssertionError("engine-less /sync must 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+    finally:
+        server.shutdown()
