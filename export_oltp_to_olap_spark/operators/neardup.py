@@ -292,8 +292,10 @@ def minhash_lsh_neardup(
 
 _MINHASH_BANDS = MINHASH_N_HASHES // MINHASH_BAND_R
 
-MINHASH_LSH_SQL = f"""
-WITH {_SHINGLE_CTE},
+# CTE chain reused by MINHASH_LSH_SQL (pair output) and
+# NEARDUP_CLUSTERS_SQL (transitive closure over the same pairs).
+_MINHASH_PAIRS_CTES = f"""
+{_SHINGLE_CTE},
 ab AS (
   SELECT doc_id, sh,
          CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS a,
@@ -327,13 +329,20 @@ common AS (
   JOIN shingles ia ON ia.doc_id = c.doc_a
   JOIN shingles ib ON ib.doc_id = c.doc_b AND ib.sh = ia.sh
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
 )
-SELECT doc_a, doc_b,
-       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+""".strip()
+
+MINHASH_LSH_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 # ---------------------------------------------------------------------------
@@ -490,4 +499,111 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+# ---------------------------------------------------------------------------
+# Cluster canonicalization (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Canonicalize near-dup PAIRS into CLUSTERS: every document mapped to
+    its component's min doc_id — ``(doc_id, canonical_id, cluster_size)``,
+    singletons included (canonical = self, size 1).
+
+    Pair detectors (MinHash/SimHash/LSH) emit edges; a dedup pipeline
+    needs the transitive closure — A≈B and B≈C must collapse to ONE
+    keeper even when A≈C was never emitted.  "Keep where
+    doc_id = canonical_id" is then the corpus-dedup filter.
+
+    Scale design: iterative min-label propagation —
+    ``label(v) ← min(label(v), min over neighbors' labels)`` until a
+    fixed point.  Each round is one shuffle on doc_id (join + groupBy),
+    cost O(E); rounds needed = component diameter, and near-dup clusters
+    are dense and shallow (template families), so 2-4 rounds in practice.
+    Each round's labels are ``localCheckpoint``-ed to cut the iterative
+    lineage.  For adversarial long-chain graphs the same loop accepts the
+    large-star/small-star edge rewrite (Kiveris et al., "Connected
+    Components in MapReduce"), which bounds rounds at O(log n); not
+    needed for the template-cluster shape dedup produces.
+
+    No SQL-oracle restriction: the closure is restated in DuckDB as a
+    recursive CTE (``NEARDUP_CLUSTERS_SQL``), so this IS value-checked.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - loop guard
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} rounds"
+        )
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("canonical_id"), "cluster_size")
+    )
+
+
+def minhash_neardup_clusters(docs: DataFrame) -> DataFrame:
+    """Cluster the MinHash+LSH pair output (the registered query shape)."""
+    return neardup_clusters(docs, minhash_lsh_neardup(docs))
+
+
+# The closure restated relationally: symmetric edges, recursive reach,
+# component label = min reachable id (UNION dedups rows, so the
+# recursion terminates on any graph).
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a
+),
+allc AS (
+  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+csizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM allc GROUP BY canonical_id
+)
+SELECT a.doc_id, a.canonical_id, s.cluster_size
+FROM allc a JOIN csizes s USING (canonical_id)
 """

@@ -218,3 +218,137 @@ SELECT user_id, event_id, ts, value,
          AS moving_value
 FROM events
 """
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase.
+
+    A user reaches a stage only by hitting it AFTER the previous stage
+    (first view, first click at-or-after that view, first purchase
+    at-or-after that click) — the sequential-conversion semantics product
+    analytics needs, not independent event counts.
+
+    Plan: one conditional-min aggregation per user (single hash-agg
+    shuffle on user_id — partial aggregation collapses events map-side),
+    then the stage timestamps chain through least-strict inequalities in
+    plain column expressions, and a tiny unpivot + count.  No windows, no
+    joins, no second pass over the raw events.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts"),
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .join(per_user, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        per_user.where(F.col("v_ts").isNotNull())
+        .join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            F.lit(1).alias("_one"),
+            F.col("v_ts").isNotNull().cast("long").alias("viewed"),
+            F.col("c_ts").isNotNull().cast("long").alias("clicked"),
+            F.col("p_ts").isNotNull().cast("long").alias("purchased"),
+        )
+    )
+    agg = stage.agg(
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("clicked").alias("n_clicked"),
+        F.sum("purchased").alias("n_purchased"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'view', n_viewed, 'view>click', n_clicked, "
+            "'view>click>purchase', n_purchased) AS (stage, n_users)"
+        )
+    )
+
+
+FUNNEL_STAGES_SQL = """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT count(v.v_ts) AS n_viewed, count(c.c_ts) AS n_clicked,
+         count(p.p_ts) AS n_purchased
+  FROM v LEFT JOIN c ON c.user_id = v.user_id
+         LEFT JOIN p ON p.user_id = v.user_id
+  WHERE v.v_ts IS NOT NULL
+)
+SELECT 'view' AS stage, n_viewed AS n_users FROM stages
+UNION ALL
+SELECT 'view>click', n_clicked FROM stages
+UNION ALL
+SELECT 'view>click>purchase', n_purchased FROM stages
+"""
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, counted
+    as retained in each later week they were active.
+
+    Two hash aggregations (first-seen per user; distinct users per
+    (cohort_week, week_offset)) — the standard retention-matrix shape.
+    Weeks, not months: the fixture stream spans ~5 weeks.  The offset is
+    an exact integer day-difference / 7, so cross-engine values are
+    identical.
+    """
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+         AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -202,3 +202,141 @@ SELECT doc_id,
             AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` characteristic terms per source by tf-idf.
+
+    The corpus-profiling shape: term frequency per (source, term), source
+    document frequency per term, idf = ln(n_sources / df).  Two hash
+    aggregations (both partial-agg collapsible) + one broadcast of the
+    tiny per-term df table + a per-source top-k window.  Scores are
+    rounded to 6 decimals BEFORE ranking so the ordering (and therefore
+    the emitted row set) is engine-deterministic; ties break on term.
+    """
+    from pyspark.sql import Window
+
+    from export_oltp_to_olap_spark.functions.text import tokens
+
+    term_src = docs.select("source", F.explode(tokens("text")).alias("term"))
+    tf = term_src.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_src = docs.agg(F.count_distinct("source").alias("n_src"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_src))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_src").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS.format(t="text")}) AS term FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ns AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfx.df,
+         round(tf.tf * ln(CAST(n_src AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfx USING (term) CROSS JOIN ns
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term)
+            AS rank
+  FROM scored
+)
+SELECT source, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition metrics per document: most-frequent-token
+    and most-frequent-bigram coverage ratios.
+
+    Entirely per-row higher-order-function arithmetic — zero shuffles,
+    whole-stage-codegen friendly, and the counts are integers so the
+    ratios are engine-exact.  The per-row cost is O(distinct × n) over
+    arrays of ~30 tokens; at corpus scale this stays embarrassingly
+    parallel (no aggregation state at all).
+    """
+    from export_oltp_to_olap_spark.functions.text import tokens
+
+    toks = tokens("text")
+    t = F.col("_t")
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
+        )
+    )
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_t) - 1),"
+            " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = F.col("_bg")
+    top_bg = F.when(
+        F.size(bg) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg), lambda d: F.size(F.filter(bg, lambda x: x == d))
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", toks.alias("_t"))
+        .withColumn("_bg", bigrams)
+        .select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            top_tok.cast("long").alias("top_token_count"),
+            (top_tok / F.greatest(F.size(t), F.lit(1))).alias("top_token_ratio"),
+            top_bg.cast("long").alias("top_bigram_count"),
+            (top_bg / F.greatest(F.size(bg), F.lit(1))).alias("top_bigram_ratio"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS.format(t="text")} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END AS b
+  FROM base
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(list_max(list_transform(list_distinct(t),
+              d -> len(list_filter(t, x -> x = d)))) AS BIGINT) AS top_token_count,
+         CAST(CASE WHEN len(b) > 0
+              THEN list_max(list_transform(list_distinct(b),
+                   d -> len(list_filter(b, x -> x = d))))
+              ELSE 0 END AS BIGINT) AS top_bigram_count,
+         CAST(len(b) AS BIGINT) AS n_bigrams
+  FROM bg
+)
+SELECT doc_id, n_tokens, top_token_count,
+       top_token_count / greatest(n_tokens, 1) AS top_token_ratio,
+       top_bigram_count,
+       top_bigram_count / greatest(n_bigrams, 1) AS top_bigram_ratio
+FROM counted
+"""

@@ -274,6 +274,19 @@ def q_moving_value(spark: SparkSession, sf_dir: str):
     return events_plans.user_moving_value(_tables(spark, sf_dir, ("events",))["events"])
 
 
+@register("events_funnel", events_plans.FUNNEL_STAGES_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str):
+    """Ordered conversion funnel view→click→purchase (sequential
+    conditional-min chain, one agg shuffle on user_id)."""
+    return events_plans.funnel_stages(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("events_cohort_retention", events_plans.COHORT_RETENTION_SQL)
+def q_cohort(spark: SparkSession, sf_dir: str):
+    """Weekly cohort retention matrix (first-seen week × week offset)."""
+    return events_plans.cohort_retention(_tables(spark, sf_dir, ("events",))["events"])
+
+
 # ---------------------------------------------------------------------------
 # North-star: dedup family over documents
 # ---------------------------------------------------------------------------
@@ -318,6 +331,14 @@ def q_simhash_fp(spark: SparkSession, sf_dir: str):
 def q_simhash_pairs(spark: SparkSession, sf_dir: str):
     """SimHash pairs with Hamming distance ≤ 8."""
     return neardup.simhash_neardup(_docs(spark, sf_dir))
+
+
+@register("neardup_clusters", neardup.NEARDUP_CLUSTERS_SQL)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str):
+    """Transitive closure of the MinHash pair graph → one canonical doc
+    per near-dup cluster (iterative min-label propagation; oracle is the
+    same closure as a recursive CTE)."""
+    return neardup.minhash_neardup_clusters(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -386,6 +407,19 @@ def q_token_stats(spark: SparkSession, sf_dir: str):
 def q_token_bpe(spark: SparkSession, sf_dir: str):
     """Whitespace + BPE-ish subword token counting per document."""
     return text_queries.token_count_bpe(_docs(spark, sf_dir))
+
+
+@register("tfidf_top_terms", text_queries.TFIDF_TOP_TERMS_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str):
+    """Top-5 characteristic terms per source by tf-idf (two partial-agg
+    shuffles + broadcast df + per-source top-k window)."""
+    return text_queries.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+@register("text_repetition", text_queries.TEXT_REPETITION_SQL)
+def q_text_repetition(spark: SparkSession, sf_dir: str):
+    """Gopher-style repetition ratios (per-row HOFs, zero shuffles)."""
+    return text_queries.text_repetition(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

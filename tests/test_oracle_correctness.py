@@ -55,6 +55,12 @@ _REPORT_EXEMPT = {
     # oracle manually — 166/166 full value match (VERDICT r2 "What's
     # missing" item 4).  Remove once a report contains it.
     "media_frame_sample",
+    # Registered in round 3, after CORRECTNESS_r02 was recorded.
+    "neardup_clusters",
+    "events_funnel",
+    "events_cohort_retention",
+    "tfidf_top_terms",
+    "text_repetition",
 }
 
 
