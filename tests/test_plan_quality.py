@@ -79,6 +79,33 @@ def test_no_cartesian_products_anywhere(spark, sf001):
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
 
+def test_text_repetition_has_no_shuffle(spark, sf001):
+    """The repetition metrics are per-row HOF arithmetic — a shuffle
+    appearing here means someone rewrote them as explode+groupBy."""
+    df = registry.REGISTRY["text_repetition"].fn(spark, sf001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_broadcasts_small_sides(spark, sf001):
+    """tf-idf joins the per-term df table and the scalar source count
+    into the tf table — both tiny, both must broadcast (no SMJ)."""
+    df = registry.REGISTRY["tfidf_top_terms"].fn(spark, sf001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_funnel_and_cohort_stay_broadcast_at_fixture_scale(spark, sf001):
+    for name in ("events_funnel", "events_cohort_retention"):
+        df = registry.REGISTRY[name].fn(spark, sf001)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+
 @pytest.mark.parametrize("name", ["purchases_asof_clicks", "clicks_before_purchase"])
 def test_time_join_operators_have_no_quadratic_stage(spark, sf001, name):
     """As-of and interval joins must never appear as nested-loop/cartesian
