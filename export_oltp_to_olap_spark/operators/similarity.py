@@ -227,6 +227,12 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     # exact-decimal dot (interpreted, ~100× dearer) reruns only for pairs
     # already within PRESCORE_MARGIN of the threshold.  Same final answer
     # (margin ≫ prescore noise), ~N²→survivors cost for the exact path.
+    # The exact dot is WRAPPED in a When-guard on the prescore: Catalyst
+    # merges the two filters into one conjunction over the join output,
+    # and without the guard the interpreted decimal conjunct evaluates on
+    # EVERY joined row — measured 3–4× the whole query's runtime.  The
+    # If-expression short-circuits per row, restoring survivors-only cost
+    # no matter how the filters combine.
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn(
@@ -234,13 +240,15 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
             pair_dot(F.col("emb_a"), F.col("emb_b"))
             / (F.col("norm_a") * F.col("norm_b")),
         )
-        .where(F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN))
         .withColumn(
             "cos",
-            F.round(
-                _exact_dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                6,
+            F.when(
+                F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN),
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
             ),
         )
         .where(F.col("cos") >= F.lit(threshold))
@@ -408,7 +416,11 @@ def lsh_cosine_neardup(
     # Two-phase scoring (as in cosine_neardup): every candidate pays the
     # vectorized prescore; the exact decimal dot reruns only within the
     # margin, so the final answer is identical and the interpreted
-    # decimal path runs on survivors, not the whole candidate set.
+    # decimal path runs on survivors, not the whole candidate set.  The
+    # When-guard is load-bearing: the two threshold filters collapse into
+    # one Filter conjunction, and an unguarded exact dot would evaluate
+    # interpreted decimal arithmetic on all ~490k candidates instead of
+    # ~3k survivors (measured 14 s → 3.5 s at sf0.1).
     return (
         candidates.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -417,13 +429,15 @@ def lsh_cosine_neardup(
             pair_dot(F.col("emb_a"), F.col("emb_b"))
             / (F.col("norm_a") * F.col("norm_b")),
         )
-        .where(F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN))
         .withColumn(
             "cos",
-            F.round(
-                _exact_dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                6,
+            F.when(
+                F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN),
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
             ),
         )
         .where(F.col("cos") >= F.lit(threshold))
