@@ -76,3 +76,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (stateful seen-set)
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = "doc_id long, fp string"
+DEDUP_STATE_SCHEMA = "seen array<string>"
+
+
+def _dedup_seen(
+    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    seen = set(state.get[0]) if state.exists else set()
+    out_ids, out_fps = [], []
+    for pdf in pdfs:
+        # In-batch dedup first (keep min doc_id per fingerprint) so a
+        # batch carrying two copies emits exactly one.
+        pdf = pdf.sort_values("doc_id").drop_duplicates("fp", keep="first")
+        fresh = pdf[~pdf["fp"].isin(seen)]
+        out_ids.extend(int(i) for i in fresh["doc_id"])
+        out_fps.extend(fresh["fp"])
+        seen.update(fresh["fp"])
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """First-seen-wins exact dedup over a document STREAM: emit each
+    distinct text the first time it arrives, drop every later copy —
+    within a batch and across batches/restarts (state is checkpointed).
+
+    Input needs ``doc_id`` and ``fp`` (content fingerprint, e.g.
+    ``md5(text)``) columns; grouping on a 2-hex-char fingerprint prefix
+    spreads the seen-set over 256 state keys so no single group holds the
+    whole corpus — at real scale the prefix widens (4 chars → 65k groups)
+    and the state store (RocksDB-backed on a cluster) shards them across
+    executors.  The seen-set grows with distinct-document count; bound it
+    with a state TTL (`GroupStateTimeout`) or an upstream time-window
+    when the stream is unbounded — exact forever-dedup fundamentally
+    needs the fingerprint set somewhere.
+
+    Batch analog: ``operators/neardup.py::exact_dedup_docs``.
+    """
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark import shipping
+
+    shipping.ensure_shipped(docs.sparkSession)
+    keyed = docs.withColumn("bucket", F.substring("fp", 1, 2))
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _dedup_seen,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

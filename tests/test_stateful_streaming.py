@@ -81,3 +81,49 @@ def test_cents_rounding_matches_batch_rollup(spark):
     assert cents_half_up(values) == spark_cents
     # And the specific half-to-even disagreement is real: 0.125 must be 13.
     assert cents_half_up([0.125]) == 13
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Dups are dropped in-batch AND across micro-batches; each distinct
+    text is emitted exactly once, keyed by its first-seen doc_id."""
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    b1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]          # in-batch dup
+    b2 = [(4, "beta"), (5, "gamma"), (6, "alpha"), (7, "gamma")]  # cross-batch dups
+    for fname, rows in [("b1.json", b1), ("b2.json", b2)]:
+        with open(feed / fname, "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+        .withColumn("fp", F.md5("text"))
+        .select("doc_id", "fp")
+    )
+    from export_oltp_to_olap_spark.streaming.stateful import streaming_exact_dedup
+
+    emitted = []
+
+    def sink(batch_df, _):
+        emitted.extend((r["doc_id"], r["fp"]) for r in batch_df.collect())
+
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert sorted(emitted) == sorted(
+        [(1, md5("alpha")), (2, md5("beta")), (5, md5("gamma"))]
+    )
