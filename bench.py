@@ -48,6 +48,8 @@ DEFAULT_HEADLINE = [
     "ngram_jaccard_neardup",
     "simhash_near_dup",
     "exact_dedup_documents",
+    "neardup_clusters",
+    "tfidf_top_terms",
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "ivf_cosine_topk[kmeans]",
