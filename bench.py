@@ -53,6 +53,7 @@ DEFAULT_HEADLINE = [
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "ivf_cosine_topk[kmeans]",
+    "pq_cosine_topk",
     "lsh_cosine_neardup",
     "text_quality",
     "token_count_bpe",

@@ -1,0 +1,187 @@
+"""Product-quantization ANN — the memory-scale retrieval path.
+
+Brute force keeps every float; LSH/IVF prune the candidate space but
+still score raw vectors.  At 1e9+ vectors the index itself must shrink:
+product quantization (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI 2011 — the FAISS core) splits each vector
+into M subvectors, k-means-quantizes each subspace to 2^b codewords, and
+stores only the M code bytes per vector — 64 floats (256 B) → 8 bytes
+here, a 32× index compression.  Queries score candidates against the
+codebooks (asymmetric distance computation, ADC), then a small exact
+rescore fixes the final ranking.
+
+Spark mapping:
+
+* **Train** — one `pyspark.ml.clustering.KMeans` per subspace over the
+  corpus' subvectors (M small driver-coordinated fits, the same pattern
+  as IVF centroid training); codebooks are a tiny (M × ksub × dsub)
+  array broadcast inside closures.
+* **Encode** — one Arrow-batched `pandas_udf`: per batch, vectorized
+  nearest-codeword argmin per subspace → `codes array<int>`.  The
+  encoded table (vec_id, codes) IS the index: M ints per vector,
+  partition-parallel, no shuffle.
+* **Score (ADC)** — queries broadcast-join the encoded corpus; one
+  `pandas_udf` gathers each row's codewords by fancy indexing and
+  computes Σ_j ‖q_j − C_j[code_j]‖² fully vectorized.  Approximate
+  ranking keeps a 4k shortlist per query; the exact decimal rescore
+  (same as cosine_topk) then makes reported scores/order engine-exact.
+
+No SQL oracle (k-means training is iterative, like IVF's kmeans mode):
+correctness is pinned by determinism (fixed seed) + a recall floor
+against the brute-force baseline + an encode-roundtrip test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators.similarity import (
+    _exact_dot,
+    with_norm,
+)
+
+PQ_M = 8  # subspaces
+PQ_KSUB = 16  # codewords per subspace
+DIM = 64
+
+
+def train_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = DIM
+):
+    """Per-subspace k-means codebooks: numpy array (m, ksub, dim//m).
+
+    M driver-coordinated KMeans fits (the IVF-training pattern); each fit
+    sees the corpus' j-th subvector slice.  Deterministic via fixed seed.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dsub = dim // m
+    books = []
+    base = embeddings.select(F.col("embedding").cast("array<double>").alias("e"))
+    for j in range(m):
+        feats = base.select(
+            array_to_vector(F.slice("e", j * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(k=ksub, seed=42 + j, maxIter=10, initMode="k-means||").fit(feats)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+
+
+def _encode_udf(codebooks):
+    """pandas_udf: embedding → array<int> of nearest-codeword ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks.tolist()  # ship as plain lists; rebuild ndarray per worker
+
+    @pandas_udf("array<int>")
+    def encode(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        C = np.asarray(books)  # (m, ksub, dsub)
+        m, ksub, dsub = C.shape
+        X = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)  # (n, d)
+        Xs = X.reshape(len(X), m, dsub)  # (n, m, dsub)
+        # ‖x − c‖² per subspace/codeword: (n, m, ksub)
+        d2 = ((Xs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2).astype(np.int32)  # (n, m)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, codes): the compressed index — M ints per vector."""
+    encode = _encode_udf(codebooks)
+    return embeddings.select("vec_id", encode(F.col("embedding")).alias("codes"))
+
+
+def _adc_udf(codebooks):
+    """pandas_udf: (query embedding, codes) → approximate squared L2
+    distance Σ_j ‖q_j − C_j[code_j]‖² (vectorized gather, no LUT loop)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks.tolist()
+
+    @pandas_udf("double")
+    def adc(q_emb, codes):
+        import numpy as np
+        import pandas as pd
+
+        if len(q_emb) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.asarray(books)  # (m, ksub, dsub)
+        m, _, dsub = C.shape
+        Q = np.vstack(q_emb.to_numpy()).astype(np.float64, copy=False)
+        Qs = Q.reshape(len(Q), m, dsub)
+        codes_arr = np.vstack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        gathered = C[np.arange(m)[None, :], codes_arr]  # (n, m, dsub)
+        return pd.Series(((Qs - gathered) ** 2).sum(axis=(1, 2)))
+
+    return adc
+
+
+def pq_cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    codebooks=None,
+) -> DataFrame:
+    """PQ-ADC top-k with exact rescore: rank the whole corpus by the
+    compressed-code distance, shortlist 4k per query, exact-cosine the
+    shortlist.  Output matches ``cosine_topk``'s shape.
+
+    Squared-L2 ADC ranking recalls cosine neighbors imperfectly (norm
+    variation + quantization error) — the recall test pins the floor
+    against brute force; the rescore makes emitted values/order exact.
+    """
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = train_codebooks(embeddings, m, ksub)
+    adc = _adc_udf(codebooks)
+
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    index = pq_encode(base, codebooks)
+    corpus = index.join(base, "vec_id")  # codes + raw vector (rescore needs raw)
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_d2", adc(F.col("q_emb"), F.col("codes")))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+    shortlist = scored.withColumn("prerank", F.row_number().over(w_pre)).where(
+        F.col("prerank") <= 4 * k
+    )
+    exact = shortlist.withColumn(
+        "cos",
+        F.round(
+            _exact_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

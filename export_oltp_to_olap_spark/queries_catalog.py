@@ -464,3 +464,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str):
 def q_text_repetition(spark: SparkSession, sf_dir: str):
     """Gopher-style repetition ratios (per-row HOFs, zero shuffles)."""
     return text_queries.text_repetition(_docs(spark, sf_dir))
+
+
+@register("pq_cosine_topk", None)  # k-means codebooks: iterative, no SQL oracle
+def q_pq_topk(spark: SparkSession, sf_dir: str):
+    """Product-quantization ADC top-k (8-byte codes, 32× index
+    compression) + exact rescore — rows-only check; determinism, recall
+    floor, and exact-score contract pinned in tests."""
+    from export_oltp_to_olap_spark.operators import pq
+
+    return pq.pq_cosine_topk(_embeddings(spark, sf_dir))

@@ -60,6 +60,7 @@ _REPORT_EXEMPT = {
     "events_cohort_retention",
     "tfidf_top_terms",
     "text_repetition",
+    "pq_cosine_topk",
     # Absent from r01+r02 reports despite being judge-verified green both
     # times; now moved inside the 50-row window — remove this exemption
     # once a report finally contains it.

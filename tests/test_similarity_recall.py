@@ -84,3 +84,52 @@ def test_ivf_kmeans_centroids_recall(emb):
     # first-N mode is NOT the bar here — its "centroids" are the query
     # vectors themselves, which inflates its recall by construction.
     assert recall_learned >= 0.4, f"kmeans IVF recall {recall_learned:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from export_oltp_to_olap_spark.operators import pq as PQ
+
+    return PQ.train_codebooks(emb)
+
+
+def test_pq_encode_shape_and_determinism(emb, pq_books):
+    """Codes are M ints in [0, ksub); encoding is deterministic (fixed
+    k-means seeds) — the property a persisted compressed index needs."""
+    from export_oltp_to_olap_spark.operators import pq as PQ
+
+    a = {r["vec_id"]: r["codes"] for r in PQ.pq_encode(emb, pq_books).collect()}
+    b = {r["vec_id"]: r["codes"] for r in PQ.pq_encode(emb, pq_books).collect()}
+    assert a == b and len(a) == emb.count()
+    for codes in a.values():
+        assert len(codes) == PQ.PQ_M
+        assert all(0 <= c < PQ.PQ_KSUB for c in codes)
+
+
+def test_pq_recall_and_exact_scores(emb, pq_books):
+    """ADC ranking over 8-byte codes must recover a solid share of the
+    exact top-10 (floor measured 0.64 on this corpus — weak-similarity
+    physics, same story as IVF), and every returned pair's cos is the
+    brute-force value (the exact rescore contract)."""
+    from export_oltp_to_olap_spark.operators import pq as PQ
+    from export_oltp_to_olap_spark.operators import similarity as S
+
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.cosine_topk(emb, k=10**6).collect()
+    }
+    exact_top = {
+        (r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb).collect()
+    }
+    got = PQ.pq_cosine_topk(emb, codebooks=pq_books).collect()
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact_top & got_pairs) / len(exact_top)
+    assert recall >= 0.45, f"PQ recall {recall:.2f} below floor"
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert exact_all[key] == r["cos"]
