@@ -74,3 +74,26 @@ def session_event_stats(
             "total_value",
         )
     )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exactly-once event delivery from an at-least-once feed:
+    ``dropDuplicatesWithinWatermark`` keeps each key's first arrival and
+    drops replays until the watermark passes it.
+
+    This is the bounded-state form of stream dedup: the engine retains a
+    key's dedup state only while a duplicate could still legally arrive
+    (ts newer than ``max(ts) − watermark``), so state size tracks the
+    delay window, not the stream length — the right primitive for
+    at-least-once sources (Kafka redeliveries, NOTIFY replays) where
+    duplicates cluster near real time.  Contrast
+    ``stateful.streaming_exact_dedup``, which deduplicates FOREVER at the
+    cost of a growing seen-set.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -94,3 +94,53 @@ def test_asof_join_matches_naive_range_join(spark, sf001):
     # naive drops no-match purchases entirely; fast keeps them as null
     assert {p: c for p, c in fast.items() if c is not None} == naive
     assert set(fast) == {r["pid"] for r in purchases.collect()}
+
+
+def test_asof_join_matches_python_model_on_generated_cases(spark):
+    """Property test: the union-tag plan equals a direct python model of
+    'latest right.ts <= left.ts per key' over generated edge cases —
+    NULL timestamps, equal timestamps, empty sides, singleton keys.
+    Matched TIMESTAMPS are compared (payload choice among equal-ts right
+    rows is tied, hence unspecified)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ts = st.one_of(st.none(), st.integers(min_value=0, max_value=6))
+    rows = st.lists(st.tuples(st.integers(1, 2), ts), min_size=0, max_size=6)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(left_rows=rows, right_rows=rows)
+    def check(left_rows, right_rows):
+        left = spark.createDataFrame(
+            [(i, k, _ts(t) if t is not None else None)
+             for i, (k, t) in enumerate(left_rows)],
+            "lid long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, _ts(t) if t is not None else None, 100 + i)
+             for i, (k, t) in enumerate(right_rows)],
+            "k long, ts timestamp, rid long",
+        )
+        if not left_rows:
+            return  # empty left: nothing to assert (schema-only result)
+        got = {
+            r["lid"]: r["r_ts"]
+            for r in asof_join(
+                left, right, on=["k"], ts_col="ts", right_cols=["rid", "ts"]
+            ).collect()
+        }
+        for i, (k, t) in enumerate(left_rows):
+            if t is None:
+                want = None
+            else:
+                cands = [rt for rk, rt in right_rows if rk == k and rt is not None and rt <= t]
+                want = max(cands) if cands else None
+            assert got[i] == (_ts(want) if want is not None else None), (
+                f"left row {i} (k={k}, ts={t}): matched {got[i]}, want {want}"
+            )
+
+    check()

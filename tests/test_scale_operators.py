@@ -87,3 +87,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+
+
+def test_approx_distinct_error_bound(spark, sf001):
+    """approx_count_distinct (HLL++, default rsd 0.05) must land within
+    5x its nominal relative error of the exact count — the bound the
+    registration docstring promises."""
+    from export_oltp_to_olap_spark.plans.analytic import approx_distinct_parts
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    tables = load_tables(spark, sf001, ("lineitem",))
+    for r in approx_distinct_parts(tables).collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
+        assert rel_err <= 0.25, (
+            f"{r['l_returnflag']}: approx {r['approx_parts']} vs exact "
+            f"{r['exact_parts']} (rel err {rel_err:.3f})"
+        )

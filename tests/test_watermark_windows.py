@@ -151,3 +151,55 @@ def test_session_window_merges_and_splits(spark, tmp_path):
     assert out[(1, "2026-01-01 12:00:00")] == ("2026-01-01 12:30:00", 1, 4.0), out
     # lone-event session for user 2
     assert out[(2, "2026-01-01 10:00:00")] == ("2026-01-01 10:30:00", 1, 5.0), out
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    """An at-least-once feed replaying event_ids across micro-batches
+    yields each event exactly once while inside the watermark."""
+    import json as _json
+
+    from export_oltp_to_olap_spark.streaming.windows import (
+        dedup_events_within_watermark,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    b1 = [(1, "2026-01-01 10:00:00"), (2, "2026-01-01 10:00:05"),
+          (1, "2026-01-01 10:00:00")]                      # in-batch replay
+    b2 = [(2, "2026-01-01 10:00:05"), (3, "2026-01-01 10:00:10")]  # cross-batch replay
+    for fname, rows in [("b1.json", b1), ("b2.json", b2)]:
+        with open(feed / fname, "w") as f:
+            for eid, ts in rows:
+                f.write(_json.dumps({"event_id": eid, "ts": ts, "user_id": 1,
+                                     "event_type": "view", "value": 1.0,
+                                     "props": "{}"}) + "\n")
+    dedup_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(dedup_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    seen: list[int] = []
+
+    def sink(batch_df, _):
+        seen.extend(r["event_id"] for r in batch_df.collect())
+
+    q = (
+        dedup_events_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [1, 2, 3]
