@@ -76,3 +76,57 @@ def merge_into_parquet(
     os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def merge_into_partitioned_parquet(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> None:
+    """Partition-pruned upsert: rewrite ONLY the partitions the new rows
+    touch, leaving every other partition's files untouched on disk.
+
+    ``merge_into_parquet`` reads and rewrites the whole table per merge —
+    O(table) work that is fine for dimension-sized targets and wrong for
+    a 100 TB fact.  This variant requires each merge key to determine its
+    partition (true for the star: the fact's date-derived partition is a
+    function of ``id_tiempo``, a merge-key column), so an upserted key
+    can only ever collide with stored rows in its own partition:
+
+      1. affected = distinct partition values in ``new_rows`` (tiny);
+      2. current slice = stored table WHERE partition ∈ affected —
+         partition pruning makes this read O(affected), not O(table);
+      3. LWW-dedup (new ∪ slice) exactly as the full merge does;
+      4. write with ``partitionOverwriteMode=dynamic``: Spark stages and
+         commits ONLY the partitions present in the output.
+
+    Cost per merge: O(affected partitions + new rows), independent of
+    total table size.  With Delta/Iceberg this is ``MERGE INTO`` with
+    partition predicates; the parquet form keeps the harness
+    dependency-free.
+    """
+    pcols = list(partition_cols)
+    if os.path.exists(path):
+        affected = new_rows.select(*pcols).distinct()
+        current = (
+            spark.read.parquet(path)
+            .join(F.broadcast(affected), on=pcols, how="left_semi")
+            .select(*new_rows.columns)
+        )
+        unioned = new_rows.withColumn("__src", F.lit(1)).unionByName(
+            current.withColumn("__src", F.lit(0))
+        )
+    else:
+        unioned = new_rows.withColumn("__src", F.lit(1))
+    order = [F.col("__src").desc()] + [F.col(t).desc() for t in tiebreak]
+    merged = latest_by_key(unioned, keys, order).drop("__src")
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

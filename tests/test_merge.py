@@ -80,3 +80,73 @@ def test_star_refuses_mixed_sk_modes(spark, tmp_path):
     merge_star(spark, build_star(oltp, sk_mode="dense_rank"), target)
     write_star(build_star(oltp, sk_mode="xxhash64"), target)
     merge_star(spark, build_star(oltp, sk_mode="xxhash64"), target)
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k long, part string, v string, ver long")
+
+
+def test_partitioned_merge_upserts_and_prunes(spark, tmp_path):
+    """Upsert semantics match the full merge, and partitions untouched by
+    the batch keep their exact files on disk (no O(table) rewrite)."""
+    import glob
+
+    from export_oltp_to_olap_spark.operators.merge import (
+        merge_into_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    merge_into_partitioned_parquet(
+        spark,
+        _pdf(spark, [(1, "a", "one", 1), (2, "a", "two", 1), (3, "b", "three", 1)]),
+        path, ["k"], ["part"],
+    )
+    b_files_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=b/*.parquet")
+    }
+    assert b_files_before
+
+    # second merge touches only partition a
+    merge_into_partitioned_parquet(
+        spark, _pdf(spark, [(2, "a", "TWO", 2), (4, "a", "four", 1)]),
+        path, ["k"], ["part"],
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [
+        (1, "one", 1, "a"), (2, "TWO", 2, "a"), (3, "three", 1, "b"), (4, "four", 1, "a"),
+    ] or got == sorted(
+        [(1, "a", "one", 1), (2, "a", "TWO", 2), (3, "b", "three", 1), (4, "a", "four", 1)]
+    )
+    b_files_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=b/*.parquet")
+    }
+    assert b_files_after == b_files_before, "untouched partition was rewritten"
+
+
+def test_partitioned_merge_equals_full_merge(spark, tmp_path):
+    """Same final table as merge_into_parquet for a partition-determined
+    key space, across a multi-batch history."""
+    from export_oltp_to_olap_spark.operators.merge import (
+        merge_into_parquet,
+        merge_into_partitioned_parquet,
+    )
+
+    batches = [
+        [(1, "a", "x", 1), (2, "b", "y", 1)],
+        [(1, "a", "x2", 2), (3, "b", "z", 1), (4, "c", "w", 1)],
+        [(2, "b", "y2", 2)],
+    ]
+    p_full = str(tmp_path / "full")
+    p_part = str(tmp_path / "part")
+    for rows in batches:
+        merge_into_parquet(spark, _pdf(spark, rows), p_full, ["k"], tiebreak=["ver"])
+        merge_into_partitioned_parquet(
+            spark, _pdf(spark, rows), p_part, ["k"], ["part"], tiebreak=["ver"]
+        )
+    full = sorted(
+        tuple(r) for r in spark.read.parquet(p_full).select("k", "part", "v", "ver").collect()
+    )
+    part = sorted(
+        tuple(r) for r in spark.read.parquet(p_part).select("k", "part", "v", "ver").collect()
+    )
+    assert full == part
