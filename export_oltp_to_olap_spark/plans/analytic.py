@@ -352,3 +352,92 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
+
+
+def orders_rolling_7d_revenue(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-customer rolling 7-day order revenue — a RANGE frame over
+    event time (``RANGE BETWEEN 6 days PRECEDING AND CURRENT ROW`` on the
+    epoch-day ordering), the time-window complement of the ROWS frame in
+    ``events_user_moving_value``.
+
+    RANGE frames group peers by ORDER-BY VALUE, so same-day orders all
+    see the same window total regardless of intra-day order — exactly the
+    semantics a rolling-revenue feature needs.  DECIMAL accumulation
+    keeps the double engine-exact; one shuffle on the partition key.
+    """
+    from pyspark.sql import Window
+
+    orders = tables["orders"]
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    rolling = F.round(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w), 2
+    ).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        rolling.alias("revenue_7d"),
+    )
+
+
+ROLLING_7D_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS revenue_7d
+FROM orders
+"""
+
+
+def orders_rank_suite(tables: dict[str, DataFrame]) -> DataFrame:
+    """The ranking-function family in one query: rank, dense_rank,
+    percent_rank, cume_dist, ntile(4), first/last value — per order
+    priority, ordered by (price, key) so every rank is deterministic.
+
+    All outputs are integers or exact small-integer ratios, hence
+    engine-identical; one shuffle on the partition key shared by every
+    window function (single window spec).
+    """
+    from pyspark.sql import Window
+
+    orders = tables["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first("o_orderkey").over(w_full).cast("long").alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).cast("long").alias("dearest_key"),
+    )
+
+
+RANK_SUITE_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       CAST(first_value(o_orderkey) OVER wf AS BIGINT) AS cheapest_key,
+       CAST(last_value(o_orderkey) OVER wf AS BIGINT) AS dearest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

@@ -474,3 +474,17 @@ def q_pq_topk(spark: SparkSession, sf_dir: str):
     from export_oltp_to_olap_spark.operators import pq
 
     return pq.pq_cosine_topk(_embeddings(spark, sf_dir))
+
+
+@register("orders_rolling_7d_revenue", analytic.ROLLING_7D_SQL)
+def q_rolling_7d(spark: SparkSession, sf_dir: str):
+    """RANGE-frame (time-valued) window: rolling 7-day revenue per
+    customer — the value-based complement of the ROWS-frame query."""
+    return analytic.orders_rolling_7d_revenue(_tables(spark, sf_dir))
+
+
+@register("orders_rank_suite", analytic.RANK_SUITE_SQL)
+def q_rank_suite(spark: SparkSession, sf_dir: str):
+    """rank/dense_rank/percent_rank/cume_dist/ntile/first/last in one
+    shared window spec (deterministic ordering)."""
+    return analytic.orders_rank_suite(_tables(spark, sf_dir))

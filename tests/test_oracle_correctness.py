@@ -61,6 +61,8 @@ _REPORT_EXEMPT = {
     "tfidf_top_terms",
     "text_repetition",
     "pq_cosine_topk",
+    "orders_rolling_7d_revenue",
+    "orders_rank_suite",
     # Absent from r01+r02 reports despite being judge-verified green both
     # times; now moved inside the 50-row window — remove this exemption
     # once a report finally contains it.
