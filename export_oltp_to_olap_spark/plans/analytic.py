@@ -441,3 +441,82 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
        wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def dq_oltp_checks(tables: dict[str, DataFrame]) -> DataFrame:
+    """Data-quality validation suite over the OLTP inputs — the check
+    battery an ETL runs before trusting a batch: PK uniqueness, FK
+    orphan counts, domain violations, null rates.  One row per check,
+    ``(check, violations)``; a healthy batch is all zeros (which the
+    oracle proves, making regressions loud).
+
+    Every check is a count aggregate or anti-join count — partial-agg /
+    broadcast-anti shapes that scale linearly; the union of scalar
+    results is negligible.
+    """
+    orders, customer, lineitem, part = (
+        tables["orders"], tables["customer"], tables["lineitem"], tables["part"],
+    )
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check"), F.col("violations").cast("long").alias("violations")
+        )
+
+    pk_dup_orders = orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
+    checks = [
+        one("orders_pk_duplicates",
+            pk_dup_orders.agg(F.count(F.lit(1)).alias("violations"))),
+        one("orders_orphan_customer",
+            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+                  .agg(F.count(F.lit(1)).alias("violations"))),
+        one("lineitem_orphan_order",
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+                    .agg(F.count(F.lit(1)).alias("violations"))),
+        one("lineitem_orphan_part",
+            lineitem.join(part, lineitem.l_partkey == part.p_partkey, "left_anti")
+                    .agg(F.count(F.lit(1)).alias("violations"))),
+        one("orders_negative_total",
+            orders.where(F.col("o_totalprice") < 0).agg(F.count(F.lit(1)).alias("violations"))),
+        one("lineitem_bad_discount",
+            lineitem.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+                    .agg(F.count(F.lit(1)).alias("violations"))),
+        one("orders_null_date",
+            orders.where(F.col("o_orderdate").isNull()).agg(F.count(F.lit(1)).alias("violations"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+DQ_OLTP_SQL = """
+SELECT 'orders_pk_duplicates' AS check,
+       CAST((SELECT count(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+       )) AS BIGINT) AS violations
+UNION ALL
+SELECT 'orders_orphan_customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_orphan_order',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_orphan_part',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders_negative_total',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_bad_discount',
+       CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'orders_null_date',
+       CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+"""

@@ -488,3 +488,10 @@ def q_rank_suite(spark: SparkSession, sf_dir: str):
     """rank/dense_rank/percent_rank/cume_dist/ntile/first/last in one
     shared window spec (deterministic ordering)."""
     return analytic.orders_rank_suite(_tables(spark, sf_dir))
+
+
+@register("dq_oltp_checks", analytic.DQ_OLTP_SQL)
+def q_dq_checks(spark: SparkSession, sf_dir: str):
+    """Data-quality validation battery (PK dups, FK orphans, domains,
+    nulls) — one (check, violations) row per rule."""
+    return analytic.dq_oltp_checks(_tables(spark, sf_dir))
