@@ -10,11 +10,13 @@ Scale design (100 TB corpora):
 
 * exact dedup — hash-groupBy on the normalized text (or its md5); partial
   aggregation collapses copies map-side before the shuffle.
-* n-gram Jaccard — the shingle inverted index (``doc_id, shingle``) is the
-  shuffle key; pair-generation joins docs *through* shingles, so cost is
-  Σ df(shingle)² — at corpus scale you cap document frequency (drop
-  shingles with df > cutoff, they only generate useless pairs) before the
-  self-join.  Exposed via ``max_df``.
+* n-gram Jaccard — pair generation joins docs *through* shingles, so raw
+  cost is Σ df(shingle)².  The default path prefix-filters (AllPairs /
+  PPJoin): each doc indexes only its first ``(1−t)·|x|+1`` shingles under
+  a global md5 order plus a length-compatibility conjunct — lossless for
+  the ≥-threshold query, and the df² blow-up shrinks quadratically.  The
+  full inverted index (with the lossy ``max_df`` df-cap for adversarial
+  corpora) remains in ``ngram_jaccard_pairs_indexed``.
 * MinHash+LSH — per-doc signatures shrink the pair space to hash-bucket
   collisions: candidates = docs sharing any (band, min-hash) key, then
   exact Jaccard verifies only candidates.  O(docs × H) signature rows
@@ -88,14 +90,16 @@ def shingle_index(docs: DataFrame, n: int = 3, max_df: int | None = None) -> Dat
     return idx
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_pairs_indexed(
     docs: DataFrame, n: int = 3, threshold: float = 0.7, max_df: int | None = None
 ) -> DataFrame:
-    """All doc pairs with shingle-set Jaccard ≥ threshold.
+    """All doc pairs with shingle-set Jaccard ≥ threshold, via the FULL
+    shingle inverted index (every shingle of every doc is an index row).
 
-    Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — integer counts divided once, so
-    the double is identical across engines and the threshold filter is
-    exact.
+    Reference semantics and the df-capped (``max_df``) scale mode live
+    here; the registered/benched path is :func:`ngram_jaccard_pairs`,
+    whose prefix filter generates a strict subset of this join's
+    candidate pairs with identical output.
     """
     idx = shingle_index(docs, n, max_df)
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -115,6 +119,91 @@ def ngram_jaccard_pairs(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7, max_df: int | None = None
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold — prefix-filtered
+    (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08), exact.
+
+    Instead of indexing EVERY shingle (pair cost Σ df²), each doc indexes
+    only the first ``p = |x| − ⌊t·|x|⌋ + 1`` shingles under a global
+    order (md5 of the shingle — frequency-agnostic but deterministic and
+    engine-free).  Any pair with Jaccard ≥ t must share ≥ ⌈t·max(|A|,|B|)⌉
+    shingles, and a subset that large cannot avoid the first p of either
+    doc, so candidate generation over prefixes alone is LOSSLESS for the
+    threshold query; an exact in-row `array_intersect` verify then makes
+    precision exact.  ``⌊·⌋`` rather than the tight ``⌈·⌉`` absorbs any
+    float wobble in ``t·|x|`` (one extra index row per doc, provably
+    never a lost candidate).
+
+    A size-compatibility conjunct (``t·max ≤ min``) prunes candidate
+    pairs whose lengths alone cap Jaccard below t before the verify join.
+
+    Scale shape: index rows drop ~(1−t)× vs the full inverted index, and
+    pair cost drops quadratically on hot shingles — without the recall
+    caveat of ``max_df`` capping.  Shuffle volume ∝ prefix rows +
+    candidates + docs; the verify join moves each doc's compact set row,
+    never candidates × shingles.
+
+    Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — integer counts divided once, so
+    the double is identical across engines and the threshold filter is
+    exact.
+    """
+    if max_df is not None:  # df-capped mode only exists on the full index
+        return ngram_jaccard_pairs_indexed(docs, n, threshold, max_df)
+    sets = doc_shingle_sets(docs, n).where(F.size("shs") > 0)
+    sets = sets.withColumn("n_sh", F.size("shs"))
+    plen = (
+        F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    # Global shingle order = md5 hex (ties broken by the shingle itself);
+    # the 32-hex-char key is its own md5, so the index carries it directly.
+    idx = sets.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "shs", lambda s: F.struct(F.md5(s).alias("h"), s.alias("sh"))
+                    )
+                ),
+                F.lit(1),
+                plen,
+            )
+        ).alias("pref"),
+    ).select("doc_id", "n_sh", F.col("pref.h").alias("h"))
+    a, b = idx.alias("a"), idx.alias("b")
+    t = F.lit(threshold)
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n_sh") >= t * F.col("b.n_sh"),
+                F.col("b.n_sh") >= t * F.col("a.n_sh"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard")
     )
 
