@@ -54,13 +54,21 @@ class Catalog:
         return self._cache[name]
 
     def _read(self, path: str) -> DataFrame:
-        """Read one parquet table, normalizing nanosecond timestamps.
+        """Read one parquet table, normalizing timestamp physical types.
 
-        The ``events`` fixture stores TIMESTAMP(NANOS), which Spark's
-        parquet reader rejects; with ``nanosAsLong`` they surface as
-        LongType nanos and are floor-divided to microseconds (integer
-        ``div`` — a double division would lose precision above 2^53 ns),
-        matching DuckDB's nanos→micros read-time truncation exactly.
+        Fixture generations have stored ``ts`` as TIMESTAMP(NANOS) and as
+        TIMESTAMP(MICROS) without timezone; both are normalized to plain
+        TIMESTAMP so every downstream operator (``unix_micros``, window
+        ranges, watermarking) sees one type:
+
+        * NANOS — Spark's reader rejects it; with ``nanosAsLong`` it
+          surfaces as LongType nanos and is floor-divided to micros
+          (integer ``div`` — a double division would lose precision above
+          2^53 ns), matching DuckDB's read-time truncation exactly.
+        * MICROS/no-tz — Spark 4 infers TIMESTAMP_NTZ, which functions
+          like ``unix_micros`` reject; cast to TIMESTAMP.  The session
+          timezone is pinned to UTC (``session.py``), so the cast is
+          value-identical to DuckDB's naive read.
         """
         from pyspark.sql import functions as F
 
@@ -71,6 +79,8 @@ class Catalog:
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn(field, F.col(field).cast("timestamp"))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:
