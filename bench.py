@@ -55,6 +55,7 @@ DEFAULT_HEADLINE = [
     "ivf_cosine_topk[kmeans]",
     "pq_cosine_topk",
     "lsh_cosine_neardup",
+    "semantic_dedup",
     "text_quality",
     "token_count_bpe",
     "media_feature_extract",

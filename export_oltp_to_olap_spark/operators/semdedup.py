@@ -1,0 +1,190 @@
+"""SemDeDup: cluster-scoped semantic deduplication over embeddings.
+
+The published recipe (Abbas et al., "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540): cluster
+the corpus embeddings, then look for near-duplicate pairs ONLY inside
+each cluster, dropping every vector that sits within ``threshold``
+cosine of a kept (lower-id) vector in its cluster.  This is the
+scale-correct form of embedding dedup: pair cost falls from O(N²) to
+Σ|cluster|² ≈ N²/C, and each cluster's pair join is an independent,
+shuffle-partitioned unit — no global all-pairs stage anywhere.
+
+Reference parity: the reference engine has no embedding operators; this
+is a north-star extension (BASELINE.json).  Engine conventions
+(deterministic first-N centroids for the oracle, raw-double argmax
+assignment, prescore → When-guarded exact-decimal rescore) are shared
+with `operators/similarity.py` — see its module docstring for the
+cross-engine exactness argument.
+
+100 TB notes:
+* Assignment is a broadcast crossJoin (C centroids ≈ √N rows ≪ data) —
+  one map-side pass, no shuffle.
+* The within-cluster self-join shuffles on ``cluster_id``; a hot
+  cluster (skewed semantic mass) is the known failure mode — production
+  SemDeDup caps cluster size by raising C (k ≈ √N keeps E[|c|²] ≈ N),
+  and `operators/skew.py` salting applies if one list still dominates.
+* The keep/drop rule needs only lower-id pairs ABOVE the threshold, so
+  the expensive exact rescore runs just on prescore survivors — the
+  interpreted decimal dot never touches the full pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators.similarity import (
+    PRESCORE_MARGIN,
+    _centroid_rank_window,
+    _exact_dot,
+    _kmeans_centroids,
+    _pair_dot_udf,
+    with_norm,
+)
+
+SEMDEDUP_CENTROIDS = 16
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    centroid_mode: str = "first",
+) -> DataFrame:
+    """One row per vector: (vec_id, cluster_id, kept, dup_cos).
+
+    ``kept`` is false iff some lower-id vector in the same cluster has
+    cosine ≥ threshold; ``dup_cos`` is the strongest such similarity
+    (NULL for kept rows).  Lower-id-wins is the deterministic,
+    non-iterative keep policy (the same LWW convention as the dedup
+    family) — unlike connected components it needs no iteration, so the
+    whole operator is two shuffles: centroid-argmax window + the
+    within-cluster pair join/agg.
+
+    ``centroid_mode``: "first" (deterministic, oracle-restatable) or
+    "kmeans" (learned clusters — tighter semantic lists, no SQL oracle).
+    """
+    pair_dot = _pair_dot_udf()
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    if centroid_mode == "kmeans":
+        centroids = _kmeans_centroids(base, n_centroids)
+    elif centroid_mode == "first":
+        centroids = base.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cen_id"),
+            F.col("embedding").alias("cen_emb"),
+            F.col("norm").alias("cen_norm"),
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown centroid_mode: {centroid_mode!r}")
+    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim",
+        pair_dot(F.col("embedding"), F.col("cen_emb"))
+        / (F.col("norm") * F.col("cen_norm")),
+    )
+    assigned = (
+        sims.withColumn("cen_rank", F.row_number().over(_centroid_rank_window()))
+        .where(F.col("cen_rank") == 1)
+        .select("vec_id", "embedding", "norm", F.col("cen_id").alias("cluster_id"))
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    # Prescore every within-cluster pair with the vectorized dot; the
+    # exact decimal dot is When-guarded so it only evaluates on prescore
+    # survivors (Catalyst merges stacked filters — see similarity.py).
+    dup_pairs = (
+        a.join(b, on=["cluster_id"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_pre",
+            pair_dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .withColumn(
+            "cos",
+            F.when(
+                F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN),
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
+            ),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.max("cos").alias("dup_cos"))
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(dup_pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_cos").isNull().alias("kept"),
+            "dup_cos",
+        )
+    )
+
+
+def semantic_dedup_sql(
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    """DuckDB restatement of `semantic_dedup(centroid_mode="first")`."""
+    from export_oltp_to_olap_spark.operators.similarity import _NORMS_CTE
+
+    return f"""
+WITH {_NORMS_CTE},
+cen_sims AS (
+  SELECT v.vec_id, c.vec_id AS cen_id,
+         SUM(v.e * c.e) / (nv.norm * nc.norm) AS sim
+  FROM elems v
+  JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY v.vec_id, c.vec_id, nv.norm, nc.norm
+),
+assigned AS (
+  SELECT vec_id, cen_id AS cluster_id
+  FROM (SELECT vec_id, cen_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS cen_rank
+        FROM cen_sims)
+  WHERE cen_rank = 1
+),
+dup_pairs AS (
+  SELECT p.vb AS vec_id,
+         round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
+               / (na.norm * nb.norm), 6) AS cos
+  FROM (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM assigned a JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  ) p
+  JOIN elems ea ON ea.vec_id = p.va
+  JOIN elems eb ON eb.vec_id = p.vb AND eb.i = ea.i
+  JOIN norms na ON na.vec_id = p.va
+  JOIN norms nb ON nb.vec_id = p.vb
+  GROUP BY p.va, p.vb, na.norm, nb.norm
+  HAVING round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
+               / (na.norm * nb.norm), 6) >= {threshold}
+)
+SELECT a.vec_id, a.cluster_id,
+       (d.dup_cos IS NULL) AS kept,
+       d.dup_cos
+FROM assigned a
+LEFT JOIN (SELECT vec_id, max(cos) AS dup_cos
+           FROM dup_pairs GROUP BY vec_id) d
+  ON d.vec_id = a.vec_id
+"""

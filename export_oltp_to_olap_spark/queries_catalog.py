@@ -16,6 +16,7 @@ from export_oltp_to_olap_spark.operators import (
     neardup,
     rangejoin,
     sampling,
+    semdedup,
     similarity,
 )
 from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
@@ -495,3 +496,11 @@ def q_dq_checks(spark: SparkSession, sf_dir: str):
     """Data-quality validation battery (PK dups, FK orphans, domains,
     nulls) — one (check, violations) row per rule."""
     return analytic.dq_oltp_checks(_tables(spark, sf_dir))
+
+
+@register("semantic_dedup", semdedup.semantic_dedup_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): cluster-scoped embedding dedup —
+    keep/drop per vector via lower-id-wins within each centroid list.
+    Pair cost Σ|cluster|² ≈ N²/C, never global all-pairs."""
+    return semdedup.semantic_dedup(_embeddings(spark, sf_dir))

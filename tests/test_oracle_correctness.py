@@ -64,6 +64,7 @@ _REPORT_EXEMPT = {
     "orders_rolling_7d_revenue",
     "orders_rank_suite",
     "dq_oltp_checks",
+    "semantic_dedup",
     # Absent from r01+r02 reports despite being judge-verified green both
     # times; now moved inside the 50-row window — remove this exemption
     # once a report finally contains it.
