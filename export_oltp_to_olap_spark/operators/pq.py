@@ -12,10 +12,10 @@ rescore fixes the final ranking.
 
 Spark mapping:
 
-* **Train** — one `pyspark.ml.clustering.KMeans` per subspace over the
-  corpus' subvectors (M small driver-coordinated fits, the same pattern
-  as IVF centroid training); codebooks are a tiny (M × ksub × dsub)
-  array broadcast inside closures.
+* **Train** — one deterministic bounded-sample collect, then M in-driver
+  vectorized Lloyd fits over subvector slices (the FAISS convention:
+  quantizers train on a sample, never the full corpus); codebooks are a
+  tiny (M × ksub × dsub) array broadcast inside closures.
 * **Encode** — one Arrow-batched `pandas_udf`: per batch, vectorized
   nearest-codeword argmin per subspace → `codes array<int>`.  The
   encoded table (vec_id, codes) IS the index: M ints per vector,
@@ -51,23 +51,31 @@ def train_codebooks(
 ):
     """Per-subspace k-means codebooks: numpy array (m, ksub, dim//m).
 
-    M driver-coordinated KMeans fits (the IVF-training pattern); each fit
-    sees the corpus' j-th subvector slice.  Deterministic via fixed seed.
+    One deterministic bounded sample collect (`sampled_train_matrix`,
+    the FAISS training convention), then M in-driver vectorized Lloyd
+    fits over the sample's subvector slices — previously M sequential
+    full-corpus `pyspark.ml` fits, which paid (init passes + iters) ×
+    M Spark jobs for identical codebook quality.  Deterministic via
+    fixed per-subspace seeds.
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from export_oltp_to_olap_spark.operators.similarity import (
+        lloyd_kmeans,
+        sampled_train_matrix,
+    )
 
     dsub = dim // m
-    books = []
-    base = embeddings.select(F.col("embedding").cast("array<double>").alias("e"))
-    for j in range(m):
-        feats = base.select(
-            array_to_vector(F.slice("e", j * dsub + 1, dsub)).alias("features")
+    X = sampled_train_matrix(embeddings)  # (n, dim)
+    books = [
+        lloyd_kmeans(
+            np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub]),
+            ksub,
+            seed=42 + j,
+            iters=10,
         )
-        model = KMeans(k=ksub, seed=42 + j, maxIter=10, initMode="k-means||").fit(feats)
-        books.append([list(map(float, c)) for c in model.clusterCenters()])
+        for j in range(m)
+    ]
     return np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
 
 

@@ -527,23 +527,89 @@ def _centroid_rank_window():
     return Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cen_id"))
 
 
-def _kmeans_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
-    """Learned IVF centroids via pyspark.ml KMeans (fixed seed).
+TRAIN_SAMPLE_CAP = 65_536
 
-    Returns (cen_id, cen_emb, cen_norm).  Training is an iterative Spark
-    job over the corpus — exactly what a retrieval-quality IVF build does
-    at scale (sampled corpus, k=√N lists); the fixture keeps k small.
+
+def sampled_train_matrix(vectors: DataFrame, cap: int = TRAIN_SAMPLE_CAP):
+    """Deterministic bounded training sample as a driver-side (n, d)
+    float64 matrix.
+
+    Membership = the ``cap`` smallest ``xxhash64(vec_id)`` values
+    (vec_id tiebreak) — stable under repartition/append like the
+    hash-range splits in `operators/sampling.py`, and executed as a
+    distributed TakeOrdered (per-partition top-``cap`` + driver merge),
+    so the only driver transfer is the sample itself (≤ cap × d
+    doubles ≈ 32 MB at the default cap).  This is the FAISS training
+    convention: quantizer codebooks train on a bounded sample, never
+    the full corpus — at 1e9+ vectors a full-corpus iterative fit pays
+    pass-over-everything per iteration for no measurable quality gain.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    feats = base.select(
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    rows = (
+        vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(cap)
+        .select("e")
+        .collect()
     )
-    model = KMeans(k=n_centroids, seed=42, maxIter=20, initMode="k-means||").fit(feats)
-    rows = [
-        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    return np.asarray([r.e for r in rows], dtype=np.float64)
+
+
+def lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
+    """Deterministic in-driver k-means (k-means++ init + Lloyd), fully
+    vectorized.  (n, d) float64 → (k, d) float64 centroids.
+
+    Empty clusters re-seed from the point farthest from its centroid
+    (deterministic: lowest index on ties).  ~ms at the sample cap —
+    the iterative fit runs on the driver, not as Spark jobs, because the
+    input is a bounded SAMPLE (see `sampled_train_matrix`).
+    """
+    import numpy as np
+
+    n = len(X)
+    if n == 0:
+        raise ValueError("empty training sample")
+    rng = np.random.default_rng(seed)
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [X[int(rng.integers(n))]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(X[int(rng.choice(n, p=probs))])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+    C = np.asarray(centers)
+    for _ in range(iters):
+        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        labels = dist.argmin(axis=1)
+        newC = np.zeros_like(C)
+        counts = np.bincount(labels, minlength=k).astype(np.float64)
+        np.add.at(newC, labels, X)
+        nonempty = counts > 0
+        newC[nonempty] /= counts[nonempty, None]
+        if not nonempty.all():
+            far = np.argsort(-dist[np.arange(n), labels])
+            for i, j in enumerate(np.flatnonzero(~nonempty)):
+                newC[j] = X[far[i % n]]
+        if np.allclose(newC, C, rtol=0, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def _kmeans_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    """Learned IVF centroids (fixed seed), trained FAISS-style on a
+    deterministic bounded sample in the driver (`sampled_train_matrix` +
+    `lloyd_kmeans`) — one distributed TakeOrdered instead of
+    iterations × full-corpus Spark jobs.  Returns (cen_id, cen_emb,
+    cen_norm); assignment/probing stay distributed and unchanged.
+    """
+    X = sampled_train_matrix(base)
+    C = lloyd_kmeans(X, n_centroids, seed=42)
+    rows = [(i, [float(v) for v in c]) for i, c in enumerate(C)]
     spark = base.sparkSession
     cen = spark.createDataFrame(rows, "cen_id bigint, cen_emb array<double>")
     return cen.withColumn("cen_norm", _exact_norm(F.col("cen_emb")))
