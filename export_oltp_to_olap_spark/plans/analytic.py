@@ -324,6 +324,35 @@ ORDER BY o_orderpriority
 """
 
 
+def approx_percentiles_orders(tables: dict[str, DataFrame]) -> DataFrame:
+    """Sketch percentiles (``percentile_approx``, Greenwald-Khanna with
+    accuracy 10 000 ⇒ rank error ≤ 1/10 000) alongside the exact values.
+
+    The mergeable-sketch path for huge/streaming cardinalities: each
+    partition builds a bounded GK summary, partial merge map-side, one
+    small row per group crosses the shuffle — an exact percentile
+    instead sorts the whole group.  No oracle (DuckDB's approx_quantile
+    is a different sketch); the driver records rows-only and the test
+    bounds the sketch-vs-exact rank error.
+    """
+    orders = tables["orders"]
+    apx = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile_approx(o_totalprice, {p}, 10000)"), 4
+    )
+    ext = lambda p: F.round(F.expr(f"percentile(o_totalprice, {p})"), 4)  # noqa: E731
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            apx(0.5).alias("approx_p50"),
+            ext(0.5).alias("exact_p50"),
+            apx(0.99).alias("approx_p99"),
+            ext(0.99).alias("exact_p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def grouping_sets_orders(tables: dict[str, DataFrame]) -> DataFrame:
     """Explicit GROUPING SETS — the general form of cube/rollup: exactly
     the requested aggregation levels ((status), (priority), ()), computed

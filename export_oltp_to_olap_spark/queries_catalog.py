@@ -498,6 +498,13 @@ def q_dq_checks(spark: SparkSession, sf_dir: str):
     return analytic.dq_oltp_checks(_tables(spark, sf_dir))
 
 
+@register("approx_percentiles_orders", None)  # GK sketch: engine-specific
+def q_approx_percentiles(spark: SparkSession, sf_dir: str):
+    """Greenwald-Khanna sketch percentiles next to exact values —
+    rows-only check; the rank-error bound is pinned in tests."""
+    return analytic.approx_percentiles_orders(_tables(spark, sf_dir))
+
+
 @register("semantic_dedup", semdedup.semantic_dedup_sql())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str):
     """SemDeDup (arXiv:2303.09540): cluster-scoped embedding dedup —

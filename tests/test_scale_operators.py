@@ -103,3 +103,31 @@ def test_approx_distinct_error_bound(spark, sf001):
             f"{r['l_returnflag']}: approx {r['approx_parts']} vs exact "
             f"{r['exact_parts']} (rel err {rel_err:.3f})"
         )
+
+
+def test_approx_percentile_rank_error_bound(spark, sf001):
+    """percentile_approx at accuracy 10000 bounds RANK error by 1/10000;
+    translate to value space by checking the sketch value sits between
+    the exact values at p ± 10x the nominal rank error."""
+    from export_oltp_to_olap_spark.plans.analytic import approx_percentiles_orders
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+    from pyspark.sql import functions as F
+
+    tables = load_tables(spark, sf001, ("orders",))
+    eps = 10.0 / 10000
+    bounds = tables["orders"].groupBy("o_orderpriority").agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(n)
+            for q, n in [
+                (0.5 - eps, "lo50"),
+                (0.5 + eps, "hi50"),
+                (0.99 - eps, "lo99"),
+                (min(0.99 + eps, 1.0), "hi99"),
+            ]
+        ]
+    )
+    got = {r["o_orderpriority"]: r for r in approx_percentiles_orders(tables).collect()}
+    for b in bounds.collect():
+        r = got[b["o_orderpriority"]]
+        assert b["lo50"] <= r["approx_p50"] <= b["hi50"], r
+        assert b["lo99"] <= r["approx_p99"] <= b["hi99"], r
