@@ -56,6 +56,7 @@ DEFAULT_HEADLINE = [
     "pq_cosine_topk",
     "lsh_cosine_neardup",
     "semantic_dedup",
+    "corpus_curation_summary",
     "text_quality",
     "token_count_bpe",
     "media_feature_extract",

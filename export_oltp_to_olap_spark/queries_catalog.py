@@ -19,7 +19,7 @@ from export_oltp_to_olap_spark.operators import (
     semdedup,
     similarity,
 )
-from export_oltp_to_olap_spark.plans import analytic, flagship, star_oracle
+from export_oltp_to_olap_spark.plans import analytic, curation, flagship, star_oracle
 from export_oltp_to_olap_spark.plans import events as events_plans
 from export_oltp_to_olap_spark.plans import text_queries
 from export_oltp_to_olap_spark.plans.fact import fact_source
@@ -496,6 +496,13 @@ def q_dq_checks(spark: SparkSession, sf_dir: str):
     """Data-quality validation battery (PK dups, FK orphans, domains,
     nulls) — one (check, violations) row per rule."""
     return analytic.dq_oltp_checks(_tables(spark, sf_dir))
+
+
+@register("corpus_curation_summary", curation.CORPUS_CURATION_SQL)
+def q_corpus_curation(spark: SparkSession, sf_dir: str):
+    """Composed curation pipeline (lang gate → quality gate → exact
+    dedup → near-dup drop → split): per-split yield report."""
+    return curation.corpus_curation_summary(_docs(spark, sf_dir))
 
 
 @register("approx_percentiles_orders", None)  # GK sketch: engine-specific
