@@ -113,3 +113,24 @@ def test_time_join_operators_have_no_quadratic_stage(spark, sf001, name):
     plan = _plan(spark, sf001, name)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_plan_shape(spark, sf001):
+    """SemDeDup's scale contract in the physical plan: centroid
+    assignment is a broadcast nested loop over C rows (never a shuffled
+    cross product), and the within-cluster pair join is an equi-join on
+    cluster_id — no cartesian anywhere."""
+    plan = _plan(spark, sf001, "semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_curation_gates_prune_document_columns(spark, sf001):
+    """The curation pipeline touches only (doc_id, text); scans must
+    never read lang/source/embedding metadata columns."""
+    plan = _plan(spark, sf001, "corpus_curation_summary")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, plan
+    for cols in scans:
+        names = {c.split("#")[0] for c in cols.split(",") if c}
+        assert names <= {"doc_id", "text"}, names
