@@ -108,3 +108,73 @@ FROM assigned
 GROUP BY split
 ORDER BY split
 """
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]``
+    of each stratum's rows, chosen purely by hash of ``key_col``.
+
+    The corpus-balancing primitive (e.g. keep 100 % of low-resource
+    sources, 10 % of crawl dumps): same hash-membership guarantees as
+    `deterministic_sample` — stable under repartition/append, samples
+    at different fractions NEST (a row kept at 0.1 is kept at 0.2,
+    same salt), so ablation subsets are supersets of each other.
+    Strata absent from ``fractions`` fall back to ``default_fraction``.
+
+    Scale: map-side only — the per-stratum threshold joins in as a
+    broadcast (or folds to a literal CASE for small dicts, as here);
+    no shuffle, safe under any downstream plan.
+    """
+    bucket = _hash_bucket(F.col(key_col), salt)
+    thresh = None
+    for name, frac in sorted(fractions.items()):
+        cond = F.col(stratum_col) == name
+        lit = F.lit(int(frac * _BUCKETS))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    thresh = (
+        thresh.otherwise(F.lit(int(default_fraction * _BUCKETS)))
+        if thresh is not None
+        else F.lit(int(default_fraction * _BUCKETS))
+    )
+    return df.where(bucket < thresh)
+
+
+def stratified_sample_summary(documents: DataFrame) -> DataFrame:
+    """Per-source yield of a stratified downsample of the documents
+    table (a few sources thinned hard, the rest kept) — the registered,
+    oracle-checked face of `stratified_sample`."""
+    fractions = {"src0": 0.25, "src1": 0.5, "src2": 0.1}
+    kept = stratified_sample(
+        documents, "doc_id", "source", fractions, default_fraction=1.0
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH kept AS (
+  SELECT source, doc_id
+  FROM documents
+  WHERE CAST('0x' || substr(md5('stratified:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        < CASE source
+            WHEN 'src0' THEN {int(0.25 * _BUCKETS)}
+            WHEN 'src1' THEN {int(0.5 * _BUCKETS)}
+            WHEN 'src2' THEN {int(0.1 * _BUCKETS)}
+            ELSE {_BUCKETS}
+          END
+)
+SELECT source, count(*) AS n_docs
+FROM kept
+GROUP BY source
+ORDER BY source
+"""

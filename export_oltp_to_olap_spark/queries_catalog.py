@@ -498,6 +498,13 @@ def q_dq_checks(spark: SparkSession, sf_dir: str):
     return analytic.dq_oltp_checks(_tables(spark, sf_dir))
 
 
+@register("stratified_sample_summary", sampling.STRATIFIED_SAMPLE_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str):
+    """Per-stratum deterministic downsample yield (corpus balancing) —
+    map-side hash membership, no shuffle before the final agg."""
+    return sampling.stratified_sample_summary(_docs(spark, sf_dir))
+
+
 @register("corpus_curation_summary", curation.CORPUS_CURATION_SQL)
 def q_corpus_curation(spark: SparkSession, sf_dir: str):
     """Composed curation pipeline (lang gate → quality gate → exact

@@ -37,3 +37,24 @@ def test_same_salt_samples_nest_different_salts_decorrelate(spark, sf001):
         for r in deterministic_sample(docs, "doc_id", 0.2, salt="other").collect()
     }
     assert other != s20  # a fresh salt draws an independent subset
+
+
+def test_stratified_sample_nests_and_respects_fractions(spark, sf001):
+    """Same-salt stratified samples nest (0.1 subset of 0.25 subset of
+    0.5) and per-stratum yields land near the requested fractions."""
+    from export_oltp_to_olap_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    ids = lambda frac: {  # noqa: E731
+        r.doc_id
+        for r in stratified_sample(
+            docs, "doc_id", "source", {"src0": frac}, default_fraction=0.0
+        ).collect()
+    }
+    small, mid, big = ids(0.1), ids(0.25), ids(0.5)
+    assert small <= mid <= big
+    n_src0 = docs.where("source = 'src0'").count()
+    assert 0 < len(mid) < n_src0
+    assert abs(len(big) / n_src0 - 0.5) < 0.2
