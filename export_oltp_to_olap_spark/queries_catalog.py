@@ -477,6 +477,16 @@ def q_pq_topk(spark: SparkSession, sf_dir: str):
     return pq.pq_cosine_topk(_embeddings(spark, sf_dir))
 
 
+@register("ivfpq_cosine_topk", None)  # k-means training: no SQL oracle
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    """IVF-PQ top-k (coarse lists + residual product codes, the FAISS
+    billion-scale layout) — rows-only check; recall floor and
+    exact-score contract pinned in tests."""
+    from export_oltp_to_olap_spark.operators import pq
+
+    return pq.ivfpq_cosine_topk(_embeddings(spark, sf_dir))
+
+
 @register("orders_rolling_7d_revenue", analytic.ROLLING_7D_SQL)
 def q_rolling_7d(spark: SparkSession, sf_dir: str):
     """RANGE-frame (time-valued) window: rolling 7-day revenue per

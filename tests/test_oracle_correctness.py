@@ -68,6 +68,7 @@ _REPORT_EXEMPT = {
     "approx_percentiles_orders",
     "corpus_curation_summary",
     "stratified_sample_summary",
+    "ivfpq_cosine_topk",
     # Absent from r01+r02 reports despite being judge-verified green both
     # times; now moved inside the 50-row window — remove this exemption
     # once a report finally contains it.
