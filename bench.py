@@ -56,6 +56,7 @@ DEFAULT_HEADLINE = [
     "pq_cosine_topk",
     "lsh_cosine_neardup",
     "semantic_dedup",
+    "semantic_dedup[kmeans]",
     "corpus_curation_summary",
     "text_quality",
     "token_count_bpe",
@@ -78,7 +79,16 @@ def _variant_queries():
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         return similarity.ivf_cosine_topk(emb, centroid_mode="kmeans")
 
-    return {"ivf_cosine_topk[kmeans]": ivf_kmeans}
+    def semdedup_kmeans(spark, sf_dir):
+        from export_oltp_to_olap_spark.operators import semdedup
+
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        return semdedup.semantic_dedup(emb, centroid_mode="kmeans")
+
+    return {
+        "ivf_cosine_topk[kmeans]": ivf_kmeans,
+        "semantic_dedup[kmeans]": semdedup_kmeans,
+    }
 
 
 def main() -> None:
