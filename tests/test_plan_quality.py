@@ -126,11 +126,30 @@ def test_semantic_dedup_plan_shape(spark, sf001):
 
 
 def test_curation_gates_prune_document_columns(spark, sf001):
-    """The curation pipeline touches only (doc_id, text); scans must
-    never read lang/source/embedding metadata columns."""
-    plan = _plan(spark, sf001, "corpus_curation_summary")
+    """The curation gate/dedup stages touch only (doc_id, text); scans
+    must never read lang/source metadata columns.  Inspected with
+    checkpoint=False — the registered query materializes this stage
+    behind a localCheckpoint, which (by design) leaves no scans in the
+    final plan."""
+    from export_oltp_to_olap_spark.plans.curation import curated_docs
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    df = curated_docs(docs, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     assert scans, plan
     for cols in scans:
         names = {c.split("#")[0] for c in cols.split(",") if c}
         assert names <= {"doc_id", "text"}, names
+
+
+def test_curation_checkpoint_collapses_gate_recompute(spark, sf001):
+    """The registered curation query must NOT re-derive the gate chain
+    per fan-out branch: with the staged curated set, the executed plan
+    contains zero regex gate nodes and zero document rescans."""
+    df = registry.REGISTRY["corpus_curation_summary"].fn(spark, sf001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 0, plan
+    assert "FileScan parquet" not in plan, plan
