@@ -208,12 +208,17 @@ def ngram_jaccard_pairs(
     )
 
 
-_SHINGLE_CTE = """
+def shingle_cte(table: str = "documents") -> str:
+    """The DuckDB 3-gram shingle pipeline (toks → idx0 → shingles CTEs)
+    over ``table`` — THE oracle-side restatement of `word_shingles`,
+    shared by every SQL that needs shingle sets (n-gram Jaccard,
+    MinHash, curation) so the convention lives in one place."""
+    return f"""
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS t
-  FROM documents
+  FROM {table}
 ),
 idx0 AS (
   SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
@@ -223,6 +228,9 @@ shingles AS (
   FROM idx0 WHERE i + 2 <= len(t)
 )
 """.strip()
+
+
+_SHINGLE_CTE = shingle_cte()
 
 NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLE_CTE},

@@ -27,8 +27,9 @@ Spark mapping:
   (same as cosine_topk) then makes reported scores/order engine-exact.
 
 No SQL oracle (k-means training is iterative, like IVF's kmeans mode):
-correctness is pinned by determinism (fixed seed) + a recall floor
-against the brute-force baseline + an encode-roundtrip test.
+both operators register as rows-only driver queries; correctness is
+pinned by determinism (fixed seed) + a recall floor against the
+brute-force baseline + an encode-roundtrip test.
 """
 
 from __future__ import annotations
@@ -231,21 +232,14 @@ def ivfpq_cosine_topk(
     from pyspark.sql import Window
 
     from export_oltp_to_olap_spark.operators.similarity import (
-        _kmeans_centroids,
-        _pair_dot_udf,
+        centroid_table,
+        rank_centroids,
     )
 
-    pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    centroids = _kmeans_centroids(base, n_centroids)
-
-    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim",
-        pair_dot(F.col("embedding"), F.col("cen_emb"))
-        / (F.col("norm") * F.col("cen_norm")),
+    ranked = rank_centroids(
+        base, centroid_table(base, n_centroids, centroid_mode="kmeans")
     )
-    w_cen = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cen_id"))
-    ranked = sims.withColumn("cen_rank", F.row_number().over(w_cen))
     assigned = ranked.where(F.col("cen_rank") == 1).select(
         "vec_id", "embedding", "norm", "cen_id", "cen_emb"
     )

@@ -35,10 +35,10 @@ from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.operators.similarity import (
     PRESCORE_MARGIN,
-    _centroid_rank_window,
     _exact_dot,
-    _kmeans_centroids,
     _pair_dot_udf,
+    centroid_table,
+    rank_centroids,
     with_norm,
 )
 
@@ -67,26 +67,16 @@ def semantic_dedup(
     """
     pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    if centroid_mode == "kmeans":
-        centroids = _kmeans_centroids(base, n_centroids)
-    elif centroid_mode == "first":
-        centroids = base.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cen_id"),
-            F.col("embedding").alias("cen_emb"),
-            F.col("norm").alias("cen_norm"),
-        )
-    else:  # pragma: no cover - guard
-        raise ValueError(f"unknown centroid_mode: {centroid_mode!r}")
-    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim",
-        pair_dot(F.col("embedding"), F.col("cen_emb"))
-        / (F.col("norm") * F.col("cen_norm")),
-    )
     assigned = (
-        sims.withColumn("cen_rank", F.row_number().over(_centroid_rank_window()))
+        rank_centroids(base, centroid_table(base, n_centroids, centroid_mode))
         .where(F.col("cen_rank") == 1)
         .select("vec_id", "embedding", "norm", F.col("cen_id").alias("cluster_id"))
     )
+    # Stage the assignment once: three branches (pair sides a/b and the
+    # final keep/drop select) consume it through different projections,
+    # which defeats exchange reuse and would re-run the full N×C
+    # assignment pass per branch (same rule as plans/curation.py).
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vec_a"),

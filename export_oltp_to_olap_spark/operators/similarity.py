@@ -561,10 +561,14 @@ def lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
     """Deterministic in-driver k-means (k-means++ init + Lloyd), fully
     vectorized.  (n, d) float64 → (k, d) float64 centroids.
 
-    Empty clusters re-seed from the point farthest from its centroid
-    (deterministic: lowest index on ties).  ~ms at the sample cap —
-    the iterative fit runs on the driver, not as Spark jobs, because the
-    input is a bounded SAMPLE (see `sampled_train_matrix`).
+    Distances use the ‖x‖² − 2·X@Cᵀ + ‖c‖² expansion — an (n, k) GEMM
+    product instead of an (n, k, d) broadcast temporary (at the 64k
+    sample cap with d=64 the latter is ~0.5 GB per iteration on the
+    driver; the former is ~8 MB).  Empty clusters re-seed from the
+    point farthest from its centroid (deterministic: stable sort,
+    lowest index on ties).  ~ms at the sample cap — the iterative fit
+    runs on the driver, not as Spark jobs, because the input is a
+    bounded SAMPLE (see `sampled_train_matrix`).
     """
     import numpy as np
 
@@ -573,16 +577,24 @@ def lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
         raise ValueError("empty training sample")
     rng = np.random.default_rng(seed)
     k = min(k, n)
+    x_sq = (X**2).sum(axis=1)  # (n,)
+
+    def dists_to(C):
+        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², clipped: the expansion can go
+        # slightly negative under cancellation
+        d = x_sq[:, None] - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]
+        return np.maximum(d, 0.0)
+
     # k-means++ seeding
     centers = [X[int(rng.integers(n))]]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    d2 = dists_to(np.asarray(centers))[:, 0]
     for _ in range(1, k):
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
         centers.append(X[int(rng.choice(n, p=probs))])
-        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+        d2 = np.minimum(d2, dists_to(np.asarray(centers[-1:]))[:, 0])
     C = np.asarray(centers)
     for _ in range(iters):
-        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        dist = dists_to(C)  # (n, k)
         labels = dist.argmin(axis=1)
         newC = np.zeros_like(C)
         counts = np.bincount(labels, minlength=k).astype(np.float64)
@@ -590,7 +602,7 @@ def lloyd_kmeans(X, k: int, seed: int, iters: int = 20):
         nonempty = counts > 0
         newC[nonempty] /= counts[nonempty, None]
         if not nonempty.all():
-            far = np.argsort(-dist[np.arange(n), labels])
+            far = np.argsort(-dist[np.arange(n), labels], kind="stable")
             for i, j in enumerate(np.flatnonzero(~nonempty)):
                 newC[j] = X[far[i % n]]
         if np.allclose(newC, C, rtol=0, atol=1e-12):
@@ -615,6 +627,38 @@ def _kmeans_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
     return cen.withColumn("cen_norm", _exact_norm(F.col("cen_emb")))
 
 
+def centroid_table(
+    base: DataFrame, n_centroids: int, centroid_mode: str = "first"
+) -> DataFrame:
+    """(cen_id, cen_emb, cen_norm) under the shared mode convention:
+    "first" (deterministic first-N corpus vectors, oracle-restatable)
+    or "kmeans" (sample-trained learned lists, no SQL oracle)."""
+    if centroid_mode == "kmeans":
+        return _kmeans_centroids(base, n_centroids)
+    if centroid_mode == "first":
+        return base.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cen_id"),
+            F.col("embedding").alias("cen_emb"),
+            F.col("norm").alias("cen_norm"),
+        )
+    raise ValueError(f"unknown centroid_mode: {centroid_mode!r}")
+
+
+def rank_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Every (vector, centroid) pair with raw-double cosine ``sim`` and
+    per-vector ``cen_rank`` — THE centroid-assignment convention shared
+    by IVF, IVF-PQ, and SemDeDup (broadcast crossJoin over C rows,
+    vectorized prescore dot, argmax via row_number with cen_id
+    tiebreak; see the module comment on why raw doubles are safe)."""
+    pair_dot = _pair_dot_udf()
+    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim",
+        pair_dot(F.col("embedding"), F.col("cen_emb"))
+        / (F.col("norm") * F.col("cen_norm")),
+    )
+    return sims.withColumn("cen_rank", F.row_number().over(_centroid_rank_window()))
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     n_centroids: int = IVF_CENTROIDS,
@@ -636,23 +680,7 @@ def ivf_cosine_topk(
 
     pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    if centroid_mode == "kmeans":
-        centroids = _kmeans_centroids(base, n_centroids)
-    elif centroid_mode == "first":
-        centroids = base.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cen_id"),
-            F.col("embedding").alias("cen_emb"),
-            F.col("norm").alias("cen_norm"),
-        )
-    else:  # pragma: no cover - guard
-        raise ValueError(f"unknown centroid_mode: {centroid_mode!r}")
-    sims = base.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim",
-        pair_dot(F.col("embedding"), F.col("cen_emb"))
-        / (F.col("norm") * F.col("cen_norm")),
-    )
-    w_cen = _centroid_rank_window()
-    ranked = sims.withColumn("cen_rank", F.row_number().over(w_cen))
+    ranked = rank_centroids(base, centroid_table(base, n_centroids, centroid_mode))
     # inverted lists: every vector lives in exactly its nearest list
     assigned = ranked.where(F.col("cen_rank") == 1).select(
         "vec_id", "embedding", "norm", "cen_id"

@@ -108,29 +108,17 @@ def _curation_sql() -> str:
     for lang in langs:
         pred += f"           WHEN score_{lang} = {best} THEN '{lang}'\n"
     pred += "           ELSE 'und' END"
+    from export_oltp_to_olap_spark.operators.neardup import shingle_cte
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        QUALITY_EXPR_SQL,
+        quality_feats_cte,
+    )
+
     return rf"""
-WITH feats AS (
-  SELECT doc_id, text,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                              x -> x <> '')) AS BIGINT) AS n_tokens,
-         CAST(len(list_distinct(list_filter(
-             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-             x -> x <> ''))) AS BIGINT) AS n_distinct_tokens,
-         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
-              AS BIGINT) AS n_punct,
-         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-              AS BIGINT) AS n_digits,
-         CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|is|to|in)\b'))
-              AS BIGINT) AS n_stop
-  FROM documents
-),
+WITH {quality_feats_cte()},
 scored AS (
   SELECT doc_id, text, n_tokens,
-         0.4 * (n_distinct_tokens / greatest(n_tokens, 1))
-         + 0.3 * (n_stop / greatest(n_tokens, 1))
-         + 0.2 * (1.0 - n_punct / n_chars)
-         + 0.1 * (1.0 - n_digits / n_chars) AS quality,
+         {QUALITY_EXPR_SQL} AS quality,
          {score_cols}
   FROM feats
 ),
@@ -144,19 +132,7 @@ deduped AS (
   FROM (SELECT g.*, min(doc_id) OVER (PARTITION BY text) AS min_id FROM gated g)
   WHERE doc_id = min_id
 ),
-toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS t
-  FROM deduped
-),
-idx0 AS (
-  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
-),
-shingles AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM idx0 WHERE i + 2 <= len(t)
-),
+{shingle_cte("deduped")},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

@@ -38,9 +38,14 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
-TEXT_QUALITY_SQL = r"""
-WITH feats AS (
-  SELECT doc_id,
+def quality_feats_cte(table: str = "documents") -> str:
+    """The DuckDB per-doc quality-feature CTE (``feats``) over
+    ``table`` — the oracle-side restatement of `quality_features`,
+    shared by the text-quality query and the curation pipeline so the
+    feature definitions live in one place."""
+    return rf"""
+feats AS (
+  SELECT doc_id, text,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -55,17 +60,27 @@ WITH feats AS (
               AS BIGINT) AS n_spaces,
          CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|is|to|in)\b'))
               AS BIGINT) AS n_stop
-  FROM documents
+  FROM {table}
 )
+""".strip()
+
+
+# The blended score over feats columns — quoted verbatim by every SQL
+# that derives `quality` (mirror of `quality_score`).
+QUALITY_EXPR_SQL = """0.4 * (n_distinct_tokens / greatest(n_tokens, 1))
+       + 0.3 * (n_stop / greatest(n_tokens, 1))
+       + 0.2 * (1.0 - n_punct / n_chars)
+       + 0.1 * (1.0 - n_digits / n_chars)"""
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH {quality_feats_cte()}
 SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
        n_punct / n_chars AS punct_ratio,
        n_spaces / n_chars AS space_ratio,
        n_stop / greatest(n_tokens, 1) AS stopword_ratio,
        n_distinct_tokens / greatest(n_tokens, 1) AS distinct_ratio,
-       0.4 * (n_distinct_tokens / greatest(n_tokens, 1))
-       + 0.3 * (n_stop / greatest(n_tokens, 1))
-       + 0.2 * (1.0 - n_punct / n_chars)
-       + 0.1 * (1.0 - n_digits / n_chars) AS quality
+       {QUALITY_EXPR_SQL} AS quality
 FROM feats
 """
 

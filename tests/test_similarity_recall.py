@@ -138,8 +138,8 @@ def test_pq_recall_and_exact_scores(emb, pq_books):
 def test_ivfpq_recall_and_exact_scores(emb):
     """IVF-PQ (coarse lists + residual codes): recall floor vs brute
     force (measured 0.49 on this corpus) and the exact-score contract.
-    Pytest-only operator — training cost keeps it out of the per-gate
-    catalog; this test IS its correctness evidence."""
+    Registered as a rows-only driver query (k-means training has no SQL
+    oracle); this test carries its quality evidence."""
     from export_oltp_to_olap_spark.operators import pq as PQ
     from export_oltp_to_olap_spark.operators import similarity as S
 

@@ -76,10 +76,18 @@ def test_matches_batch_interval_join_without_late_data(spark, tmp_path):
     clicks_feed.mkdir()
     purchases_feed.mkdir()
     # 3 users, clicks every ~17 min, purchases on the half hour — several
-    # clicks per purchase window, boundary cases at exactly -1h and 0.
+    # clicks per purchase window, plus explicit boundary rows: a user-2
+    # click at exactly purchase-1h (10:00 vs 11:00 — lower-INclusive,
+    # must pair) and a user-1 click at exactly a purchase instant
+    # (12:00 — upper-EXclusive, must not pair).  Both conventions are
+    # asserted through the stream≡batch equivalence: a one-sided
+    # regression (e.g. `<` → `<=`) breaks the set equality.
     clicks = [
         (100 + i, 1 + (i % 3), f"2026-01-01 10:{(i * 17) % 60:02d}:00")
         for i in range(12)
+    ] + [
+        (150, 2, "2026-01-01 10:00:00"),
+        (151, 1, "2026-01-01 12:00:00"),
     ]
     purchases = [
         (200, 1, "2026-01-01 10:30:00"),
@@ -118,6 +126,10 @@ def test_matches_batch_interval_join_without_late_data(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0
+    # boundary rows resolved as documented, independent of the twin
+    pair_keys = {(p, c) for p, c, _ in got}
+    assert (201, 150) in pair_keys  # click at exactly purchase-1h pairs
+    assert all(c != 151 for _, c in pair_keys)  # click at purchase instant never pairs
 
 
 def test_click_behind_watermark_produces_no_pair(spark, tmp_path):
