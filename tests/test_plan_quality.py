@@ -118,11 +118,29 @@ def test_time_join_operators_have_no_quadratic_stage(spark, sf001, name):
 def test_semantic_dedup_plan_shape(spark, sf001):
     """SemDeDup's scale contract in the physical plan: centroid
     assignment is a broadcast nested loop over C rows (never a shuffled
-    cross product), and the within-cluster pair join is an equi-join on
-    cluster_id — no cartesian anywhere."""
+    cross product) — inspected on the assignment stage itself, since
+    the registered query stages it behind a localCheckpoint — and the
+    post-checkpoint pair join carries no cartesian."""
+    from export_oltp_to_olap_spark.operators.similarity import (
+        centroid_table,
+        rank_centroids,
+        with_norm,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    base = with_norm(emb).select("vec_id", "embedding", "norm")
+    assign = rank_centroids(base, centroid_table(base, 16)).where("cen_rank = 1")
+    assign.collect()
+    assign_plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in assign_plan, assign_plan
+    assert (
+        "BroadcastNestedLoopJoin" in assign_plan
+        or "BroadcastHashJoin" in assign_plan
+    ), assign_plan
+
     plan = _plan(spark, sf001, "semantic_dedup")
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
 def test_curation_gates_prune_document_columns(spark, sf001):
