@@ -312,6 +312,129 @@ FROM frames
 """.strip()
 
 
+FEATURE_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("byte_sq_sum", T.LongType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+
+def feature_digests(media: DataFrame) -> DataFrame:
+    """The oracle-checkable registration of the byte-feature stage.
+
+    Same Arrow-batched ``mapInPandas`` pipeline as ``extract_features``
+    (spread first, numpy per batch), but emitting digests the driver can
+    value-hash against a DuckDB restatement:
+
+    * ``byte_sum`` / ``byte_sq_sum`` — EXACT integer moments (mean and
+      std are derivable as ``byte_sum/size`` and
+      ``sqrt(byte_sq_sum/size - mean²)``); integers sidestep
+      float-summation-order differences between numpy and SQL entirely.
+    * ``entropy_q4`` — the one irreducibly-float feature, digested at
+      fixed precision (round 4): both engines compute the same Shannon
+      sum from the same exact histogram, so they agree to ~1e-13 and the
+      4-decimal quantization is stable.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        # Inline decode (== fake_decode_array) — see extract_features for
+        # why the closure must not touch package globals.
+        def decode(content: bytes) -> "np.ndarray":
+            return np.frombuffer(content, dtype=np.uint8)
+
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "size_bytes": [],
+                "byte_sum": [],
+                "byte_sq_sum": [],
+                "byte_entropy": [],
+            }
+            for content in pdf["content"]:
+                arr = decode(content).astype(np.int64)
+                out["size_bytes"].append(len(arr))
+                if len(arr) == 0:
+                    out["byte_sum"].append(0)
+                    out["byte_sq_sum"].append(0)
+                    out["byte_entropy"].append(0.0)
+                    continue
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / len(arr)
+                out["byte_sum"].append(int(arr.sum()))
+                out["byte_sq_sum"].append(int((arr * arr).sum()))
+                out["byte_entropy"].append(float(-(p * np.log2(p)).sum()))
+            yield pd.DataFrame(out)
+
+    digests = spread_for_compute(media, "media_id").mapInPandas(
+        batches, schema=FEATURE_DIGEST_SCHEMA
+    )
+    # Quantize JVM-side so both engines round the same double the same
+    # way (Spark HALF_UP ≡ DuckDB half-away-from-zero for positives).
+    return digests.select(
+        "media_id",
+        "kind",
+        "size_bytes",
+        "byte_sum",
+        "byte_sq_sum",
+        F.round(F.col("byte_entropy"), 4).alias("entropy_q4"),
+    )
+
+
+# DuckDB restatement: explode each document's (ASCII — see
+# FRAME_DIGEST_SQL note) text into character codes, rebuild the exact
+# byte histogram, and compute the same integer moments + Shannon entropy.
+# Empty documents are preserved via the LEFT JOIN (no char rows → zero
+# moments, entropy 0.0), mirroring the Python branch.
+FEATURE_DIGEST_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text AS content
+  FROM documents
+),
+positions AS (
+  SELECT media_id, content,
+         unnest(range(1, length(content) + 1)) AS pos
+  FROM media
+),
+hist AS (
+  SELECT media_id, ascii(substring(content, CAST(pos AS INTEGER), 1)) AS b,
+         count(*) AS c
+  FROM positions
+  GROUP BY media_id, b
+),
+sizes AS (
+  SELECT media_id, CAST(sum(c) AS BIGINT) AS size_bytes
+  FROM hist GROUP BY media_id
+),
+agg AS (
+  SELECT h.media_id,
+         max(s.size_bytes) AS size_bytes,
+         CAST(sum(h.b * h.c) AS BIGINT) AS byte_sum,
+         CAST(sum(h.b * h.b * h.c) AS BIGINT) AS byte_sq_sum,
+         -sum((h.c / CAST(s.size_bytes AS DOUBLE))
+              * log2(h.c / CAST(s.size_bytes AS DOUBLE))) AS entropy
+  FROM hist h JOIN sizes s USING (media_id)
+  GROUP BY h.media_id
+)
+SELECT m.media_id, m.kind,
+       COALESCE(a.size_bytes, 0) AS size_bytes,
+       COALESCE(a.byte_sum, 0) AS byte_sum,
+       COALESCE(a.byte_sq_sum, 0) AS byte_sq_sum,
+       COALESCE(round(a.entropy, 4), 0.0) AS entropy_q4
+FROM media m LEFT JOIN agg a USING (media_id)
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Metadata-only query (oracle-checkable: never touches the bytes)
 # ---------------------------------------------------------------------------
