@@ -287,10 +287,13 @@ def sampled_frame_digests(documents: DataFrame) -> DataFrame:
 
 
 # DuckDB has no BLOB substring/slice, so the oracle chunks the VARCHAR
-# text instead — byte-identical to the Spark side because the corpus is
-# pure ASCII (octet_length(encode(text)) == length(text); asserted by
-# tests/test_multimodal.py::test_documents_corpus_is_ascii over the
-# fixture SFs; md5(VARCHAR) hashes its UTF-8 bytes).
+# text instead — byte-identical to the Spark side only while every
+# document is pure ASCII (octet_length(encode(text)) == length(text)).
+# That property is pinned per-fixture by tests/test_multimodal.py::
+# test_documents_corpus_is_ascii (sf0.001, sf0.01, and sf0.1 when
+# present); a non-ASCII corpus regeneration fails that test loudly
+# instead of silently hash-mismatching here.  md5(VARCHAR) hashes UTF-8
+# bytes in both engines.
 FRAME_DIGEST_SQL = """
 WITH media AS (
   SELECT doc_id AS media_id, text AS content

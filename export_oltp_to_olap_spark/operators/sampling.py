@@ -22,6 +22,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = 65536  # 4 md5 hex chars
+# stratified_sample folds fraction maps up to this size into a literal
+# CASE; larger maps broadcast-join instead of building a deep when-chain.
+_CASE_FOLD_MAX = 64
 
 
 def _hash_bucket(key: Column, salt: str) -> Column:
@@ -128,22 +131,35 @@ def stratified_sample(
     same salt), so ablation subsets are supersets of each other.
     Strata absent from ``fractions`` fall back to ``default_fraction``.
 
-    Scale: map-side only — the per-stratum threshold joins in as a
-    broadcast (or folds to a literal CASE for small dicts, as here);
-    no shuffle, safe under any downstream plan.
+    Scale: map-side only.  Small fraction maps (≤ ``_CASE_FOLD_MAX``
+    strata) fold to a literal CASE expression — zero joins; larger maps
+    become a BROADCAST left join against a tiny (stratum, threshold)
+    table, so a 10k-source curation config neither builds a 10k-deep
+    when-chain nor shuffles the corpus.  Either path leaves the big side
+    unshuffled and safe under any downstream plan.
     """
     bucket = _hash_bucket(F.col(key_col), salt)
-    thresh = None
-    for name, frac in sorted(fractions.items()):
-        cond = F.col(stratum_col) == name
-        lit = F.lit(int(frac * _BUCKETS))
-        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
-    thresh = (
-        thresh.otherwise(F.lit(int(default_fraction * _BUCKETS)))
-        if thresh is not None
-        else F.lit(int(default_fraction * _BUCKETS))
+    default_lit = F.lit(int(default_fraction * _BUCKETS))
+    if len(fractions) <= _CASE_FOLD_MAX:
+        thresh = None
+        for name, frac in sorted(fractions.items()):
+            cond = F.col(stratum_col) == name
+            lit = F.lit(int(frac * _BUCKETS))
+            thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+        thresh = thresh.otherwise(default_lit) if thresh is not None else default_lit
+        return df.where(bucket < thresh)
+    spark = df.sparkSession
+    frac_df = F.broadcast(
+        spark.createDataFrame(
+            [(name, int(frac * _BUCKETS)) for name, frac in sorted(fractions.items())],
+            schema=f"{stratum_col} string, __stratum_thresh int",
+        )
     )
-    return df.where(bucket < thresh)
+    return (
+        df.join(frac_df, on=stratum_col, how="left")
+        .where(bucket < F.coalesce(F.col("__stratum_thresh"), default_lit))
+        .select(*df.columns)  # drop the helper, keep the caller's column order
+    )
 
 
 def stratified_sample_summary(documents: DataFrame) -> DataFrame:

@@ -4,7 +4,11 @@ The published recipe (Abbas et al., "SemDeDup: Data-efficient learning
 at web-scale through semantic deduplication", arXiv:2303.09540): cluster
 the corpus embeddings, then look for near-duplicate pairs ONLY inside
 each cluster, dropping every vector that sits within ``threshold``
-cosine of a kept (lower-id) vector in its cluster.  This is the
+cosine of ANY lower-id vector in its cluster — kept or itself dropped
+(for a chain A~B, B~C, A≁C the engine drops C although its only witness
+B was dropped; deliberately NOT the paper's keep-one-representative
+semantics, but the deterministic single-pass policy its SQL oracle,
+streaming twin, and tests all share).  This is the
 scale-correct form of embedding dedup: pair cost falls from O(N²) to
 Σ|cluster|² ≈ N²/C, and each cluster's pair join is an independent,
 shuffle-partitioned unit — no global all-pairs stage anywhere.

@@ -295,8 +295,12 @@ WHERE round(dot / (na.norm * nb.norm), 6) >= 0.4
 # 0.4-threshold band.  At true near-dup thresholds (cos ≥ 0.8, the usual
 # dedup regime) the same construction prunes orders of magnitude harder —
 # p₁ = 0.80 gives p₁^8 ≈ 0.17 per band vs 0.004 background.
-# tests/test_similarity_recall.py pins recall ≥ 0.7 AND candidates ≤ 30 %
-# of the pair space so a parameter regression in either direction fails.
+# Enforced bounds (tests/test_similarity_recall.py, measured at the
+# test's cos-0.4 threshold): recall ≥ 0.7 AND candidates ≤ 30 % of the
+# pair space (vs 24.5 % measured — headroom, not slack), so a parameter
+# regression in either direction fails.  The registered query's default
+# threshold is 0.35 (recall@0.35 0.78 in the table above); candidate
+# volume is threshold-independent — only the band geometry sets it.
 
 N_BANDS = 64
 PLANES_PER_BAND = 8

@@ -28,11 +28,11 @@ Semantics and scale:
   — bit-identical to the batch path's Spark-double division, so stream
   and batch report the same scores.
 * State per bucket is its member shingle sets — the streaming analog of
-  the batch inverted index, sharded across executors by bucket key.  An
-  unbounded stream needs the same discipline every online-LSH index
-  needs: state TTL (`GroupStateTimeout`) or periodic compaction to a
-  batch-rebuilt index; exact forever-membership fundamentally keeps the
-  sets somewhere.
+  the batch inverted index, sharded across executors by bucket key.
+  ``max_members_per_bucket`` wires the online-index cap discipline
+  (FIFO retention window per bucket — see ``streaming_minhash_neardup``
+  for the recall trade); exact forever-membership fundamentally keeps
+  the sets somewhere, so unset means state grows with the corpus.
 """
 
 from __future__ import annotations
@@ -82,49 +82,71 @@ def streaming_band_keys(
     )
 
 
-def _probe_bucket(
-    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
-) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
+def _make_probe_bucket(max_members: int | None = None):
+    def _probe_bucket(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-    if state.exists:
-        ids, shs = state.get
-        ids = list(ids)
-        members = [set(s) for s in shs]
-    else:
-        ids, members = [], []
-    out_a, out_b, out_j = [], [], []
-    for pdf in pdfs:
-        for doc_id, sh_list in zip(pdf["doc_id"], pdf["shs"]):
-            s = set(sh_list)
-            for mid, mset in zip(ids, members):
-                if mid == doc_id:
-                    continue  # replay of a known member: no self-pair
-                inter = len(s & mset)
-                if inter == 0:
-                    continue
-                jac = inter / (len(s) + len(mset) - inter)
-                if jac >= 0.8:
-                    out_a.append(int(min(doc_id, mid)))
-                    out_b.append(int(max(doc_id, mid)))
-                    out_j.append(jac)
-            if doc_id not in ids:
-                ids.append(int(doc_id))
-                members.append(s)
-    state.update((ids, [sorted(m) for m in members]))
-    yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+        if state.exists:
+            ids, shs = state.get
+            ids = list(ids)
+            members = [set(s) for s in shs]
+        else:
+            ids, members = [], []
+        known = set(ids)  # O(1) replay membership
+        out_a, out_b, out_j = [], [], []
+        for pdf in pdfs:
+            # Deterministic intra-batch order (the groupBy shuffle does
+            # not preserve source order within a key).
+            if len(pdf):
+                pdf = pdf.sort_values("doc_id", kind="mergesort")
+            for doc_id, sh_list in zip(pdf["doc_id"], pdf["shs"]):
+                s = set(sh_list)
+                for mid, mset in zip(ids, members):
+                    if mid == doc_id:
+                        continue  # replay of a known member: no self-pair
+                    inter = len(s & mset)
+                    if inter == 0:
+                        continue
+                    jac = inter / (len(s) + len(mset) - inter)
+                    if jac >= 0.8:
+                        out_a.append(int(min(doc_id, mid)))
+                        out_b.append(int(max(doc_id, mid)))
+                        out_j.append(jac)
+                if int(doc_id) not in known:
+                    known.add(int(doc_id))
+                    ids.append(int(doc_id))
+                    members.append(s)
+        if max_members is not None and len(ids) > max_members:
+            ids = ids[-max_members:]  # FIFO: evict the oldest members
+            members = members[-max_members:]
+        state.update((ids, [sorted(m) for m in members]))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    return _probe_bucket
 
 
-def streaming_minhash_neardup(docs: DataFrame) -> DataFrame:
+def streaming_minhash_neardup(
+    docs: DataFrame, max_members_per_bucket: int | None = None
+) -> DataFrame:
     """Online near-dup pairs over a (doc_id, text) stream — emits
     ``(doc_a, doc_b, jaccard)`` with jaccard ≥ 0.8 as documents arrive
-    (at-least-once per colliding band; see module docstring)."""
+    (at-least-once per colliding band; see module docstring).
+
+    ``max_members_per_bucket`` bounds each bucket's member index by FIFO
+    eviction (a sliding retention window, like
+    ``streaming_exact_dedup``): pairs are found only against the last N
+    members of each bucket — a pair whose earlier side was evicted is
+    missed (recall loss; every emitted pair is still exact-verified, so
+    precision is unaffected).  Unset = exact batch-equivalent pair set
+    with state growing as the corpus does."""
     from export_oltp_to_olap_spark import shipping
 
     shipping.ensure_shipped(docs.sparkSession)
     keyed = streaming_band_keys(docs)
     return keyed.groupBy("band", "k0", "k1").applyInPandasWithState(
-        _probe_bucket,
+        _make_probe_bucket(max_members_per_bucket),
         outputStructType=PAIR_OUTPUT_SCHEMA,
         stateStructType=BUCKET_STATE_SCHEMA,
         outputMode="append",

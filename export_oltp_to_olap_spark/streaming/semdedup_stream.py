@@ -19,10 +19,9 @@ cluster?  Same two-stage shape as `streaming/neardup_stream.py`:
 
 Scale: state is the per-cluster member set — the streaming analog of
 the batch inverted lists, sharded by cluster key across executors.
-The same discipline as every online index applies: cap or TTL the
-per-cluster membership (GroupStateTimeout / periodic compaction); a
-kept-members-only state variant trades the exact batch witness pool
-for O(kept) state.
+``max_members_per_cluster`` wires the cap discipline: the witness pool
+retains only each cluster's first N members, bounding state at O(C·N)
+for the documented recall trade (see ``streaming_semantic_dedup``).
 """
 
 from __future__ import annotations
@@ -77,7 +76,7 @@ def streaming_assign_clusters(
     )
 
 
-def _make_probe_cluster(threshold: float):
+def _make_probe_cluster(threshold: float, max_members: int | None = None):
     def probe(
         key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
@@ -90,27 +89,43 @@ def _make_probe_cluster(threshold: float):
             members = [np.asarray(e, dtype=np.float64) for e in embs]
         else:
             ids, members = [], []
+        seen = set(ids)  # O(1) replay membership (the id list is state order)
         out: dict[str, list] = {"vec_id": [], "cluster_id": [], "kept": [], "dup_cos": []}
         cluster_id = int(key[0])
-        for pdf in pdfs:
-            for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
-                if int(vec_id) in ids:
-                    continue  # replay of a known member: already decided
-                x = np.asarray(emb, dtype=np.float64)
-                xn = np.linalg.norm(x)
-                dup_cos = None
-                if members:
-                    M = np.vstack(members)
-                    cos = np.round(
-                        (M @ x) / (np.linalg.norm(M, axis=1) * xn), 6
-                    )
-                    hits = cos[cos >= threshold]
-                    if len(hits):
-                        dup_cos = float(hits.max())
-                out["vec_id"].append(int(vec_id))
-                out["cluster_id"].append(cluster_id)
-                out["kept"].append(dup_cos is None)
-                out["dup_cos"].append(dup_cos)
+        # Concatenate and sort the micro-batch by vec_id: after the
+        # groupBy shuffle Spark does NOT guarantee intra-group arrival
+        # order, so scoring in raw iterator order would make decisions
+        # depend on partitioning.  Sorting makes each micro-batch's
+        # decisions deterministic (and == batch lower-id-wins whenever
+        # ids are assigned in arrival order).
+        pdf_all = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf_all):
+            pdf_all = pdf_all.sort_values("vec_id", kind="mergesort")
+        for vec_id, emb in zip(pdf_all["vec_id"], pdf_all["embedding"]):
+            if int(vec_id) in seen:
+                continue  # replay of a known member: already decided
+            x = np.asarray(emb, dtype=np.float64)
+            xn = np.linalg.norm(x)
+            dup_cos = None
+            if members:
+                M = np.vstack(members)
+                cos = np.round(
+                    (M @ x) / (np.linalg.norm(M, axis=1) * xn), 6
+                )
+                hits = cos[cos >= threshold]
+                if len(hits):
+                    dup_cos = float(hits.max())
+            out["vec_id"].append(int(vec_id))
+            out["cluster_id"].append(cluster_id)
+            out["kept"].append(dup_cos is None)
+            out["dup_cos"].append(dup_cos)
+            # State cap: witness pool keeps only the FIRST max_members
+            # members (they out-rank later arrivals under first-seen-wins
+            # anyway).  Later vectors still get decisions, but a dup whose
+            # only witness was evicted is missed — bounded state traded
+            # for bounded recall loss (see streaming_semantic_dedup).
+            if max_members is None or len(ids) < max_members:
+                seen.add(int(vec_id))
                 ids.append(int(vec_id))
                 members.append(x)
         # plain-Python floats: the state store's pickler rejects numpy scalars
@@ -124,16 +139,27 @@ def streaming_semantic_dedup(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
     threshold: float = SEMDEDUP_THRESHOLD,
+    max_members_per_cluster: int | None = None,
 ) -> DataFrame:
     """Online keep/drop decisions over a (vec_id, embedding) stream —
     emits (vec_id, cluster_id, kept, dup_cos) as vectors arrive;
-    first-seen-wins against the cluster's accumulated members."""
+    first-seen-wins against the cluster's accumulated members.
+
+    ``max_members_per_cluster`` bounds state: each cluster's witness pool
+    keeps only its first N members, so state is O(C·N) regardless of
+    stream length.  The trade, explicitly: (a) a duplicate whose only
+    witness arrived post-cap is KEPT (recall loss, no false drops — every
+    emitted drop still names a real witness); (b) replay-idempotence
+    holds only for vectors inside the retained pool — a post-cap vector
+    replayed in a later micro-batch is re-decided (same verdict either
+    way, since verdicts depend only on the retained pool).  Unset = exact
+    batch-equivalent semantics with unbounded state."""
     from export_oltp_to_olap_spark import shipping
 
     shipping.ensure_shipped(embeddings.sparkSession)
     assigned = streaming_assign_clusters(embeddings, centroids)
     return assigned.groupBy("cluster_id").applyInPandasWithState(
-        _make_probe_cluster(threshold),
+        _make_probe_cluster(threshold, max_members_per_cluster),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=CLUSTER_STATE_SCHEMA,
         outputMode="append",

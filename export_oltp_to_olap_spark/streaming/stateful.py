@@ -86,26 +86,36 @@ DEDUP_OUTPUT_SCHEMA = "doc_id long, fp string"
 DEDUP_STATE_SCHEMA = "seen array<string>"
 
 
-def _dedup_seen(
-    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
-) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
+def _make_dedup_seen(max_state: int | None = None):
+    def _dedup_seen(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-    seen = set(state.get[0]) if state.exists else set()
-    out_ids, out_fps = [], []
-    for pdf in pdfs:
-        # In-batch dedup first (keep min doc_id per fingerprint) so a
-        # batch carrying two copies emits exactly one.
-        pdf = pdf.sort_values("doc_id").drop_duplicates("fp", keep="first")
-        fresh = pdf[~pdf["fp"].isin(seen)]
-        out_ids.extend(int(i) for i in fresh["doc_id"])
-        out_fps.extend(fresh["fp"])
-        seen.update(fresh["fp"])
-    state.update((sorted(seen),))
-    yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
+        # State is the seen-list in FIRST-SEEN order (not sorted): FIFO
+        # eviction needs to know which fingerprints are oldest.
+        seen_list = list(state.get[0]) if state.exists else []
+        seen = set(seen_list)
+        out_ids, out_fps = [], []
+        for pdf in pdfs:
+            # In-batch dedup first (keep min doc_id per fingerprint) so a
+            # batch carrying two copies emits exactly one.
+            pdf = pdf.sort_values("doc_id").drop_duplicates("fp", keep="first")
+            fresh = pdf[~pdf["fp"].isin(seen)]
+            out_ids.extend(int(i) for i in fresh["doc_id"])
+            out_fps.extend(fresh["fp"])
+            for fp in fresh["fp"]:
+                seen.add(fp)
+                seen_list.append(fp)
+        if max_state is not None and len(seen_list) > max_state:
+            seen_list = seen_list[-max_state:]  # FIFO: evict the oldest
+        state.update((seen_list,))
+        yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
+
+    return _dedup_seen
 
 
-def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+def streaming_exact_dedup(docs: DataFrame, max_state_per_bucket: int | None = None) -> DataFrame:
     """First-seen-wins exact dedup over a document STREAM: emit each
     distinct text the first time it arrives, drop every later copy —
     within a batch and across batches/restarts (state is checkpointed).
@@ -115,10 +125,18 @@ def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
     spreads the seen-set over 256 state keys so no single group holds the
     whole corpus — at real scale the prefix widens (4 chars → 65k groups)
     and the state store (RocksDB-backed on a cluster) shards them across
-    executors.  The seen-set grows with distinct-document count; bound it
-    with a state TTL (`GroupStateTimeout`) or an upstream time-window
-    when the stream is unbounded — exact forever-dedup fundamentally
-    needs the fingerprint set somewhere.
+    executors.
+
+    State growth: exact forever-dedup fundamentally keeps every distinct
+    fingerprint somewhere, so unset ``max_state_per_bucket`` means state
+    grows with distinct-document count.  Setting it bounds each bucket's
+    seen-set by FIFO eviction — a sliding retention window over the last
+    N distinct fingerprints per bucket.  The trade, explicitly:
+    first-seen-wins still holds for any duplicate arriving while its
+    original is retained; a copy arriving AFTER its fingerprint was
+    evicted is re-emitted (recall loss on re-dedup, never a false drop).
+    The time-bounded alternative is
+    ``streaming/windows.py::dedup_events_within_watermark``.
 
     Batch analog: ``operators/neardup.py::exact_dedup_docs``.
     """
@@ -129,7 +147,7 @@ def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
     shipping.ensure_shipped(docs.sparkSession)
     keyed = docs.withColumn("bucket", F.substring("fp", 1, 2))
     return keyed.groupBy("bucket").applyInPandasWithState(
-        _dedup_seen,
+        _make_dedup_seen(max_state_per_bucket),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",

@@ -23,12 +23,17 @@ def media_df(docs):
 
 
 def test_documents_corpus_is_ascii(spark, sf0001, sf001):
-    """FRAME_DIGEST_SQL chunks VARCHAR text where Spark chunks bytes;
-    they are byte-identical only while every document is pure ASCII
-    (octet_length(utf8) == char length).  Pin that property on the fixture
-    corpora so a non-ASCII regeneration fails loudly instead of silently
+    """FRAME_DIGEST_SQL / FEATURE_DIGEST_SQL chunk VARCHAR text where
+    Spark chunks bytes; they are byte-identical only while every document
+    is pure ASCII (octet_length(utf8) == char length).  Pin that property
+    on every available fixture corpus (incl. the sf0.1 bench corpus) so a
+    non-ASCII regeneration fails loudly instead of silently
     hash-mismatching the oracle (ADVICE r2)."""
-    for sf_dir in (sf0001, sf001):
+    import os
+
+    sf01 = os.path.join(os.path.dirname(sf001.rstrip("/")), "sf0.1")
+    dirs = [sf0001, sf001] + ([sf01] if os.path.isdir(sf01) else [])
+    for sf_dir in dirs:
         docs = load_tables(spark, sf_dir, ("documents",))["documents"]
         offenders = docs.where(
             F.octet_length(F.col("text")) != F.length(F.col("text"))

@@ -63,3 +63,42 @@ def test_streaming_neardup_matches_batch(spark, sf001, tmp_path):
     q.awaitTermination()
 
     assert emitted == batch_pairs
+
+
+def test_streaming_neardup_bucket_cap_is_sliding_window(spark, tmp_path):
+    """max_members_per_bucket=1 keeps only each bucket's newest member:
+    three identical docs arriving in separate batches pair only
+    consecutively ((1,2),(2,3)) — the (1,3) pair is lost to eviction,
+    proving the index plateaued at one member per bucket."""
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import os
+
+    for i, did in enumerate([1, 2, 3]):
+        with open(feed / f"b{i}.json", "w") as f:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        # mtime orders the micro-batches (same-ms writes are arbitrary)
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    pairs = set()
+
+    def sink(batch_df, _):
+        pairs.update((r["doc_a"], r["doc_b"]) for r in batch_df.collect())
+
+    q = (
+        streaming_minhash_neardup(stream, max_members_per_bucket=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert pairs == {(1, 2), (2, 3)}

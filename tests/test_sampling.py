@@ -58,3 +58,33 @@ def test_stratified_sample_nests_and_respects_fractions(spark, sf001):
     n_src0 = docs.where("source = 'src0'").count()
     assert 0 < len(mid) < n_src0
     assert abs(len(big) / n_src0 - 0.5) < 0.2
+
+
+def test_stratified_sample_broadcast_path_matches_case_fold(spark, sf001):
+    """A fraction map bigger than _CASE_FOLD_MAX takes the broadcast-join
+    path; it must select exactly the rows the literal-CASE path selects
+    for the same fractions (padding the map with absent strata flips the
+    implementation without changing semantics)."""
+    from export_oltp_to_olap_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").select("doc_id", "source")
+    fractions = {"src0": 0.25, "src1": 0.5, "src2": 0.1}
+    padded = dict(fractions)
+    padded.update(
+        {f"absent_stratum_{i}": 0.5 for i in range(sampling._CASE_FOLD_MAX + 1)}
+    )
+    assert len(fractions) <= sampling._CASE_FOLD_MAX < len(padded)
+    case_ids = {
+        r.doc_id
+        for r in sampling.stratified_sample(
+            docs, "doc_id", "source", fractions, default_fraction=0.3
+        ).collect()
+    }
+    bcast_df = sampling.stratified_sample(
+        docs, "doc_id", "source", padded, default_fraction=0.3
+    )
+    bcast_ids = {r.doc_id for r in bcast_df.collect()}
+    assert case_ids == bcast_ids
+    assert bcast_df.columns == docs.columns  # helper column dropped
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan

@@ -127,3 +127,62 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     assert sorted(emitted) == sorted(
         [(1, md5("alpha")), (2, md5("beta")), (5, md5("gamma"))]
     )
+
+
+def test_streaming_exact_dedup_state_plateaus_under_eviction(spark, tmp_path):
+    """With max_state_per_bucket=N the seen-set is a FIFO retention
+    window: dups of RETAINED fingerprints are still dropped
+    (first-seen-wins within the window), while a fingerprint's
+    re-emission after N fresh arrivals proves the state actually evicted
+    (size plateaued at N) rather than growing without bound."""
+    from export_oltp_to_olap_spark.streaming.stateful import streaming_exact_dedup
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    # All fps share the "aa" prefix => one state bucket, cap observable.
+    batches = [
+        [(1, "aa1"), (2, "aa2")],  # fill the window
+        [(3, "aa3")],              # evicts aa1
+        [(4, "aa2"), (5, "aa1")],  # aa2 retained -> drop; aa1 evicted -> re-emit
+        [(6, "aa3"), (7, "aa2")],  # aa3 retained -> drop; aa2 evicted -> re-emit
+    ]
+    import os
+
+    for i, rows in enumerate(batches):
+        with open(feed / f"b{i}.json", "w") as f:
+            for did, fp in rows:
+                f.write(json.dumps({"doc_id": did, "fp": fp}) + "\n")
+        # The file source orders batches by mtime; same-millisecond writes
+        # would arrive in arbitrary order.
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("fp", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    emitted = []
+
+    def sink(batch_df, _):
+        emitted.extend((r["doc_id"], r["fp"]) for r in batch_df.collect())
+
+    q = (
+        streaming_exact_dedup(stream, max_state_per_bucket=2)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(emitted) == [
+        (1, "aa1"),
+        (2, "aa2"),
+        (3, "aa3"),
+        (5, "aa1"),  # evicted fp re-admitted: state is bounded
+        (7, "aa2"),
+    ]
