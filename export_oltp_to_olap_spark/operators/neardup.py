@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import tokens, word_shingles
 from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+from export_oltp_to_olap_spark.operators.staging import stage
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -620,7 +621,8 @@ def neardup_clusters(
     fixed point.  Each round is one shuffle on doc_id (join + groupBy),
     cost O(E); rounds needed = component diameter, and near-dup clusters
     are dense and shallow (template families), so 2-4 rounds in practice.
-    Each round's labels are ``localCheckpoint``-ed to cut the iterative
+    Each round's labels are staged (``operators/staging.py`` — mode per
+    the ``spark.export_oltp.staging`` conf) to cut the iterative
     lineage.  For adversarial long-chain graphs the same loop accepts the
     large-star/small-star edge rewrite (Kiveris et al., "Connected
     Components in MapReduce"), which bounds rounds at O(log n); not
@@ -633,14 +635,14 @@ def neardup_clusters(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    labels = stage(docs.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = stage(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -648,7 +650,6 @@ def neardup_clusters(
                     "label"
                 ),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -25,8 +25,15 @@ cross-engine exactness argument.
   one map-side pass, no shuffle.
 * The within-cluster self-join shuffles on ``cluster_id``; a hot
   cluster (skewed semantic mass) is the known failure mode — production
-  SemDeDup caps cluster size by raising C (k ≈ √N keeps E[|c|²] ≈ N),
-  and `operators/skew.py` salting applies if one list still dominates.
+  SemDeDup caps cluster size by raising C (k ≈ √N keeps E[|c|²] ≈ N).
+  When one list still dominates, ``max_members_per_pair_task`` wires
+  the salted self-join: each cluster is split into
+  ``n_salt = ceil(|c|/cap)`` deterministic salt groups and every pair
+  meets in exactly one (cluster, sa, sb) cell — the SAME pair set
+  (verified by tests), but no join cell carries more than cap² pair
+  work, so a 50 %-of-corpus cluster spreads over n_salt² tasks instead
+  of one reducer.  Replication cost: each side is duplicated n_salt×
+  within oversize clusters only (n_salt folds to 1 elsewhere).
 * The keep/drop rule needs only lower-id pairs ABOVE the threshold, so
   the expensive exact rescore runs just on prescore survivors — the
   interpreted decimal dot never touches the full pair space.
@@ -45,9 +52,72 @@ from export_oltp_to_olap_spark.operators.similarity import (
     rank_centroids,
     with_norm,
 )
+from export_oltp_to_olap_spark.operators.staging import stage
 
 SEMDEDUP_CENTROIDS = 16
 SEMDEDUP_THRESHOLD = 0.4
+
+
+def _within_cluster_pairs(
+    assigned: DataFrame, max_members_per_pair_task: int | None = None
+) -> DataFrame:
+    """All (vec_a < vec_b) same-cluster candidate pairs.
+
+    Plain mode: one self-join keyed on ``cluster_id`` — a hot cluster's
+    |c|² pairs land on ONE reducer.
+
+    Salted mode (``max_members_per_pair_task`` set): per-cluster adaptive
+    salting.  Each member gets a deterministic salt
+    ``pmod(xxhash64(vec_id), n_salt)`` with ``n_salt = ceil(|c|/cap)``;
+    side A replicates each row across all ``sb`` values, side B across
+    all ``sa`` values, and the join keys on (cluster_id, __sa, __sb) —
+    so the pair (x, y) meets in exactly the one cell (salt(x), salt(y))
+    and the union of cells is EXACTLY the plain pair set (no dups: cell
+    identity is a function of the pair).  Salt groups are hash-balanced:
+    cell side-size is cap in EXPECTATION with O(√cap) multinomial
+    deviation (exact balancing would need a per-cluster row_number
+    window, which serializes the hot cluster through one task — the
+    very bottleneck being removed).  A 50 %-of-corpus cluster thus
+    spreads its |c|² pair work over ~n_salt² cells of ~cap² each.
+    Cluster sizes come from one cheap agg broadcast back onto the
+    members (C rows).  Small clusters fold to n_salt=1 — a single cell,
+    zero replication — so one code path serves both regimes.
+    """
+    a_cols = [
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    ]
+    b_cols = [
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    ]
+    if max_members_per_pair_task is None:
+        a = assigned.select(F.col("cluster_id"), *a_cols)
+        b = assigned.select(F.col("cluster_id"), *b_cols)
+        return a.join(b, on=["cluster_id"]).where(F.col("vec_a") < F.col("vec_b"))
+
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__csize"))
+    n_salt = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("__csize") / F.lit(max_members_per_pair_task)),
+    ).cast("int")
+    sized = assigned.join(
+        F.broadcast(sizes.select("cluster_id", n_salt.alias("__nsalt"))),
+        "cluster_id",
+    )
+    salt = F.pmod(F.xxhash64("vec_id"), F.col("__nsalt")).cast("int")
+    replicas = F.explode(F.sequence(F.lit(0), F.col("__nsalt") - 1))
+    a = sized.select(
+        F.col("cluster_id"), *a_cols, salt.alias("__sa"), F.col("__nsalt")
+    ).withColumn("__sb", replicas).drop("__nsalt")
+    b = sized.select(
+        F.col("cluster_id"), *b_cols, salt.alias("__sb"), F.col("__nsalt")
+    ).withColumn("__sa", replicas).drop("__nsalt")
+    return a.join(b, on=["cluster_id", "__sa", "__sb"]).where(
+        F.col("vec_a") < F.col("vec_b")
+    )
 
 
 def semantic_dedup(
@@ -55,6 +125,7 @@ def semantic_dedup(
     n_centroids: int = SEMDEDUP_CENTROIDS,
     threshold: float = SEMDEDUP_THRESHOLD,
     centroid_mode: str = "first",
+    max_members_per_pair_task: int | None = None,
 ) -> DataFrame:
     """One row per vector: (vec_id, cluster_id, kept, dup_cos).
 
@@ -68,6 +139,12 @@ def semantic_dedup(
 
     ``centroid_mode``: "first" (deterministic, oracle-restatable) or
     "kmeans" (learned clusters — tighter semantic lists, no SQL oracle).
+
+    ``max_members_per_pair_task``: hot-cluster mitigation — cap the
+    members any one pair-join cell sees (see ``_within_cluster_pairs``).
+    Output is IDENTICAL either way (tests pin it); the knob only
+    re-partitions the pair work, so set it whenever cluster sizes are
+    unknown or skewed.
     """
     pair_dot = _pair_dot_udf()
     base = with_norm(embeddings).select("vec_id", "embedding", "norm")
@@ -80,25 +157,14 @@ def semantic_dedup(
     # final keep/drop select) consume it through different projections,
     # which defeats exchange reuse and would re-run the full N×C
     # assignment pass per branch (same rule as plans/curation.py).
-    assigned = assigned.localCheckpoint()
-    a = assigned.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = assigned.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
+    # Staging mode (executor-local / checkpoint / table) follows the
+    # spark.export_oltp.staging conf — operators/staging.py.
+    assigned = stage(assigned)
     # Prescore every within-cluster pair with the vectorized dot; the
     # exact decimal dot is When-guarded so it only evaluates on prescore
     # survivors (Catalyst merges stacked filters — see similarity.py).
     dup_pairs = (
-        a.join(b, on=["cluster_id"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        _within_cluster_pairs(assigned, max_members_per_pair_task)
         .withColumn(
             "cos_pre",
             pair_dot(F.col("emb_a"), F.col("emb_b"))

@@ -1,0 +1,63 @@
+"""Plan staging: cut a DataFrame's lineage so iterative / multi-branch
+consumers don't recompute it.
+
+Three modes, selected per-call or session-wide via the Spark conf
+``spark.export_oltp.staging`` (default ``local``):
+
+* ``local`` — ``df.localCheckpoint()``: blocks are cached on the
+  executors that computed them.  Fastest (no DFS write) and right for
+  single-process runs, but the blocks die with their executor — on a
+  real cluster an executor loss makes every downstream job fail with
+  "missing checkpoint block".
+* ``checkpoint`` — ``df.checkpoint()``: blocks go to the configured
+  ``spark.sparkContext.setCheckpointDir`` (HDFS/S3 on a cluster).
+  Survives executor loss; costs one distributed write + read.
+* ``table`` — write to a named parquet table in the warehouse and read
+  it back.  Same durability as ``checkpoint`` plus the artifact is
+  inspectable/reusable across sessions (the "staged curated corpus as a
+  real table" pattern a production pipeline wants); columnar-compressed,
+  so usually smaller than checkpoint block files.
+
+All three return a DataFrame with identical contents and schema — the
+choice trades restart-safety and reusability against write cost, never
+semantics (tests pin equality across modes).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+
+STAGING_CONF_KEY = "spark.export_oltp.staging"
+_MODES = ("local", "checkpoint", "table")
+_table_counter = itertools.count()
+
+
+def staging_mode(df: DataFrame) -> str:
+    """The session-wide staging mode (conf, defaulting to 'local')."""
+    return df.sparkSession.conf.get(STAGING_CONF_KEY, "local")
+
+
+def stage(df: DataFrame, mode: str | None = None, name: str | None = None) -> DataFrame:
+    """Materialize ``df`` once and return a lineage-free equivalent.
+
+    ``mode`` overrides the session conf; ``name`` names the table in
+    ``table`` mode (auto-generated otherwise).
+    """
+    mode = mode or staging_mode(df)
+    if mode not in _MODES:
+        raise ValueError(f"staging mode {mode!r} not one of {_MODES}")
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "checkpoint":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "staging='checkpoint' needs spark.sparkContext.setCheckpointDir "
+                "(point it at DFS/S3 on a cluster)"
+            )
+        return df.checkpoint()
+    table = name or f"__staged_{next(_table_counter)}"
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    return df.sparkSession.table(table)

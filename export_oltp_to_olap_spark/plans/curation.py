@@ -38,6 +38,7 @@ from export_oltp_to_olap_spark.functions.text import (
 )
 from export_oltp_to_olap_spark.operators.neardup import ngram_jaccard_pairs
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
+from export_oltp_to_olap_spark.operators.staging import stage
 
 QUALITY_MIN = 0.45
 NEARDUP_THRESHOLD = 0.7
@@ -51,10 +52,12 @@ def curated_docs(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     report each consume it through different projections/partitionings,
     and without a stage boundary Catalyst re-derives the whole regex
     gate chain per branch (measured: 7 document scans, 18 regexp nodes
-    in the executed plan).  At 100 TB the staged curated corpus is a
-    written table; localCheckpoint is the in-query form
-    (executor-local, lineage truncated, deterministic).
-    ``checkpoint=False`` keeps the pure lineage for plan inspection.
+    in the executed plan).  HOW it materializes follows the
+    ``spark.export_oltp.staging`` conf (operators/staging.py): ``local``
+    for single-process runs, ``checkpoint``/``table`` on a cluster —
+    ``table`` is exactly the "staged curated corpus as a real table"
+    form a 100 TB pipeline wants.  ``checkpoint=False`` keeps the pure
+    lineage for plan inspection.
     """
     gated = (
         docs.select("doc_id", "text")
@@ -68,7 +71,7 @@ def curated_docs(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
         .where(F.col("doc_id") == F.col("min_id"))
         .drop("min_id", "pred_lang")
     )
-    return deduped.localCheckpoint() if checkpoint else deduped
+    return stage(deduped) if checkpoint else deduped
 
 
 def corpus_curation_summary(docs: DataFrame) -> DataFrame:
