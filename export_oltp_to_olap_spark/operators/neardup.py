@@ -124,6 +124,56 @@ def ngram_jaccard_pairs_indexed(
     )
 
 
+def _ngram_prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter candidate (doc_a, doc_b) pairs from compact
+    (doc_id, shs, n_sh) rows — the pair-generation stage of
+    ``ngram_jaccard_pairs``, exposed so candidate VOLUME is measurable
+    (tests/test_scale_growth.py) independent of the verify stage."""
+    plen = (
+        F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    # Global shingle order = md5 hex (ties broken by the shingle itself);
+    # the 32-hex-char key is its own md5, so the index carries it directly.
+    idx = sets.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "shs", lambda s: F.struct(F.md5(s).alias("h"), s.alias("sh"))
+                    )
+                ),
+                F.lit(1),
+                plen,
+            )
+        ).alias("pref"),
+    ).select("doc_id", "n_sh", F.col("pref.h").alias("h"))
+    a, b = idx.alias("a"), idx.alias("b")
+    t = F.lit(threshold)
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n_sh") >= t * F.col("b.n_sh"),
+                F.col("b.n_sh") >= t * F.col("a.n_sh"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_candidate_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Public candidate-stage face of ``ngram_jaccard_pairs``."""
+    sets = doc_shingle_sets(docs, n).where(F.size("shs") > 0)
+    return _ngram_prefix_candidates(sets.withColumn("n_sh", F.size("shs")), threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.7, max_df: int | None = None
 ) -> DataFrame:
@@ -158,41 +208,8 @@ def ngram_jaccard_pairs(
         return ngram_jaccard_pairs_indexed(docs, n, threshold, max_df)
     sets = doc_shingle_sets(docs, n).where(F.size("shs") > 0)
     sets = sets.withColumn("n_sh", F.size("shs"))
-    plen = (
-        F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
-    ).cast("int")
-    # Global shingle order = md5 hex (ties broken by the shingle itself);
-    # the 32-hex-char key is its own md5, so the index carries it directly.
-    idx = sets.select(
-        "doc_id",
-        "n_sh",
-        F.explode(
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        "shs", lambda s: F.struct(F.md5(s).alias("h"), s.alias("sh"))
-                    )
-                ),
-                F.lit(1),
-                plen,
-            )
-        ).alias("pref"),
-    ).select("doc_id", "n_sh", F.col("pref.h").alias("h"))
-    a, b = idx.alias("a"), idx.alias("b")
     t = F.lit(threshold)
-    candidates = (
-        a.join(
-            b,
-            on=[
-                F.col("a.h") == F.col("b.h"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-                F.col("a.n_sh") >= t * F.col("b.n_sh"),
-                F.col("b.n_sh") >= t * F.col("a.n_sh"),
-            ],
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _ngram_prefix_candidates(sets, threshold)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     return (
@@ -320,6 +337,47 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_N_HASHES) -> Dat
     )
 
 
+def _minhash_band_candidates(
+    sets: DataFrame, n_hashes: int, band_r: int
+) -> DataFrame:
+    """Banded LSH candidate (doc_a, doc_b) pairs from compact shingle-set
+    rows — the pair-generation stage of ``minhash_lsh_neardup``, exposed
+    for candidate-volume measurement (tests/test_scale_growth.py)."""
+    n_bands = n_hashes // band_r
+    wide = _minhash_wide(sets, n_hashes)
+    band_tuples = ", ".join(
+        f"{bnd}, {', '.join(f'mh{bnd * band_r + r}' for r in range(band_r))}"
+        for bnd in range(n_bands)
+    )
+    key_cols = [f"k{r}" for r in range(band_r)]
+    bands = wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {band_tuples}) AS (band, {', '.join(key_cols)})"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                *[F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols],
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = MINHASH_N_HASHES,
+    band_r: int = MINHASH_BAND_R,
+) -> DataFrame:
+    """Public candidate-stage face of ``minhash_lsh_neardup``."""
+    return _minhash_band_candidates(doc_shingle_sets(docs), n_hashes, band_r)
+
+
 def minhash_lsh_neardup(
     docs: DataFrame,
     n_hashes: int = MINHASH_N_HASHES,
@@ -342,30 +400,7 @@ def minhash_lsh_neardup(
     # corpus scale this is the table you'd checkpoint to storage.)
     sets = sets.persist()
 
-    n_bands = n_hashes // band_r
-    wide = _minhash_wide(sets, n_hashes)
-    band_tuples = ", ".join(
-        f"{bnd}, {', '.join(f'mh{bnd * band_r + r}' for r in range(band_r))}"
-        for bnd in range(n_bands)
-    )
-    key_cols = [f"k{r}" for r in range(band_r)]
-    bands = wide.select(
-        "doc_id",
-        F.expr(f"stack({n_bands}, {band_tuples}) AS (band, {', '.join(key_cols)})"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                *[F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols],
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _minhash_band_candidates(sets, n_hashes, band_r)
 
     # Verify by joining each candidate pair to the two compact per-doc
     # shingle-set rows (AQE broadcasts the small side) and intersecting
@@ -476,6 +511,49 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
+def _simhash_banded_fp_candidates(groups: DataFrame, max_hamming: int) -> DataFrame:
+    """Cross-cluster pigeonhole candidates over distinct fingerprints
+    (pre-Hamming-filter) — the candidate stage of ``simhash_neardup``,
+    exposed for candidate-volume measurement.  ``groups`` is
+    (simhash, sorted ids) per distinct fingerprint."""
+    n_segs = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_segs
+    mask = (1 << seg_bits) - 1
+    seg_tuples = ", ".join(
+        f"{s}, shiftright(simhash, {s * seg_bits}) & {mask}" for s in range(n_segs)
+    )
+    segs = groups.select(
+        "simhash", "ids", F.expr(f"stack({n_segs}, {seg_tuples}) AS (seg, sv)")
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.seg") == F.col("b.seg"),
+                F.col("a.sv") == F.col("b.sv"),
+                F.col("a.simhash") < F.col("b.simhash"),
+            ],
+        )
+        .select(
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+        )
+        .distinct()  # a pair of fingerprints may collide on >1 segment
+    )
+
+
+def simhash_candidate_fp_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Public candidate-stage face of ``simhash_neardup`` (distinct
+    colliding fingerprint pairs, before the exact Hamming filter)."""
+    groups = simhash_fingerprints(docs).groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    return _simhash_banded_fp_candidates(groups, max_hamming)
+
+
 def simhash_neardup(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
@@ -498,11 +576,7 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
        bucket-collision candidates.  The exact ``bit_count`` filter
        restores precision, then the two doc_id lists expand to pairs.
     """
-    n_segs = max_hamming + 1
-    seg_bits = SIMHASH_BITS // n_segs
-    mask = (1 << seg_bits) - 1
-    fp = simhash_fingerprints(docs)
-    groups = fp.groupBy("simhash").agg(
+    groups = simhash_fingerprints(docs).groupBy("simhash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
 
@@ -517,30 +591,8 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
         .withColumn("hamming", F.lit(0))
     )
 
-    # Cross-cluster: banded candidates over distinct fingerprints.
-    seg_tuples = ", ".join(
-        f"{s}, shiftright(simhash, {s * seg_bits}) & {mask}" for s in range(n_segs)
-    )
-    segs = groups.select(
-        "simhash", "ids", F.expr(f"stack({n_segs}, {seg_tuples}) AS (seg, sv)")
-    )
-    a, b = segs.alias("a"), segs.alias("b")
     inter = (
-        a.join(
-            b,
-            on=[
-                F.col("a.seg") == F.col("b.seg"),
-                F.col("a.sv") == F.col("b.sv"),
-                F.col("a.simhash") < F.col("b.simhash"),
-            ],
-        )
-        .select(
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
-            F.col("a.ids").alias("ids_a"),
-            F.col("b.ids").alias("ids_b"),
-        )
-        .distinct()  # a pair of fingerprints may collide on >1 segment
+        _simhash_banded_fp_candidates(groups, max_hamming)
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select(F.explode("ids_a").alias("da"), "ids_b", "hamming")

@@ -1,0 +1,162 @@
+"""Empirical candidate-volume growth across fixture scales (VERDICT r3
+item 4): measure each dedup/ANN operator's candidate-pair count at
+sf0.01 vs sf0.1 and pin its scaling CLASS.
+
+What "subquadratic" honestly means here, per operator (measured first,
+asserted second — numbers in comments are the 2026-08 fixture values):
+
+* The fixture corpus's TRUE near-dup structure is itself dense: dup
+  template families grow with the corpus, so for low-threshold operators
+  the answer (and therefore any exact candidate set containing it) grows
+  ~quadratically.  For those operators the scale claim is
+  output-boundedness (candidates within a constant factor of the answer)
+  or non-degradation (candidate fraction of the N²/2 pair space does not
+  increase with N) — not a sublinear exponent the data itself forbids.
+* Operators whose answers are sparse (MinHash at jaccard ≥ 0.8) or whose
+  geometry adapts to N (SemDeDup with k ≈ √N) must show a genuinely
+  subquadratic exponent: candidates(kN) < k^e · candidates(N), e ≪ 2.
+* The df-cap mode is the asymptotic lever for hot-shingle corpora — the
+  capped index must turn the quadratic uncapped growth into near-flat.
+
+Docs scale 500 → 5000 (10×); embeddings 500 → 2000 (4×).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators import neardup, semdedup, similarity
+from export_oltp_to_olap_spark.operators.similarity import (
+    centroid_table,
+    rank_centroids,
+    with_norm,
+)
+
+
+@pytest.fixture(scope="module")
+def sf01(sf001):
+    path = os.path.join(os.path.dirname(sf001.rstrip("/")), "sf0.1")
+    if not os.path.isdir(path):
+        pytest.skip("sf0.1 fixtures not generated")
+    return path
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _exponent(c_small, c_big, n_small, n_big):
+    return math.log(c_big / c_small) / math.log(n_big / n_small)
+
+
+def test_minhash_candidates_subquadratic(spark, sf001, sf01):
+    """High-threshold banded MinHash: sparse collisions — the exponent
+    itself must be well under 2 (measured 1.55 on 31 → 1108 candidates
+    over 10× docs)."""
+    c = {}
+    n = {}
+    for sf in (sf001, sf01):
+        n[sf] = _docs(spark, sf).count()
+        c[sf] = neardup.minhash_candidate_pairs(_docs(spark, sf)).count()
+    e = _exponent(c[sf001], c[sf01], n[sf001], n[sf01])
+    assert e < 1.8, f"minhash candidate growth exponent {e:.2f}"
+
+
+def test_semdedup_pairs_subquadratic_with_sqrt_k(spark, sf001, sf01):
+    """SemDeDup's Σ|c|² pair cost is N²/C; with the production rule
+    C = k ≈ √N it must land near N^1.5 (measured 1.50: 5683 → 45236
+    pairs over 4× vectors at k=22 → 44).  Fixed k would be exponent 2 —
+    the assertion enforces that scaling k is sufficient, which is the
+    operator's documented 100 TB discipline."""
+    c = {}
+    n = {}
+    for sf in (sf001, sf01):
+        emb = _emb(spark, sf)
+        n[sf] = emb.count()
+        k = max(4, math.isqrt(n[sf]))
+        base = with_norm(emb).select("vec_id", "embedding", "norm")
+        assigned = (
+            rank_centroids(base, centroid_table(base, k, "first"))
+            .where(F.col("cen_rank") == 1)
+            .select("vec_id", F.col("cen_id").alias("cluster_id"))
+            .withColumn("embedding", F.lit(None).cast("array<double>"))
+            .withColumn("norm", F.lit(1.0))
+        )
+        c[sf] = semdedup._within_cluster_pairs(assigned).count()
+    e = _exponent(c[sf001], c[sf01], n[sf001], n[sf01])
+    assert e < 1.7, f"semdedup pair growth exponent {e:.2f} at k=sqrt(N)"
+
+
+def test_ngram_dfcap_turns_growth_near_flat(spark, sf001, sf01):
+    """The uncapped prefix-filter candidates track the corpus's dense dup
+    structure (~constant 1.5% of pair space → exponent ≈ 2 by the data's
+    own shape); the df-capped index is the asymptotic lever and must
+    crush that growth (measured: 11179 → 18410 = exponent 0.22, vs
+    11533 → 1.13M uncapped)."""
+    cap = 5
+    counts = {}
+    n = {}
+    frac = {}
+    for sf in (sf001, sf01):
+        docs = _docs(spark, sf)
+        n[sf] = docs.count()
+        idx = neardup.shingle_index(docs, 3, cap)
+        a, b = idx.alias("a"), idx.alias("b")
+        counts[sf] = (
+            a.join(
+                b,
+                on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc_id") < F.col("b.doc_id")],
+            )
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+            .count()
+        )
+        pre = neardup.ngram_candidate_pairs(docs).count()
+        frac[sf] = pre / (n[sf] * (n[sf] - 1) / 2)
+    e = _exponent(counts[sf001], counts[sf01], n[sf001], n[sf01])
+    assert e < 1.0, f"df-capped candidate growth exponent {e:.2f}"
+    # Uncapped prefix filter: constant-factor pruning must not DEGRADE
+    # with scale (fraction of pair space non-increasing, ~1.5%).
+    assert frac[sf01] <= frac[sf001] * 1.10, (
+        f"prefix-filter pruning degraded: {frac[sf001]:.4f} -> {frac[sf01]:.4f}"
+    )
+    assert frac[sf01] < 0.05
+
+
+def test_simhash_candidates_output_bound(spark, sf001, sf01):
+    """The fixture's identical-template families make the TRUE hamming ≤ 8
+    pair set itself quadratic (24.7k → 2.49M pairs), so no candidate
+    scheme can be subquadratic in N here.  The scale claim is
+    output-sensitivity: banded fingerprint-pair candidates stay within a
+    small constant factor of the answer, and that factor does not grow
+    (measured 3.05× → 2.24×)."""
+    ratio = {}
+    for sf in (sf001, sf01):
+        docs = _docs(spark, sf)
+        cand = neardup.simhash_candidate_fp_pairs(docs, 8).count()
+        out = neardup.simhash_neardup(docs, 8).count()
+        ratio[sf] = cand / max(out, 1)
+    assert ratio[sf001] < 5 and ratio[sf01] < 5, ratio
+    assert ratio[sf01] <= ratio[sf001] * 1.10, f"candidate/answer ratio grew: {ratio}"
+
+
+def test_lsh_candidate_fraction_does_not_degrade(spark, sf001, sf01):
+    """Hyperplane-LSH on this weak-gap corpus is a constant-factor pruner
+    (similarity.py parameter study): the candidate fraction of pair space
+    must hold ≤ the tested 30% bound at BOTH scales and not increase
+    with N (measured 24.8% → 24.4%)."""
+    frac = {}
+    for sf in (sf001, sf01):
+        emb = _emb(spark, sf)
+        n = emb.count()
+        frac[sf] = similarity.lsh_candidate_pairs(emb).count() / (n * (n - 1) / 2)
+    assert frac[sf001] <= 0.30 and frac[sf01] <= 0.30, frac
+    assert frac[sf01] <= frac[sf001] * 1.05, f"LSH pruning degraded: {frac}"
