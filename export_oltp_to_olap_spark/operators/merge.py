@@ -46,11 +46,7 @@ def merge_into_parquet(
     the ``tiebreak`` columns (descending) pick the winner, making the
     reference's scan-order-dependent LWW deterministic (SURVEY.md §7.4).
     """
-    old = f"{path}.__old_merge"
-    if not os.path.exists(path) and os.path.exists(old):
-        # A previous merge crashed between its two swap renames; the
-        # pre-merge table is intact aside — restore it before reading.
-        os.rename(old, path)
+    _recover_crashed_swap(path)
     if os.path.exists(path):
         current = spark.read.parquet(path).select(*new_rows.columns)
         unioned = new_rows.withColumn("__src", F.lit(1)).unionByName(
@@ -60,15 +56,30 @@ def merge_into_parquet(
         unioned = new_rows.withColumn("__src", F.lit(1))
     order = [F.col("__src").desc()] + [F.col(t).desc() for t in tiebreak]
     merged = latest_by_key(unioned, keys, order).drop("__src")
+    _swap_write(merged, path)
 
-    # Swap via rename-aside: write tmp → move current aside → move tmp in
-    # → drop the aside copy.  `tmp`/`old` share `path`'s parent directory,
-    # so every rename stays on one filesystem.  A crash mid-swap leaves the
-    # previous table intact at `<path>.__old_merge` (recoverable by hand or
-    # by the next merge); the rmtree-then-rename it replaces had a window
-    # where the table existed nowhere.
+
+def _recover_crashed_swap(path: str) -> None:
+    old = f"{path}.__old_merge"
+    if not os.path.exists(path) and os.path.exists(old):
+        # A previous swap crashed between its two renames; the pre-swap
+        # table is intact aside — restore it before reading.
+        os.rename(old, path)
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    """Replace the parquet table at ``path`` with ``df``, near-atomically.
+
+    Swap via rename-aside: write tmp → move current aside → move tmp in
+    → drop the aside copy.  `tmp`/`old` share `path`'s parent directory,
+    so every rename stays on one filesystem.  A crash mid-swap leaves the
+    previous table intact at `<path>.__old_merge` (recoverable by hand or
+    by the next merge); the rmtree-then-rename it replaces had a window
+    where the table existed nowhere.
+    """
+    old = f"{path}.__old_merge"
     tmp = f"{path}.__tmp_merge"
-    merged.write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(path):
@@ -76,6 +87,32 @@ def merge_into_parquet(
     os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def delete_from_parquet(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """Tombstone rows of the parquet table at ``path`` whose ``keys``
+    columns match any row of ``keys_df`` — the DELETE complement of
+    ``merge_into_parquet`` (same swap discipline, same per-table
+    atomicity).  ``keys_df`` is broadcast: it is a changed-key set (CDC
+    micro-batch sized), never table-sized.  With Delta/Iceberg this is
+    ``DELETE FROM t WHERE key IN (...)``; at 100 TB prefer the
+    partition-pruned variant of the same anti-join when the key implies
+    the partition.
+
+    Missing table = no-op (nothing to delete)."""
+    _recover_crashed_swap(path)
+    if not os.path.exists(path):
+        return
+    current = spark.read.parquet(path)
+    remaining = current.join(
+        F.broadcast(keys_df.select(*keys).distinct()), on=list(keys), how="left_anti"
+    )
+    _swap_write(remaining, path)
 
 
 def merge_into_partitioned_parquet(

@@ -26,6 +26,9 @@ semantics (tests pin equality across modes).
 from __future__ import annotations
 
 import itertools
+import os
+import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 
@@ -59,5 +62,16 @@ def stage(df: DataFrame, mode: str | None = None, name: str | None = None) -> Da
             )
         return df.checkpoint()
     table = name or f"__staged_{next(_table_counter)}"
+    spark = df.sparkSession
+    # A previous SESSION's table directory may survive in the warehouse
+    # while being absent from this session's in-memory catalog;
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Drop both the
+    # catalog entry and any stale location first.
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if warehouse:
+        stale = os.path.join(warehouse, table.lower())
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
-    return df.sparkSession.table(table)
+    return spark.table(table)

@@ -70,6 +70,7 @@ def build_hecho_ventas(
     dim_tiempo: DataFrame,
     dim_metodo_pago: DataFrame,
     dim_envio: DataFrame,
+    keep_lineage: bool = False,
 ) -> DataFrame:
     """Assemble the fact table at the reference's 6-key grain (ref :177-191).
 
@@ -78,6 +79,12 @@ def build_hecho_ventas(
     reference); ``id_tiempo``/``id_metodo_pago``/``id_envio`` resolve via
     broadcast joins on their natural keys (J5, replacing the per-row
     RETURNING round-trips at ref :266, :315-316).
+
+    ``keep_lineage`` retains the source PKs (``id_venta``, ``id_op``) on
+    the output — the reference-parity schema drops them, but a
+    CDC-managed star needs them to route DELETE tombstones back to the
+    fact rows a source deletion produced (streaming/cdc.py).  The grain
+    dedup's LWW winner supplies the surviving row's lineage.
     """
     src = fact_source(ventas, orden, orden_producto, productos)
     src = src.withColumn("fecha", to_fecha("fecha_venta"))
@@ -110,4 +117,4 @@ def build_hecho_ventas(
     deduped = latest_by_key(
         measured, FACT_GRAIN, [F.col("id_venta").desc(), F.col("id_op").desc()]
     )
-    return deduped.drop("id_venta", "id_op")
+    return deduped if keep_lineage else deduped.drop("id_venta", "id_op")

@@ -80,7 +80,10 @@ class StarSchema:
 
 
 def build_star(
-    oltp: dict[str, DataFrame], sk_mode: str = "dense_rank", repair: bool = True
+    oltp: dict[str, DataFrame],
+    sk_mode: str = "dense_rank",
+    repair: bool = True,
+    keep_lineage: bool = False,
 ) -> StarSchema:
     """Build the whole star from reference-shaped OLTP DataFrames.
 
@@ -110,6 +113,7 @@ def build_star(
         dim_tiempo,
         dim_metodo_pago,
         dim_envio,
+        keep_lineage=keep_lineage,
     )
 
     if repair:
