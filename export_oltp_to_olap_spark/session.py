@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Statistics-only answers for filterless count/min/max scans.
+        # (Runtime bloom-filter join pruning and dynamic partition pruning
+        # are already on by default in Spark 4 — verified, not re-set.)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

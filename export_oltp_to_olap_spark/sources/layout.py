@@ -1,0 +1,111 @@
+"""Data layout for scan pruning: sorted and Z-ordered parquet writes.
+
+Predicate pushdown only pays off if the FILES are laid out so row-group
+min/max statistics actually exclude data.  A 100 TB table written in
+arrival order has every row group spanning the whole key range — the
+scan "pushes" the filter and then reads everything anyway.  Two layout
+writers fix that at write time (the lakehouse OPTIMIZE/ZORDER step,
+dependency-free):
+
+* ``write_sorted_parquet`` — global range partitioning + in-file sort on
+  the query columns.  Row groups become non-overlapping key ranges, so a
+  point/range predicate on the leading column prunes all but O(matching)
+  row groups.  Right when one column dominates the workload (event time).
+* ``write_zorder_parquet`` — interleave the bits of several bucketized
+  columns into one Z-value and range-sort by it.  Each file then covers
+  a small HYPER-RECTANGLE of the combined key space, so predicates on
+  ANY of the columns prune — the multi-dimensional trade: each single
+  column's per-file span is wider than a dedicated sort would give, but
+  no column degenerates to full-range files the way trailing sort keys
+  do.
+
+Both are plain ``DataFrameWriter`` output: the reading side needs no
+cooperation beyond the default parquet filter pushdown, and the same
+files serve DuckDB/Trino/anything that reads parquet statistics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16  # bits per dimension; 2 dims → 32-bit Z-values
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    order_cols: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet range-partitioned and sorted on
+    ``order_cols`` — non-overlapping per-file key ranges for min/max
+    pruning.  ``n_files`` bounds output file count (defaults to the
+    session shuffle parallelism; at 100 TB size it so files land near
+    the 128 MB-1 GB sweet spot)."""
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = ZORDER_BITS
+) -> Column:
+    """Z-order (Morton) key over ``cols``: equi-width bucketize each
+    column to ``bits`` bits between its observed min/max, then interleave
+    the bits.  Column expressions only — the min/max bounds are the one
+    small driver-side action (an aggregate of 2×len(cols) scalars).
+
+    Equi-width bucketing (``width_bucket``) is deliberate: it needs only
+    the bounds, not quantiles, and skewed distributions cost pruning
+    efficiency, not correctness.  A production variant swaps in
+    approx-quantile boundaries for equi-depth cells.
+    """
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    parts: list[Column] = []
+    for c in cols:
+        lo, hi = float(bounds[f"min_{c}"]), float(bounds[f"max_{c}"])
+        if hi <= lo:
+            hi = lo + 1.0
+        # width_bucket returns 1..n+1; clamp into [0, n_buckets).
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+        parts.append(F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_buckets - 1)).cast("long"))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for d, b in enumerate(parts):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * len(parts) + d,
+                )
+            )
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int | None = None,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as parquet range-sorted by the Z-order key of
+    ``cols`` — every file covers a compact hyper-rectangle, so min/max
+    stats prune on any of the Z-ordered columns."""
+    keyed = df.withColumn("__z", zorder_key(df, cols, bits))
+    part = (
+        keyed.repartitionByRange(n_files, F.col("__z"))
+        if n_files is not None
+        else keyed.repartitionByRange(F.col("__z"))
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)

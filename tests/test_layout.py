@@ -1,0 +1,100 @@
+"""Layout writers (sources/layout.py): files must actually carry the
+narrow min/max statistics that make predicate pushdown prune."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf001):
+    # load_tables normalizes the fixture's TIMESTAMP_NTZ physical type —
+    # a raw read leaves ts uncastable to numeric (unix_micros rejects NTZ).
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    return load_tables(spark, sf001, ("events",))["events"].select(
+        "user_id", "ts", "value"
+    )
+
+
+def _file_spans(path, col):
+    """(min, max) per output file for ``col``, from parquet row-group
+    statistics — exactly what a pruning scan consults."""
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index(col)
+        los, his = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        if los:
+            spans.append((min(los), max(his)))
+    return spans
+
+
+def _avg_span_fraction(spans, lo, hi):
+    width = (hi - lo) or 1
+    return sum((s_hi - s_lo) / width for s_lo, s_hi in spans) / len(spans)
+
+
+def test_sorted_write_gives_disjoint_file_ranges(spark, events, tmp_path):
+    from export_oltp_to_olap_spark.sources.layout import write_sorted_parquet
+
+    # Numeric sort key: the parquet writer emits no row-group statistics
+    # for this fixture's timestamp type, and a pruning claim needs stats.
+    ev = events.withColumn("ts_num", F.col("ts").cast("double"))
+    path = str(tmp_path / "by_ts")
+    write_sorted_parquet(ev, path, ["ts_num"], n_files=8)
+    spans = sorted(_file_spans(path, "ts_num"))
+    assert len(spans) > 2
+    # Range partitioning + in-file sort → consecutive files don't overlap,
+    # so a time-range predicate prunes to O(matching) files.
+    for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= next_lo, "file time ranges overlap"
+    # And the data survived intact.
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_zorder_prunes_on_both_dimensions(spark, events, tmp_path):
+    """Z-order's point: BOTH columns get narrow per-file spans.  A linear
+    sort on ts gives user_id per-file spans ≈ the full range (no pruning
+    on the second dimension); the Z-ordered layout must beat that
+    decisively on user_id while keeping ts spans far under full-range."""
+    from export_oltp_to_olap_spark.sources.layout import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    ev = events.withColumn("ts_num", F.col("ts").cast("double"))
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zorder_parquet(ev, zpath, ["user_id", "ts_num"], n_files=16)
+    write_sorted_parquet(ev, spath, ["ts_num"], n_files=16)
+
+    lo_u, hi_u, lo_t, hi_t = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_num"), F.max("ts_num")
+    ).first()
+
+    z_user = _avg_span_fraction(_file_spans(zpath, "user_id"), lo_u, hi_u)
+    z_ts = _avg_span_fraction(_file_spans(zpath, "ts_num"), lo_t, hi_t)
+    lin_user = _avg_span_fraction(_file_spans(spath, "user_id"), lo_u, hi_u)
+
+    assert lin_user > 0.9, "control: ts-sorted files should span ~all user_ids"
+    assert z_user < 0.6, f"z-order user_id span fraction {z_user:.2f}"
+    assert z_ts < 0.6, f"z-order ts span fraction {z_ts:.2f}"
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_zorder_key_is_deterministic_and_total(spark, events):
+    from export_oltp_to_olap_spark.sources.layout import zorder_key
+
+    ev = events.withColumn("ts_num", F.col("ts").cast("double"))
+    k1 = ev.select(zorder_key(ev, ["user_id", "ts_num"]).alias("z")).collect()
+    k2 = ev.select(zorder_key(ev, ["user_id", "ts_num"]).alias("z")).collect()
+    assert [r.z for r in k1] == [r.z for r in k2]
+    assert all(r.z is not None and r.z >= 0 for r in k1)
