@@ -355,3 +355,35 @@ SELECT doc_id, n_tokens, top_token_count,
        top_bigram_count / greatest(n_bigrams, 1) AS top_bigram_ratio
 FROM counted
 """
+
+
+def frequent_terms_sketch(docs: DataFrame, k: int = 10, max_tracked: int = 65536) -> DataFrame:
+    """Per-source heavy-hitter terms via the ``approx_top_k`` sketch —
+    the frequent-items member of the mergeable-sketch family (HLL
+    distinct counts, GK quantiles, and now top-k).
+
+    Scale shape: tokens partial-aggregate into one bounded sketch per
+    (partition, source) map-side, and only the fixed-size sketches
+    shuffle — the corpus's token stream never moves.  ``max_tracked``
+    bounds sketch memory; when the per-source distinct-term count fits
+    inside it, the estimates are EXACT (pinned by
+    tests/test_text_sketches.py), which is also why this registers
+    rows-only: under real cardinality pressure the counts are estimates
+    and tie-order at the k boundary is sketch-internal, so a cross-engine
+    value hash would test the tie, not the operator.
+    """
+    toks = docs.select("source", F.explode(tokens("text")).alias("term")).where(
+        F.col("term") != ""
+    )
+    agg = toks.groupBy("source").agg(
+        F.expr(f"approx_top_k(term, {k}, {max_tracked})").alias("top")
+    )
+    return (
+        agg.select("source", F.explode("top").alias("t"))
+        .select(
+            "source",
+            F.col("t.item").alias("term"),
+            F.col("t.count").cast("long").alias("est_count"),
+        )
+        .orderBy("source", F.col("est_count").desc(), "term")
+    )

@@ -556,3 +556,10 @@ def q_topk_orders(spark: SparkSession, sf_dir: str):
 def q_scalar_suite(spark: SparkSession, sf_dir: str):
     """F-family scalar functions in one projection."""
     return analytic.scalar_function_suite(_tables(spark, sf_dir))
+
+
+@register("frequent_terms_sketch", None)  # sketch: tie-order is engine-internal
+def q_frequent_terms(spark: SparkSession, sf_dir: str):
+    """approx_top_k heavy-hitter terms per source (rows-only; exactness
+    within sketch capacity pinned in tests/test_text_sketches.py)."""
+    return text_queries.frequent_terms_sketch(_docs(spark, sf_dir))

@@ -71,6 +71,8 @@ _REPORT_EXEMPT = {
     "corpus_curation_summary",
     "stratified_sample_summary",
     "ivfpq_cosine_topk",
+    # Registered new in round 4, past the window (rows-only sketch):
+    "frequent_terms_sketch",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
