@@ -1,0 +1,65 @@
+"""Streaming curation ≡ batch gates + exact dedup on the same corpus,
+for any micro-batch slicing of an id-ordered feed."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from export_oltp_to_olap_spark.operators.sampling import assign_splits
+from export_oltp_to_olap_spark.plans.curation import curated_docs
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+from export_oltp_to_olap_spark.streaming.curation_stream import streaming_curated_docs
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def test_streaming_curation_matches_batch(spark, sf0001, tmp_path):
+    docs = load_tables(spark, sf0001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    batch_kept = curated_docs(docs, checkpoint=False)
+    want = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(batch_kept, "doc_id").select("doc_id", "split").collect()
+    }
+    assert want, "batch curation admitted nothing — vacuous"
+    assert len(want) < docs.count(), "gates rejected nothing — vacuous"
+
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    chunks = [rows[:40], rows[40:45], rows[45:]]
+    for i, chunk in enumerate(chunks):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    admitted: dict[int, str] = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.collect():
+            assert r["doc_id"] not in admitted, "document admitted twice"
+            admitted[r["doc_id"]] = r["split"]
+
+    q = (
+        streaming_curated_docs(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert admitted == want
