@@ -112,6 +112,7 @@ def cmd_worker(args: argparse.Namespace, spark: SparkSession) -> int:
         args.target_dir,
         args.checkpoint,
         available_now=not args.continuous,
+        propagate_deletes=args.propagate_deletes,
     )
     try:
         query.awaitTermination()
@@ -218,6 +219,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="write the worker_status.json heartbeat artifact here "
         "(ref worker_sync.py:62-79)",
+    )
+    worker.add_argument(
+        "--propagate-deletes",
+        action="store_true",
+        help="route op=delete events to OLAP tombstones (beyond the "
+        "reference, which ignores deletes; needs a lineage-seeded star — "
+        "streaming/cdc.py::apply_cdc_deletes)",
     )
     worker.set_defaults(fn=cmd_worker)
 
