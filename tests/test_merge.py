@@ -150,3 +150,27 @@ def test_partitioned_merge_equals_full_merge(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(p_part).select("k", "part", "v", "ver").collect()
     )
     assert full == part
+
+
+def test_delete_from_parquet_tombstones_and_recovers(spark, tmp_path):
+    """delete_from_parquet removes exactly the keyed rows, is a no-op on
+    absent keys/tables, and recovers a crashed swap like the merge path."""
+    from export_oltp_to_olap_spark.operators.merge import delete_from_parquet
+
+    path = str(tmp_path / "t")
+    merge_into_parquet(
+        spark, _df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]), path, ["k"]
+    )
+    keys = spark.createDataFrame([(2,), (99,)], "k long")  # 99: absent key
+    delete_from_parquet(spark, path, keys, ["k"])
+    assert _rows(spark, path) == [(1, "a", 1), (3, "c", 1)]
+
+    # Missing table → no-op, no directory created.
+    delete_from_parquet(spark, str(tmp_path / "absent"), keys, ["k"])
+    assert not os.path.exists(str(tmp_path / "absent"))
+
+    # Crashed mid-swap: table aside, replacement never landed.
+    os.rename(path, f"{path}.__old_merge")
+    delete_from_parquet(spark, path, spark.createDataFrame([(3,)], "k long"), ["k"])
+    assert _rows(spark, path) == [(1, "a", 1)]
+    assert not os.path.exists(f"{path}.__old_merge")
