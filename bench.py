@@ -59,6 +59,7 @@ DEFAULT_HEADLINE = [
     "lsh_cosine_neardup",
     "semantic_dedup",
     "semantic_dedup[kmeans]",
+    "semantic_dedup[salted]",
     "corpus_curation_summary",
     "text_quality",
     "token_count_bpe",
@@ -87,9 +88,18 @@ def _variant_queries():
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         return semdedup.semantic_dedup(emb, centroid_mode="kmeans")
 
+    def semdedup_salted(spark, sf_dir):
+        # Hot-cluster mitigation path: cap 64 members per pair-join cell
+        # (sf0.1: ~125 vectors/cluster → n_salt=2, so salting really runs).
+        from export_oltp_to_olap_spark.operators import semdedup
+
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        return semdedup.semantic_dedup(emb, max_members_per_pair_task=64)
+
     return {
         "ivf_cosine_topk[kmeans]": ivf_kmeans,
         "semantic_dedup[kmeans]": semdedup_kmeans,
+        "semantic_dedup[salted]": semdedup_salted,
     }
 
 

@@ -549,3 +549,78 @@ UNION ALL
 SELECT 'orders_null_date',
        CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
 """
+
+
+_PROFILE_COLS = (
+    # (column, stringify-for-minmax) — doubles go through DECIMAL(18,2) so
+    # both engines render the same text; everything else casts directly.
+    ("o_orderkey", "raw"),
+    ("o_custkey", "raw"),
+    ("o_orderstatus", "raw"),
+    ("o_totalprice", "decimal"),
+    ("o_orderdate", "raw"),
+    ("o_orderpriority", "raw"),
+)
+
+
+def profile_orders(tables: dict[str, DataFrame]) -> DataFrame:
+    """Column-profiling report over ``orders`` — one row per column:
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``.
+
+    The dataset-profiler every ingest pipeline runs before training on a
+    new source: null rates expose broken extracts, distinct counts expose
+    key/enum drift, min/max expose range regressions.
+
+    Plan shape: ONE pass — a single aggregate computes every column's
+    exact metrics (Catalyst plans the multi-distinct via one Expand =
+    one shuffle of width × rows), then the wide row unpivots via
+    ``stack`` into the per-column report.  No per-column rescans: at
+    100 TB the table is read once.  Min/max stringify through stable
+    renderings (doubles via DECIMAL(18,2)) so the report is
+    engine-portable.
+    """
+    orders = tables["orders"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, mode in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"nn_{col}"))
+        aggs.append(F.count_distinct(F.col(col)).alias(f"nd_{col}"))
+        source = (
+            F.col(col).cast("decimal(18,2)") if mode == "decimal" else F.col(col)
+        )
+        aggs.append(F.min(source).cast("string").alias(f"mn_{col}"))
+        aggs.append(F.max(source).cast("string").alias(f"mx_{col}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}" for col, _ in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.col("n_rows"),
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+                "(column, n_nulls, n_distinct, min_value, max_value)"
+            ),
+        )
+        .select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+        .orderBy("column")
+    )
+
+
+def _profile_orders_sql() -> str:
+    parts = []
+    for col, mode in _PROFILE_COLS:
+        src = f"CAST({col} AS DECIMAL(18,2))" if mode == "decimal" else col
+        parts.append(
+            f"""
+  SELECT '{col}' AS "column",
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         CAST(min({src}) AS VARCHAR) AS min_value,
+         CAST(max({src}) AS VARCHAR) AS max_value
+  FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+PROFILE_ORDERS_SQL = _profile_orders_sql()

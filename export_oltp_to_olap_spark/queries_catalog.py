@@ -563,3 +563,10 @@ def q_frequent_terms(spark: SparkSession, sf_dir: str):
     """approx_top_k heavy-hitter terms per source (rows-only; exactness
     within sketch capacity pinned in tests/test_text_sketches.py)."""
     return text_queries.frequent_terms_sketch(_docs(spark, sf_dir))
+
+
+@register("profile_orders", analytic.PROFILE_ORDERS_SQL)
+def q_profile_orders(spark: SparkSession, sf_dir: str):
+    """Single-pass column profiler (nulls / exact distinct / min / max
+    per column, one Expand shuffle, no per-column rescans)."""
+    return analytic.profile_orders(_tables(spark, sf_dir, ("orders",)))

@@ -71,8 +71,9 @@ _REPORT_EXEMPT = {
     "corpus_curation_summary",
     "stratified_sample_summary",
     "ivfpq_cosine_topk",
-    # Registered new in round 4, past the window (rows-only sketch):
+    # Registered new in round 4, past the window:
     "frequent_terms_sketch",
+    "profile_orders",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
