@@ -624,3 +624,41 @@ def _profile_orders_sql() -> str:
 
 
 PROFILE_ORDERS_SQL = _profile_orders_sql()
+
+
+def setops_all_orders(tables: dict[str, DataFrame]) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET set operations (H).
+
+    ``setops_customers`` covers the distinct forms; these preserve
+    duplicate multiplicity (a customer with 3 qualifying orders on both
+    sides intersects 3 times), which Spark plans as an aggregate-count +
+    generate pass rather than the distinct forms' hash semi/anti join.
+    Sources are order→customer multisets, so multiplicities are real.
+    """
+    orders = tables["orders"]
+    big = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    inter = big.intersectAll(urgent).withColumn("op", F.lit("intersect_all"))
+    exc = big.exceptAll(urgent).withColumn("op", F.lit("except_all"))
+    return (
+        inter.unionByName(exc)
+        .groupBy("op", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("op", "o_custkey")
+    )
+
+
+SETOPS_ALL_SQL = """
+WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+tagged AS (
+  SELECT 'intersect_all' AS op, o_custkey
+  FROM (SELECT o_custkey FROM big INTERSECT ALL SELECT o_custkey FROM urgent)
+  UNION ALL
+  SELECT 'except_all' AS op, o_custkey
+  FROM (SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM urgent)
+)
+SELECT op, o_custkey, CAST(count(*) AS BIGINT) AS multiplicity
+FROM tagged GROUP BY op, o_custkey
+ORDER BY op, o_custkey
+""".strip()

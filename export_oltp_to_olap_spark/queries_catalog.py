@@ -570,3 +570,10 @@ def q_profile_orders(spark: SparkSession, sf_dir: str):
     """Single-pass column profiler (nulls / exact distinct / min / max
     per column, one Expand shuffle, no per-column rescans)."""
     return analytic.profile_orders(_tables(spark, sf_dir, ("orders",)))
+
+
+@register("setops_all_orders", analytic.SETOPS_ALL_SQL)
+def q_setops_all(spark: SparkSession, sf_dir: str):
+    """INTERSECT ALL / EXCEPT ALL multiset semantics (H) with reported
+    multiplicities."""
+    return analytic.setops_all_orders(_tables(spark, sf_dir, ("orders",)))

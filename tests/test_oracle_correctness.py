@@ -74,6 +74,7 @@ _REPORT_EXEMPT = {
     # Registered new in round 4, past the window:
     "frequent_terms_sketch",
     "profile_orders",
+    "setops_all_orders",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
