@@ -662,3 +662,58 @@ SELECT op, o_custkey, CAST(count(*) AS BIGINT) AS multiplicity
 FROM tagged GROUP BY op, o_custkey
 ORDER BY op, o_custkey
 """.strip()
+
+
+def reconcile_customers_full_outer(tables: dict[str, DataFrame]) -> DataFrame:
+    """FULL OUTER join (C): reconcile two partial customer views — big
+    spenders (aggregated from orders) vs high-balance accounts — keeping
+    rows that exist on either side only.  The reconciliation/diff shape:
+    ``side`` tags whether a key matched, was order-only, or account-only.
+    Shuffle join on the key; neither side is guaranteed small, which is
+    exactly when FULL OUTER can't be broadcast and the engine must plan
+    a sort-merge."""
+    orders, cust = tables["orders"], tables["customer"]
+    spenders = (
+        orders.where(F.col("o_totalprice") > 250000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_big_orders"),
+            exact_sum("o_totalprice").alias("big_spend"),
+        )
+    )
+    rich = cust.where(F.col("c_acctbal") > 7000).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    joined = spenders.join(rich, on="custkey", how="full_outer")
+    return joined.select(
+        "custkey",
+        "n_big_orders",
+        "big_spend",
+        "acctbal",
+        F.when(F.col("n_big_orders").isNull(), F.lit("account_only"))
+        .when(F.col("acctbal").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+        .alias("side"),
+    ).orderBy("custkey")
+
+
+RECONCILE_FULL_OUTER_SQL = f"""
+WITH spenders AS (
+  SELECT o_custkey AS custkey,
+         count(*) AS n_big_orders,
+         {EXACT_SUM_SQL.format(expr="o_totalprice")} AS big_spend
+  FROM orders WHERE o_totalprice > 250000
+  GROUP BY o_custkey
+),
+rich AS (
+  SELECT c_custkey AS custkey, c_acctbal AS acctbal
+  FROM customer WHERE c_acctbal > 7000
+)
+SELECT COALESCE(s.custkey, r.custkey) AS custkey,
+       s.n_big_orders, s.big_spend, r.acctbal,
+       CASE WHEN s.custkey IS NULL THEN 'account_only'
+            WHEN r.custkey IS NULL THEN 'orders_only'
+            ELSE 'both' END AS side
+FROM spenders s FULL OUTER JOIN rich r ON s.custkey = r.custkey
+ORDER BY custkey
+""".strip()

@@ -577,3 +577,12 @@ def q_setops_all(spark: SparkSession, sf_dir: str):
     """INTERSECT ALL / EXCEPT ALL multiset semantics (H) with reported
     multiplicities."""
     return analytic.setops_all_orders(_tables(spark, sf_dir, ("orders",)))
+
+
+@register("reconcile_customers_full_outer", analytic.RECONCILE_FULL_OUTER_SQL)
+def q_reconcile_full_outer(spark: SparkSession, sf_dir: str):
+    """FULL OUTER reconciliation of two partial customer views (C:
+    the one join type the rest of the surface didn't exercise)."""
+    return analytic.reconcile_customers_full_outer(
+        _tables(spark, sf_dir, ("orders", "customer"))
+    )

@@ -75,6 +75,7 @@ _REPORT_EXEMPT = {
     "frequent_terms_sketch",
     "profile_orders",
     "setops_all_orders",
+    "reconcile_customers_full_outer",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
