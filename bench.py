@@ -50,6 +50,8 @@ DEFAULT_HEADLINE = [
     "ngram_jaccard_neardup",
     "simhash_near_dup",
     "exact_dedup_documents",
+    "normalized_dedup_documents",
+    "decontaminate_documents",
     "neardup_clusters",
     "tfidf_top_terms",
     "ann_cosine_topk",
@@ -62,6 +64,7 @@ DEFAULT_HEADLINE = [
     "semantic_dedup[salted]",
     "corpus_curation_summary",
     "text_quality",
+    "pii_scan",
     "token_count_bpe",
     "media_feature_extract",
     "events_sessionize",

@@ -1,0 +1,158 @@
+"""Benchmark decontamination: n-gram overlap between corpus and eval set.
+
+Training corpora must not contain the benchmarks they are evaluated on.
+The standard recipe (GPT-3 appendix C; Llama 2 §A.6; The Pile) is
+n-gram collision: a training document is contaminated when it shares at
+least one word n-gram (13-grams in the published pipelines; ``n`` is a
+parameter here and the fixture queries use 4 so short synthetic docs
+can collide at all) with any document in the held-out / benchmark set.
+
+Shape (all built-in expressions, no UDFs):
+
+1. Split the corpus with the deterministic hash splitter
+   (`operators/sampling.assign_splits`) — the ``test`` split stands in
+   for the external benchmark set in the fixture harness; production
+   calls take any (id, text) eval DataFrame.
+2. Eval side: distinct n-gram set, md5-hashed to fixed-width join keys
+   (engine-portable, and a 32-hex string regardless of n-gram width).
+3. Corpus side: per-doc DISTINCT n-grams (`array_distinct` map-side,
+   so a doc repeating one benchmark phrase 100× still counts once),
+   exploded to (doc_id, gram) rows.
+4. Inner join corpus grams → eval grams, count hits per doc.
+
+Scale: the eval set is benchmark-sized (thousands of docs — tiny next
+to a 100 TB corpus), so its distinct-gram set is explicitly
+``broadcast()``: the corpus side is scanned once, map-side, with no
+shuffle of the exploded grams except the final per-doc count
+(partial-aggregated on doc_id).  Never join the other way around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.functions.text import word_shingles
+from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+from export_oltp_to_olap_spark.operators.sampling import _BUCKETS, assign_splits
+
+# Fixture n: published pipelines use 13-grams; the synthetic docs are
+# short, and n=4 is the smallest width that still yields a selective,
+# non-vacuous contaminated set at the driver scale (52 docs at sf0.01;
+# n=5 leaves 4, n=3 flags most of the corpus).
+FIXTURE_N = 4
+
+
+def eval_ngram_set(eval_docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Distinct md5(n-gram) keys of the eval/benchmark documents.
+
+    One column ``g``; small enough to broadcast by contract (benchmark
+    suites are ~10^5 docs; their distinct-gram set is a few hundred MB
+    at worst — if a caller ever feeds a huge "eval" set, drop the
+    broadcast hint at the call site and let AQE pick the join).
+    """
+    return (
+        eval_docs.select(F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram"))
+        .select(F.md5("gram").alias("g"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-corpus-doc overlap with the eval n-gram set.
+
+    Returns one row per contaminated doc (n_overlap ≥ 1):
+    ``(doc_id, n_ngrams, n_overlap, overlap_ratio)`` where ``n_ngrams``
+    is the doc's DISTINCT n-gram count and ``overlap_ratio`` the
+    contaminated fraction of it, rounded to 6 decimals.  Docs with
+    fewer than ``n`` tokens have no n-grams and can never be flagged.
+    """
+    grams = F.array_distinct(word_shingles(text_col, n))
+    corpus_grams = (
+        spread_for_compute(corpus.select(id_col, text_col), id_col)
+        .select(F.col(id_col), grams.alias("grams"))
+        .select(
+            id_col,
+            F.size("grams").alias("n_ngrams"),
+            F.explode("grams").alias("gram"),
+        )
+        .select(id_col, "n_ngrams", F.md5("gram").alias("g"))
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_ngram_set(eval_docs, n, text_col)), "g")
+        .groupBy(id_col, "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.select(
+        F.col(id_col),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.col("n_ngrams"), 6).alias("overlap_ratio"),
+    ).orderBy(id_col)
+
+
+def decontaminate_docs(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
+    """Fixture-shaped entry: flag ``train``-split docs sharing any word
+    ``n``-gram with the ``test`` split (the stand-in benchmark set).
+
+    Self-contained on the documents table so the driver can oracle-check
+    it; production callers use `contamination_hits` with a real
+    benchmark DataFrame.
+    """
+    assigned = assign_splits(docs, "doc_id")
+    train = assigned.where(F.col("split") == "train").drop("split")
+    eval_docs = assigned.where(F.col("split") == "test").drop("split")
+    return contamination_hits(train, eval_docs, n=n)
+
+
+_TRAIN_BOUND = int(0.8 * _BUCKETS)
+_VAL_BOUND = int(0.9 * _BUCKETS)
+
+
+def decontam_sql(n: int = FIXTURE_N) -> str:
+    """DuckDB restatement of `decontaminate_docs` at the same ``n``."""
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+           AS bucket
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, bucket,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM assigned
+),
+grams AS (
+  SELECT doc_id, bucket,
+         list_distinct(list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)),
+                                      i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+  FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT md5(u.g) AS g
+  FROM grams, unnest(gs) AS u(g)
+  WHERE bucket >= {_VAL_BOUND}
+),
+train_grams AS (
+  SELECT doc_id, len(gs) AS n_ngrams, md5(u.g) AS g
+  FROM grams, unnest(gs) AS u(g)
+  WHERE bucket < {_TRAIN_BOUND}
+)
+SELECT doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / n_ngrams, 6) AS overlap_ratio
+FROM train_grams JOIN eval_grams USING (g)
+GROUP BY doc_id, n_ngrams
+ORDER BY doc_id
+"""
+
+
+DECONTAM_SQL = decontam_sql(FIXTURE_N)

@@ -29,7 +29,7 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import tokens, word_shingles
@@ -781,4 +781,58 @@ csizes AS (
 )
 SELECT a.doc_id, a.canonical_id, s.cluster_size
 FROM allc a JOIN csizes s USING (canonical_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalized-text dedup (between exact and near-dup in the dedup ladder)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text_col: Column | str) -> Column:
+    """Canonical form for normalization-robust dedup: lowercase, every
+    non-alphanumeric run collapsed to one space, ends trimmed.
+
+    Catches the duplicates exact dedup misses for trivial reasons —
+    case, punctuation, whitespace/markup residue — without the cost of
+    a near-dup pass; the standard middle rung of the corpus dedup
+    ladder (exact → normalized → MinHash/SimHash → semantic).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def normalized_dedup_docs(docs: DataFrame) -> DataFrame:
+    """Group docs by canonical text: one row per canonical form with the
+    deterministic keeper (min doc_id), the group size, and how many
+    DISTINCT raw texts collapsed into it (> 1 ⇒ caught something exact
+    dedup could not).  Same single hash-groupBy shape (and scale story)
+    as `exact_dedup_docs`; the canonical form is emitted as an md5
+    fingerprint to keep the output narrow.
+    """
+    canon = normalized_text("text")
+    return (
+        docs.select("doc_id", canon.alias("canon"), "text")
+        .groupBy("canon")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("text").alias("n_raw_variants"),
+        )
+        .select("keeper_doc_id", "n_copies", "n_raw_variants", F.md5("canon").alias("canon_fp"))
+    )
+
+
+NORMALIZED_DEDUP_SQL = """
+WITH canon AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+  FROM documents
+)
+SELECT min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies,
+       count(DISTINCT text) AS n_raw_variants,
+       md5(canon) AS canon_fp
+FROM canon
+GROUP BY canon
 """

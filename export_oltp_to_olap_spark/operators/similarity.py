@@ -790,3 +790,79 @@ topk AS (
 )
 SELECT query_id, neighbor_id, cos, rank FROM topk WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene: per-label corpus health stats
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-column health report: vector counts,
+    zero-norm vectors (dead encoder outputs poison cosine math — the
+    first thing to check before any ANN/dedup run), dimension min/max
+    (ragged arrays break every downstream dot product), and norm
+    min/avg/max (catches unnormalized batches mixed into a unit-norm
+    corpus).
+
+    Determinism: per-row norms use the exact-decimal accumulation
+    convention (`_exact_norm`, rounded to 6), the avg re-sums those
+    rounded norms in DECIMAL before one double division — so the whole
+    report value-hashes identically cross-engine.  Scale: one map-side
+    projection + one partial-aggregated groupBy on ``label``; nothing
+    else moves.
+    """
+    norm6 = F.round(_exact_norm(F.col("embedding")), 6)
+    per_vec = embeddings.select(
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        norm6.alias("norm"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            n.alias("n_vecs"),
+            F.sum((F.col("norm") == 0).cast("long")).alias("n_zero"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            F.min("norm").alias("norm_min"),
+            F.round(
+                F.round(F.sum(F.col("norm").cast("decimal(28,10)")), 6).cast("double") / n,
+                6,
+            ).alias("norm_avg"),
+            F.max("norm").alias("norm_max"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_STATS_SQL = """
+WITH elems AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         round(sqrt(CAST(round(SUM(CAST(e * e AS DECIMAL(38,16))), 12) AS DOUBLE)), 6) AS norm
+  FROM elems GROUP BY vec_id
+),
+per_vec AS (
+  -- LEFT join + coalesce: a zero-length embedding has no elems rows but
+  -- must still report norm 0 (Spark's aggregate over an empty array is 0)
+  SELECT em.label, CAST(len(em.embedding) AS BIGINT) AS dim,
+         coalesce(n.norm, 0.0) AS norm
+  FROM embeddings em LEFT JOIN norms n USING (vec_id)
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       min(dim) AS dim_min,
+       max(dim) AS dim_max,
+       min(norm) AS norm_min,
+       round(CAST(round(SUM(CAST(norm AS DECIMAL(28,10))), 6) AS DOUBLE) / count(*), 6)
+         AS norm_avg,
+       max(norm) AS norm_max
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""

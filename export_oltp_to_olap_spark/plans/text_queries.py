@@ -387,3 +387,79 @@ def frequent_terms_sketch(docs: DataFrame, k: int = 10, max_tracked: int = 65536
         )
         .orderBy("source", F.col("est_count").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+# (category, pattern, replacement) over the LOWERCASED text, applied in
+# this order — the redaction pipeline every public-web training corpus
+# runs before release.  Patterns are deliberately restricted to syntax
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, no backrefs, character classes + bounded repeats + \b only.
+# Email first (its local part may embed digit runs the phone/IP patterns
+# would otherwise claim); counts are taken per-pattern on the ORIGINAL
+# text so they are independent of redaction order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-doc PII hit counts + md5 fingerprint of the redacted text.
+
+    Pure built-in regexp expressions (codegen'd, zero UDFs, zero
+    shuffles — a map-only projection safe to fuse under any plan).  The
+    fingerprint, not the redacted text itself, is emitted so the output
+    stays narrow and hashable; `pii_redact` returns the full column for
+    pipeline use.
+    """
+    lowered = F.lower(F.col("text"))
+    counts = [
+        F.regexp_count(lowered, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return docs.select(
+        "doc_id",
+        *counts,
+        sum(
+            (F.regexp_count(lowered, F.lit(pat)).cast("long") for _, pat, _ in PII_PATTERNS),
+            F.lit(0).cast("long"),
+        ).alias("n_pii"),
+        F.md5(pii_redact(lowered)).alias("redacted_fp"),
+    )
+
+
+def pii_redact(text_col):
+    """The redacted (lowercased) text column: every PII match replaced
+    by its category tag, in `PII_PATTERNS` order."""
+    out = text_col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _pii_sql() -> str:
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    redacted = "lower(text)"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {count_cols},
+       CAST({total} AS BIGINT) AS n_pii,
+       md5({redacted}) AS redacted_fp
+FROM documents
+"""
+
+
+PII_SCAN_SQL = _pii_sql()

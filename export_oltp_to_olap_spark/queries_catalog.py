@@ -11,6 +11,11 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
+* Round 4 adds four new round-4 operators (normalized_dedup_documents,
+  decontaminate_documents, embedding_norm_stats, pii_scan) to the
+  window, displacing four 3-round-green event queries
+  (events_json_stats, cdc_decode, events_tumbling_hourly,
+  events_user_moving_value) to the tail.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -35,6 +40,7 @@ from export_oltp_to_olap_spark import shipping
 from export_oltp_to_olap_spark.multimodal import media
 from export_oltp_to_olap_spark.operators import (
     asof,
+    decontam,
     neardup,
     rangejoin,
     sampling,
@@ -223,30 +229,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str):
     return events_plans.sessionize(_tables(spark, sf_dir, ("events",))["events"])
 
 
-@register("events_json_stats", events_plans.EVENTS_JSON_SQL)
-def q_events_json(spark: SparkSession, sf_dir: str):
-    """JSON property extraction over events.props."""
-    return events_plans.events_json_stats(_tables(spark, sf_dir, ("events",))["events"])
-
-
-@register("cdc_decode", events_plans.CDC_DECODE_SQL)
-def q_cdc_decode(spark: SparkSession, sf_dir: str):
-    """NOTIFY channel/payload decode (F11/F12, ref worker_sync.py:88-102)."""
-    return events_plans.cdc_decode_events(_tables(spark, sf_dir, ("events",))["events"])
-
-
-@register("events_tumbling_hourly", events_plans.TUMBLING_HOURLY_SQL)
-def q_tumbling(spark: SparkSession, sf_dir: str):
-    """Tumbling event-time windows (the streaming window op, batch form)."""
-    return events_plans.tumbling_hourly_stats(_tables(spark, sf_dir, ("events",))["events"])
-
-
-@register("events_user_moving_value", events_plans.USER_MOVING_VALUE_SQL)
-def q_moving_value(spark: SparkSession, sf_dir: str):
-    """ROWS-frame moving sum per user (frame-spec window breadth)."""
-    return events_plans.user_moving_value(_tables(spark, sf_dir, ("events",))["events"])
-
-
 @register("events_funnel", events_plans.FUNNEL_STAGES_SQL)
 def q_funnel(spark: SparkSession, sf_dir: str):
     """Ordered conversion funnel view→click→purchase (sequential
@@ -269,6 +251,21 @@ def q_cohort(spark: SparkSession, sf_dir: str):
 def q_exact_dedup(spark: SparkSession, sf_dir: str):
     """Exact dedup: one keeper per distinct text."""
     return neardup.exact_dedup_docs(_docs(spark, sf_dir))
+
+
+@register("normalized_dedup_documents", neardup.NORMALIZED_DEDUP_SQL)
+def q_normalized_dedup(spark: SparkSession, sf_dir: str):
+    """Normalization-robust dedup (lowercase + punctuation/whitespace
+    canonicalization) — the middle rung between exact and near-dup."""
+    return neardup.normalized_dedup_docs(_docs(spark, sf_dir))
+
+
+@register("decontaminate_documents", decontam.DECONTAM_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str):
+    """Benchmark decontamination: train-split docs sharing word n-grams
+    with the held-out eval split (GPT-3/Llama-2 n-gram collision recipe;
+    broadcast eval-gram set, map-side corpus scan)."""
+    return decontam.decontaminate_docs(_docs(spark, sf_dir))
 
 
 @register("corpus_split_summary", sampling.SPLIT_SUMMARY_SQL)
@@ -327,6 +324,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 # North-star: similarity search + semantic dedup over embeddings
 # ---------------------------------------------------------------------------
+
+
+@register("embedding_norm_stats", similarity.EMBEDDING_NORM_STATS_SQL)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str):
+    """Embedding hygiene report: per-label counts, zero-norm vectors,
+    dim min/max, norm min/avg/max — the pre-flight check before any
+    ANN or semantic-dedup run."""
+    return similarity.embedding_norm_stats(_embeddings(spark, sf_dir))
 
 
 @register("ann_cosine_topk", similarity.COSINE_TOPK_SQL)
@@ -414,6 +419,13 @@ def q_token_stats(spark: SparkSession, sf_dir: str):
 def q_token_bpe(spark: SparkSession, sf_dir: str):
     """Whitespace + BPE-ish subword token counting per document."""
     return text_queries.token_count_bpe(_docs(spark, sf_dir))
+
+
+@register("pii_scan", text_queries.PII_SCAN_SQL)
+def q_pii_scan(spark: SparkSession, sf_dir: str):
+    """PII scan + redaction fingerprint (email/IPv4/phone, RE2-and-Java
+    compatible patterns, zero UDFs, map-only)."""
+    return text_queries.pii_scan(_docs(spark, sf_dir))
 
 
 @register("tfidf_top_terms", text_queries.TFIDF_TOP_TERMS_SQL)
@@ -586,3 +598,27 @@ def q_reconcile_full_outer(spark: SparkSession, sf_dir: str):
     return analytic.reconcile_customers_full_outer(
         _tables(spark, sf_dir, ("orders", "customer"))
     )
+
+
+@register("events_json_stats", events_plans.EVENTS_JSON_SQL)
+def q_events_json(spark: SparkSession, sf_dir: str):
+    """JSON property extraction over events.props."""
+    return events_plans.events_json_stats(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("cdc_decode", events_plans.CDC_DECODE_SQL)
+def q_cdc_decode(spark: SparkSession, sf_dir: str):
+    """NOTIFY channel/payload decode (F11/F12, ref worker_sync.py:88-102)."""
+    return events_plans.cdc_decode_events(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("events_tumbling_hourly", events_plans.TUMBLING_HOURLY_SQL)
+def q_tumbling(spark: SparkSession, sf_dir: str):
+    """Tumbling event-time windows (the streaming window op, batch form)."""
+    return events_plans.tumbling_hourly_stats(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("events_user_moving_value", events_plans.USER_MOVING_VALUE_SQL)
+def q_moving_value(spark: SparkSession, sf_dir: str):
+    """ROWS-frame moving sum per user (frame-spec window breadth)."""
+    return events_plans.user_moving_value(_tables(spark, sf_dir, ("events",))["events"])

@@ -76,6 +76,11 @@ _REPORT_EXEMPT = {
     "profile_orders",
     "setops_all_orders",
     "reconcile_customers_full_outer",
+    # Registered new in round 4, inside the window (first report = r04):
+    "normalized_dedup_documents",
+    "decontaminate_documents",
+    "embedding_norm_stats",
+    "pii_scan",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",

@@ -1,0 +1,205 @@
+"""Unit tests for the round-4 operators: benchmark decontamination,
+PII scan/redaction, normalized-text dedup, embedding hygiene stats.
+
+Cross-engine value equality for each is covered by
+tests/test_oracle_correctness.py (every registration with an oracle);
+these tests pin the SEMANTICS on crafted inputs the synthetic fixtures
+don't contain (real PII strings, planted contamination, case/punct
+duplicate variants, zero/ragged vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from export_oltp_to_olap_spark.operators.decontam import contamination_hits
+from export_oltp_to_olap_spark.operators.neardup import normalized_dedup_docs
+from export_oltp_to_olap_spark.operators.similarity import embedding_norm_stats
+from export_oltp_to_olap_spark.plans.text_queries import pii_redact, pii_scan
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_only_docs_sharing_ngrams(spark):
+    corpus = _docs(
+        spark,
+        [
+            # shares the 4-gram "the quick brown fox" with the eval doc
+            (1, "note that the quick brown fox appears here"),
+            # same words but never 4 consecutive ones in common
+            (2, "quick fox brown the jumped over"),
+            (3, "completely unrelated content about spark plans"),
+            (4, "too short"),  # < n tokens → no n-grams, never flagged
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    out = {r["doc_id"]: r for r in contamination_hits(corpus, eval_docs, n=4).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_overlap"] == 1
+    assert out[1]["n_ngrams"] == 5  # 8 tokens → 5 distinct 4-grams
+    assert abs(out[1]["overlap_ratio"] - 0.2) < 1e-9
+
+
+def test_contamination_counts_repeated_benchmark_phrase_once(spark):
+    phrase = "alpha beta gamma delta"
+    corpus = _docs(spark, [(1, f"{phrase} filler {phrase} filler {phrase}")])
+    eval_docs = _docs(spark, [(100, phrase)])
+    (row,) = contamination_hits(corpus, eval_docs, n=4).collect()
+    # the doc repeats the planted 4-gram 3×, but distinct-gram counting
+    # registers one overlap — ratio reflects contamination, not repetition
+    assert row["n_overlap"] == 1
+
+
+def test_contamination_normalizes_case_and_punctuation(spark):
+    corpus = _docs(spark, [(1, "The QUICK, brown... FOX jumps!")])
+    eval_docs = _docs(spark, [(100, "the quick brown fox")])
+    (row,) = contamination_hits(corpus, eval_docs, n=4).collect()
+    assert row["doc_id"] == 1 and row["n_overlap"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+
+def _pii_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Mail a.b-c_9@Sub.Example.co.uk and x@y.io today"),
+            (2, "server 10.0.0.1 fell back to 192.168.100.200"),
+            (3, "call 555-123-4567 or 555.987.6543 anytime"),
+            (4, "nothing sensitive here, just 12345 and v1.2"),
+        ],
+        _DOC_SCHEMA,
+    )
+
+
+def test_pii_counts_per_category(spark):
+    out = {r["doc_id"]: r for r in pii_scan(_pii_docs(spark)).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 0 and out[1]["n_phone"] == 0
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    assert out[3]["n_phone"] == 2
+    assert out[4]["n_pii"] == 0
+    assert out[1]["n_pii"] == 2 and out[2]["n_pii"] == 2 and out[3]["n_pii"] == 2
+
+
+def test_pii_redaction_removes_matches_and_keeps_clean_text(spark):
+    docs = _pii_docs(spark)
+    red = {
+        r["doc_id"]: r["red"]
+        for r in docs.select("doc_id", pii_redact(F.lower("text")).alias("red")).collect()
+    }
+    assert red[1] == "mail <EMAIL> and <EMAIL> today"
+    assert red[2] == "server <IP> fell back to <IP>"
+    assert red[3] == "call <PHONE> or <PHONE> anytime"
+    assert red[4] == "nothing sensitive here, just 12345 and v1.2"
+
+
+def test_pii_fingerprint_unchanged_for_clean_docs(spark):
+    docs = _pii_docs(spark)
+    out = {r["doc_id"]: r["redacted_fp"] for r in pii_scan(docs).collect()}
+    plain = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", F.md5(F.lower("text")).alias("fp")).collect()
+    }
+    assert out[4] == plain[4]  # clean doc: redaction is the identity
+    assert out[1] != plain[1]  # PII doc: fingerprint reflects redaction
+
+
+# ---------------------------------------------------------------------------
+# Normalized-text dedup
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_dedup_collapses_case_punct_whitespace_variants(spark):
+    docs = _docs(
+        spark,
+        [
+            (10, "Hello, World!"),
+            (11, "hello   world"),
+            (12, "HELLO-WORLD."),
+            (13, "hello world again"),  # different canon — stays separate
+        ],
+    )
+    rows = normalized_dedup_docs(docs).collect()
+    by_keeper = {r["keeper_doc_id"]: r for r in rows}
+    assert set(by_keeper) == {10, 13}
+    assert by_keeper[10]["n_copies"] == 3
+    assert by_keeper[10]["n_raw_variants"] == 3  # exact dedup would miss all 3
+    assert by_keeper[13]["n_copies"] == 1
+
+
+def test_normalized_dedup_groups_exact_copies_without_inflating_variants(spark):
+    docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "Same Text")])
+    (row,) = normalized_dedup_docs(docs).collect()
+    assert row["keeper_doc_id"] == 1
+    assert row["n_copies"] == 3
+    assert row["n_raw_variants"] == 2  # "same text" + "Same Text"
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene stats
+# ---------------------------------------------------------------------------
+
+_EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def test_embedding_stats_flag_zero_and_ragged_vectors(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], 0),  # norm 5
+            (2, [0.0, 0.0], 0),  # dead vector
+            (3, [1.0, 0.0, 0.0], 0),  # ragged: dim 3 in a dim-2 corpus
+            (4, [0.6, 0.8], 1),  # unit norm
+        ],
+        _EMB_SCHEMA,
+    )
+    out = {r["label"]: r for r in embedding_norm_stats(emb).collect()}
+    assert out[0]["n_vecs"] == 3
+    assert out[0]["n_zero"] == 1
+    assert (out[0]["dim_min"], out[0]["dim_max"]) == (2, 3)  # ragged surfaces here
+    assert abs(out[0]["norm_min"] - 0.0) < 1e-9
+    assert abs(out[0]["norm_max"] - 5.0) < 1e-9
+    assert abs(out[0]["norm_avg"] - 2.0) < 1e-9  # (5 + 0 + 1) / 3
+    assert out[1]["n_zero"] == 0 and abs(out[1]["norm_avg"] - 1.0) < 1e-9
+
+
+def test_embedding_stats_on_fixture_corpus_is_healthy(spark, sf001):
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    rows = embedding_norm_stats(emb).collect()
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        assert r["n_zero"] == 0
+        assert r["dim_min"] == r["dim_max"] == 64
+        assert abs(r["norm_avg"] - 1.0) < 1e-6  # generator emits unit norms
