@@ -11,11 +11,12 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds four new round-4 operators (normalized_dedup_documents,
-  decontaminate_documents, embedding_norm_stats, pii_scan) to the
-  window, displacing four 3-round-green event queries
-  (events_json_stats, cdc_decode, events_tumbling_hourly,
-  events_user_moving_value) to the tail.
+* Round 4 adds six new round-4 operators (normalized_dedup_documents,
+  decontaminate_documents, embedding_norm_stats, pii_scan,
+  chunk_documents, pack_bins_summary) to the window, displacing six
+  3-round-green queries (events_json_stats, cdc_decode,
+  events_tumbling_hourly, events_user_moving_value, events_sessionize,
+  corpus_split_summary) to the tail.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -40,6 +41,7 @@ from export_oltp_to_olap_spark import shipping
 from export_oltp_to_olap_spark.multimodal import media
 from export_oltp_to_olap_spark.operators import (
     asof,
+    chunking,
     decontam,
     neardup,
     rangejoin,
@@ -223,10 +225,18 @@ def q_range_join(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("events_sessionize", events_plans.SESSIONIZE_SQL)
-def q_sessionize(spark: SparkSession, sf_dir: str):
-    """Gap-based sessionization (lag + running sum windows)."""
-    return events_plans.sessionize(_tables(spark, sf_dir, ("events",))["events"])
+@register("chunk_documents", chunking.CHUNK_DOCUMENTS_SQL)
+def q_chunk_documents(spark: SparkSession, sf_dir: str):
+    """Overlapping token-window chunking (RAG/embedding input prep) —
+    map-side HOF fan-out, no shuffle, no UDFs."""
+    return chunking.chunk_documents(_docs(spark, sf_dir))
+
+
+@register("pack_bins_summary", chunking.PACK_BINS_SQL)
+def q_pack_bins(spark: SparkSession, sf_dir: str):
+    """GPT-style sequence packing: docs laid end-to-end per source, cut
+    into fixed-token bins; per-bin doc/token report."""
+    return chunking.pack_bins_summary(_docs(spark, sf_dir))
 
 
 @register("events_funnel", events_plans.FUNNEL_STAGES_SQL)
@@ -266,13 +276,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str):
     with the held-out eval split (GPT-3/Llama-2 n-gram collision recipe;
     broadcast eval-gram set, map-side corpus scan)."""
     return decontam.decontaminate_docs(_docs(spark, sf_dir))
-
-
-@register("corpus_split_summary", sampling.SPLIT_SUMMARY_SQL)
-def q_split_summary(spark: SparkSession, sf_dir: str):
-    """Deterministic hash-based train/val/test split + per-split token
-    volume (operators/sampling.py — stable under repartition/append)."""
-    return sampling.split_summary(_docs(spark, sf_dir))
 
 
 @register("stratified_sample_summary", sampling.STRATIFIED_SAMPLE_SQL)
@@ -622,3 +625,16 @@ def q_tumbling(spark: SparkSession, sf_dir: str):
 def q_moving_value(spark: SparkSession, sf_dir: str):
     """ROWS-frame moving sum per user (frame-spec window breadth)."""
     return events_plans.user_moving_value(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("events_sessionize", events_plans.SESSIONIZE_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str):
+    """Gap-based sessionization (lag + running sum windows)."""
+    return events_plans.sessionize(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("corpus_split_summary", sampling.SPLIT_SUMMARY_SQL)
+def q_split_summary(spark: SparkSession, sf_dir: str):
+    """Deterministic hash-based train/val/test split + per-split token
+    volume (operators/sampling.py — stable under repartition/append)."""
+    return sampling.split_summary(_docs(spark, sf_dir))

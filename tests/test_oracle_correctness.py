@@ -81,6 +81,8 @@ _REPORT_EXEMPT = {
     "decontaminate_documents",
     "embedding_norm_stats",
     "pii_scan",
+    "chunk_documents",
+    "pack_bins_summary",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",

@@ -203,3 +203,89 @@ def test_embedding_stats_on_fixture_corpus_is_healthy(spark, sf001):
         assert r["n_zero"] == 0
         assert r["dim_min"] == r["dim_max"] == 64
         assert abs(r["norm_avg"] - 1.0) < 1e-6  # generator emits unit norms
+
+
+# ---------------------------------------------------------------------------
+# Chunking / packing
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_covers_every_token_with_expected_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    docs = _docs(spark, [(1, text), (2, "only three tokens here"), (3, "")])
+    from export_oltp_to_olap_spark.operators.chunking import chunk_documents
+
+    rows = sorted(
+        chunk_documents(docs, chunk=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_index"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 24: offsets 0,24,48,72 → 4 chunks; last covers 72..99 (28 toks)
+    assert [r["chunk_index"] for r in d1] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in d1] == [32, 32, 32, 28]
+    # total tokens = n + overlap * (n_chunks - 1): every token covered,
+    # consecutive chunks share exactly `overlap` tokens
+    assert sum(r["n_tokens"] for r in d1) == 100 + 8 * 3
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 4  # short doc: one chunk
+    assert not [r for r in rows if r["doc_id"] == 3]  # empty doc: none
+
+
+def test_chunk_fingerprints_are_reconstructable(spark):
+    docs = _docs(spark, [(1, "a b c d e f")])
+    from export_oltp_to_olap_spark.operators.chunking import chunk_documents
+    import hashlib
+
+    rows = chunk_documents(docs, chunk=4, overlap=2).collect()
+    toks = "a b c d e f".split()
+    for r in sorted(rows, key=lambda r: r["chunk_index"]):
+        start = r["chunk_index"] * 2
+        expect = " ".join(toks[start : start + 4])
+        assert r["chunk_fp"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def _pack_docs(spark, n=40, source="s"):
+    # doc i has i+1 tokens → token volumes are distinguishable
+    return spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i + 1)), source) for i in range(n)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_pack_bins_are_contiguous_and_respect_start_offsets(spark):
+    from export_oltp_to_olap_spark.operators.chunking import pack_assignments
+
+    docs = _pack_docs(spark, n=40)
+    rows = sorted(pack_assignments(docs, window=50).collect(), key=lambda r: r["doc_id"])
+    # starts are the exclusive prefix sums of token counts in doc_id order
+    acc = 0
+    for r in rows:
+        assert r["start"] == acc
+        assert r["bin"] == acc // 50
+        acc += r["n_tokens"]
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins)  # bins never go backwards in doc order
+    assert len(set(bins)) > 1  # the fixture actually spans multiple bins
+
+
+def test_pack_sharding_preserves_totals_and_bounds_bins(spark):
+    from export_oltp_to_olap_spark.operators.chunking import pack_assignments
+
+    docs = _pack_docs(spark, n=60)
+    flat = pack_assignments(docs, window=64, shards=1).collect()
+    sharded = pack_assignments(docs, window=64, shards=4).collect()
+    # same docs, same token counts — packing layout changes, volume doesn't
+    assert sum(r["n_tokens"] for r in flat) == sum(r["n_tokens"] for r in sharded)
+    assert {r["doc_id"] for r in flat} == {r["doc_id"] for r in sharded}
+    # within every (source, shard), starts are again exclusive prefix sums
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in sharded:
+        groups[(r["source"], r["shard"])].append(r)
+    assert len(groups) > 1  # sharding actually split the stream
+    for g in groups.values():
+        acc = 0
+        for r in sorted(g, key=lambda r: r["doc_id"]):
+            assert r["start"] == acc
+            acc += r["n_tokens"]
