@@ -43,7 +43,7 @@ from export_oltp_to_olap_spark.operators.sampling import _BUCKETS, assign_splits
 FIXTURE_N = 4
 
 
-def eval_ngram_set(eval_docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+def eval_ngram_set(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "text") -> DataFrame:
     """Distinct md5(n-gram) keys of the eval/benchmark documents.
 
     One column ``g``; small enough to broadcast by contract (benchmark
@@ -52,7 +52,8 @@ def eval_ngram_set(eval_docs: DataFrame, n: int = 5, text_col: str = "text") -> 
     broadcast hint at the call site and let AQE pick the join).
     """
     return (
-        eval_docs.select(F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram"))
+        spread_for_compute(eval_docs.select(text_col))
+        .select(F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram"))
         .select(F.md5("gram").alias("g"))
         .distinct()
     )
@@ -61,7 +62,7 @@ def eval_ngram_set(eval_docs: DataFrame, n: int = 5, text_col: str = "text") -> 
 def contamination_hits(
     corpus: DataFrame,
     eval_docs: DataFrame,
-    n: int = 5,
+    n: int = FIXTURE_N,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -74,20 +75,27 @@ def contamination_hits(
     fewer than ``n`` tokens have no n-grams and can never be flagged.
     """
     grams = F.array_distinct(word_shingles(text_col, n))
+    # No size(grams) column anywhere: carrying it next to the explode
+    # tempts Catalyst's CollapseProject into re-evaluating the FULL
+    # tokenize+shingle expression per EXPLODED row (verified in the
+    # optimized plan: size() collapsed above the Generate — 12 s instead
+    # of ~1 s at sf0.1).  Both counts instead fall out of one LEFT join:
+    # n_ngrams = rows per doc (the exploded array is already distinct),
+    # n_overlap = matched rows per doc.
     corpus_grams = (
         spread_for_compute(corpus.select(id_col, text_col), id_col)
-        .select(F.col(id_col), grams.alias("grams"))
-        .select(
-            id_col,
-            F.size("grams").alias("n_ngrams"),
-            F.explode("grams").alias("gram"),
-        )
-        .select(id_col, "n_ngrams", F.md5("gram").alias("g"))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(id_col, F.md5("gram").alias("g"))
     )
+    eval_grams = eval_ngram_set(eval_docs, n, text_col).withColumn("hit", F.lit(1))
     hits = (
-        corpus_grams.join(F.broadcast(eval_ngram_set(eval_docs, n, text_col)), "g")
-        .groupBy(id_col, "n_ngrams")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        corpus_grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .where(F.col("n_overlap") >= 1)
     )
     return hits.select(
         F.col(id_col),
@@ -156,3 +164,83 @@ ORDER BY doc_id
 
 
 DECONTAM_SQL = decontam_sql(FIXTURE_N)
+
+
+# ---------------------------------------------------------------------------
+# Stateless per-row contamination flag (the streaming-safe form)
+# ---------------------------------------------------------------------------
+
+
+def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "text"):
+    """The eval set's distinct n-grams as a sorted int64 numpy array.
+
+    Collected to the driver — bounded by the same contract that lets
+    `contamination_hits` broadcast the set (benchmark suites are MBs,
+    not TBs); xxhash64 keys keep it 8 bytes/gram.  The sorted array is
+    what `flag_contaminated`'s vectorized membership test searches.
+    """
+    import numpy as np
+
+    rows = (
+        eval_docs.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
+        )
+        .select(F.xxhash64("gram").alias("h"))
+        .distinct()
+        .collect()
+    )
+    return np.sort(np.array([r["h"] for r in rows], dtype="int64"))
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = FIXTURE_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Append a boolean ``contaminated`` column: does the doc share any
+    word n-gram with the eval set?
+
+    Unlike `contamination_hits` (join + per-doc agg — the batch report
+    shape), this is a stateless per-row expression: STREAMING-SAFE in
+    any output mode, no shuffle, no state, no stream-stream join.  The
+    eval set ships to executors as a Spark broadcast of a sorted int64
+    hash array; membership is one vectorized ``np.isin`` per Arrow
+    batch (grams of the whole batch flattened once — no per-row Python
+    dispatch).  Decisions agree with `contamination_hits` doc-for-doc
+    (both compare the same normalized n-grams; only the key hash
+    differs: md5 for the SQL oracle, xxhash64 here for 8-byte keys).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    evals = eval_gram_hashes(eval_docs, n, text_col)
+    bc = docs.sparkSession.sparkContext.broadcast(evals)
+
+    @pandas_udf("boolean")
+    def any_hit(gram_hashes):
+        import numpy as np
+        import pandas as pd
+
+        if len(gram_hashes) == 0:
+            return pd.Series([], dtype="bool")
+        table = bc.value
+        lens = gram_hashes.str.len().fillna(0).astype("int64").to_numpy()
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(gram_hashes), dtype=bool))
+        flat = np.concatenate(
+            [np.asarray(v, dtype="int64") for v in gram_hashes if v is not None and len(v)]
+        )
+        hits = np.isin(flat, table)
+        out = np.zeros(len(gram_hashes), dtype=bool)
+        pos = np.nonzero(lens)[0]
+        bounds = np.cumsum(lens[pos])
+        start = 0
+        for i, end in zip(pos, bounds):
+            out[i] = hits[start:end].any()
+            start = end
+        return pd.Series(out)
+
+    gram_hashes = F.transform(
+        F.array_distinct(word_shingles(text_col, n)), lambda g: F.xxhash64(g)
+    )
+    return docs.withColumn("contaminated", any_hit(gram_hashes))

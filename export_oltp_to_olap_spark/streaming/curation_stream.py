@@ -56,14 +56,31 @@ def streaming_curated_docs(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,
     max_state_per_bucket: int | None = None,
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Online curation: (doc_id, fp, split) of every ADMITTED document —
     gated, first-seen-deduped, split-assigned as it arrives.
 
     The emitted stream is what an ingest sink appends to the lake's
     curated table.  ``max_state_per_bucket`` bounds dedup state (FIFO
-    retention window — see ``streaming_exact_dedup`` for the trade)."""
+    retention window — see ``streaming_exact_dedup`` for the trade).
+
+    ``eval_docs`` (a STATIC benchmark corpus) adds an online
+    decontamination gate: documents sharing any word n-gram with the
+    eval set are rejected at ingest.  The gate is the stateless
+    per-row flag (`operators/decontam.flag_contaminated` — broadcast
+    hash table + vectorized membership), not the batch join, so it
+    composes into the stream without state or stream-stream joins and
+    agrees with the batch `contamination_hits` decision doc-for-doc."""
     gated = gate_documents(docs, quality_min)
+    if eval_docs is not None:
+        from export_oltp_to_olap_spark.operators.decontam import flag_contaminated
+
+        gated = (
+            flag_contaminated(gated, eval_docs)
+            .where(~F.col("contaminated"))
+            .drop("contaminated")
+        )
     admitted = streaming_exact_dedup(
         gated.select("doc_id", "fp"), max_state_per_bucket=max_state_per_bucket
     )

@@ -63,3 +63,63 @@ def test_streaming_curation_matches_batch(spark, sf0001, tmp_path):
     q.awaitTermination()
 
     assert admitted == want
+
+
+def test_streaming_curation_with_decontamination_gate(spark, sf0001, tmp_path):
+    """With a static eval corpus, the online gate rejects exactly the
+    docs the batch contamination join would flag — for any slicing."""
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.operators.decontam import contamination_hits
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    # eval set: a handful of real corpus docs → guaranteed n-gram overlap
+    eval_docs = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    batch_kept = curated_docs(docs, checkpoint=False)
+    contaminated = {
+        r["doc_id"] for r in contamination_hits(batch_kept, eval_docs).collect()
+    }
+    assert contaminated, "eval set overlaps nothing — vacuous"
+    want = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(batch_kept, "doc_id").select("doc_id", "split").collect()
+        if r["doc_id"] not in contaminated
+    }
+    assert want and len(want) < batch_kept.count()
+
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, chunk in enumerate([rows[:100], rows[100:150], rows[150:]]):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    admitted: dict[int, str] = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.collect():
+            assert r["doc_id"] not in admitted
+            admitted[r["doc_id"]] = r["split"]
+
+    q = (
+        streaming_curated_docs(stream, eval_docs=eval_docs)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert admitted == want
