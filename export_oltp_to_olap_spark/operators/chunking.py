@@ -56,8 +56,11 @@ def chunk_documents(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - overlap - 1, F.lit(0)), F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(offsets, lambda o: F.slice(toks, o + 1, chunk))
+    from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+
     return (
-        docs.select("doc_id", F.posexplode(chunks).alias("chunk_index", "chunk_toks"))
+        spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.posexplode(chunks).alias("chunk_index", "chunk_toks"))
         .select(
             "doc_id",
             F.col("chunk_index").cast("long").alias("chunk_index"),
