@@ -160,3 +160,46 @@ def test_lsh_candidate_fraction_does_not_degrade(spark, sf001, sf01):
         frac[sf] = similarity.lsh_candidate_pairs(emb).count() / (n * (n - 1) / 2)
     assert frac[sf001] <= 0.30 and frac[sf01] <= 0.30, frac
     assert frac[sf01] <= frac[sf001] * 1.05, f"LSH pruning degraded: {frac}"
+
+
+def test_decontam_work_grows_linearly(spark, sf001, sf01):
+    """Decontamination's joined row volume is the corpus's exploded
+    distinct-gram count — strictly linear in corpus tokens (exponent ~1;
+    the broadcast eval side never multiplies it).  Quadratic blowup is
+    impossible by construction, but pin the exploded volume anyway so a
+    future rewrite that joins corpus-side grams against themselves
+    (accidental self-join) trips this immediately."""
+    from export_oltp_to_olap_spark.functions.text import word_shingles
+    from export_oltp_to_olap_spark.operators.decontam import FIXTURE_N
+
+    c, n = {}, {}
+    for sf in (sf001, sf01):
+        docs = _docs(spark, sf)
+        n[sf] = docs.count()
+        c[sf] = (
+            docs.select(
+                F.explode(F.array_distinct(word_shingles("text", FIXTURE_N))).alias("g")
+            )
+        ).count()
+    e = _exponent(c[sf001], c[sf01], n[sf001], n[sf01])
+    assert e < 1.2, f"decontam gram-volume growth exponent {e:.2f}"
+
+
+def test_chunking_output_linear_in_tokens(spark, sf001, sf01):
+    """Chunk fan-out = tokens x (1 + overlap/stride): linear, with the
+    constant pinned — chunk rows stay within 2x of n_tokens/stride."""
+    from export_oltp_to_olap_spark.operators.chunking import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from export_oltp_to_olap_spark.functions.text import tokens as toks
+
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    for sf in (sf001, sf01):
+        docs = _docs(spark, sf)
+        n_tokens = docs.select(F.sum(F.size(toks("text")))).collect()[0][0]
+        n_chunks = chunk_documents(docs).count()
+        assert n_chunks <= 2 * (n_tokens / stride) + docs.count(), (
+            f"chunk fan-out {n_chunks} too large for {n_tokens} tokens at {sf}"
+        )
