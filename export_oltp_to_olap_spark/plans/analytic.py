@@ -717,3 +717,54 @@ SELECT COALESCE(s.custkey, r.custkey) AS custkey,
 FROM spenders s FULL OUTER JOIN rich r ON s.custkey = r.custkey
 ORDER BY custkey
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Subquery suite: correlated EXISTS / NOT EXISTS / IN / scalar subqueries
+# ---------------------------------------------------------------------------
+
+# One statement exercising every subquery family the DataFrame surface
+# doesn't spell directly — Catalyst decorrelates the EXISTS pair into
+# semi/anti joins, the correlated scalar count into an aggregated left
+# join, and the IN into a semi join; DuckDB runs the IDENTICAL text, so
+# the oracle also proves the two engines' decorrelation agrees.  The
+# uncorrelated scalar average uses the exact-decimal sum convention
+# (identical text both sides) to stay order-independent.
+_SUBQUERY_SUITE_BODY = """
+SELECT c.c_custkey,
+       c.c_name,
+       (SELECT count(*) FROM {orders} o3
+         WHERE o3.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT count(*) FROM {orders} o4
+         WHERE o4.o_custkey = c.c_custkey
+           AND o4.o_totalprice >
+               (SELECT CAST(ROUND(SUM(CAST(o5.o_totalprice AS DECIMAL(28,10))), 2)
+                            AS DOUBLE) / count(*)
+                  FROM {orders} o5)) AS n_above_avg
+FROM {customer} c
+WHERE EXISTS (SELECT 1 FROM {orders} o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM {orders} o2
+                   WHERE o2.o_custkey = c.c_custkey
+                     AND o2.o_orderstatus = 'P')
+  AND c.c_nationkey IN (SELECT n.n_nationkey FROM {nation} n
+                         WHERE n.n_regionkey <= 2)
+ORDER BY c.c_custkey
+"""
+
+
+def subquery_suite(tables: dict[str, DataFrame]) -> DataFrame:
+    tables["customer"].createOrReplaceTempView("__sub_customer")
+    tables["orders"].createOrReplaceTempView("__sub_orders")
+    tables["nation"].createOrReplaceTempView("__sub_nation")
+    return tables["customer"].sparkSession.sql(
+        _SUBQUERY_SUITE_BODY.format(
+            customer="__sub_customer", orders="__sub_orders", nation="__sub_nation"
+        )
+    )
+
+
+SUBQUERY_SUITE_SQL = _SUBQUERY_SUITE_BODY.format(
+    customer="customer", orders="orders", nation="nation"
+)

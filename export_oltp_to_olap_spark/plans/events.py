@@ -352,3 +352,98 @@ SELECT f.cohort_week,
 FROM active a JOIN first_seen f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + LOCF (hypertable-style)
+# ---------------------------------------------------------------------------
+
+
+def events_gapfill_locf(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Dense per-series time grid with forward-filled values — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape Spark lacks as
+    a builtin.
+
+    Per event_type: bucket events to a ``minutes`` grid, then LEFT-join
+    onto the series' full bucket range (``sequence`` of timestamps —
+    generated from each series' min/max, so the scaffold is exactly
+    span/width rows per series, never a global cross join) and
+    forward-fill ``value_sum`` with the last non-null bucket
+    (``last(ignorenulls)`` over an UNBOUNDED PRECEDING frame).  Leading
+    buckets before a series' first value stay NULL, exactly like
+    ``locf`` without a default.
+
+    Scale: the aggregation shuffles once on (series, bucket); the
+    scaffold explode is proportional to the series' time span, not the
+    event volume; the fill window partitions by series — the classic
+    time-series layout where each series' history is one partition's
+    sort.  Skewed series (one type dominating) only skew the *agg*,
+    which partial-aggregates map-side first.
+    """
+    bucket = F.to_timestamp(
+        F.from_unixtime(F.floor(F.unix_timestamp("ts") / (minutes * 60)) * (minutes * 60))
+    )
+    per_bucket = (
+        events.select("event_type", bucket.alias("bucket_ts"), "value")
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("value_sum"),
+        )
+    )
+    bounds = per_bucket.groupBy("event_type").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    scaffold = bounds.select(
+        "event_type",
+        F.explode(
+            F.expr(f"sequence(lo, hi, interval {int(minutes)} minutes)")
+        ).alias("bucket_ts"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scaffold.join(per_bucket, ["event_type", "bucket_ts"], "left")
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "value_sum",
+            F.last("value_sum", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("value_sum").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )
+
+
+GAPFILL_LOCF_SQL = f"""
+WITH per_bucket AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS bucket_ts,
+         count(*) AS n_events,
+         {EXACT_SUM_SQL.format(expr="value")} AS value_sum
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM per_bucket GROUP BY 1
+),
+scaffold AS (
+  SELECT b.event_type, CAST(g.g AS TIMESTAMP) AS bucket_ts
+  FROM bounds b, unnest(generate_series(b.lo, b.hi, INTERVAL 10 MINUTE)) AS g(g)
+)
+SELECT s.event_type,
+       s.bucket_ts,
+       CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
+       p.value_sum,
+       last_value(p.value_sum IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       p.value_sum IS NULL AS is_gap
+FROM scaffold s
+LEFT JOIN per_bucket p USING (event_type, bucket_ts)
+ORDER BY s.event_type, s.bucket_ts
+"""

@@ -11,12 +11,13 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds six new round-4 operators (normalized_dedup_documents,
+* Round 4 adds eight new round-4 operators (normalized_dedup_documents,
   decontaminate_documents, embedding_norm_stats, pii_scan,
-  chunk_documents, pack_bins_summary) to the window, displacing six
-  3-round-green queries (events_json_stats, cdc_decode,
-  events_tumbling_hourly, events_user_moving_value, events_sessionize,
-  corpus_split_summary) to the tail.
+  chunk_documents, pack_bins_summary, subquery_suite,
+  events_gapfill_locf) to the window, displacing eight 3-round-green
+  queries (events_json_stats, cdc_decode, events_tumbling_hourly,
+  events_user_moving_value, events_sessionize, corpus_split_summary,
+  purchases_asof_clicks, clicks_before_purchase) to the tail.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -204,20 +205,19 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str):
     return analytic.approx_percentiles_orders(_tables(spark, sf_dir))
 
 
-@register("purchases_asof_clicks", asof.PURCHASES_ASOF_CLICKS_SQL)
-def q_asof(spark: SparkSession, sf_dir: str):
-    """As-of join: each purchase to the user's latest prior click
-    (union-tag plan, one shuffle — operators/asof.py)."""
-    return asof.purchases_asof_clicks(_tables(spark, sf_dir, ("events",))["events"])
+@register("subquery_suite", analytic.SUBQUERY_SUITE_SQL)
+def q_subquery_suite(spark: SparkSession, sf_dir: str):
+    """Correlated EXISTS / NOT EXISTS / IN / scalar subqueries in one
+    statement — exercises Catalyst decorrelation; identical SQL text
+    runs on both engines."""
+    return analytic.subquery_suite(_tables(spark, sf_dir))
 
 
-@register("clicks_before_purchase", rangejoin.CLICKS_BEFORE_PURCHASE_SQL)
-def q_range_join(spark: SparkSession, sf_dir: str):
-    """Bucketed interval join: clicks in the hour before each purchase
-    (operators/rangejoin.py — never materializes per-key cross products)."""
-    return rangejoin.clicks_before_purchase(
-        _tables(spark, sf_dir, ("events",))["events"]
-    )
+@register("events_gapfill_locf", events_plans.GAPFILL_LOCF_SQL)
+def q_gapfill(spark: SparkSession, sf_dir: str):
+    """Hypertable-style gap filling: dense 10-minute series grid with
+    LOCF forward fill (sequence scaffold + last(ignorenulls) window)."""
+    return events_plans.events_gapfill_locf(_tables(spark, sf_dir, ("events",))["events"])
 
 
 # ---------------------------------------------------------------------------
@@ -638,3 +638,19 @@ def q_split_summary(spark: SparkSession, sf_dir: str):
     """Deterministic hash-based train/val/test split + per-split token
     volume (operators/sampling.py — stable under repartition/append)."""
     return sampling.split_summary(_docs(spark, sf_dir))
+
+
+@register("purchases_asof_clicks", asof.PURCHASES_ASOF_CLICKS_SQL)
+def q_asof(spark: SparkSession, sf_dir: str):
+    """As-of join: each purchase to the user's latest prior click
+    (union-tag plan, one shuffle — operators/asof.py)."""
+    return asof.purchases_asof_clicks(_tables(spark, sf_dir, ("events",))["events"])
+
+
+@register("clicks_before_purchase", rangejoin.CLICKS_BEFORE_PURCHASE_SQL)
+def q_range_join(spark: SparkSession, sf_dir: str):
+    """Bucketed interval join: clicks in the hour before each purchase
+    (operators/rangejoin.py — never materializes per-key cross products)."""
+    return rangejoin.clicks_before_purchase(
+        _tables(spark, sf_dir, ("events",))["events"]
+    )

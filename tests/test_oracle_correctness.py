@@ -83,6 +83,8 @@ _REPORT_EXEMPT = {
     "pii_scan",
     "chunk_documents",
     "pack_bins_summary",
+    "subquery_suite",
+    "events_gapfill_locf",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
