@@ -67,6 +67,8 @@ DEFAULT_HEADLINE = [
     "pii_scan",
     "token_count_bpe",
     "media_feature_extract",
+    "chunk_documents",
+    "events_gapfill_locf",
     "events_sessionize",
     "events_tumbling_hourly",
     "purchases_asof_clicks",
