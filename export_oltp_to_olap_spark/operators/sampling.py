@@ -194,3 +194,48 @@ FROM kept
 GROUP BY source
 ORDER BY source
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Per-row deterministic Bernoulli sampling with row-specific keep
+    probability ``weight_col`` (clamped to [0, 1]).
+
+    The third member of the sampling family (uniform / stratified /
+    weighted): keep row iff hash_bucket(key) < weight·65536, so
+    membership is a pure function of (key, salt, weight) — stable under
+    repartition/append like the others, and monotone in the weight (a
+    row kept at weight w stays kept at any w' > w, same salt).  The
+    standard quality-weighted corpus downsampling primitive: pass a
+    quality score as the weight and the kept set tracks it
+    deterministically.  Scale: map-side filter, zero shuffles.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(_hash_bucket(F.col(key_col), salt) < w * _BUCKETS)
+
+
+def weighted_sample_summary(documents: DataFrame) -> DataFrame:
+    """Registered face of `weighted_sample`: keep docs with probability
+    proportional to a length-based quality proxy; per-source yield."""
+    weight = F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0))
+    kept = weighted_sample(documents, "doc_id", weight)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT source, count(*) AS n_kept
+FROM documents
+WHERE CAST('0x' || substr(md5('weighted:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      < least(n_chars / 2000.0, 1.0) * {_BUCKETS}
+GROUP BY source
+ORDER BY source
+"""

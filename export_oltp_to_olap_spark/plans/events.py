@@ -400,10 +400,31 @@ def events_gapfill_locf(events: DataFrame, minutes: int = 10) -> DataFrame:
             F.expr(f"sequence(lo, hi, interval {int(minutes)} minutes)")
         ).alias("bucket_ts"),
     )
-    w = (
+    w_back = (
         Window.partitionBy("event_type")
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # Linear interpolation between the surrounding non-null buckets:
+    # x is epoch seconds (buckets are exact multiples of the grid, so
+    # the integer epochs — and therefore the interpolation arithmetic —
+    # are bit-identical across engines); ends without a neighbor stay
+    # NULL, like `interpolate` without a default.
+    x = F.unix_timestamp("bucket_ts")
+    obs_ts = F.when(F.col("value_sum").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("value_sum", ignorenulls=True).over(w_back)
+    prev_x = F.unix_timestamp(F.last(obs_ts, ignorenulls=True).over(w_back))
+    next_v = F.first("value_sum", ignorenulls=True).over(w_fwd)
+    next_x = F.unix_timestamp(F.first(obs_ts, ignorenulls=True).over(w_fwd))
+    interp = F.when(F.col("value_sum").isNotNull(), F.col("value_sum")).otherwise(
+        F.round(
+            prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x), 6
+        )
     )
     return (
         scaffold.join(per_bucket, ["event_type", "bucket_ts"], "left")
@@ -412,7 +433,8 @@ def events_gapfill_locf(events: DataFrame, minutes: int = 10) -> DataFrame:
             "bucket_ts",
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
             "value_sum",
-            F.last("value_sum", ignorenulls=True).over(w).alias("filled_value"),
+            prev_v.alias("filled_value"),
+            interp.alias("interp_value"),
             F.col("value_sum").isNull().alias("is_gap"),
         )
         .orderBy("event_type", "bucket_ts")
@@ -434,16 +456,38 @@ bounds AS (
 scaffold AS (
   SELECT b.event_type, CAST(g.g AS TIMESTAMP) AS bucket_ts
   FROM bounds b, unnest(generate_series(b.lo, b.hi, INTERVAL 10 MINUTE)) AS g(g)
+),
+joined AS (
+  SELECT s.event_type,
+         s.bucket_ts,
+         CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
+         p.value_sum,
+         CAST(epoch(s.bucket_ts) AS BIGINT) AS x,
+         CASE WHEN p.value_sum IS NOT NULL THEN s.bucket_ts END AS obs_ts
+  FROM scaffold s
+  LEFT JOIN per_bucket p USING (event_type, bucket_ts)
+),
+filled AS (
+  SELECT event_type, bucket_ts, n_events, value_sum, x,
+         last_value(value_sum IGNORE NULLS) OVER back AS prev_v,
+         CAST(epoch(last_value(obs_ts IGNORE NULLS) OVER back) AS BIGINT) AS prev_x,
+         first_value(value_sum IGNORE NULLS) OVER fwd AS next_v,
+         CAST(epoch(first_value(obs_ts IGNORE NULLS) OVER fwd) AS BIGINT) AS next_x
+  FROM joined
+  WINDOW back AS (PARTITION BY event_type ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
-SELECT s.event_type,
-       s.bucket_ts,
-       CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
-       p.value_sum,
-       last_value(p.value_sum IGNORE NULLS) OVER (
-           PARTITION BY s.event_type ORDER BY s.bucket_ts
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
-       p.value_sum IS NULL AS is_gap
-FROM scaffold s
-LEFT JOIN per_bucket p USING (event_type, bucket_ts)
-ORDER BY s.event_type, s.bucket_ts
+SELECT event_type,
+       bucket_ts,
+       n_events,
+       value_sum,
+       prev_v AS filled_value,
+       CASE WHEN value_sum IS NOT NULL THEN value_sum
+            ELSE round(prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x), 6)
+       END AS interp_value,
+       value_sum IS NULL AS is_gap
+FROM filled
+ORDER BY event_type, bucket_ts
 """

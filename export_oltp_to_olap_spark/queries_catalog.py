@@ -11,13 +11,14 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds eight new round-4 operators (normalized_dedup_documents,
+* Round 4 adds nine new round-4 operators (normalized_dedup_documents,
   decontaminate_documents, embedding_norm_stats, pii_scan,
   chunk_documents, pack_bins_summary, subquery_suite,
   events_gapfill_locf) to the window, displacing eight 3-round-green
   queries (events_json_stats, cdc_decode, events_tumbling_hourly,
   events_user_moving_value, events_sessionize, corpus_split_summary,
-  purchases_asof_clicks, clicks_before_purchase) to the tail.
+  purchases_asof_clicks, clicks_before_purchase) to the tail; a ninth
+  (weighted_sample_summary) displaces exact_dedup_documents.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -257,12 +258,6 @@ def q_cohort(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("exact_dedup_documents", neardup.EXACT_DEDUP_SQL)
-def q_exact_dedup(spark: SparkSession, sf_dir: str):
-    """Exact dedup: one keeper per distinct text."""
-    return neardup.exact_dedup_docs(_docs(spark, sf_dir))
-
-
 @register("normalized_dedup_documents", neardup.NORMALIZED_DEDUP_SQL)
 def q_normalized_dedup(spark: SparkSession, sf_dir: str):
     """Normalization-robust dedup (lowercase + punctuation/whitespace
@@ -283,6 +278,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str):
     """Per-stratum deterministic downsample yield (corpus balancing) —
     map-side hash membership, no shuffle before the final agg."""
     return sampling.stratified_sample_summary(_docs(spark, sf_dir))
+
+
+@register("weighted_sample_summary", sampling.WEIGHTED_SAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str):
+    """Quality-weighted deterministic Bernoulli sampling (per-row keep
+    probability = length proxy; map-side, zero shuffles)."""
+    return sampling.weighted_sample_summary(_docs(spark, sf_dir))
 
 
 @register("ngram_jaccard_neardup", neardup.NGRAM_JACCARD_SQL)
@@ -654,3 +656,9 @@ def q_range_join(spark: SparkSession, sf_dir: str):
     return rangejoin.clicks_before_purchase(
         _tables(spark, sf_dir, ("events",))["events"]
     )
+
+
+@register("exact_dedup_documents", neardup.EXACT_DEDUP_SQL)
+def q_exact_dedup(spark: SparkSession, sf_dir: str):
+    """Exact dedup: one keeper per distinct text."""
+    return neardup.exact_dedup_docs(_docs(spark, sf_dir))

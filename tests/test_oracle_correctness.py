@@ -85,6 +85,7 @@ _REPORT_EXEMPT = {
     "pack_bins_summary",
     "subquery_suite",
     "events_gapfill_locf",
+    "weighted_sample_summary",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",

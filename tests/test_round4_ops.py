@@ -289,3 +289,93 @@ def test_pack_sharding_preserves_totals_and_bounds_bins(spark):
         for r in sorted(g, key=lambda r: r["doc_id"]):
             assert r["start"] == acc
             acc += r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling / gap-fill interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_monotone_and_stable(spark, sf001):
+    from export_oltp_to_olap_spark.operators.sampling import weighted_sample
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    w_half = (F.col("n_chars") * 0 + 0.5).alias("w")
+    lo = {r["doc_id"] for r in weighted_sample(docs, "doc_id", F.lit(0.2)).collect()}
+    hi = {r["doc_id"] for r in weighted_sample(docs, "doc_id", F.lit(0.6)).collect()}
+    assert lo <= hi  # monotone: raising every weight only ADDS rows
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(13), "doc_id", F.lit(0.2)).collect()
+    }
+    assert lo == again  # membership is layout-independent
+    n = docs.count()
+    kept = len({r["doc_id"] for r in weighted_sample(docs, "doc_id", w_half).collect()})
+    assert abs(kept / n - 0.5) < 0.08  # rate tracks the weight
+
+
+def test_weighted_sample_clamps_degenerate_weights(spark):
+    from export_oltp_to_olap_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, -0.5), (2, 0.0), (3, 1.0), (4, 7.0)], "doc_id long, w double"
+    )
+    kept = {r["doc_id"] for r in weighted_sample(docs, "doc_id", "w").collect()}
+    assert 1 not in kept and 2 not in kept  # w <= 0 never keeps
+    assert 3 in kept and 4 in kept  # w >= 1 always keeps
+
+
+def test_gapfill_interpolation_on_crafted_series(spark):
+    import datetime
+
+    from export_oltp_to_olap_spark.plans.events import events_gapfill_locf
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # observations at buckets 0 and 30 min (grid 10 min) → two gap
+    # buckets at 10 and 20 min; value goes 3.0 → 9.0
+    events = spark.createDataFrame(
+        [
+            (1, at(1), 100, "a", 3.0, "{}"),
+            (2, at(31), 100, "a", 9.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = {
+        r["bucket_ts"].minute: r for r in events_gapfill_locf(events).collect()
+    }
+    assert sorted(rows) == [0, 10, 20, 30]
+    assert rows[10]["is_gap"] and rows[20]["is_gap"]
+    assert rows[10]["filled_value"] == 3.0 and rows[20]["filled_value"] == 3.0  # locf
+    assert abs(rows[10]["interp_value"] - 5.0) < 1e-9  # 3 + (9-3)*(10/30)
+    assert abs(rows[20]["interp_value"] - 7.0) < 1e-9
+    assert rows[0]["interp_value"] == 3.0 and rows[30]["interp_value"] == 9.0
+
+
+def test_gapfill_leading_and_trailing_gaps_stay_null_on_interp(spark):
+    import datetime
+
+    from export_oltp_to_olap_spark.plans.events import events_gapfill_locf
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # two series: 'b' has a single observation; scaffolds never extend
+    # beyond a series' own observed range, so no leading/trailing rows
+    # exist for it, while 'a' interpolates interior gaps only
+    events = spark.createDataFrame(
+        [
+            (1, t0, 100, "a", 2.0, "{}"),
+            (2, t0 + datetime.timedelta(minutes=21), 100, "a", 8.0, "{}"),
+            (3, t0 + datetime.timedelta(minutes=5), 100, "b", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = events_gapfill_locf(events).collect()
+    a_rows = [r for r in out if r["event_type"] == "a"]
+    b_rows = [r for r in out if r["event_type"] == "b"]
+    assert len(a_rows) == 3 and len(b_rows) == 1
+    assert all(r["interp_value"] is not None for r in a_rows)
+    assert b_rows[0]["interp_value"] == 1.0
