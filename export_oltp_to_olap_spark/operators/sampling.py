@@ -239,3 +239,61 @@ WHERE CAST('0x' || substr(md5('weighted:' || CAST(doc_id AS VARCHAR)), 1, 4) AS 
 GROUP BY source
 ORDER BY source
 """
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen in deterministic
+    hash order (a stable without-replacement draw — NOT value order, so
+    the kept set is an unbiased subsample rather than a top-k).
+
+    The quota primitive of corpus balancing: cap a dominant crawl dump
+    at N docs while small sources pass through whole.  Appends
+    ``sample_rank`` (1-based position in the stratum's hash order).
+    Membership is reproducible but, unlike the threshold samplers, NOT
+    append-stable: new rows hashing earlier can displace the rank-cap
+    boundary — use `stratified_sample` when append stability matters
+    (documented trade).  Scale: one shuffle on the stratum key; ranks
+    never materialize beyond each partition's sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= cap)
+    )
+
+
+def capped_corpus(documents: DataFrame, cap: int = 20) -> DataFrame:
+    """Registered face of `cap_per_stratum` over documents/source."""
+    kept = cap_per_stratum(documents, "doc_id", "source", cap)
+    return kept.select("source", "doc_id", "sample_rank").orderBy("source", "sample_rank")
+
+
+def capped_corpus_sql(cap: int = 20) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                           AS INTEGER),
+                      doc_id) AS BIGINT) AS sample_rank
+  FROM documents
+)
+SELECT source, doc_id, sample_rank
+FROM ranked
+WHERE sample_rank <= {cap}
+ORDER BY source, sample_rank
+"""
+
+
+CAPPED_CORPUS_SQL = capped_corpus_sql()

@@ -11,14 +11,15 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds nine new round-4 operators (normalized_dedup_documents,
+* Round 4 adds ten new round-4 operators (normalized_dedup_documents,
   decontaminate_documents, embedding_norm_stats, pii_scan,
   chunk_documents, pack_bins_summary, subquery_suite,
   events_gapfill_locf) to the window, displacing eight 3-round-green
   queries (events_json_stats, cdc_decode, events_tumbling_hourly,
   events_user_moving_value, events_sessionize, corpus_split_summary,
   purchases_asof_clicks, clicks_before_purchase) to the tail; a ninth
-  (weighted_sample_summary) displaces exact_dedup_documents.
+  (weighted_sample_summary) displaces exact_dedup_documents and a
+  tenth (capped_corpus) displaces text_fingerprints.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -280,6 +281,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str):
     return sampling.stratified_sample_summary(_docs(spark, sf_dir))
 
 
+@register("capped_corpus", sampling.CAPPED_CORPUS_SQL)
+def q_capped_corpus(spark: SparkSession, sf_dir: str):
+    """Per-source quota cap in deterministic hash order (corpus
+    balancing: cap dominant sources, pass small ones through)."""
+    return sampling.capped_corpus(_docs(spark, sf_dir))
+
+
 @register("weighted_sample_summary", sampling.WEIGHTED_SAMPLE_SQL)
 def q_weighted_sample(spark: SparkSession, sf_dir: str):
     """Quality-weighted deterministic Bernoulli sampling (per-row keep
@@ -406,12 +414,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str):
 def q_text_lang(spark: SparkSession, sf_dir: str):
     """Marker-stopword language identification."""
     return text_queries.text_lang_id(_docs(spark, sf_dir))
-
-
-@register("text_fingerprints", text_queries.TEXT_FINGERPRINTS_SQL)
-def q_text_fp(spark: SparkSession, sf_dir: str):
-    """md5 + token-set content fingerprints."""
-    return text_queries.text_fingerprints(_docs(spark, sf_dir))
 
 
 @register("token_stats_by_source", text_queries.TOKEN_STATS_SQL)
@@ -662,3 +664,9 @@ def q_range_join(spark: SparkSession, sf_dir: str):
 def q_exact_dedup(spark: SparkSession, sf_dir: str):
     """Exact dedup: one keeper per distinct text."""
     return neardup.exact_dedup_docs(_docs(spark, sf_dir))
+
+
+@register("text_fingerprints", text_queries.TEXT_FINGERPRINTS_SQL)
+def q_text_fp(spark: SparkSession, sf_dir: str):
+    """md5 + token-set content fingerprints."""
+    return text_queries.text_fingerprints(_docs(spark, sf_dir))

@@ -86,6 +86,7 @@ _REPORT_EXEMPT = {
     "subquery_suite",
     "events_gapfill_locf",
     "weighted_sample_summary",
+    "capped_corpus",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",

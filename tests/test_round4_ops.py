@@ -379,3 +379,34 @@ def test_gapfill_leading_and_trailing_gaps_stay_null_on_interp(spark):
     assert len(a_rows) == 3 and len(b_rows) == 1
     assert all(r["interp_value"] is not None for r in a_rows)
     assert b_rows[0]["interp_value"] == 1.0
+
+
+def test_cap_per_stratum_quota_and_hash_order(spark, sf001):
+    from export_oltp_to_olap_spark.operators.sampling import cap_per_stratum
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    kept = cap_per_stratum(docs, "doc_id", "source", cap=5).collect()
+    per_src = {}
+    for r in kept:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) <= 5 for v in per_src.values())
+    # hash order, not id order: at least one stratum keeps a non-prefix set
+    full = {}
+    for r in docs.select("source", "doc_id").collect():
+        full.setdefault(r["source"], []).append(r["doc_id"])
+    assert any(
+        sorted(per_src[s]) != sorted(full[s])[:5]
+        for s in per_src
+        if len(full[s]) > 5
+    )
+    # strata smaller than the cap pass through whole
+    for s, ids in full.items():
+        if len(ids) <= 5:
+            assert sorted(per_src[s]) == sorted(ids)
+    # reproducible under repartition
+    again = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_stratum(docs.repartition(13), "doc_id", "source", 5).collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in kept}
