@@ -491,3 +491,103 @@ SELECT event_type,
 FROM filled
 ORDER BY event_type, bucket_ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (deterministic variance)
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly_zscore(
+    events: DataFrame, minutes: int = 10, lookback: int = 12, min_obs: int = 6
+) -> DataFrame:
+    """Per-series anomaly score: each bucket's value vs the rolling
+    mean/std of the previous ``lookback`` buckets (current excluded, so
+    an outlier can't mask itself).
+
+    Cross-engine determinism for VARIANCE — the classic float trap —
+    follows the exact_sum recipe end-to-end: the rolling Σv and Σv² are
+    accumulated in DECIMAL over the scale-2 ``value_sum`` (whose squares
+    are scale-4, still exact), rounded to scale 2/4 — exactly
+    representable in a double below 2^53 — and only then does double
+    arithmetic (identical IEEE ops both engines) produce mean, std, z.
+    Buckets with < ``min_obs`` history or zero variance score NULL.
+
+    Scale: one (series, bucket) agg + one bounded ROWS window per
+    series — same layout as the gap-fill query.
+    """
+    bucket = F.to_timestamp(
+        F.from_unixtime(F.floor(F.unix_timestamp("ts") / (minutes * 60)) * (minutes * 60))
+    )
+    per_bucket = (
+        events.select("event_type", bucket.alias("bucket_ts"), "value")
+        .groupBy("event_type", "bucket_ts")
+        .agg(exact_sum("value").alias("value_sum"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count("value_sum").over(w)
+    s = F.round(F.sum(F.col("value_sum").cast("decimal(28,10)")).over(w), 2).cast("double")
+    ss = F.round(
+        F.sum((F.col("value_sum") * F.col("value_sum")).cast("decimal(38,10)")).over(w), 4
+    ).cast("double")
+    mean = s / n
+    # greatest(…, 0): catastrophic cancellation can land a zero variance
+    # a hair below 0; Spark sqrt(neg) yields NaN silently, DuckDB errors
+    var = F.greatest(ss / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when((n >= min_obs) & (std > 0), F.round((F.col("value_sum") - mean) / std, 6))
+    return per_bucket.select(
+        "event_type",
+        "bucket_ts",
+        "value_sum",
+        n.cast("long").alias("n_window"),
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(std, 6).alias("roll_std"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("event_type", "bucket_ts")
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH per_bucket AS (
+  SELECT event_type,
+         CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS TIMESTAMP)
+           AS bucket_ts,
+         {EXACT_SUM_SQL.format(expr="value")} AS value_sum
+  FROM events
+  GROUP BY 1, 2
+),
+rolled AS (
+  SELECT event_type, bucket_ts, value_sum,
+         count(value_sum) OVER lb AS n_window,
+         CAST(round(SUM(CAST(value_sum AS DECIMAL(28,10))) OVER lb, 2) AS DOUBLE) AS s,
+         CAST(round(SUM(CAST(value_sum * value_sum AS DECIMAL(38,10))) OVER lb, 4)
+              AS DOUBLE) AS ss
+  FROM per_bucket
+  WINDOW lb AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+),
+stats AS (
+  SELECT event_type, bucket_ts, value_sum, n_window, s,
+         sqrt(greatest(ss / n_window - (s / n_window) * (s / n_window), 0.0)) AS std
+  FROM rolled
+)
+SELECT event_type,
+       bucket_ts,
+       value_sum,
+       CAST(n_window AS BIGINT) AS n_window,
+       round(s / n_window, 6) AS roll_mean,
+       round(std, 6) AS roll_std,
+       CASE WHEN n_window >= 6 AND std > 0
+            THEN round((value_sum - s / n_window) / std, 6)
+       END AS zscore,
+       coalesce(abs(CASE WHEN n_window >= 6 AND std > 0
+                         THEN round((value_sum - s / n_window) / std, 6)
+                    END) > 3.0, false) AS is_anomaly
+FROM stats
+ORDER BY event_type, bucket_ts
+"""

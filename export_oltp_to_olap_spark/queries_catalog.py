@@ -11,7 +11,7 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds ten new round-4 operators (normalized_dedup_documents,
+* Round 4 adds eleven new round-4 operators (normalized_dedup_documents,
   decontaminate_documents, embedding_norm_stats, pii_scan,
   chunk_documents, pack_bins_summary, subquery_suite,
   events_gapfill_locf) to the window, displacing eight 3-round-green
@@ -19,7 +19,8 @@ driver row across rounds, the order is rotated each round:
   events_user_moving_value, events_sessionize, corpus_split_summary,
   purchases_asof_clicks, clicks_before_purchase) to the tail; a ninth
   (weighted_sample_summary) displaces exact_dedup_documents and a
-  tenth (capped_corpus) displaces text_fingerprints.
+  tenth (capped_corpus) displaces text_fingerprints, an eleventh
+  (events_anomaly_zscore) displaces text_lang_id.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -215,6 +216,13 @@ def q_subquery_suite(spark: SparkSession, sf_dir: str):
     return analytic.subquery_suite(_tables(spark, sf_dir))
 
 
+@register("events_anomaly_zscore", events_plans.ANOMALY_ZSCORE_SQL)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str):
+    """Rolling z-score anomaly detection per series — deterministic
+    cross-engine VARIANCE via decimal-exact rolling sums."""
+    return events_plans.events_anomaly_zscore(_tables(spark, sf_dir, ("events",))["events"])
+
+
 @register("events_gapfill_locf", events_plans.GAPFILL_LOCF_SQL)
 def q_gapfill(spark: SparkSession, sf_dir: str):
     """Hypertable-style gap filling: dense 10-minute series grid with
@@ -408,12 +416,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str):
 def q_text_quality(spark: SparkSession, sf_dir: str):
     """Quality features + blended score per document."""
     return text_queries.text_quality(_docs(spark, sf_dir))
-
-
-@register("text_lang_id", text_queries.TEXT_LANG_ID_SQL)
-def q_text_lang(spark: SparkSession, sf_dir: str):
-    """Marker-stopword language identification."""
-    return text_queries.text_lang_id(_docs(spark, sf_dir))
 
 
 @register("token_stats_by_source", text_queries.TOKEN_STATS_SQL)
@@ -670,3 +672,9 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str):
 def q_text_fp(spark: SparkSession, sf_dir: str):
     """md5 + token-set content fingerprints."""
     return text_queries.text_fingerprints(_docs(spark, sf_dir))
+
+
+@register("text_lang_id", text_queries.TEXT_LANG_ID_SQL)
+def q_text_lang(spark: SparkSession, sf_dir: str):
+    """Marker-stopword language identification."""
+    return text_queries.text_lang_id(_docs(spark, sf_dir))

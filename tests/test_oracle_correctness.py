@@ -87,6 +87,7 @@ _REPORT_EXEMPT = {
     "events_gapfill_locf",
     "weighted_sample_summary",
     "capped_corpus",
+    "events_anomaly_zscore",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",

@@ -410,3 +410,31 @@ def test_cap_per_stratum_quota_and_hash_order(spark, sf001):
         for r in cap_per_stratum(docs.repartition(13), "doc_id", "source", 5).collect()
     }
     assert again == {(r["source"], r["doc_id"]) for r in kept}
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    import datetime
+
+    from export_oltp_to_olap_spark.plans.events import events_anomaly_zscore
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 20 calm buckets alternating 10/12, then one 100.0 spike
+    for i in range(20):
+        rows.append(
+            (i, t0 + datetime.timedelta(minutes=10 * i), 1, "a",
+             10.0 if i % 2 == 0 else 12.0, "{}")
+        )
+    rows.append((99, t0 + datetime.timedelta(minutes=200), 1, "a", 100.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = sorted(
+        events_anomaly_zscore(events).collect(), key=lambda r: r["bucket_ts"]
+    )
+    assert not any(r["is_anomaly"] for r in out[:-1])  # calm series stays calm
+    spike = out[-1]
+    assert spike["is_anomaly"] and spike["zscore"] > 3
+    # early buckets with too little history score NULL, not false alarms
+    assert all(r["zscore"] is None for r in out[:6])
