@@ -11,7 +11,7 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds eleven new round-4 operators (normalized_dedup_documents,
+* Round 4 adds twelve new round-4 operators (normalized_dedup_documents,
   decontaminate_documents, embedding_norm_stats, pii_scan,
   chunk_documents, pack_bins_summary, subquery_suite,
   events_gapfill_locf) to the window, displacing eight 3-round-green
@@ -20,7 +20,8 @@ driver row across rounds, the order is rotated each round:
   purchases_asof_clicks, clicks_before_purchase) to the tail; a ninth
   (weighted_sample_summary) displaces exact_dedup_documents and a
   tenth (capped_corpus) displaces text_fingerprints, an eleventh
-  (events_anomaly_zscore) displaces text_lang_id.
+  (events_anomaly_zscore) displaces text_lang_id, a twelfth
+  (dim_cliente_scd2) displaces token_count_bpe.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -50,6 +51,7 @@ from export_oltp_to_olap_spark.operators import (
     neardup,
     rangejoin,
     sampling,
+    scd,
     semdedup,
     similarity,
 )
@@ -142,6 +144,14 @@ def q_incremental_hecho(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 # Analytic-surface breadth (§2.B/D/G/H + grouping sets, windows, sketches)
 # ---------------------------------------------------------------------------
+
+
+@register("dim_cliente_scd2", scd.DIM_CLIENTE_SCD2_SQL)
+def q_scd2(spark: SparkSession, sf_dir: str):
+    """SCD Type-2 versioned dimension: the J2 fan-out kept as validity-
+    bounded history instead of destroyed by last-write-wins."""
+    oltp = _oltp(spark, sf_dir)
+    return scd.dim_cliente_scd2(oltp["clientes"], oltp["orden"])
 
 
 @register("rollup_revenue", analytic.ROLLUP_REVENUE_SQL)
@@ -424,12 +434,6 @@ def q_token_stats(spark: SparkSession, sf_dir: str):
     return text_queries.token_stats_by_source(_docs(spark, sf_dir))
 
 
-@register("token_count_bpe", text_queries.TOKEN_COUNT_BPE_SQL)
-def q_token_bpe(spark: SparkSession, sf_dir: str):
-    """Whitespace + BPE-ish subword token counting per document."""
-    return text_queries.token_count_bpe(_docs(spark, sf_dir))
-
-
 @register("pii_scan", text_queries.PII_SCAN_SQL)
 def q_pii_scan(spark: SparkSession, sf_dir: str):
     """PII scan + redaction fingerprint (email/IPv4/phone, RE2-and-Java
@@ -678,3 +682,9 @@ def q_text_fp(spark: SparkSession, sf_dir: str):
 def q_text_lang(spark: SparkSession, sf_dir: str):
     """Marker-stopword language identification."""
     return text_queries.text_lang_id(_docs(spark, sf_dir))
+
+
+@register("token_count_bpe", text_queries.TOKEN_COUNT_BPE_SQL)
+def q_token_bpe(spark: SparkSession, sf_dir: str):
+    """Whitespace + BPE-ish subword token counting per document."""
+    return text_queries.token_count_bpe(_docs(spark, sf_dir))

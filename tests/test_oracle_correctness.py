@@ -88,6 +88,7 @@ _REPORT_EXEMPT = {
     "weighted_sample_summary",
     "capped_corpus",
     "events_anomaly_zscore",
+    "dim_cliente_scd2",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",

@@ -438,3 +438,26 @@ def test_anomaly_zscore_flags_planted_spike(spark):
     assert spike["is_anomaly"] and spike["zscore"] > 3
     # early buckets with too little history score NULL, not false alarms
     assert all(r["zscore"] is None for r in out[:6])
+
+
+def test_scd2_reverting_value_starts_new_version(spark):
+    from export_oltp_to_olap_spark.operators.scd import scd2_versions
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "A"), (1, 11, "A"),  # run 1: A
+            (1, 12, "B"),                # run 2: B
+            (1, 13, "A"),                # run 3: A again — NOT merged with run 1
+            (2, 20, None), (2, 21, None),  # null-safe: one version
+            (2, 22, "C"),
+        ],
+        "k long, seq long, attr string",
+    )
+    rows = scd2_versions(changes, "k", "seq", ["attr"]).collect()
+    k1 = [r for r in rows if r["k"] == 1]
+    assert [(r["version_seq"], r["attr"]) for r in k1] == [(1, "A"), (2, "B"), (3, "A")]
+    assert [(r["valid_from"], r["valid_to"]) for r in k1] == [(10, 12), (12, 13), (13, None)]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    assert [r["n_observations"] for r in k1] == [2, 1, 1]
+    k2 = [r for r in rows if r["k"] == 2]
+    assert [(r["version_seq"], r["attr"]) for r in k2] == [(1, None), (2, "C")]
