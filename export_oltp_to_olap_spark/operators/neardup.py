@@ -362,12 +362,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_N_HASHES) -> Dat
     )
 
 
-def _minhash_band_candidates(
-    sets: DataFrame, n_hashes: int, band_r: int
-) -> DataFrame:
-    """Banded LSH candidate (doc_a, doc_b) pairs from compact shingle-set
-    rows — the pair-generation stage of ``minhash_lsh_neardup``, exposed
-    for candidate-volume measurement (tests/test_scale_growth.py)."""
+def _minhash_bands(sets: DataFrame, n_hashes: int, band_r: int) -> DataFrame:
+    """(doc_id, band, k0..k{R-1}) banded signature rows — the LSH index
+    table both the self-join (full dedup) and the delta probe join use."""
     n_bands = n_hashes // band_r
     wide = _minhash_wide(sets, n_hashes)
     band_tuples = ", ".join(
@@ -375,10 +372,20 @@ def _minhash_band_candidates(
         for bnd in range(n_bands)
     )
     key_cols = [f"k{r}" for r in range(band_r)]
-    bands = wide.select(
+    return wide.select(
         "doc_id",
         F.expr(f"stack({n_bands}, {band_tuples}) AS (band, {', '.join(key_cols)})"),
     )
+
+
+def _minhash_band_candidates(
+    sets: DataFrame, n_hashes: int, band_r: int
+) -> DataFrame:
+    """Banded LSH candidate (doc_a, doc_b) pairs from compact shingle-set
+    rows — the pair-generation stage of ``minhash_lsh_neardup``, exposed
+    for candidate-volume measurement (tests/test_scale_growth.py)."""
+    key_cols = [f"k{r}" for r in range(band_r)]
+    bands = _minhash_bands(sets, n_hashes, band_r)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -835,4 +842,95 @@ SELECT min(doc_id) AS keeper_doc_id,
        md5(canon) AS canon_fp
 FROM canon
 GROUP BY canon
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: delta batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def _verify_jaccard(candidates: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against
+    compact shingle-set rows (the `minhash_lsh_neardup` verify stage)."""
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_neardup_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    n_hashes: int = MINHASH_N_HASHES,
+    threshold: float = 0.8,
+    band_r: int = MINHASH_BAND_R,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new delta batch, without re-pairing the
+    existing corpus against itself.
+
+    The nightly-ingest form of MinHash dedup: with C corpus docs and
+    D ≪ C new docs, the full run re-generates O(pairs(C+D)) candidates;
+    this one probes the corpus band index with only the delta's bands —
+    candidates = (delta × corpus band collisions) + (delta-internal
+    pairs).  EQUIVALENCE (pinned by the driver oracle and
+    tests/test_round4_ops.py): output = `minhash_lsh_neardup(corpus ∪
+    delta)` restricted to pairs with ≥ 1 delta member, pairs normalized
+    doc_a < doc_b.  Assumes corpus and delta doc_ids are disjoint.
+
+    Scale: the corpus band index is exactly the table a production
+    pipeline persists between runs (bucketed by band keys, the probe
+    join is then shuffle-free); here it's derived in-plan.
+    """
+    sets_c = doc_shingle_sets(corpus)
+    sets_d = doc_shingle_sets(delta).persist()
+    key_cols = [f"k{r}" for r in range(band_r)]
+    bands_c = _minhash_bands(sets_c, n_hashes, band_r)
+    bands_d = _minhash_bands(sets_d, n_hashes, band_r)
+    d, c = bands_d.alias("d"), bands_c.alias("c")
+    cross = (
+        d.join(
+            c,
+            on=[
+                F.col("d.band") == F.col("c.band"),
+                *[F.col(f"d.{k}") == F.col(f"c.{k}") for k in key_cols],
+            ],
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("c.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("c.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    within = _minhash_band_candidates(sets_d, n_hashes, band_r)
+    candidates = cross.unionByName(within).distinct()
+    all_sets = sets_c.unionByName(sets_d)
+    return _verify_jaccard(candidates, all_sets, threshold)
+
+
+def minhash_delta_neardup_docs(docs: DataFrame) -> DataFrame:
+    """Fixture face of `minhash_lsh_neardup_delta`: docs with
+    ``doc_id % 10 == 7`` arrive as the new batch, the rest are the
+    standing corpus.  The driver oracle states the equivalence claim
+    directly: the FULL pair run restricted to delta-touching pairs."""
+    delta = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    return minhash_lsh_neardup_delta(corpus, delta).orderBy("doc_a", "doc_b")
+
+
+MINHASH_DELTA_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
+WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+ORDER BY doc_a, doc_b
 """

