@@ -6,7 +6,7 @@ quality scoring, token stats, and content fingerprints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import (
@@ -463,3 +463,91 @@ FROM documents
 
 
 PII_SCAN_SQL = _pii_sql()
+
+
+# ---------------------------------------------------------------------------
+# Split drift report (train-vs-test distribution shift)
+# ---------------------------------------------------------------------------
+
+
+def split_drift_report(docs: DataFrame) -> DataFrame:
+    """Per-bin distribution comparison of the quality score between the
+    train and test splits — the pre-training sanity check that a
+    deterministic split didn't land a skewed eval set (and, run over
+    time-versioned corpora, the drift monitor between corpus releases).
+
+    Quality scores bin into 10 fixed-width buckets; each bin reports
+    exact counts and the train/test probability masses plus their
+    absolute difference (per-bin total-variation contribution — TVD/2 is
+    the sum; deliberately NOT KL/PSI: no logarithms, so every number is
+    pure integer-ratio arithmetic, bit-identical cross-engine).
+
+    Scale: split assignment and binning are map-side; one partial-
+    aggregated groupBy on 10 bins; the pivot is a 10-row driver-side
+    reshape Catalyst folds into the same agg.
+    """
+    from export_oltp_to_olap_spark.operators.sampling import assign_splits
+
+    assigned = assign_splits(docs.select("doc_id", "text"), "doc_id")
+    binned = assigned.where(F.col("split").isin("train", "test")).select(
+        "split",
+        F.least(F.floor(quality_score("text") * 10).cast("int"), F.lit(9)).alias("bin"),
+    )
+    counts = (
+        binned.groupBy("bin")
+        .pivot("split", ["train", "test"])
+        .count()
+        .na.fill(0, ["train", "test"])
+    )
+    tot_train = F.sum("train").over(Window.partitionBy())
+    tot_test = F.sum("test").over(Window.partitionBy())
+    p = F.round(F.col("train") / tot_train, 6)
+    q = F.round(F.col("test") / tot_test, 6)
+    return (
+        counts.select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("train").cast("long").alias("n_train"),
+            F.col("test").cast("long").alias("n_test"),
+            p.alias("p_train"),
+            q.alias("p_test"),
+            F.round(F.abs(p - q), 6).alias("abs_diff"),
+        )
+        .orderBy("bin")
+    )
+
+
+SPLIT_DRIFT_SQL = rf"""
+WITH {quality_feats_cte()},
+scored AS (
+  SELECT doc_id, {QUALITY_EXPR_SQL} AS quality FROM feats
+),
+assigned AS (
+  SELECT s.doc_id, s.quality,
+         CASE
+           WHEN CAST('0x' || substr(md5('split:' || CAST(s.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                < 52428 THEN 'train'
+           WHEN CAST('0x' || substr(md5('split:' || CAST(s.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                >= 58982 THEN 'test'
+         END AS split
+  FROM scored s
+),
+binned AS (
+  SELECT split, least(CAST(floor(quality * 10) AS INTEGER), 9) AS bin
+  FROM assigned WHERE split IS NOT NULL
+),
+counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM binned GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       n_train,
+       n_test,
+       round(n_train / (SELECT sum(n_train) FROM counts), 6) AS p_train,
+       round(n_test / (SELECT sum(n_test) FROM counts), 6) AS p_test,
+       round(abs(round(n_train / (SELECT sum(n_train) FROM counts), 6)
+                 - round(n_test / (SELECT sum(n_test) FROM counts), 6)), 6) AS abs_diff
+FROM counts
+ORDER BY bin
+"""

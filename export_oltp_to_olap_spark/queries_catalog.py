@@ -11,7 +11,7 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds thirteen new round-4 operators (normalized_dedup_documents,
+* Round 4 adds fourteen new round-4 operators (normalized_dedup_documents,
   decontaminate_documents, embedding_norm_stats, pii_scan,
   chunk_documents, pack_bins_summary, subquery_suite,
   events_gapfill_locf) to the window, displacing eight 3-round-green
@@ -22,7 +22,8 @@ driver row across rounds, the order is rotated each round:
   tenth (capped_corpus) displaces text_fingerprints, an eleventh
   (events_anomaly_zscore) displaces text_lang_id, a twelfth
   (dim_cliente_scd2) displaces token_count_bpe, a thirteenth
-  (minhash_delta_neardup) displaces media_metadata_stats.
+  (minhash_delta_neardup) displaces media_metadata_stats, a fourteenth
+  (split_drift_report) displaces simhash_fingerprints.
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
@@ -342,12 +343,6 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str):
     return neardup.minhash_neardup_clusters(_docs(spark, sf_dir))
 
 
-@register("simhash_fingerprints", neardup.SIMHASH_FP_SQL)
-def q_simhash_fp(spark: SparkSession, sf_dir: str):
-    """60-bit SimHash fingerprints (engine-portable bit arithmetic)."""
-    return neardup.simhash_fingerprints(_docs(spark, sf_dir))
-
-
 @register("simhash_near_dup", neardup.SIMHASH_NEARDUP_SQL)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str):
     """SimHash pairs with Hamming distance ≤ 8."""
@@ -448,6 +443,13 @@ def q_pii_scan(spark: SparkSession, sf_dir: str):
     """PII scan + redaction fingerprint (email/IPv4/phone, RE2-and-Java
     compatible patterns, zero UDFs, map-only)."""
     return text_queries.pii_scan(_docs(spark, sf_dir))
+
+
+@register("split_drift_report", text_queries.SPLIT_DRIFT_SQL)
+def q_split_drift(spark: SparkSession, sf_dir: str):
+    """Train-vs-test quality-distribution drift per bin (TVD terms —
+    log-free, so every value is exact integer-ratio arithmetic)."""
+    return text_queries.split_drift_report(_docs(spark, sf_dir))
 
 
 @register("tfidf_top_terms", text_queries.TFIDF_TOP_TERMS_SQL)
@@ -697,3 +699,9 @@ def q_token_bpe(spark: SparkSession, sf_dir: str):
 def q_media_metadata(spark: SparkSession, sf_dir: str):
     """Metadata-only profile of binary media (no decode, no Python)."""
     return media.media_metadata_stats(_docs(spark, sf_dir))
+
+
+@register("simhash_fingerprints", neardup.SIMHASH_FP_SQL)
+def q_simhash_fp(spark: SparkSession, sf_dir: str):
+    """60-bit SimHash fingerprints (engine-portable bit arithmetic)."""
+    return neardup.simhash_fingerprints(_docs(spark, sf_dir))

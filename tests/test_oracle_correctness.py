@@ -90,6 +90,7 @@ _REPORT_EXEMPT = {
     "events_anomaly_zscore",
     "dim_cliente_scd2",
     "minhash_delta_neardup",
+    "split_drift_report",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
