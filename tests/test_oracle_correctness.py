@@ -91,6 +91,23 @@ _REPORT_EXEMPT = {
     "dim_cliente_scd2",
     "minhash_delta_neardup",
     "split_drift_report",
+    # Rotated OUT mid-round-4 to make window room for the 14 new
+    # round-4 queries (each hash-match green in r01 AND r02 AND r03;
+    # present in r03's report, absent from r04's):
+    "events_json_stats",
+    "cdc_decode",
+    "events_tumbling_hourly",
+    "events_user_moving_value",
+    "events_sessionize",
+    "corpus_split_summary",
+    "purchases_asof_clicks",
+    "clicks_before_purchase",
+    "exact_dedup_documents",
+    "text_fingerprints",
+    "text_lang_id",
+    "token_count_bpe",
+    "media_metadata_stats",
+    "simhash_fingerprints",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
