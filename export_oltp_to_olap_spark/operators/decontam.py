@@ -18,7 +18,8 @@ Shape (all built-in expressions, no UDFs):
 3. Corpus side: per-doc DISTINCT n-grams (`array_distinct` map-side,
    so a doc repeating one benchmark phrase 100× still counts once),
    exploded to (doc_id, gram) rows.
-4. Inner join corpus grams → eval grams, count hits per doc.
+4. LEFT join corpus grams → broadcast eval grams; one aggregation per
+   doc yields both the gram total and the hit count.
 
 Scale: the eval set is benchmark-sized (thousands of docs — tiny next
 to a 100 TB corpus), so its distinct-gram set is explicitly
