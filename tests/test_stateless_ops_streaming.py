@@ -1,0 +1,70 @@
+"""The stateless round-4 text ops (chunking, PII scan) are streaming-
+safe as-is: pure map-side plans run unchanged on a readStream source
+and emit exactly the batch result for any micro-batch slicing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from export_oltp_to_olap_spark.operators.chunking import chunk_documents
+from export_oltp_to_olap_spark.plans.text_queries import pii_scan
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def _feed(tmp_path, rows):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    chunks = [rows[:77], rows[77:200], rows[200:]]
+    for i, chunk in enumerate(chunks):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    return feed
+
+
+def _drain(df, ckpt):
+    out = []
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _: out.extend(b.collect()))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def test_chunking_and_pii_stream_equals_batch(spark, sf001, tmp_path):
+    docs = load_tables(spark, sf001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    feed = _feed(tmp_path, rows)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+
+    got_chunks = {
+        (r["doc_id"], r["chunk_index"]): (r["n_tokens"], r["chunk_fp"])
+        for r in _drain(chunk_documents(stream), tmp_path / "ck1")
+    }
+    want_chunks = {
+        (r["doc_id"], r["chunk_index"]): (r["n_tokens"], r["chunk_fp"])
+        for r in chunk_documents(docs).collect()
+    }
+    assert got_chunks == want_chunks
+
+    got_pii = {r["doc_id"]: tuple(r) for r in _drain(pii_scan(stream), tmp_path / "ck2")}
+    want_pii = {r["doc_id"]: tuple(r) for r in pii_scan(docs).collect()}
+    assert got_pii == want_pii
