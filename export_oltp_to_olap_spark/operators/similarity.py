@@ -558,6 +558,11 @@ def sampled_train_matrix(vectors: DataFrame, cap: int = TRAIN_SAMPLE_CAP):
         .select("e")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "empty training sample: quantizer training (IVF k-means / PQ "
+            "codebooks) requires a non-empty vector table"
+        )
     return np.asarray([r.e for r in rows], dtype=np.float64)
 
 
