@@ -94,9 +94,12 @@ def quality_features(text: Column | str) -> dict[str, Column]:
         "n_chars": n_chars,
         "n_tokens": n_tokens,
         "n_distinct_tokens": n_distinct,
-        "punct_ratio": n_punct / n_chars,
-        "digit_ratio": n_digits / n_chars,
-        "space_ratio": n_spaces / n_chars,
+        # greatest(n_chars, 1): empty/NULL text must yield 0-ish ratios,
+        # not an ANSI divide-by-zero (fixture docs are never empty, so
+        # oracle values are unchanged; the SQL side carries the same guard)
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "digit_ratio": n_digits / F.greatest(n_chars, F.lit(1)),
+        "space_ratio": n_spaces / F.greatest(n_chars, F.lit(1)),
         "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1)),
         "distinct_ratio": n_distinct / F.greatest(n_tokens, F.lit(1)),
     }

@@ -69,15 +69,15 @@ feats AS (
 # that derives `quality` (mirror of `quality_score`).
 QUALITY_EXPR_SQL = """0.4 * (n_distinct_tokens / greatest(n_tokens, 1))
        + 0.3 * (n_stop / greatest(n_tokens, 1))
-       + 0.2 * (1.0 - n_punct / n_chars)
-       + 0.1 * (1.0 - n_digits / n_chars)"""
+       + 0.2 * (1.0 - n_punct / greatest(n_chars, 1))
+       + 0.1 * (1.0 - n_digits / greatest(n_chars, 1))"""
 
 
 TEXT_QUALITY_SQL = rf"""
 WITH {quality_feats_cte()}
 SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
-       n_punct / n_chars AS punct_ratio,
-       n_spaces / n_chars AS space_ratio,
+       n_punct / greatest(n_chars, 1) AS punct_ratio,
+       n_spaces / greatest(n_chars, 1) AS space_ratio,
        n_stop / greatest(n_tokens, 1) AS stopword_ratio,
        n_distinct_tokens / greatest(n_tokens, 1) AS distinct_ratio,
        {QUALITY_EXPR_SQL} AS quality
@@ -499,8 +499,10 @@ def split_drift_report(docs: DataFrame) -> DataFrame:
         .count()
         .na.fill(0, ["train", "test"])
     )
-    tot_train = F.sum("train").over(Window.partitionBy())
-    tot_test = F.sum("test").over(Window.partitionBy())
+    # greatest(…, 1): an EMPTY split (tiny corpus, skewed hash draw)
+    # must report zero mass, not divide by zero / diverge from DuckDB
+    tot_train = F.greatest(F.sum("train").over(Window.partitionBy()), F.lit(1))
+    tot_test = F.greatest(F.sum("test").over(Window.partitionBy()), F.lit(1))
     p = F.round(F.col("train") / tot_train, 6)
     q = F.round(F.col("test") / tot_test, 6)
     return (
@@ -544,10 +546,10 @@ counts AS (
 SELECT CAST(bin AS BIGINT) AS bin,
        n_train,
        n_test,
-       round(n_train / (SELECT sum(n_train) FROM counts), 6) AS p_train,
-       round(n_test / (SELECT sum(n_test) FROM counts), 6) AS p_test,
-       round(abs(round(n_train / (SELECT sum(n_train) FROM counts), 6)
-                 - round(n_test / (SELECT sum(n_test) FROM counts), 6)), 6) AS abs_diff
+       round(n_train / (SELECT greatest(sum(n_train), 1) FROM counts), 6) AS p_train,
+       round(n_test / (SELECT greatest(sum(n_test), 1) FROM counts), 6) AS p_test,
+       round(abs(round(n_train / (SELECT greatest(sum(n_train), 1) FROM counts), 6)
+                 - round(n_test / (SELECT greatest(sum(n_test), 1) FROM counts), 6)), 6) AS abs_diff
 FROM counts
 ORDER BY bin
 """

@@ -487,3 +487,39 @@ def test_minhash_delta_equals_full_run_restriction(spark, sf001):
     }
     assert want, "no delta-touching pairs in the fixture — vacuous"
     assert got == want
+
+
+def test_text_ops_survive_null_and_empty_text(spark):
+    """NULL/empty text rows (real pipelines have them) must not crash
+    the quality/drift path — found as ANSI divide-by-zero in round 4."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        pii_scan as pii,
+        split_drift_report,
+        text_quality,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "normal text here", "en", "a", 16),
+            (2, None, "en", "a", None),
+            (3, "", "en", "b", 0),
+            (4, "x y z w v", "en", "b", 9),
+        ],
+        schema,
+    )
+    tq_rows = {r["doc_id"]: r for r in text_quality(docs).collect()}
+    assert len(tq_rows) == 4
+    assert tq_rows[3]["punct_ratio"] == 0.0  # guarded, not an exception
+    assert split_drift_report(docs).collect() is not None
+    assert len(pii(docs).collect()) == 4
