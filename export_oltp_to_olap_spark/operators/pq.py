@@ -108,7 +108,9 @@ def _encode_udf(codebooks):
 def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
     """(vec_id, codes): the compressed index — M ints per vector."""
     encode = _encode_udf(codebooks)
-    return embeddings.select("vec_id", encode(F.col("embedding")).alias("codes"))
+    return embeddings.where(F.col("embedding").isNotNull()).select(
+        "vec_id", encode(F.col("embedding")).alias("codes")
+    )
 
 
 def _adc_udf(codebooks):

@@ -102,9 +102,15 @@ PRESCORE_MARGIN = 1e-6
 def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Append the L2 norm — spread first: every similarity plan layers its
     per-row arithmetic (norms, band keys, pair dots) directly above this
-    node, and a single-file input would pin all of it to one core."""
-    return spread_for_compute(embeddings, "vec_id").withColumn(
-        "norm", _exact_norm(F.col(vec_col))
+    node, and a single-file input would pin all of it to one core.
+
+    NULL vectors are dropped here (they cannot participate in any
+    similarity computation and crash the Arrow pair-dot batches);
+    `embedding_norm_stats` is where a corpus' null vectors get REPORTED.
+    """
+    return (
+        spread_for_compute(embeddings.where(F.col(vec_col).isNotNull()), "vec_id")
+        .withColumn("norm", _exact_norm(F.col(vec_col)))
     )
 
 
@@ -369,7 +375,7 @@ def lsh_candidate_pairs(
     point of the scale path) independently of the scoring stages.
     """
     band_keys = _band_keys_udf(n_bands, planes_per_band)
-    base = spread_for_compute(embeddings, "vec_id")
+    base = spread_for_compute(embeddings.where(F.col("embedding").isNotNull()), "vec_id")
     # One GEMM per batch produces all band keys; posexplode fans out to
     # (band, bucket) rows.  (Round 1 built L key columns as interpreted
     # HOF expressions + stack — the GEMM replaces L·b interpreted dots
@@ -551,7 +557,8 @@ def sampled_train_matrix(vectors: DataFrame, cap: int = TRAIN_SAMPLE_CAP):
     import numpy as np
 
     rows = (
-        vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        vectors.where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("h", F.xxhash64("vec_id"))
         .orderBy("h", "vec_id")
         .limit(cap)

@@ -523,3 +523,27 @@ def test_text_ops_survive_null_and_empty_text(spark):
     assert tq_rows[3]["punct_ratio"] == 0.0  # guarded, not an exception
     assert split_drift_report(docs).collect() is not None
     assert len(pii(docs).collect()) == 4
+
+
+def test_similarity_family_survives_null_vectors(spark):
+    """NULL embedding rows (failed encoder outputs) must be dropped by
+    the similarity/ANN entry points, not crash the Arrow batches; the
+    hygiene report is where they surface."""
+    import random
+
+    from export_oltp_to_olap_spark.operators import pq, semdedup, similarity
+
+    def v(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(64)]
+
+    emb = spark.createDataFrame(
+        [(1, v(1), 0), (2, None, 0), (3, v(3), None), (4, v(4), 1)], _EMB_SCHEMA
+    )
+    assert len(similarity.cosine_topk(emb).collect()) == 6  # 3 live vecs × 2
+    similarity.cosine_neardup(emb).collect()
+    similarity.lsh_cosine_neardup(emb).collect()
+    assert len(similarity.ivf_cosine_topk(emb).collect()) == 6
+    assert len(pq.pq_cosine_topk(emb).collect()) == 6
+    kept = semdedup.semantic_dedup(emb).collect()
+    assert {r["vec_id"] for r in kept} == {1, 3, 4}  # null vec excluded
