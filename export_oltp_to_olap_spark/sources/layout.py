@@ -109,3 +109,29 @@ def write_zorder_parquet(
         else keyed.repartitionByRange(F.col("__z"))
     )
     part.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Hive-style partitioned write with DYNAMIC partition overwrite:
+    only the partitions present in ``df`` are replaced; every other
+    partition on disk is untouched.
+
+    The backfill primitive: re-running one day of a date-partitioned
+    table (late data, a fixed bug) must not truncate the other 3,650
+    days the way a plain ``mode("overwrite")`` does.  Readers prune on
+    the partition column for free (``PartitionFilters`` in the scan).
+
+    Scale: the write shuffles nothing by itself; pair with
+    ``df.repartition(*partition_cols)`` upstream when many tasks would
+    otherwise each open a file per partition (the small-files problem).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

