@@ -46,7 +46,9 @@ DEFAULT_HEADLINE = [
     "top_customers_per_region",
     "star_hecho_ventas",
     "star_dim_cliente",
+    "dim_cliente_scd2",
     "minhash_near_dup",
+    "minhash_delta_neardup",
     "ngram_jaccard_neardup",
     "simhash_near_dup",
     "exact_dedup_documents",
