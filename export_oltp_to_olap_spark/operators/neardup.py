@@ -892,7 +892,9 @@ def minhash_lsh_neardup_delta(
     pipeline persists between runs (bucketed by band keys, the probe
     join is then shuffle-free); here it's derived in-plan.
     """
-    sets_c = doc_shingle_sets(corpus)
+    # Both set tables feed two consumers (band derivation + verify), so
+    # persist both — same convention as the full run's single table.
+    sets_c = doc_shingle_sets(corpus).persist()
     sets_d = doc_shingle_sets(delta).persist()
     key_cols = [f"k{r}" for r in range(band_r)]
     bands_c = _minhash_bands(sets_c, n_hashes, band_r)
