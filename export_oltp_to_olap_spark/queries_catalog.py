@@ -11,19 +11,17 @@ queries (verified rounds 1-3: every report has exactly 50 rows, in
 registration order).  To give EVERY registration at least one green
 driver row across rounds, the order is rotated each round:
 
-* Round 4 adds fourteen new round-4 operators (normalized_dedup_documents,
-  decontaminate_documents, embedding_norm_stats, pii_scan,
-  chunk_documents, pack_bins_summary, subquery_suite,
-  events_gapfill_locf) to the window, displacing eight 3-round-green
-  queries (events_json_stats, cdc_decode, events_tumbling_hourly,
-  events_user_moving_value, events_sessionize, corpus_split_summary,
-  purchases_asof_clicks, clicks_before_purchase) to the tail; a ninth
-  (weighted_sample_summary) displaces exact_dedup_documents and a
-  tenth (capped_corpus) displaces text_fingerprints, an eleventh
-  (events_anomaly_zscore) displaces text_lang_id, a twelfth
-  (dim_cliente_scd2) displaces token_count_bpe, a thirteenth
-  (minhash_delta_neardup) displaces media_metadata_stats, a fourteenth
-  (split_drift_report) displaces simhash_fingerprints.
+* Round 4 adds fourteen NEW operators to the window
+  (normalized_dedup_documents, decontaminate_documents,
+  embedding_norm_stats, pii_scan, chunk_documents, pack_bins_summary,
+  subquery_suite, events_gapfill_locf, weighted_sample_summary,
+  capped_corpus, events_anomaly_zscore, dim_cliente_scd2,
+  minhash_delta_neardup, split_drift_report), displacing fourteen
+  3-round-green queries to the tail (events_json_stats, cdc_decode,
+  events_tumbling_hourly, events_user_moving_value, events_sessionize,
+  corpus_split_summary, purchases_asof_clicks, clicks_before_purchase,
+  exact_dedup_documents, text_fingerprints, text_lang_id,
+  token_count_bpe, media_metadata_stats, simhash_fingerprints).
 * Round 4 moves the 15 previously past-window registrations
   (neardup_clusters, events_funnel, events_cohort_retention,
   tfidf_top_terms, text_repetition, pq_cosine_topk, ivfpq_cosine_topk,
