@@ -1,0 +1,217 @@
+"""Exact duplicated-span detection: the substring rung of the dedup ladder.
+
+Whole-document dedup (exact / normalized / MinHash / SemDeDup — see
+`operators/neardup.py`, `operators/semdedup.py`) misses the dominant
+duplication mode in web corpora: long verbatim passages (boilerplate,
+licenses, quoted articles) embedded inside otherwise-distinct documents.
+The published fix (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", arXiv:2107.06499) removes every substring of
+≥ 50 tokens that occurs more than once in the corpus, built on a suffix
+array.  A suffix array is inherently sequential; the distributed
+equivalent used at corpus scale is hashed positional n-grams:
+
+1. Emit ``(doc_id, pos, hash(gram))`` for EVERY token position — unlike
+   the near-dup shinglers this keeps positions, not a distinct set.
+2. A gram occurring at ≥ 2 positions corpus-wide (any doc, including
+   the same one — intra-doc boilerplate repeats count too) is a
+   duplicated-span seed.  One partial-aggregated count per gram hash.
+3. Join seeds back to positions and merge per-doc runs of seed
+   positions into MAXIMAL spans with the gaps-and-islands pattern
+   (lag + running sum — the `events_sessionize` shape): positions
+   ``p, q`` merge when ``q - p ≤ n`` (their n-token windows overlap or
+   touch), so a duplicated passage of any length reports as ONE span
+   ``[start_tok, end_tok]``, exactly what a span-removal rewrite needs.
+
+Any span this finds is a verbatim duplicate ≥ n tokens (modulo hash
+collision, negligible at 64 bits); a duplicated passage of length
+≥ 2n−1 is always found.  Passages in [n, 2n−2] may be missed when no
+single n-gram window falls inside them — the standard positional
+n-gram / suffix-array trade, tuned by n.
+
+Scale (100 TB): step 1 is map-side fan-out (one long per token
+position — ~8 bytes/token, comparable to the tokenized corpus itself).
+Step 2 shuffles gram hashes once with map-side partial counts.  Step 3
+is a large-large sort-merge join on the 8-byte hash followed by one
+per-doc window — three shuffles total, all on well-distributed hash /
+id keys, nothing quadratic, no driver state.  Skew: a stop-phrase gram
+("of the and of…") can hold millions of positions, but the join output
+stays one row per (position, seed-hit) and the per-gram count is
+partial-aggregated, so hot grams cost bandwidth, not memory; an
+optional document-frequency cap like `ngram_jaccard_pairs`' would trim
+them at a recall cost (not wired — span seeds ARE often stop-phrases in
+real boilerplate).
+
+Reference parity: none — the reference engine (sync_oltp_to_olap.py)
+has no corpus operators; north-star extension per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.functions.text import TOKEN_SPLIT_RE, tokens
+from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+
+# Published pipelines use 50-token spans; the synthetic fixture docs are
+# ~tens of tokens, so the fixture width is 8 — long enough that seeds
+# are real clone/boilerplate overlap (not chance phrase collisions, as
+# verified by the planted-passage unit tests), short enough to fire.
+FIXTURE_SPAN_N = 8
+
+
+def positional_grams(
+    docs: DataFrame, n: int = FIXTURE_SPAN_N, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, pos, g)`` — one row per token position, ``g`` the
+    xxhash64 of the n-token window starting there (1-based ``pos``).
+
+    The hash is built INSIDE the exploded struct so Catalyst cannot
+    collapse a second full tokenize+shingle evaluation above the
+    Generate (the CollapseProject trap documented at
+    `operators/decontam.py:79`)."""
+    toks = tokens(text_col)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))).alias("g"),
+        ),
+    )
+    guarded = F.when(F.size(toks) >= n, windows).otherwise(
+        F.array().cast("array<struct<pos:int,g:bigint>>")
+    )
+    return (
+        spread_for_compute(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(guarded).alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame, n: int = FIXTURE_SPAN_N, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Maximal duplicated spans per document.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens)`` — 1-based
+    inclusive token bounds of every maximal run of positions whose
+    n-gram occurs ≥ 2 times corpus-wide; ordered for the driver hash.
+    """
+    pg = positional_grams(docs, n, id_col, text_col)
+    seeds = pg.groupBy("g").agg(F.count(F.lit(1)).alias("occ")).where(F.col("occ") >= 2)
+    dup_pos = pg.join(seeds.select("g"), "g", "inner").select(id_col, "pos")
+
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("pos").over(by_doc)
+    islands = dup_pos.withColumn(
+        "isl",
+        F.sum(F.when(prev.isNotNull() & (F.col("pos") - prev <= n), 0).otherwise(1)).over(run),
+    )
+    return (
+        islands.groupBy(id_col, "isl")
+        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+        .select(
+            F.col(id_col),
+            F.col("mn").cast("long").alias("span_start"),
+            (F.col("mx") + F.lit(n - 1)).cast("long").alias("span_end"),
+            (F.col("mx") - F.col("mn") + F.lit(n)).cast("long").alias("span_tokens"),
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def span_dedup_report(
+    docs: DataFrame, n: int = FIXTURE_SPAN_N, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-coverage summary over `duplicated_spans`:
+    ``(doc_id, n_tokens, n_spans, dup_tokens, dup_ratio)`` for every doc
+    with at least one duplicated span.  ``dup_ratio`` (duplicated-token
+    fraction, 6 decimals) is the drop/rewrite decision input — published
+    pipelines cut spans out rather than dropping whole docs, but the
+    ratio also serves a cheap doc-level gate."""
+    spans = duplicated_spans(docs, n, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    sizes = spread_for_compute(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.join(sizes, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "n_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _pos_grams_sql(n: int) -> str:
+    """Shared DuckDB CTE prefix: tokens → positional md5 grams.
+
+    DuckDB hashes with md5 (its xxhash64 is unavailable); the engines
+    only compare SPAN outputs, never hash values, so any collision-free
+    hash gives identical results."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+pos_grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+),
+seeds AS (
+  SELECT g FROM pos_grams GROUP BY g HAVING count(*) >= 2
+),
+dup_pos AS (
+  SELECT doc_id, pos FROM pos_grams JOIN seeds USING (g)
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NOT NULL AND pos - prev <= {n} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (
+    SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dup_pos
+  )
+),
+spans AS (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+         CAST(max(pos) - min(pos) + {n} AS BIGINT) AS span_tokens
+  FROM islands GROUP BY doc_id, isl
+)"""
+
+
+def dup_spans_sql(n: int = FIXTURE_SPAN_N) -> str:
+    """DuckDB restatement of `duplicated_spans` at the same ``n``."""
+    return _pos_grams_sql(n) + """
+SELECT doc_id, span_start, span_end, span_tokens
+FROM spans ORDER BY doc_id, span_start
+"""
+
+
+def span_report_sql(n: int = FIXTURE_SPAN_N) -> str:
+    """DuckDB restatement of `span_dedup_report` at the same ``n``."""
+    return _pos_grams_sql(n) + """
+SELECT s.doc_id,
+       CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+       round(sum(span_tokens) / CAST(len(k.t) AS BIGINT), 6) AS dup_ratio
+FROM spans s JOIN toks k USING (doc_id)
+GROUP BY s.doc_id, len(k.t)
+ORDER BY s.doc_id
+"""
+
+
+DUP_SPANS_SQL = dup_spans_sql(FIXTURE_SPAN_N)
+SPAN_REPORT_SQL = span_report_sql(FIXTURE_SPAN_N)

@@ -54,6 +54,7 @@ from export_oltp_to_olap_spark.operators import (
     scd,
     semdedup,
     similarity,
+    substring,
 )
 from export_oltp_to_olap_spark.plans import analytic, curation, flagship, star_oracle
 from export_oltp_to_olap_spark.plans import events as events_plans
@@ -703,3 +704,23 @@ def q_media_metadata(spark: SparkSession, sf_dir: str):
 def q_simhash_fp(spark: SparkSession, sf_dir: str):
     """60-bit SimHash fingerprints (engine-portable bit arithmetic)."""
     return neardup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+# Registered mid-round-4 (tail → rotate into the window in round 5):
+# the exact duplicated-SPAN rung of the dedup ladder (Lee et al.,
+# arXiv:2107.06499 — hashed positional n-grams standing in for the
+# sequential suffix array).
+
+
+@register("duplicated_spans", substring.DUP_SPANS_SQL)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str):
+    """Maximal verbatim duplicated passages (≥ n-token windows occurring
+    ≥ 2× corpus-wide, overlap-merged per doc via gaps-and-islands)."""
+    return substring.duplicated_spans(_docs(spark, sf_dir))
+
+
+@register("span_dedup_report", substring.SPAN_REPORT_SQL)
+def q_span_dedup_report(spark: SparkSession, sf_dir: str):
+    """Per-document duplicated-token coverage (the span-removal /
+    doc-gate decision input)."""
+    return substring.span_dedup_report(_docs(spark, sf_dir))

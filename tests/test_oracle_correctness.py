@@ -76,6 +76,8 @@ _REPORT_EXEMPT = {
     "profile_orders",
     "setops_all_orders",
     "reconcile_customers_full_outer",
+    "duplicated_spans",
+    "span_dedup_report",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",

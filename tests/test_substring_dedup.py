@@ -1,0 +1,119 @@
+"""Semantics tests for exact duplicated-span detection
+(`operators/substring.py`) on crafted inputs: planted shared passages,
+intra-doc repeats, overlap merging, and the boundary cases the fixture
+corpus can't isolate.  Cross-engine value equality runs in
+tests/test_oracle_correctness.py via the registered oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from export_oltp_to_olap_spark.operators.substring import (
+    duplicated_spans,
+    span_dedup_report,
+)
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _DOC_SCHEMA)
+
+
+_PASSAGE = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+
+def test_planted_shared_passage_found_in_both_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, f"unique opening words here {_PASSAGE} and a unique tail one"),
+            (2, f"different preamble tokens now {_PASSAGE} then другой ending two"),
+            (3, "totally unrelated text with no duplicated passage at all yes"),
+        ],
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, n=8).collect()
+    }
+    # Passage starts at token 5 in doc 1 and doc 2 (4 preamble tokens each).
+    assert spans == {1: (5, 12, 8), 2: (5, 12, 8)}
+
+
+def test_intra_document_repeat_counts_as_duplicated(spark):
+    docs = _docs(
+        spark,
+        [(1, f"{_PASSAGE} filler middle words go here {_PASSAGE}")],
+    )
+    spans = [
+        (r["span_start"], r["span_end"]) for r in duplicated_spans(docs, n=8).collect()
+    ]
+    assert spans == [(1, 8), (14, 21)]
+
+
+def test_overlapping_windows_merge_into_one_maximal_span(spark):
+    # A 12-token shared passage yields 5 overlapping 8-gram seed
+    # positions in each doc; they must merge into ONE span of 12 tokens.
+    passage = _PASSAGE + " india juliett kilo lima"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{passage} trailing unique words first"),
+            (2, f"{passage} other unique trailer second"),
+        ],
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, n=8).collect()
+    }
+    assert spans == {1: (1, 12, 12), 2: (1, 12, 12)}
+
+
+def test_disjoint_duplicated_passages_stay_separate_spans(spark):
+    other = "november oscar papa quebec romeo sierra tango uniform"  # 8 tokens
+    gap = "one two three four five six seven eight nine ten"  # 10 tokens > n
+    docs = _docs(
+        spark,
+        [
+            (1, f"{_PASSAGE} {gap} {other}"),
+            (2, f"{other} some unrelated middle padding words here now {_PASSAGE}"),
+        ],
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=8).collect()
+    )
+    # Doc 1: passage at 1-8, other at 19-26 (10-token gap keeps them
+    # apart); doc 2 has 7 filler tokens, so its passage sits at 16-23.
+    assert spans == [(1, 1, 8), (1, 19, 26), (2, 1, 8), (2, 16, 23)]
+
+
+def test_short_and_unique_docs_yield_no_spans(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "short doc"),  # < n tokens: no grams at all
+            (2, "a perfectly unique document with no twin anywhere around"),
+        ],
+    )
+    assert duplicated_spans(docs, n=8).count() == 0
+
+
+def test_report_ratio_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, f"{_PASSAGE} unique tail here making sixteen total tokens yes"),
+            (2, f"prefix words {_PASSAGE}"),
+        ],
+    )
+    rep = {r["doc_id"]: r for r in span_dedup_report(docs, n=8).collect()}
+    assert rep[1]["n_tokens"] == 16 and rep[1]["n_spans"] == 1
+    assert rep[1]["dup_tokens"] == 8 and rep[1]["dup_ratio"] == 0.5
+    assert rep[2]["n_tokens"] == 10 and rep[2]["dup_tokens"] == 8
+    assert rep[2]["dup_ratio"] == 0.8
