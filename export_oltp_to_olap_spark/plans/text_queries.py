@@ -19,7 +19,9 @@ from export_oltp_to_olap_spark.functions.text import (
     quality_score,
     sql_lang_count,
     tokens,
+    word_shingles,
 )
+from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
 
 
 def text_quality(docs: DataFrame) -> DataFrame:
@@ -187,6 +189,97 @@ FROM per_doc
 GROUP BY source
 ORDER BY source
 """
+
+
+def ngram_diversity_by_source(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """Per-source n-gram diversity: the corpus self-repetition signal.
+
+    For each source and each n in 1..``max_n``, the total n-gram count
+    and the DISTINCT n-gram count across ALL the source's documents —
+    the corpus-level generalization of type-token ratio.  A source whose
+    distinct ratio collapses as n grows is internally repetitive
+    (templated / boilerplate-heavy) and gets down-weighted in a training
+    mixture; `text_repetition` measures the same signal WITHIN one
+    document, this measures it ACROSS the source.
+
+    Long output shape ``(source, n, total_grams, distinct_grams,
+    distinct_ratio)`` — no pivot, so adding n-levels never changes the
+    schema.
+
+    Scale: one exploded (source, n, gram) stream (map-side fan-out,
+    ~max_n rows per token), then a single groupBy with count +
+    count_distinct — Catalyst plans the distinct as one Expand plus a
+    partial-aggregated shuffle on (source, n, gram); nothing holds a
+    per-source gram set in memory.  Grams are md5'd before the distinct
+    so shuffled keys are fixed-width, never the n-token strings.
+    """
+    per_n = []
+    for n in range(1, max_n + 1):
+        grams = word_shingles("text", n) if n > 1 else tokens("text")
+        per_n.append(
+            docs.select(
+                "source",
+                F.lit(n).alias("n"),
+                F.explode(grams).alias("gram"),
+            )
+        )
+    exploded = per_n[0]
+    for other in per_n[1:]:
+        exploded = exploded.unionByName(other)
+    return (
+        spread_for_compute(exploded, "source", "n")
+        .select("source", "n", F.md5("gram").alias("g"))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_grams"),
+            F.count_distinct("g").cast("long").alias("distinct_grams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_grams",
+            "distinct_grams",
+            F.round(F.col("distinct_grams") / F.col("total_grams"), 6).alias(
+                "distinct_ratio"
+            ),
+        )
+        .orderBy("source", "n")
+    )
+
+
+def _ngram_diversity_sql(max_n: int = 3) -> str:
+    """DuckDB restatement of `ngram_diversity_by_source`."""
+    toks = SQL_TOKENS.format(t="text")
+    arms = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            arms.append(
+                f"SELECT source, 1 AS n, u.g FROM toks, unnest(t) AS u(g)"
+            )
+        else:
+            arms.append(
+                f"""SELECT source, {n} AS n, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)"""
+            )
+    union = "\n  UNION ALL\n  ".join(arms)
+    return f"""
+WITH toks AS (
+  SELECT source, {toks} AS t FROM documents
+),
+exploded AS (
+  {union}
+)
+SELECT source, CAST(n AS INT) AS n,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(count(DISTINCT md5(g)) AS BIGINT) AS distinct_grams,
+       round(count(DISTINCT md5(g)) / count(*), 6) AS distinct_ratio
+FROM exploded
+GROUP BY source, n
+ORDER BY source, n
+"""
+
+
+NGRAM_DIVERSITY_SQL = _ngram_diversity_sql(3)
 
 
 def token_count_bpe(docs: DataFrame) -> DataFrame:

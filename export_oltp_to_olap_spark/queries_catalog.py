@@ -724,3 +724,10 @@ def q_span_dedup_report(spark: SparkSession, sf_dir: str):
     """Per-document duplicated-token coverage (the span-removal /
     doc-gate decision input)."""
     return substring.span_dedup_report(_docs(spark, sf_dir))
+
+
+@register("ngram_diversity_by_source", text_queries.NGRAM_DIVERSITY_SQL)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str):
+    """Per-source 1/2/3-gram diversity (corpus-level type-token ratio —
+    the training-mixture down-weighting signal for templated sources)."""
+    return text_queries.ngram_diversity_by_source(_docs(spark, sf_dir))

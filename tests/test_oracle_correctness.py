@@ -78,6 +78,7 @@ _REPORT_EXEMPT = {
     "reconcile_customers_full_outer",
     "duplicated_spans",
     "span_dedup_report",
+    "ngram_diversity_by_source",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
