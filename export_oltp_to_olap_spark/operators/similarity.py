@@ -878,3 +878,135 @@ FROM per_vec
 GROUP BY label
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) compressed ANN
+# ---------------------------------------------------------------------------
+
+RP_DIM_OUT = 16
+RP_SEED = 20240  # fixed: the projection is part of the operator definition
+# Shortlist 16k per query: the fixture corpus is the JL worst case
+# (near-uniform cosines — median 0, p99 0.29 — so true-neighbor gaps sit
+# inside the ~1/√dim_out distortion; measured recall@10 was 0.48 at 4k /
+# 0.86 at 16k, nearly flat in dim_out 16→32).  Real embedding corpora
+# are clustered with wide cosine gaps and do fine at 4k.
+RP_SHORTLIST_MULT = 16
+
+
+def _rp_matrix(dim_in: int, dim_out: int = RP_DIM_OUT, seed: int = RP_SEED):
+    """Deterministic Rademacher (±1/√dim_out) projection matrix.
+
+    Sign-matrix JL (Achlioptas 2001) preserves pairwise inner products
+    within O(√(log N / dim_out)) like the Gaussian form but needs only a
+    seeded sign flip — bit-identical on every executor and across runs.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    signs = rng.integers(0, 2, size=(dim_in, dim_out)).astype(np.float64) * 2.0 - 1.0
+    return signs / np.sqrt(dim_out)
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    dim_out: int = RP_DIM_OUT,
+    seed: int = RP_SEED,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Append a ``dim_out``-dim random projection of ``vec_col``.
+
+    Map-side only: one Arrow-batched matmul per batch against a
+    broadcast-by-closure (dim_in × dim_out ≈ KBs) sign matrix.  The
+    compressed column is what a 100 TB pipeline PERSISTS next to the
+    raw vectors — every downstream shuffle/scan of candidate generation
+    then moves dim_out/dim of the bytes (4× here at 64 → 16).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dim_in = len(
+        embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()[0]
+    )
+    R = _rp_matrix(dim_in, dim_out, seed)
+
+    @pandas_udf("array<double>")
+    def rp(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
+        P = X @ R
+        return pd.Series(list(P))
+
+    return embeddings.withColumn(out_col, rp(F.col(vec_col)))
+
+
+def rp_cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    dim_out: int = RP_DIM_OUT,
+    shortlist_mult: int = RP_SHORTLIST_MULT,
+) -> DataFrame:
+    """Top-k cosine via JL-compressed shortlist + exact full-space rescore.
+
+    Same contract as `cosine_topk` (query_id < n_queries, self excluded,
+    exact-decimal final scores): candidates are ranked by dot product in
+    the ``dim_out``-dim projected space, the top ``shortlist_mult × k``
+    per query are rescored exactly in the original space.  Unlike
+    IVF/LSH the shortlist SCANS every vector — the win is bandwidth
+    (dim_out/dim of the bytes through the ranking stage), not scan
+    count, which is why production stacks compose RP *with* IVF rather
+    than instead of it.  Recall floor vs the exact baseline is pinned in
+    tests/test_similarity_recall.py.
+    """
+    from pyspark.sql import Window
+
+    pair_dot = _pair_dot_udf()
+    base = project_embeddings(
+        with_norm(embeddings).select("vec_id", "embedding", "norm"), dim_out
+    )
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("proj").alias("q_proj"),
+    )
+    pairs = (
+        base.drop("embedding")  # ranking stage moves only the projection
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("proj_dot").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        pairs.withColumn("proj_dot", pair_dot(F.col("q_proj"), F.col("proj")))
+        .withColumn("prerank", F.row_number().over(w_pre))
+        .where(F.col("prerank") <= shortlist_mult * k)
+        .select("query_id", "vec_id", "q_emb", "q_norm", "norm")
+    )
+    rescored = shortlist.join(
+        base.select("vec_id", "embedding"), "vec_id"
+    ).withColumn(
+        "cos",
+        F.round(
+            _exact_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

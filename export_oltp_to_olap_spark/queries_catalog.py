@@ -731,3 +731,11 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str):
     """Per-source 1/2/3-gram diversity (corpus-level type-token ratio —
     the training-mixture down-weighting signal for templated sources)."""
     return text_queries.ngram_diversity_by_source(_docs(spark, sf_dir))
+
+
+@register("rp_cosine_topk", None)  # seeded JL matrix: no SQL oracle
+def q_rp_topk(spark: SparkSession, sf_dir: str):
+    """Top-k cosine via Johnson-Lindenstrauss compressed shortlist +
+    exact full-space rescore (4× ranking-stage bandwidth cut; recall and
+    exact-score contracts pinned in tests/test_similarity_recall.py)."""
+    return similarity.rp_cosine_topk(_embeddings(spark, sf_dir))

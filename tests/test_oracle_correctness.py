@@ -79,6 +79,7 @@ _REPORT_EXEMPT = {
     "duplicated_spans",
     "span_dedup_report",
     "ngram_diversity_by_source",
+    "rp_cosine_topk",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",

@@ -156,3 +156,30 @@ def test_ivfpq_recall_and_exact_scores(emb):
     assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} below floor"
     for r in got:
         assert exact_all[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_rp_projection_is_deterministic_and_map_side(emb):
+    a = S.project_embeddings(emb).select("vec_id", "proj").collect()
+    b = S.project_embeddings(emb).select("vec_id", "proj").collect()
+    assert sorted(r["proj"] for r in a) == sorted(r["proj"] for r in b)
+    dims = {len(r["proj"]) for r in a}
+    assert dims == {S.RP_DIM_OUT}
+
+
+def test_rp_recall_and_exact_scores(emb):
+    """JL-compressed shortlist must recover most of the exact top-10 at
+    4× compression, and every returned score must equal brute force —
+    the rescore-in-full-space contract shared by IVF/PQ/LSH."""
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb).collect()
+    }
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.cosine_topk(emb, k=10**6).collect()
+    }
+    got = S.rp_cosine_topk(emb).collect()
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.75, f"RP recall {recall:.2f} at 4x compression"
+    for r in got:
+        assert r["cos"] == exact_scores[(r["query_id"], r["neighbor_id"])]
