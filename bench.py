@@ -54,8 +54,11 @@ DEFAULT_HEADLINE = [
     "exact_dedup_documents",
     "normalized_dedup_documents",
     "decontaminate_documents",
+    "duplicated_spans",
     "neardup_clusters",
     "tfidf_top_terms",
+    "ngram_diversity_by_source",
+    "rp_cosine_topk",
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "ivf_cosine_topk[kmeans]",

@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+from export_oltp_to_olap_spark.operators.staging import stage
 
 DOT_DECIMAL = "decimal(38,16)"
 
@@ -966,8 +967,13 @@ def rp_cosine_topk(
     from pyspark.sql import Window
 
     pair_dot = _pair_dot_udf()
-    base = project_embeddings(
-        with_norm(embeddings).select("vec_id", "embedding", "norm"), dim_out
+    # Stage once: the query extract, the ranking crossJoin, and the
+    # exact-rescore join all consume `base`; without the cut each branch
+    # re-runs the scan + norm + Arrow matmul projection.
+    base = stage(
+        project_embeddings(
+            with_norm(embeddings).select("vec_id", "embedding", "norm"), dim_out
+        )
     )
     queries = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
