@@ -59,6 +59,7 @@ DEFAULT_HEADLINE = [
     "tfidf_top_terms",
     "ngram_diversity_by_source",
     "rp_cosine_topk",
+    "lm_fluency_scores",
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "ivf_cosine_topk[kmeans]",

@@ -926,9 +926,10 @@ def project_embeddings(
     """
     from pyspark.sql.functions import pandas_udf
 
-    dim_in = len(
-        embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()[0]
-    )
+    first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    # Empty input: any matrix works — the UDF never sees a row, and the
+    # plan still produces the stable (…, proj) schema.
+    dim_in = len(first[0]) if first is not None else 1
     R = _rp_matrix(dim_in, dim_out, seed)
 
     @pandas_udf("array<double>")

@@ -48,6 +48,7 @@ from export_oltp_to_olap_spark.operators import (
     asof,
     chunking,
     decontam,
+    lm,
     neardup,
     rangejoin,
     sampling,
@@ -731,6 +732,14 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str):
     """Per-source 1/2/3-gram diversity (corpus-level type-token ratio —
     the training-mixture down-weighting signal for templated sources)."""
     return text_queries.ngram_diversity_by_source(_docs(spark, sf_dir))
+
+
+@register("lm_fluency_scores", lm.LM_FLUENCY_SQL)
+def q_lm_fluency(spark: SparkSession, sf_dir: str):
+    """Count-based n-gram LM fluency scores (the CCNet perplexity-filter
+    shape with integer log2 buckets — engine-exact; model = train-split
+    bigram counts, broadcast-joined against the full corpus)."""
+    return lm.lm_fluency_scores(_docs(spark, sf_dir))
 
 
 @register("rp_cosine_topk", None)  # seeded JL matrix: no SQL oracle

@@ -80,6 +80,7 @@ _REPORT_EXEMPT = {
     "span_dedup_report",
     "ngram_diversity_by_source",
     "rp_cosine_topk",
+    "lm_fluency_scores",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
