@@ -60,6 +60,7 @@ DEFAULT_HEADLINE = [
     "ngram_diversity_by_source",
     "rp_cosine_topk",
     "lm_fluency_scores",
+    "quality_classifier_scores",
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "ivf_cosine_topk[kmeans]",

@@ -50,6 +50,7 @@ from export_oltp_to_olap_spark.operators import (
     decontam,
     lm,
     neardup,
+    quality_model,
     rangejoin,
     sampling,
     scd,
@@ -740,6 +741,15 @@ def q_lm_fluency(spark: SparkSession, sf_dir: str):
     shape with integer log2 buckets — engine-exact; model = train-split
     bigram counts, broadcast-joined against the full corpus)."""
     return lm.lm_fluency_scores(_docs(spark, sf_dir))
+
+
+@register("quality_classifier_scores", None)  # iterative trainer: no SQL oracle
+def q_quality_classifier(spark: SparkSession, sf_dir: str):
+    """Learned quality filter (GPT-3/CCNet shape): Spark-ML logistic
+    regression over the shared surface features, weak label = the
+    rule-based lang-ID heuristic; planted-signal + generalization +
+    determinism contracts in tests/test_quality_model.py."""
+    return quality_model.quality_classifier_scores(_docs(spark, sf_dir))
 
 
 @register("rp_cosine_topk", None)  # seeded JL matrix: no SQL oracle

@@ -28,9 +28,9 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-# Queries whose semantics genuinely require non-empty input (quantizer
-# training); everything else must succeed on empty tables.
-_NEEDS_DATA = {"pq_cosine_topk", "ivfpq_cosine_topk"}
+# Queries whose semantics genuinely require non-empty input (quantizer /
+# classifier training); everything else must succeed on empty tables.
+_NEEDS_DATA = {"pq_cosine_topk", "ivfpq_cosine_topk", "quality_classifier_scores"}
 
 registry._ensure_loaded()
 

@@ -81,6 +81,7 @@ _REPORT_EXEMPT = {
     "ngram_diversity_by_source",
     "rp_cosine_topk",
     "lm_fluency_scores",
+    "quality_classifier_scores",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
