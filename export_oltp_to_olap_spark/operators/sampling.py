@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+
 _BUCKETS = 65536  # 4 md5 hex chars
 # stratified_sample folds fraction maps up to this size into a literal
 # CASE; larger maps broadcast-join instead of building a deep when-chain.
@@ -297,3 +299,100 @@ ORDER BY source, sample_rank
 
 
 CAPPED_CORPUS_SQL = capped_corpus_sql()
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weighting (α-sampling)
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(documents: DataFrame, alpha_tenths: int = 5) -> DataFrame:
+    """Per-source training-mixture weights: w_s ∝ tokens_s^α.
+
+    The multilingual/multi-source sampling recipe (mBERT, XLM-R §3.1,
+    GPT-3's corpus table): raising per-source mass to α < 1 upweights
+    small sources so the mixture isn't swamped by the largest crawl.
+    ``alpha_tenths`` is α×10 (default α=0.5, the common choice).
+
+    Determinism: tokens_s^α is one IEEE `pow` per source (both engines
+    round-to-nearest — identical), then 6-dp rounded and summed in
+    DECIMAL, so the normalization denominator is exact and the final
+    weights value-hash across engines.  Output also carries the
+    effective oversampling factor weight/share (how much α inflates or
+    deflates each source vs proportional sampling).
+
+    Scale: one partial-aggregated groupBy(source) over the corpus, then
+    arithmetic on S rows (S = #sources ≈ dozens) — the token count is
+    the only big-data stage.
+    """
+    from export_oltp_to_olap_spark.functions.text import token_count
+
+    per_source = (
+        spread_for_compute(documents.select("source", "text"), "source")
+        .select("source", token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("tokens"))
+    )
+    # α = 0.5 uses sqrt, which IEEE 754 REQUIRES to be correctly rounded
+    # (identical in every engine); pow carries no such guarantee and can
+    # drift a ulp between Java and C libm — acceptable for training-mix
+    # planning, not for the cross-engine value-hash, so only the sqrt
+    # form is oracle-registered.
+    t = F.col("tokens").cast("double")
+    powed = F.sqrt(t) if alpha_tenths == 5 else F.pow(t, F.lit(alpha_tenths / 10.0))
+    scaled = per_source.withColumn("scaled", F.round(powed, 6))
+    totals = scaled.agg(
+        F.sum(F.col("tokens")).cast("long").alias("tok_total"),
+        F.sum(F.col("scaled").cast("decimal(28,10)")).alias("scaled_total"),
+    )
+    return (
+        scaled.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("tokens") / F.col("tok_total"), 6).alias("share"),
+            F.round(
+                F.col("scaled") / F.col("scaled_total").cast("double"), 6
+            ).alias("weight"),
+            F.round(
+                (F.col("scaled") / F.col("scaled_total").cast("double"))
+                / (F.col("tokens") / F.col("tok_total")),
+                6,
+            ).alias("oversample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_weights_sql(alpha_tenths: int = 5) -> str:
+    """DuckDB restatement of `mixture_weights` at the same α."""
+    from export_oltp_to_olap_spark.functions.text import SQL_TOKENS
+
+    toks = SQL_TOKENS.format(t="text")
+    return f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(len({toks})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+scaled AS (
+  SELECT source, tokens,
+         round({'sqrt(CAST(tokens AS DOUBLE))' if alpha_tenths == 5
+                else f'pow(CAST(tokens AS DOUBLE), {alpha_tenths / 10.0})'}, 6) AS scaled
+  FROM per_source
+),
+totals AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS tok_total,
+         SUM(CAST(scaled AS DECIMAL(28,10))) AS scaled_total
+  FROM scaled
+)
+SELECT source, tokens,
+       round(tokens / tok_total, 6) AS share,
+       round(scaled / CAST(scaled_total AS DOUBLE), 6) AS weight,
+       round((scaled / CAST(scaled_total AS DOUBLE)) / (tokens / tok_total), 6)
+         AS oversample_factor
+FROM scaled, totals
+ORDER BY source
+"""
+
+
+MIXTURE_WEIGHTS_SQL = mixture_weights_sql()

@@ -743,6 +743,13 @@ def q_lm_fluency(spark: SparkSession, sf_dir: str):
     return lm.lm_fluency_scores(_docs(spark, sf_dir))
 
 
+@register("mixture_weights", sampling.MIXTURE_WEIGHTS_SQL)
+def q_mixture_weights(spark: SparkSession, sf_dir: str):
+    """Temperature-scaled (α=0.5) training-mixture weights per source —
+    the multilingual α-sampling recipe; sqrt keeps it engine-exact."""
+    return sampling.mixture_weights(_docs(spark, sf_dir))
+
+
 @register("quality_classifier_scores", None)  # iterative trainer: no SQL oracle
 def q_quality_classifier(spark: SparkSession, sf_dir: str):
     """Learned quality filter (GPT-3/CCNet shape): Spark-ML logistic

@@ -82,6 +82,7 @@ _REPORT_EXEMPT = {
     "rp_cosine_topk",
     "lm_fluency_scores",
     "quality_classifier_scores",
+    "mixture_weights",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",

@@ -88,3 +88,26 @@ def test_stratified_sample_broadcast_path_matches_case_fold(spark, sf001):
     assert bcast_df.columns == docs.columns  # helper column dropped
     plan = bcast_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_mixture_weights_alpha_upweights_small_sources(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from export_oltp_to_olap_spark.operators.sampling import mixture_weights
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [(i, "big", "word " * 100) for i in range(50)] + [
+        (100 + i, "small", "word " * 100) for i in range(2)
+    ]
+    out = {r["source"]: r for r in mixture_weights(spark.createDataFrame(rows, schema)).collect()}
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-5
+    # α=0.5 must pull weights toward each other vs proportional shares.
+    assert out["small"]["weight"] > out["small"]["share"]
+    assert out["big"]["weight"] < out["big"]["share"]
+    assert out["small"]["oversample_factor"] > 1 > out["big"]["oversample_factor"]
