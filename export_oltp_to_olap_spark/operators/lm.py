@@ -156,3 +156,101 @@ ORDER BY doc_id
 
 
 LM_FLUENCY_SQL = lm_fluency_sql(FIXTURE_N, MAX_VOCAB)
+
+
+# ---------------------------------------------------------------------------
+# Stateless per-row scoring (the streaming-safe form)
+# ---------------------------------------------------------------------------
+
+
+def model_count_arrays(
+    train_docs: DataFrame,
+    n: int = FIXTURE_N,
+    max_vocab: int = MAX_VOCAB,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The gram model as driver-side numpy arrays (sorted int64 xxhash64
+    keys + aligned counts) — the broadcastable form `with_fluency_score`
+    searches, mirroring `decontam.eval_gram_hashes`.
+
+    Bounded by the same vocab cap as the batch model (≤ max_vocab
+    entries ≈ 4 MB at the default); scores agree with `lm_score_docs`
+    gram-for-gram whenever the cap doesn't split a count-tie class
+    (only the tiebreak hash differs — md5 there, xxhash64 here), and
+    the fixture vocab sits far under the cap.
+    """
+    import numpy as np
+
+    rows = (
+        spread_for_compute(train_docs.select(id_col, text_col), id_col)
+        .select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .select(F.xxhash64("gram").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "h")
+        .limit(max_vocab)
+        .collect()
+    )
+    hashes = np.array([r["h"] for r in rows], dtype="int64")
+    counts = np.array([r["cnt"] for r in rows], dtype="int64")
+    order = np.argsort(hashes)
+    return hashes[order], counts[order]
+
+
+def with_fluency_score(
+    docs: DataFrame,
+    model_arrays,
+    n: int = FIXTURE_N,
+    text_col: str = "text",
+    out_col: str = "lm_score",
+) -> DataFrame:
+    """Append the per-row LM fluency score — STREAMING-SAFE: no joins,
+    no shuffle, no state; one vectorized searchsorted per Arrow batch
+    against the Spark-broadcast model arrays.  Scores equal
+    `lm_score_docs` doc-for-doc (same buckets, same 6-dp mean); docs
+    with no n-gram score NULL (they have no row in the batch report)."""
+    from pyspark.sql.functions import pandas_udf
+
+    hashes, counts = model_arrays
+    bc = docs.sparkSession.sparkContext.broadcast((hashes, counts))
+
+    @pandas_udf("double")
+    def score(gram_hashes):
+        import numpy as np
+        import pandas as pd
+
+        if len(gram_hashes) == 0:
+            return pd.Series([], dtype="float64")
+        table, cnts = bc.value
+
+        def buckets_of(flat):
+            if len(table) == 0:
+                c = np.zeros(len(flat), dtype="int64")
+            else:
+                idx = np.minimum(np.searchsorted(table, flat), len(table) - 1)
+                c = np.where(table[idx] == flat, cnts[idx], 0)
+            # floor(log2(1+c)) via frexp — exact for ints < 2^53, unlike
+            # float log2 which the libm standard doesn't pin at powers
+            # of two (the batch side computes length(bin(1+c))-1).
+            return np.frexp((c + 1).astype("float64"))[1] - 1
+        out = np.full(len(gram_hashes), np.nan)
+        lens = gram_hashes.str.len().fillna(0).astype("int64").to_numpy()
+        pos = np.nonzero(lens)[0]
+        if len(pos):
+            flat = np.concatenate(
+                [np.asarray(gram_hashes.iloc[i], dtype="int64") for i in pos]
+            )
+            b = buckets_of(flat)
+            bounds = np.cumsum(lens[pos])
+            start = 0
+            for i, end in zip(pos, bounds):
+                s, k = int(b[start:end].sum()), int(end - start)
+                # HALF_UP at 6 dp in pure integers (Python round() is
+                # banker's; Spark/DuckDB ROUND is HALF_UP).
+                out[i] = ((s * 2_000_000 + k) // (2 * k)) / 1e6
+                start = end
+        return pd.Series(out)
+
+    gram_hashes = F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g))
+    return docs.withColumn(out_col, score(gram_hashes))

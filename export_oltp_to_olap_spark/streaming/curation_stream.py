@@ -57,6 +57,8 @@ def streaming_curated_docs(
     quality_min: float = QUALITY_MIN,
     max_state_per_bucket: int | None = None,
     eval_docs: DataFrame | None = None,
+    lm_model=None,
+    lm_min: float | None = None,
 ) -> DataFrame:
     """Online curation: (doc_id, fp, split) of every ADMITTED document —
     gated, first-seen-deduped, split-assigned as it arrives.
@@ -71,8 +73,24 @@ def streaming_curated_docs(
     per-row flag (`operators/decontam.flag_contaminated` — broadcast
     hash table + vectorized membership), not the batch join, so it
     composes into the stream without state or stream-stream joins and
-    agrees with the batch `contamination_hits` decision doc-for-doc."""
+    agrees with the batch `contamination_hits` decision doc-for-doc.
+
+    ``lm_model`` (the ``operators/lm.model_count_arrays`` of a STATIC
+    reference corpus) + ``lm_min`` add an online LM fluency gate — the
+    CCNet perplexity filter at ingest.  Like decontamination it is the
+    stateless per-row form (`lm.with_fluency_score`: broadcast count
+    table, one searchsorted per Arrow batch), and its scores equal the
+    batch `lm_score_docs` doc-for-doc; docs with no n-gram (score NULL)
+    are rejected when the gate is on."""
     gated = gate_documents(docs, quality_min)
+    if lm_model is not None and lm_min is not None:
+        from export_oltp_to_olap_spark.operators.lm import with_fluency_score
+
+        gated = (
+            with_fluency_score(gated, lm_model)
+            .where(F.col("lm_score") >= lm_min)
+            .drop("lm_score")
+        )
     if eval_docs is not None:
         from export_oltp_to_olap_spark.operators.decontam import flag_contaminated
 

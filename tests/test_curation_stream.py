@@ -123,3 +123,65 @@ def test_streaming_curation_with_decontamination_gate(spark, sf0001, tmp_path):
     q.awaitTermination()
 
     assert admitted == want
+
+
+def test_streaming_curation_with_lm_fluency_gate(spark, sf0001, tmp_path):
+    """With a static reference-corpus LM, the online fluency gate admits
+    exactly the docs whose batch `lm_score_docs` score clears the bar —
+    for any slicing (the per-row scorer ≡ batch-join scorer contract)."""
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.operators import lm
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 3 == 0)  # static "good text" corpus
+    model_arrays = lm.model_count_arrays(ref)
+
+    batch_kept = curated_docs(docs, checkpoint=False)
+    lm_min = 3.0
+    batch_scores = {
+        r["doc_id"]: r["score"]
+        for r in lm.lm_score_docs(batch_kept, lm.train_gram_model(ref)).collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(batch_kept, "doc_id").select("doc_id", "split").collect()
+        if batch_scores.get(r["doc_id"], -1.0) >= lm_min
+    }
+    n_gated = batch_kept.count() - len(want)
+    assert want and n_gated > 0, f"lm gate vacuous (rejects {n_gated})"
+
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    feed = tmp_path / "feed_lm"
+    feed.mkdir()
+    for i, chunk in enumerate([rows[:70], rows[70:140], rows[140:]]):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    admitted: dict[int, str] = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.collect():
+            assert r["doc_id"] not in admitted
+            admitted[r["doc_id"]] = r["split"]
+
+    q = (
+        streaming_curated_docs(stream, lm_model=model_arrays, lm_min=lm_min)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert admitted == want
