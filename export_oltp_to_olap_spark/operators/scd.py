@@ -34,6 +34,7 @@ def scd2_versions(
     key_col: str,
     seq_col: str,
     attr_cols: Sequence[str],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Collapse a change feed into Type-2 versions.
 
@@ -44,6 +45,11 @@ def scd2_versions(
     distinct-values).  Returns one row per version: key, attrs,
     ``version_seq`` (1-based), ``valid_from``/``valid_to`` (sequence
     values; ``valid_to`` NULL on the current version), ``is_current``.
+
+    ``weight_col``: optional per-row observation weight —
+    ``n_observations`` becomes the weight sum instead of the row count
+    (`scd2_apply_delta` uses this to let one pseudo-row stand for an
+    already-collapsed version).
     """
     w = Window.partitionBy(key_col).orderBy(seq_col)
     changed = F.lit(False)
@@ -56,9 +62,10 @@ def scd2_versions(
         "version_seq",
         F.sum("__new_version").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
+    weight = F.col(weight_col) if weight_col else F.lit(1)
     versions = versioned.groupBy(key_col, "version_seq", *attr_cols).agg(
         F.min(seq_col).alias("valid_from"),
-        F.count(F.lit(1)).alias("n_observations"),
+        F.sum(weight).cast("long").alias("n_observations"),
     )
     wv = Window.partitionBy(key_col).orderBy("version_seq")
     return versions.select(
@@ -140,3 +147,111 @@ FROM versions
 WINDOW wv AS (PARTITION BY id_cliente ORDER BY version_seq)
 ORDER BY id_cliente, version_seq
 """
+
+
+def scd2_apply_delta(
+    existing: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    seq_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Merge an append-only change batch into an existing Type-2 table.
+
+    ``existing`` is a `scd2_versions` output; ``delta`` is new
+    observations ``(key, seq, attrs)`` whose sequence values are — by
+    the CDC append contract — strictly greater than every sequence
+    already folded into ``existing`` for that key (out-of-order history
+    would need a full rebuild of the affected keys; the nightly rebuild
+    is exactly what this operator exists to avoid).
+
+    Set-wise incremental shape: versions of keys the delta doesn't
+    touch (the overwhelming majority of a 100 TB dimension) pass
+    through UNTOUCHED — no window, no shuffle beyond the semi/anti
+    join against the delta's (small, broadcastable) key set.  For
+    touched keys, already-CLOSED versions also pass through; only each
+    touched key's current version re-enters the gaps-and-islands fold,
+    as one pseudo-observation at its ``valid_from`` carrying its
+    observation count as weight, concatenated with the key's delta
+    rows.  Result ≡ `scd2_versions` over the full concatenated history
+    (pinned by the equivalence test for every prefix/suffix split).
+    """
+    touched = delta.select(key_col).distinct()
+    untouched = existing.join(F.broadcast(touched), key_col, "left_anti")
+    affected = existing.join(F.broadcast(touched), key_col, "left_semi")
+    closed = affected.where(~F.col("is_current"))
+    current = affected.where(F.col("is_current"))
+
+    pseudo = current.select(
+        key_col,
+        F.col("valid_from").alias(seq_col),
+        *attr_cols,
+        F.col("n_observations").alias("__w"),
+        (F.col("version_seq") - 1).alias("__base"),
+    )
+    delta_rows = delta.select(key_col, seq_col, *attr_cols).select(
+        "*", F.lit(1).alias("__w"), F.lit(None).cast("long").alias("__base")
+    )
+    feed = pseudo.unionByName(delta_rows)
+    # version offset per key: versions before the re-folded tail
+    # (0 for keys the dimension has never seen).
+    base = feed.groupBy(key_col).agg(
+        F.coalesce(F.max("__base"), F.lit(0)).alias("__base")
+    )
+    tail = (
+        scd2_versions(
+            feed.drop("__base"), key_col, seq_col, attr_cols, weight_col="__w"
+        )
+        .join(F.broadcast(base), key_col)
+        .withColumn("version_seq", (F.col("version_seq") + F.col("__base")).cast("long"))
+        .drop("__base")
+    )
+    cols = [
+        key_col,
+        "version_seq",
+        *attr_cols,
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_observations",
+    ]
+    return (
+        untouched.select(*cols)
+        .unionByName(closed.select(*cols))
+        .unionByName(tail.select(*cols))
+        .orderBy(key_col, "version_seq")
+    )
+
+
+def dim_cliente_scd2_incremental(clientes: DataFrame, orden: DataFrame) -> DataFrame:
+    """`dim_cliente_scd2` computed via the INCREMENTAL path: the change
+    feed is split 80/20 on the sequence (deterministic in-plan cut at
+    floor(0.8 × max id_orden)), the prefix folded with `scd2_versions`,
+    the suffix merged with `scd2_apply_delta`.  Registered against the
+    SAME full-rebuild SQL oracle as the batch face — the driver's
+    value-hash check then verifies the incremental ≡ rebuild claim
+    itself, not just a test fixture."""
+    fanout = (
+        clientes.select("id_cliente")
+        .join(
+            orden.select("id_cliente", "id_orden", "ciudad_envio", "pais_envio"),
+            "id_cliente",
+        )
+        .select(
+            "id_cliente",
+            "id_orden",
+            F.col("ciudad_envio").alias("ciudad"),
+            F.col("pais_envio").alias("pais"),
+        )
+    )
+    cut = fanout.agg(
+        F.floor(F.max("id_orden") * 0.8).cast("long").alias("__cut")
+    )
+    with_cut = fanout.crossJoin(F.broadcast(cut))
+    args = ("id_cliente", "id_orden", ("ciudad", "pais"))
+    existing = scd2_versions(
+        with_cut.where(F.col("id_orden") <= F.col("__cut")).drop("__cut"), *args
+    )
+    return scd2_apply_delta(
+        existing, with_cut.where(F.col("id_orden") > F.col("__cut")).drop("__cut"), *args
+    )

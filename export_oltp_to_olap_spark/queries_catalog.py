@@ -743,6 +743,15 @@ def q_lm_fluency(spark: SparkSession, sf_dir: str):
     return lm.lm_fluency_scores(_docs(spark, sf_dir))
 
 
+@register("scd2_incremental_merge", scd.DIM_CLIENTE_SCD2_SQL)
+def q_scd2_incremental(spark: SparkSession, sf_dir: str):
+    """SCD2 delta-merge: 80/20 sequence split folded incrementally via
+    `scd2_apply_delta` — oracled against the FULL-rebuild SQL, so the
+    driver hash-checks the incremental ≡ rebuild claim itself."""
+    oltp = _oltp(spark, sf_dir)
+    return scd.dim_cliente_scd2_incremental(oltp["clientes"], oltp["orden"])
+
+
 @register("mixture_weights", sampling.MIXTURE_WEIGHTS_SQL)
 def q_mixture_weights(spark: SparkSession, sf_dir: str):
     """Temperature-scaled (α=0.5) training-mixture weights per source —

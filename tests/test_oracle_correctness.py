@@ -83,6 +83,7 @@ _REPORT_EXEMPT = {
     "lm_fluency_scores",
     "quality_classifier_scores",
     "mixture_weights",
+    "scd2_incremental_merge",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",

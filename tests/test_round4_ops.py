@@ -547,3 +547,79 @@ def test_similarity_family_survives_null_vectors(spark):
     assert len(pq.pq_cosine_topk(emb).collect()) == 6
     kept = semdedup.semantic_dedup(emb).collect()
     assert {r["vec_id"] for r in kept} == {1, 3, 4}  # null vec excluded
+
+
+def test_scd2_apply_delta_equals_full_rebuild(spark):
+    """Incremental SCD2 merge ≡ full rebuild, for every prefix/suffix
+    split of the change feed (new version, extended version, reverted
+    value, brand-new key, untouched key all exercised)."""
+    from export_oltp_to_olap_spark.operators.scd import scd2_apply_delta, scd2_versions
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("attr", StringType()),
+        ]
+    )
+    feed = [
+        # key 1: version a (2 obs), then b, then back to a (revert)
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+        # key 2: one long version extended by late rows
+        (2, 1, "x"), (2, 2, "x"), (2, 5, "x"), (2, 6, "x"),
+        # key 3: only early rows (untouched by late deltas)
+        (3, 1, "m"), (3, 2, "n"),
+        # key 4: appears only late (brand-new key in the delta)
+        (4, 5, "z"), (4, 6, "w"),
+    ]
+    df = spark.createDataFrame(feed, schema)
+    full = scd2_versions(df, "k", "seq", ["attr"])
+
+    def canon(rows):
+        return sorted(tuple(r) for r in rows)
+
+    want = canon(full.collect())
+    for split_at in (2, 3, 4, 5):
+        prefix = df.where(F.col("seq") <= split_at)
+        delta = df.where(F.col("seq") > split_at)
+        existing = scd2_versions(prefix, "k", "seq", ["attr"])
+        merged = scd2_apply_delta(existing, delta, "k", "seq", ["attr"])
+        assert canon(merged.collect()) == want, f"split at seq={split_at}"
+
+
+def test_scd2_apply_delta_fixture_scale(spark, sf0001):
+    """Incremental ≡ rebuild on the real fixture fanout (sf0.001)."""
+    from export_oltp_to_olap_spark.operators.scd import scd2_apply_delta, scd2_versions
+    from export_oltp_to_olap_spark.plans.fixtures_adapter import (
+        oltp_tables_from_fixtures,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    tables = load_tables(
+        spark, sf0001, ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    )
+    oltp = oltp_tables_from_fixtures(tables)
+    fanout = (
+        oltp["clientes"]
+        .select("id_cliente")
+        .join(
+            oltp["orden"].select("id_cliente", "id_orden", "ciudad_envio", "pais_envio"),
+            "id_cliente",
+        )
+        .select(
+            "id_cliente",
+            "id_orden",
+            F.col("ciudad_envio").alias("ciudad"),
+            F.col("pais_envio").alias("pais"),
+        )
+    )
+    args = ("id_cliente", "id_orden", ["ciudad", "pais"])
+    full = scd2_versions(fanout, *args)
+    cut = fanout.agg(F.expr("percentile_approx(id_orden, 0.8)")).collect()[0][0]
+    existing = scd2_versions(fanout.where(F.col("id_orden") <= cut), *args)
+    merged = scd2_apply_delta(
+        existing, fanout.where(F.col("id_orden") > cut), *args
+    )
+    want = sorted(tuple(r) for r in full.collect())
+    got = sorted(tuple(r) for r in merged.collect())
+    assert got == want
