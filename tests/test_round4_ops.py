@@ -623,3 +623,68 @@ def test_scd2_apply_delta_fixture_scale(spark, sf0001):
     want = sorted(tuple(r) for r in full.collect())
     got = sorted(tuple(r) for r in merged.collect())
     assert got == want
+
+
+def test_scd2_streaming_maintenance_converges(spark, tmp_path):
+    """`scd2_apply_delta` as a foreachBatch maintainer: an id-ordered
+    change stream folded batch-by-batch into a parquet SCD2 table ends
+    identical to the full rebuild — the streaming warehouse-maintenance
+    form of the incremental merge."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from export_oltp_to_olap_spark.operators.scd import scd2_apply_delta, scd2_versions
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    feed_rows = [
+        (1, 1, "a"), (1, 2, "a"), (2, 1, "x"),
+        (1, 3, "b"), (3, 3, "m"),
+        (1, 4, "a"), (2, 5, "x"), (3, 6, "n"), (4, 6, "z"),
+    ]
+    feed = tmp_path / "scd_feed"
+    feed.mkdir()
+    for i, chunk in enumerate([feed_rows[:3], feed_rows[3:5], feed_rows[5:]]):
+        with open(feed / f"b{i}.json", "w") as f:
+            for k, seq, attr in chunk:
+                f.write(json.dumps({"k": k, "seq": seq, "attr": attr}) + "\n")
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    dim_path = str(tmp_path / "scd2_dim")
+    args = ("k", "seq", ["attr"])
+
+    def maintain(batch_df, _):
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(dim_path):
+            existing = spark.read.parquet(dim_path)
+            merged = scd2_apply_delta(existing, batch_df, *args)
+        else:
+            merged = scd2_versions(batch_df, *args)
+        # stage to break lineage on the table being overwritten
+        merged.localCheckpoint().write.mode("overwrite").parquet(dim_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "scd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = sorted(
+        tuple(r)
+        for r in scd2_versions(spark.createDataFrame(feed_rows, schema), *args).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(dim_path).collect())
+    assert got == want
