@@ -36,6 +36,12 @@ Tail queries still run everywhere else: `queries()` returns all of
 them, and tests/test_oracle_correctness.py compares every tail oracle
 against DuckDB at sf0.01 (judge-run, green) — the tail only forgoes the
 driver-report row, never the check itself.
+
+* Mid-round-4 additions land in the TAIL (rotate into the window in
+  round 5): duplicated_spans, span_dedup_report,
+  ngram_diversity_by_source, lm_fluency_scores, mixture_weights,
+  scd2_incremental_merge (all oracle), rp_cosine_topk and
+  quality_classifier_scores (rows-only by nature).
 """
 
 from __future__ import annotations
