@@ -646,3 +646,59 @@ SELECT CAST(bin AS BIGINT) AS bin,
 FROM counts
 ORDER BY bin
 """
+
+
+def adaptive_quality_gate(docs: DataFrame, keep_frac_pct: int = 50) -> DataFrame:
+    """Per-source ADAPTIVE quality gating: keep each source's top
+    ``keep_frac_pct``% of documents by within-source quality rank.
+
+    A single global quality threshold (`plans/curation.py` QUALITY_MIN)
+    over-prunes clean-but-plain sources and under-prunes noisy ones;
+    ranking WITHIN each source (percent_rank over (quality, doc_id) —
+    deterministic tiebreak) adapts the bar to each source's own
+    distribution, the per-domain quality-bucketing move in CCNet-style
+    pipelines.  Output: one summary row per source — doc count, kept
+    count, and the realized quality cutoff (min kept quality, 6 dp).
+
+    Scale: one shuffle on source for the window rank, one per-source
+    agg on the same partitioning (no second exchange).  A source too
+    large to window-sort in its partitions is the case for the
+    threshold form (`stratified_sample`) instead.
+    """
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = (
+        spread_for_compute(docs.select("doc_id", "source", "text"), "source")
+        .withColumn("quality", quality_score("text"))
+        .withColumn("pr", F.percent_rank().over(w))
+    )
+    kept_min = F.min(F.when(F.col("kept"), F.col("quality")))
+    return (
+        ranked.withColumn("kept", F.col("pr") >= F.lit(1 - keep_frac_pct / 100.0))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.round(kept_min, 6).alias("cutoff_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+ADAPTIVE_QUALITY_SQL = rf"""
+WITH {quality_feats_cte()},
+scored AS (
+  SELECT doc_id, {QUALITY_EXPR_SQL} AS quality FROM feats
+),
+ranked AS (
+  SELECT d.source, s.quality,
+         percent_rank() OVER (PARTITION BY d.source ORDER BY s.quality, s.doc_id) AS pr
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(min(CASE WHEN pr >= 0.5 THEN quality END), 6) AS cutoff_quality
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""

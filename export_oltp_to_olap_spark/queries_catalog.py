@@ -749,6 +749,14 @@ def q_lm_fluency(spark: SparkSession, sf_dir: str):
     return lm.lm_fluency_scores(_docs(spark, sf_dir))
 
 
+@register("adaptive_quality_gate", text_queries.ADAPTIVE_QUALITY_SQL)
+def q_adaptive_quality(spark: SparkSession, sf_dir: str):
+    """Per-source adaptive quality gate: keep each source's top half by
+    within-source quality percent_rank (the CCNet per-domain bucketing
+    move — a global threshold over/under-prunes across sources)."""
+    return text_queries.adaptive_quality_gate(_docs(spark, sf_dir))
+
+
 @register("scd2_incremental_merge", scd.DIM_CLIENTE_SCD2_SQL)
 def q_scd2_incremental(spark: SparkSession, sf_dir: str):
     """SCD2 delta-merge: 80/20 sequence split folded incrementally via

@@ -84,6 +84,7 @@ _REPORT_EXEMPT = {
     "quality_classifier_scores",
     "mixture_weights",
     "scd2_incremental_merge",
+    "adaptive_quality_gate",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
