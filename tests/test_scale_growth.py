@@ -203,3 +203,26 @@ def test_chunking_output_linear_in_tokens(spark, sf001, sf01):
         assert n_chunks <= 2 * (n_tokens / stride) + docs.count(), (
             f"chunk fan-out {n_chunks} too large for {n_tokens} tokens at {sf}"
         )
+
+
+def test_duplicated_span_join_volume_linear_in_positions(spark, sf001, sf01):
+    """The span detector's only join emits one row per seed-hit POSITION
+    — never per pair — so its volume is bounded by the corpus's total
+    token positions (exponent ≤ ~1 in corpus size by construction; a
+    rewrite that joined positions against positions per gram would blow
+    past this immediately)."""
+    from export_oltp_to_olap_spark.operators.substring import (
+        FIXTURE_SPAN_N,
+        positional_grams,
+    )
+
+    dup_rows, positions = {}, {}
+    for sf in (sf001, sf01):
+        docs = _docs(spark, sf)
+        pg = positional_grams(docs, FIXTURE_SPAN_N)
+        positions[sf] = pg.count()
+        seeds = pg.groupBy("g").agg(F.count(F.lit(1)).alias("occ")).where(F.col("occ") >= 2)
+        dup_rows[sf] = pg.join(seeds.select("g"), "g").count()
+        assert dup_rows[sf] <= positions[sf]
+    e = _exponent(dup_rows[sf001], dup_rows[sf01], positions[sf001], positions[sf01])
+    assert e < 1.2, f"span seed-join growth exponent {e:.2f} vs positions"
