@@ -61,6 +61,7 @@ DEFAULT_HEADLINE = [
     "rp_cosine_topk",
     "lm_fluency_scores",
     "quality_classifier_scores",
+    "bpe_token_stats",
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "ivf_cosine_topk[kmeans]",

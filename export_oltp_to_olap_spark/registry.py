@@ -40,14 +40,31 @@ def register(name: str, sql: str | None, doc: str = "") -> Callable[[QueryFn], Q
     return deco
 
 
+def _ordered_names() -> list[str]:
+    """Registration names with the driver-report window pinned first.
+
+    The driver records CORRECTNESS rows for the first 50 names only;
+    ``queries_catalog.WINDOW_FIRST`` chooses that window explicitly
+    (rotated each round — see the catalog module docstring).  Everything
+    else follows in definition order.
+    """
+    from export_oltp_to_olap_spark.queries_catalog import WINDOW_FIRST
+
+    windowed = [n for n in WINDOW_FIRST if n in REGISTRY]
+    head = set(windowed)
+    return windowed + [n for n in REGISTRY if n not in head]
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: reg.fn for name, reg in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
-    return {name: reg.sql for name, reg in REGISTRY.items() if reg.sql is not None}
+    return {
+        name: REGISTRY[name].sql for name in _ordered_names() if REGISTRY[name].sql is not None
+    }
 
 
 _LOADED = False

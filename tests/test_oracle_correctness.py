@@ -85,6 +85,7 @@ _REPORT_EXEMPT = {
     "mixture_weights",
     "scd2_incremental_merge",
     "adaptive_quality_gate",
+    "bpe_token_stats",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
@@ -117,6 +118,22 @@ _REPORT_EXEMPT = {
     "token_count_bpe",
     "media_metadata_stats",
     "simhash_fingerprints",
+    # Rotated OUT late-round-4 by WINDOW_FIRST to give the mid-round-4
+    # additions driver rows (each hash-match green in r03; present in
+    # r01-r03 reports, absent from r04's):
+    "rollup_revenue",
+    "cube_order_stats",
+    "grouping_sets_orders",
+    "distinct_agg_orders",
+    "orders_price_percentiles",
+    "ngram_jaccard_neardup",
+    "simhash_near_dup",
+    "embedding_cosine_neardup",
+    "lsh_cosine_neardup",
+    "ivf_cosine_topk",
+    "text_quality",
+    "token_stats_by_source",
+    "media_frame_sample",
     # Rotated OUT in round 4 (hash-match green in r01 AND r02 AND r03):
     "star_dim_cliente",
     "star_dim_categoria",
