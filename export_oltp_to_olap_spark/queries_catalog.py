@@ -64,6 +64,7 @@ from export_oltp_to_olap_spark.operators import (
     bpe,
     chunking,
     decontam,
+    diff,
     lm,
     neardup,
     quality_model,
@@ -790,6 +791,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str):
     rule-based lang-ID heuristic; planted-signal + generalization +
     determinism contracts in tests/test_quality_model.py."""
     return quality_model.quality_classifier_scores(_docs(spark, sf_dir))
+
+
+@register("snapshot_diff_customers", diff.SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str):
+    """Row-level snapshot reconciliation: FULL OUTER key join + null-safe
+    per-column drift detection (added/removed/changed + changed_cols)
+    against a deterministic revised snapshot of `customer`."""
+    cust = _tables(spark, sf_dir, ("customer",))["customer"]
+    return diff.snapshot_diff_customers(cust)
 
 
 @register("bpe_token_stats", None)  # iterative merge learning: no SQL oracle

@@ -86,6 +86,7 @@ _REPORT_EXEMPT = {
     "scd2_incremental_merge",
     "adaptive_quality_gate",
     "bpe_token_stats",
+    "snapshot_diff_customers",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
