@@ -71,6 +71,7 @@ from export_oltp_to_olap_spark.operators import (
     rangejoin,
     sampling,
     scd,
+    skew,
     semdedup,
     similarity,
     substring,
@@ -791,6 +792,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str):
     rule-based lang-ID heuristic; planted-signal + generalization +
     determinism contracts in tests/test_quality_model.py."""
     return quality_model.quality_classifier_scores(_docs(spark, sf_dir))
+
+
+@register("skew_safe_join_revenue", skew.SKEW_SAFE_JOIN_SQL)
+def q_skew_safe_join(spark: SparkSession, sf_dir: str):
+    """Hot-key split join: keys above the row threshold route around the
+    shuffle via a broadcast slice, cold keys take the normal join; the
+    oracle is the PLAIN join SQL -- equivalence is the claim."""
+    t = _tables(spark, sf_dir, ("orders", "customer"))
+    return skew.skew_safe_join_revenue(t["orders"], t["customer"])
 
 
 @register("snapshot_diff_customers", diff.SNAPSHOT_DIFF_SQL)

@@ -87,6 +87,7 @@ _REPORT_EXEMPT = {
     "adaptive_quality_gate",
     "bpe_token_stats",
     "snapshot_diff_customers",
+    "skew_safe_join_revenue",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
