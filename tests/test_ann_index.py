@@ -1,0 +1,76 @@
+"""Persisted IVF index: probe ≡ the one-shot operator, delta-append ≡
+full rebuild under frozen centroids, partition pruning on the postings
+scan, and the bounded-routing guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators import ann_index, similarity
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+N_CEN, NPROBE, N_QUERIES, K = 8, 3, 6, 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf001):
+    return load_tables(spark, sf001, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+
+
+def _queries(emb, n=N_QUERIES):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persisted_probe_equals_one_shot_operator(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, path, n_centroids=N_CEN, centroid_mode="first")
+    got = ann_index.probe_ivf_index(spark, path, _queries(emb), nprobe=NPROBE, k=K)
+    want = similarity.ivf_cosine_topk(
+        emb, n_centroids=N_CEN, nprobe=NPROBE, n_queries=N_QUERIES, k=K
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_delta_append_equals_full_rebuild(spark, emb, tmp_path):
+    # A holds every centroid id (vec_id < N_CEN), so "first" centroids
+    # are identical whether B is present at build time or appended.
+    a = emb.where((F.col("vec_id") < N_CEN) | (F.col("vec_id") % 2 == 0))
+    b = emb.where((F.col("vec_id") >= N_CEN) & (F.col("vec_id") % 2 == 1))
+
+    inc = str(tmp_path / "inc")
+    ann_index.build_ivf_index(a, inc, n_centroids=N_CEN, centroid_mode="first")
+    ann_index.append_ivf_index(b, inc)
+
+    full = str(tmp_path / "full")
+    ann_index.build_ivf_index(emb, full, n_centroids=N_CEN, centroid_mode="first")
+
+    q = _queries(emb)
+    got = ann_index.probe_ivf_index(spark, inc, q, nprobe=NPROBE, k=K)
+    want = ann_index.probe_ivf_index(spark, full, q, nprobe=NPROBE, k=K)
+    assert _rows(got) == _rows(want)
+
+
+def test_probe_scan_is_partition_pruned(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, path, n_centroids=N_CEN, centroid_mode="first")
+    out = ann_index.probe_ivf_index(spark, path, _queries(emb), nprobe=NPROBE, k=K)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cen_id" in plan.replace("PartitionFilters: [ cen_id", "PartitionFilters: [cen_id"), plan[:2000]
+
+
+def test_routing_guard_bounds_the_collect(spark, emb, tmp_path, monkeypatch):
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, path, n_centroids=N_CEN, centroid_mode="first")
+    monkeypatch.setattr(ann_index, "MAX_ROUTING_ROWS", 4)
+    with pytest.raises(ValueError, match="routing table"):
+        ann_index.probe_ivf_index(spark, path, _queries(emb), nprobe=NPROBE, k=K)
