@@ -135,3 +135,52 @@ def write_partitioned_parquet(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the parquet sweet-spot floor
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    order_cols: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the OPTIMIZE/compaction step for tables that accrete small files
+    (streaming sinks, per-batch appends, over-parallel writes).
+
+    Returns the output file count.  File count = ceil(current bytes /
+    target), computed from the existing footprint — no data pass needed
+    to size the job.  With ``order_cols`` the rewrite also range-sorts
+    (a `write_sorted_parquet` pass), folding compaction and layout into
+    the single rewrite a maintenance window gets.
+
+    Scale: the rewrite is one shuffle-free coalesce when shrinking file
+    count (or one range exchange when sorting); readers meanwhile see
+    the OLD files until the atomic-enough directory swap at the end.
+    The swap uses a temp dir + rename, the same story as
+    `ops_http.py`'s heartbeat write: never leave a half-written table.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    if order_cols:
+        write_sorted_parquet(df, tmp, order_cols, n_files=n_files)
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -141,3 +141,35 @@ def test_dynamic_partition_overwrite_backfills_only_touched_days(spark, tmp_path
         .toString()
     )
     assert "PartitionFilters" in plan and "2024-01-02" in plan
+
+
+def test_compact_parquet_merges_small_files(spark, events, tmp_path):
+    from export_oltp_to_olap_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "frag")
+    events.repartition(40).write.parquet(path)  # simulate per-batch spray
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 40
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not glob.glob(f"{path}__*")  # temp/old dirs cleaned up
+
+
+def test_compact_parquet_with_sort_restores_pruning(spark, events, tmp_path):
+    from export_oltp_to_olap_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "frag")
+    events.repartition(16).write.parquet(path)  # arrival order: wide spans
+    compact_parquet(
+        spark, path, target_file_bytes=len(events.columns) * 40_000, order_cols=["user_id"]
+    )
+    spans = _file_spans(path, "user_id")
+    assert len(spans) >= 2
+    # Sorted rewrite → narrow per-file ranges (arrival order gives ~1.0).
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    assert _avg_span_fraction(spans, lo, hi) < 0.6  # vs ~1.0 for arrival order
