@@ -396,3 +396,109 @@ ORDER BY source
 
 
 MIXTURE_WEIGHTS_SQL = mixture_weights_sql()
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export: deterministic global shuffle + sharding
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def shuffle_position(key: Column | str, salt: str = "order") -> Column:
+    """Deterministic pseudo-random ORDER key: the full md5 hex of
+    (salt, key).  128 bits — collision-free across distinct keys, so
+    ordering by it is total and reproducible in any engine.  Training
+    corpora must be read in shuffled order; ORDER BY a hash of the key
+    is the distributed, restart-stable form of that shuffle (no RNG
+    state, no partitioning dependence)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat_ws(":", F.lit(salt), k.cast("string")))
+
+
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int = N_SHARDS, salt: str = "shard"
+) -> DataFrame:
+    """Add ``shard`` ∈ [0, n_shards) and ``pos`` (the within-shard order
+    key).  Pure map-side hash of the row key — stable under
+    repartitioning and appends, like every split in this module."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn("shard", (h % n_shards).cast("int")).withColumn(
+        "pos", shuffle_position(key_col)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = N_SHARDS,
+    salt: str = "shard",
+) -> None:
+    """Export ``df`` as ``n_shards`` shard partitions, each file sorted
+    by the shuffle position — a reader streaming shard files in file
+    order consumes a deterministic pseudo-random permutation of the
+    corpus, and parallel trainers each own a disjoint shard.
+
+    One exchange on ``shard`` (so each shard is one writer), in-file
+    sort on ``pos`` — the standard export shape; at 100 TB raise
+    ``n_shards`` until shards land near file-size targets (or compose
+    with `sources/layout.py::compact_parquet` afterwards).
+    """
+    assigned = assign_shards(df, key_col, n_shards, salt)
+    (
+        assigned.repartition(n_shards, "shard")
+        # Leading the sort with the partition column satisfies the file
+        # writer's required ordering — otherwise it re-sorts by `shard`
+        # alone and destroys the position order inside each file.
+        .sortWithinPartitions("shard", "pos", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def training_shard_manifest(
+    documents: DataFrame, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Per-shard manifest of the export: row/char totals plus the first
+    and last doc in shuffled order (min_by/max_by over the unique md5
+    position — deterministic because positions are collision-free)."""
+    s = assign_shards(documents, "doc_id", n_shards)
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min_by("doc_id", "pos").alias("first_doc_id"),
+            F.max_by("doc_id", "pos").alias("last_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+def training_shard_manifest_sql(n_shards: int = N_SHARDS) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {n_shards} AS INT) AS shard,
+         md5('order:' || CAST(doc_id AS VARCHAR)) AS pos
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       arg_min(doc_id, pos) AS first_doc_id,
+       arg_max(doc_id, pos) AS last_doc_id
+FROM s
+GROUP BY shard
+ORDER BY shard
+""".strip()
+
+
+TRAINING_SHARD_MANIFEST_SQL = training_shard_manifest_sql()

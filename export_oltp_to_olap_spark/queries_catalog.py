@@ -794,6 +794,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str):
     return quality_model.quality_classifier_scores(_docs(spark, sf_dir))
 
 
+@register("training_shard_manifest", sampling.TRAINING_SHARD_MANIFEST_SQL)
+def q_training_shards(spark: SparkSession, sf_dir: str):
+    """Deterministic training-shard export manifest: hash-assigned
+    shards + md5 shuffle positions (restart-stable global shuffle);
+    first/last doc per shard pin the within-shard order."""
+    return sampling.training_shard_manifest(_docs(spark, sf_dir))
+
+
 @register("skew_safe_join_revenue", skew.SKEW_SAFE_JOIN_SQL)
 def q_skew_safe_join(spark: SparkSession, sf_dir: str):
     """Hot-key split join: keys above the row threshold route around the

@@ -88,6 +88,7 @@ _REPORT_EXEMPT = {
     "bpe_token_stats",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
+    "training_shard_manifest",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",

@@ -111,3 +111,66 @@ def test_mixture_weights_alpha_upweights_small_sources(spark):
     assert out["small"]["weight"] > out["small"]["share"]
     assert out["big"]["weight"] < out["big"]["share"]
     assert out["small"]["oversample_factor"] > 1 > out["big"]["oversample_factor"]
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assignment_stable_under_repartition(spark, sf001):
+    from export_oltp_to_olap_spark.operators.sampling import assign_shards
+
+    docs = _docs(spark, sf001)
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in assign_shards(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in assign_shards(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    shards = {s for s, _ in a.values()}
+    assert shards <= set(range(8)) and len(shards) == 8  # all shards populated
+
+
+def test_shard_balance(spark, sf001):
+    from collections import Counter
+
+    from export_oltp_to_olap_spark.operators.sampling import assign_shards
+
+    docs = _docs(spark, sf001)
+    counts = Counter(r["shard"] for r in assign_shards(docs, "doc_id").collect())
+    n = sum(counts.values())
+    for c in counts.values():
+        assert abs(c - n / 8) < 0.5 * (n / 8)  # within ±50% of uniform
+
+
+def test_written_shards_stream_in_shuffled_order(spark, sf001, tmp_path):
+    from export_oltp_to_olap_spark.operators.sampling import (
+        assign_shards,
+        write_training_shards,
+    )
+
+    docs = _docs(spark, sf001)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, "doc_id", n_shards=4)
+    want = assign_shards(docs, "doc_id", n_shards=4)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    seen_total = 0
+    expected = {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in want.collect()
+    }
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            t = pq.read_table(f, columns=["doc_id", "pos"])
+            ids = t.column("doc_id").to_pylist()
+            poss = t.column("pos").to_pylist()
+            assert poss == sorted(poss), "file rows not in shuffle order"
+            for i in ids:
+                assert expected[i][0] == shard
+            seen_total += len(ids)
+    assert seen_total == len(expected)
