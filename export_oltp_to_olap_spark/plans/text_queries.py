@@ -207,17 +207,24 @@ def ngram_diversity_by_source(docs: DataFrame, max_n: int = 3) -> DataFrame:
     schema.
 
     Scale: one exploded (source, n, gram) stream (map-side fan-out,
-    ~max_n rows per token), then a single groupBy with count +
-    count_distinct — Catalyst plans the distinct as one Expand plus a
-    partial-aggregated shuffle on (source, n, gram); nothing holds a
-    per-source gram set in memory.  Grams are md5'd before the distinct
-    so shuffled keys are fixed-width, never the n-token strings.
+    ~max_n rows per token), aggregated in TWO stages: first
+    ``groupBy(source, n, gram)`` — partial aggregation collapses the
+    repeated grams map-side, and the shuffle keys on the
+    high-cardinality md5'd gram so no reducer owns a whole (source, n)
+    group — then a tiny second groupBy folds the per-gram counts into
+    totals + distinct counts.  This replaces the single
+    count+count_distinct form, whose Expand doubled the exploded
+    stream and whose (source, n) shuffle keyed everything into
+    |sources|×max_n partitions (measured 4× slower at sf0.1, and a
+    skew bomb at corpus scale).  Fan-out parallelism comes from
+    spreading the DOCS before the explode, never the gram stream.
     """
+    base = spread_for_compute(docs.select("source", "text"))
     per_n = []
     for n in range(1, max_n + 1):
         grams = word_shingles("text", n) if n > 1 else tokens("text")
         per_n.append(
-            docs.select(
+            base.select(
                 "source",
                 F.lit(n).alias("n"),
                 F.explode(grams).alias("gram"),
@@ -227,12 +234,13 @@ def ngram_diversity_by_source(docs: DataFrame, max_n: int = 3) -> DataFrame:
     for other in per_n[1:]:
         exploded = exploded.unionByName(other)
     return (
-        spread_for_compute(exploded, "source", "n")
-        .select("source", "n", F.md5("gram").alias("g"))
+        exploded.select("source", "n", F.md5("gram").alias("g"))
+        .groupBy("source", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("source", "n")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("total_grams"),
-            F.count_distinct("g").cast("long").alias("distinct_grams"),
+            F.sum("c").cast("long").alias("total_grams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_grams"),
         )
         .select(
             "source",
