@@ -35,6 +35,7 @@ Usage examples::
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -156,6 +157,24 @@ def make_sync_runner(spark: SparkSession, source_dir: str, target_dir: str):
     return run
 
 
+def cmd_optimize(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Maintenance rewrite: merge a table's file spray into target-size
+    files (`sources/layout.py::compact_parquet`), optionally restoring
+    sorted layout.  The OPTIMIZE step streaming sinks and per-batch
+    appends need on a cadence."""
+    from export_oltp_to_olap_spark.sources.layout import compact_parquet
+
+    order_cols = args.sort_by.split(",") if args.sort_by else None
+    n = compact_parquet(
+        spark,
+        args.path,
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+        order_cols=order_cols,
+    )
+    print(json.dumps({"compacted": args.path, "files": n}))
+    return 0
+
+
 def cmd_web(args: argparse.Namespace, spark: SparkSession | None) -> int:
     """Ops HTTP server (ref main.py web subcommand)."""
     from export_oltp_to_olap_spark.ops_http import start_ops_server
@@ -242,6 +261,22 @@ def build_parser() -> argparse.ArgumentParser:
     web.add_argument("--source-dir", default=None, help="enables /sync when set")
     web.add_argument("--target-dir", default=None, help="enables /sync when set")
     web.set_defaults(fn=cmd_web)
+
+    optimize = sub.add_parser(
+        "optimize",
+        help="compact a parquet table's small files (maintenance rewrite; "
+        "optionally range-sort to restore min/max pruning)",
+    )
+    optimize.add_argument("path", help="parquet directory to compact in place")
+    optimize.add_argument(
+        "--target-file-mb", type=int, default=128, help="output file size target"
+    )
+    optimize.add_argument(
+        "--sort-by",
+        default=None,
+        help="comma-separated columns: also range-sort during the rewrite",
+    )
+    optimize.set_defaults(fn=cmd_optimize)
     return p
 
 

@@ -74,3 +74,47 @@ def test_routing_guard_bounds_the_collect(spark, emb, tmp_path, monkeypatch):
     monkeypatch.setattr(ann_index, "MAX_ROUTING_ROWS", 4)
     with pytest.raises(ValueError, match="routing table"):
         ann_index.probe_ivf_index(spark, path, _queries(emb), nprobe=NPROBE, k=K)
+
+
+def test_append_works_as_stream_maintainer(spark, emb, tmp_path):
+    """foreachBatch(append_ivf_index) maintains the persisted index from
+    a vector stream: after the stream drains, probing equals a full
+    rebuild over everything ingested (frozen-centroid convention)."""
+    import json as _json
+    import os
+
+    path = str(tmp_path / "ivf")
+    seed = emb.where(F.col("vec_id") < N_CEN)  # all centroid ids present
+    ann_index.build_ivf_index(seed, path, n_centroids=N_CEN, centroid_mode="first")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rest = emb.where(F.col("vec_id") >= N_CEN).collect()
+    half = len(rest) // 2
+    for i, chunk in enumerate((rest[:half], rest[half:])):
+        with open(feed / f"{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])}) + "\n")
+        os.utime(feed / f"{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: ann_index.append_ivf_index(batch, path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    ann_index.build_ivf_index(emb, full, n_centroids=N_CEN, centroid_mode="first")
+    queries = _queries(emb)
+    got = ann_index.probe_ivf_index(spark, path, queries, nprobe=NPROBE, k=K)
+    want = ann_index.probe_ivf_index(spark, full, queries, nprobe=NPROBE, k=K)
+    assert _rows(got) == _rows(want)

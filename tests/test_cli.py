@@ -207,3 +207,17 @@ def test_ops_http_sync_disabled_and_error_doc(tmp_path, monkeypatch):
             assert e.code == 503
     finally:
         server.shutdown()
+
+
+def test_cli_optimize_compacts_table(spark, tmp_path):
+    import glob
+
+    from export_oltp_to_olap_spark.cli import main
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).repartition(20).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 20
+    rc = main(["optimize", path, "--target-file-mb", "1024"], spark=spark)
+    assert rc == 0
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 1000
