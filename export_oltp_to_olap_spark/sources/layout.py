@@ -54,32 +54,68 @@ def write_sorted_parquet(
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
-def zorder_key(
-    df: DataFrame, cols: Sequence[str], bits: int = ZORDER_BITS
-) -> Column:
-    """Z-order (Morton) key over ``cols``: equi-width bucketize each
-    column to ``bits`` bits between its observed min/max, then interleave
-    the bits.  Column expressions only — the min/max bounds are the one
-    small driver-side action (an aggregate of 2×len(cols) scalars).
+DEPTH_BITS_MAX = 8  # equi-depth folds 2^bits-1 boundaries into an expression
 
-    Equi-width bucketing (``width_bucket``) is deliberate: it needs only
-    the bounds, not quantiles, and skewed distributions cost pruning
-    efficiency, not correctness.  A production variant swaps in
-    approx-quantile boundaries for equi-depth cells.
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = ZORDER_BITS, mode: str = "width"
+) -> Column:
+    """Z-order (Morton) key over ``cols``: bucketize each column to
+    ``bits`` bits, then interleave the bits.  Column expressions only —
+    the bounds/boundaries are the one small driver-side action.
+
+    ``mode="width"`` (default): equi-width cells between observed
+    min/max (``width_bucket``) — needs only two scalars per column;
+    skew costs pruning efficiency, never correctness.
+
+    ``mode="depth"``: equi-depth cells from ``approxQuantile``
+    boundaries — the Delta/Iceberg OPTIMIZE ZORDER convention (range
+    ids).  Every cell holds ~equal rows regardless of skew, so file
+    spans stay narrow on skewed columns too.  The 2^bits − 1 boundaries
+    fold into a per-row HOF count over a broadcast literal array
+    (vectorized, no UDF); ``bits`` is capped at ``DEPTH_BITS_MAX`` to
+    bound the expression (256 cells per dimension prune plenty — the
+    interleaved key still has bits × len(cols) bits of resolution).
     """
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
-    ).first()
     n_buckets = 1 << bits
     parts: list[Column] = []
-    for c in cols:
-        lo, hi = float(bounds[f"min_{c}"]), float(bounds[f"max_{c}"])
-        if hi <= lo:
-            hi = lo + 1.0
-        # width_bucket returns 1..n+1; clamp into [0, n_buckets).
-        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
-        parts.append(F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_buckets - 1)).cast("long"))
+    if mode == "depth":
+        if bits > DEPTH_BITS_MAX:
+            raise ValueError(
+                f"depth mode caps bits at {DEPTH_BITS_MAX} (got {bits}): "
+                f"boundaries fold into a literal expression"
+            )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        for c in cols:
+            cuts = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+                c, probs, 0.001
+            )
+            bounds_arr = F.array(*[F.lit(float(x)) for x in cuts])
+            b = F.aggregate(
+                bounds_arr,
+                F.lit(0).cast("long"),
+                lambda acc, cut: acc
+                + F.when(F.col(c).cast("double") >= cut, 1).otherwise(0),
+            )
+            parts.append(F.least(b, F.lit(n_buckets - 1)).cast("long"))
+    elif mode == "width":
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+        ).first()
+        for c in cols:
+            lo, hi = float(bounds[f"min_{c}"]), float(bounds[f"max_{c}"])
+            if hi <= lo:
+                hi = lo + 1.0
+            # width_bucket returns 1..n+1; clamp into [0, n_buckets).
+            b = F.width_bucket(
+                F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+            )
+            parts.append(
+                F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+            )
+    else:
+        raise ValueError(f"unknown zorder mode: {mode!r}")
     z = F.lit(0).cast("long")
     for bit in range(bits):
         for d, b in enumerate(parts):
@@ -98,11 +134,12 @@ def write_zorder_parquet(
     cols: Sequence[str],
     n_files: int | None = None,
     bits: int = ZORDER_BITS,
+    mode: str = "width",
 ) -> None:
     """Write ``df`` as parquet range-sorted by the Z-order key of
     ``cols`` — every file covers a compact hyper-rectangle, so min/max
     stats prune on any of the Z-ordered columns."""
-    keyed = df.withColumn("__z", zorder_key(df, cols, bits))
+    keyed = df.withColumn("__z", zorder_key(df, cols, bits, mode))
     part = (
         keyed.repartitionByRange(n_files, F.col("__z"))
         if n_files is not None

@@ -173,3 +173,45 @@ def test_compact_parquet_with_sort_restores_pruning(spark, events, tmp_path):
     lo = min(s[0] for s in spans)
     hi = max(s[1] for s in spans)
     assert _avg_span_fraction(spans, lo, hi) < 0.6  # vs ~1.0 for arrival order
+
+
+def test_zorder_depth_mode_resists_skew(spark):
+    """Under heavy skew, equi-width cells collapse (most rows share one
+    bucket) while equi-depth cells stay ~uniform — the property that
+    keeps file spans narrow on skewed columns."""
+    from collections import Counter
+
+    from export_oltp_to_olap_spark.sources.layout import zorder_key
+
+    # x = k^6: over half the rows land in the lowest 1/16th of the range.
+    df = spark.range(0, 4000).selectExpr(
+        "id", "CAST(pow(id % 1000, 6) AS DOUBLE) AS x", "CAST(id AS DOUBLE) AS y"
+    )
+    wkey = df.select(zorder_key(df, ["x", "y"], bits=4, mode="width").alias("z"), "x")
+    dkey = df.select(zorder_key(df, ["x", "y"], bits=4, mode="depth").alias("z"), "x")
+
+    def bucket_hist(rows):
+        # recover x's bucket from the interleaved key: x bits sit at even
+        # positions (dim 0 of 2)
+        c = Counter()
+        for r in rows:
+            z = r["z"]
+            b = sum(((z >> (2 * i)) & 1) << i for i in range(4))
+            c[b] += 1
+        return c
+
+    wh = bucket_hist(wkey.collect())
+    dh = bucket_hist(dkey.collect())
+    assert wh.most_common(1)[0][1] > 0.5 * 4000  # width: one bucket hogs
+    assert dh.most_common(1)[0][1] < 0.2 * 4000  # depth: spread out
+    assert len(dh) >= 12  # nearly all 16 cells populated
+
+
+def test_zorder_depth_bits_cap(spark):
+    import pytest as _pytest
+
+    from export_oltp_to_olap_spark.sources.layout import zorder_key
+
+    df = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id AS DOUBLE) AS y")
+    with _pytest.raises(ValueError, match="caps bits"):
+        zorder_key(df, ["x", "y"], bits=16, mode="depth")
