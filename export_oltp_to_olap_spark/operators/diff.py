@@ -105,7 +105,7 @@ def snapshot_diff(
     )
 
 
-def diff_summary(diff: DataFrame, key_cols: list[str]) -> DataFrame:
+def diff_summary(diff: DataFrame) -> DataFrame:
     """(status, n_rows) rollup of a snapshot_diff output."""
     return (
         diff.groupBy("status")

@@ -97,3 +97,10 @@ def test_fixture_face_census(spark):
     assert set(out[out.status == "added"]["c_custkey"]) == added
     assert set(out[out.status == "changed"]["c_custkey"]) == changed
     assert list(out["c_custkey"]) == sorted(out["c_custkey"])  # ordered output
+
+
+def test_diff_summary_census(snapshots):
+    a, b = snapshots
+    d = diff.snapshot_diff(a, b, ["k"], ["x", "y"])
+    out = {r["status"]: r["n_rows"] for r in diff.diff_summary(d).collect()}
+    assert out == {"added": 1, "removed": 1, "changed": 2}
