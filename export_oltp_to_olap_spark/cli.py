@@ -40,6 +40,7 @@ import os
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def load_oltp(spark: SparkSession, source_dir: str):
@@ -175,6 +176,43 @@ def cmd_optimize(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_export_corpus(args: argparse.Namespace, spark: SparkSession) -> int:
+    """The end-to-end corpus build a training run consumes: curation
+    chain (lang/quality gates -> exact dedup -> near-dup drop -> split
+    assignment, `plans/curation.py::curated_corpus`) exported as
+    deterministic training shards per split
+    (`operators/sampling.py::write_training_shards`), plus a JSON
+    manifest of per-split/per-shard yields."""
+    from export_oltp_to_olap_spark.operators.sampling import (
+        N_SHARDS,
+        assign_shards,
+    )
+    from export_oltp_to_olap_spark.plans.curation import curated_corpus
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    corpus = curated_corpus(docs)
+    n_shards = args.shards or N_SHARDS
+    sharded = assign_shards(corpus, "doc_id", n_shards)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("split", "shard", "pos", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(args.out_dir)
+    )
+    manifest = [
+        {"split": r["split"], "shard": r["shard"], "n_docs": r["n_docs"]}
+        for r in sharded.groupBy("split", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "shard")
+        .collect()
+    ]
+    out = {"out_dir": args.out_dir, "n_shards": n_shards, "yields": manifest}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_web(args: argparse.Namespace, spark: SparkSession | None) -> int:
     """Ops HTTP server (ref main.py web subcommand)."""
     from export_oltp_to_olap_spark.ops_http import start_ops_server
@@ -277,6 +315,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated columns: also range-sort during the rewrite",
     )
     optimize.set_defaults(fn=cmd_optimize)
+
+    export = sub.add_parser(
+        "export-corpus",
+        help="run the curation chain and export deterministic training "
+        "shards per split, with a yield manifest",
+    )
+    export.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    export.add_argument("--out-dir", required=True)
+    export.add_argument("--shards", type=int, default=None)
+    export.set_defaults(fn=cmd_export_corpus)
     return p
 
 

@@ -74,9 +74,11 @@ def curated_docs(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     return stage(deduped) if checkpoint else deduped
 
 
-def corpus_curation_summary(docs: DataFrame) -> DataFrame:
-    """(split, n_docs, n_tokens, sum_quality) after the full curation
-    chain — the yield report of the corpus build."""
+def curated_corpus(docs: DataFrame) -> DataFrame:
+    """The full curation chain's OUTPUT rows: (doc_id, text, quality,
+    split) — gates, exact dedup, near-dup drop, split assignment.  The
+    yield report aggregates this; the corpus EXPORT (`cli.py
+    export-corpus`) ships it."""
     deduped = curated_docs(docs)
     dropped = (
         ngram_jaccard_pairs(deduped, n=3, threshold=NEARDUP_THRESHOLD)
@@ -84,7 +86,13 @@ def corpus_curation_summary(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     kept = deduped.join(dropped, "doc_id", "left_anti")
-    assigned = assign_splits(kept, "doc_id")
+    return assign_splits(kept, "doc_id")
+
+
+def corpus_curation_summary(docs: DataFrame) -> DataFrame:
+    """(split, n_docs, n_tokens, sum_quality) after the full curation
+    chain — the yield report of the corpus build."""
+    assigned = curated_corpus(docs)
     return (
         assigned.groupBy("split")
         .agg(

@@ -221,3 +221,27 @@ def test_cli_optimize_compacts_table(spark, tmp_path):
     assert rc == 0
     assert len(glob.glob(f"{path}/part-*.parquet")) == 1
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_cli_export_corpus_writes_split_shards(spark, sf001, tmp_path):
+    import glob
+    import json as _json
+
+    from export_oltp_to_olap_spark.cli import main
+    from export_oltp_to_olap_spark.plans.curation import curated_corpus
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    out = str(tmp_path / "corpus")
+    rc = main(["export-corpus", "--source-dir", sf001, "--out-dir", out, "--shards", "2"], spark=spark)
+    assert rc == 0
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    want = {
+        (r["doc_id"], r["split"]) for r in curated_corpus(docs).collect()
+    }
+    got_rows = spark.read.parquet(out).collect()
+    got = {(r["doc_id"], r["split"]) for r in got_rows}
+    assert got == want and len(got_rows) == len(want)
+    # hive layout: split=*/shard=* directories exist for every split seen
+    for s in {s for _, s in want}:
+        assert glob.glob(f"{out}/split={s}/shard=*"), s
