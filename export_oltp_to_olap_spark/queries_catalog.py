@@ -51,6 +51,9 @@ driver-report row, never the check itself.
   ivf_cosine_topk, text_quality, token_stats_by_source,
   media_frame_sample).  After the r04 report, EVERY registration has
   at least one green driver row in some round.
+* Registered after the re-rotation, in the TAIL (rotate into the
+  round-5 window): bpe_token_stats (rows-only), snapshot_diff_customers,
+  skew_safe_join_revenue, training_shard_manifest (all oracle).
 """
 
 from __future__ import annotations
