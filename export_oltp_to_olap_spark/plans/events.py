@@ -190,6 +190,55 @@ GROUP BY 1, 2
 """
 
 
+def hopping_halfhour_stats(events: DataFrame) -> DataFrame:
+    """HOPPING (sliding) windows: 1-hour windows advancing every 30
+    minutes — each event lands in window_len/slide = 2 windows.
+
+    `F.window(ts, "1 hour", "30 minutes")` is Spark's sliding-window
+    generator (internally an Expand of slide-count rows per event, then
+    the same hash agg as tumbling — shuffle volume ×2, the inherent
+    cost of overlap).  The DuckDB oracle restates the generator
+    arithmetic directly: for offset i ∈ {0, 1}, the covering window
+    start is floor((epoch − i·1800)/3600)·3600 + i·1800 — the standard
+    sliding-window membership identity, cross-checked in
+    tests/test_hopping_window.py against per-window interval recounts.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+HOPPING_HALFHOUR_SQL = f"""
+WITH hopped AS (
+  SELECT event_type, value,
+         make_timestamp(
+           (epoch_us(ts) - i.i * 1800000000) // 3600000000 * 3600000000
+           + i.i * 1800000000
+         ) AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS i) AS i
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       {EXACT_SUM_SQL.format(expr="value")} AS total_value
+FROM hopped
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 def user_moving_value(events: DataFrame, frame: int = 3) -> DataFrame:
     """Per-user moving sum over a ROWS frame (last ``frame``+1 events).
 

@@ -823,6 +823,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str):
     return diff.snapshot_diff_customers(cust)
 
 
+@register("events_hopping_halfhour", events_plans.HOPPING_HALFHOUR_SQL)
+def q_events_hopping(spark: SparkSession, sf_dir: str):
+    """Sliding 1-hour/30-minute event-time windows (each event in 2
+    windows); oracle restates the window-start membership identity."""
+    t = _tables(spark, sf_dir, ("events",))
+    return events_plans.hopping_halfhour_stats(t["events"])
+
+
 @register("bpe_token_stats", None)  # iterative merge learning: no SQL oracle
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str):
     """Learned BPE tokenizer (Sennrich arXiv:1508.07909): distributed

@@ -89,6 +89,7 @@ _REPORT_EXEMPT = {
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
     "training_shard_manifest",
+    "events_hopping_halfhour",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
