@@ -768,3 +768,73 @@ def subquery_suite(tables: dict[str, DataFrame]) -> DataFrame:
 SUBQUERY_SUITE_SQL = _SUBQUERY_SUITE_BODY.format(
     customer="customer", orders="orders", nation="nation"
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal statistical moments: stddev / covariance / correlation
+# ---------------------------------------------------------------------------
+
+
+def stats_moments_lineitem(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-returnflag second-moment statistics — stddev_pop, covar_pop,
+    corr — computed ENGINE-EXACTLY.
+
+    Spark's stddev/corr aggregates and DuckDB's use different update
+    formulas and partition orders, so their float outputs differ in the
+    last ulps and cannot survive a value-hash.  The fix is algebraic:
+    aggregate the five power sums Σx, Σy, Σx², Σy², Σxy as EXACT
+    decimals (map-side-combinable, one shuffle), cast the finished sums
+    to double, and derive the moments with the same closed-form
+    expression in both engines — identical inputs, identical IEEE
+    arithmetic, bit-identical results.  The decimal sums are the same
+    `exact_sum` discipline every money aggregate in this engine uses.
+    """
+    li = tables["lineitem"]
+    x = F.col("l_quantity").cast("decimal(28,10)")
+    y = F.col("l_extendedprice").cast("decimal(28,10)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sx") / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+STATS_MOMENTS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)) * CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)) * CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,10)) * CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       ROUND(sx / CAST(n AS DOUBLE), 6) AS mean_qty,
+       ROUND(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS stddev_qty,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS covar_qty_price,
+       ROUND(((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             / sqrt(((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                    * ((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM sums
+ORDER BY l_returnflag
+""".strip()

@@ -823,6 +823,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str):
     return diff.snapshot_diff_customers(cust)
 
 
+@register("stats_moments_lineitem", analytic.STATS_MOMENTS_SQL)
+def q_stats_moments(spark: SparkSession, sf_dir: str):
+    """Engine-exact stddev/covar/corr via decimal power sums (native
+    float stats aggregates differ cross-engine in the last ulps)."""
+    return analytic.stats_moments_lineitem(_tables(spark, sf_dir))
+
+
 @register("events_hopping_halfhour", events_plans.HOPPING_HALFHOUR_SQL)
 def q_events_hopping(spark: SparkSession, sf_dir: str):
     """Sliding 1-hour/30-minute event-time windows (each event in 2

@@ -24,16 +24,22 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time counts with late-data tolerance = watermark.
+    """Tumbling — or, with ``slide``, hopping — event-time counts with
+    late-data tolerance = watermark.
 
     Append-mode output: one final row per (window, event_type) once the
-    watermark passes the window end.  The batch twin (oracle-checked) is
-    ``plans.events.tumbling_hourly_stats``.
+    watermark passes the window end.  With a slide each event feeds
+    window/slide overlapping windows (state ∝ open windows × types, the
+    same bound scaled by the overlap factor).  Batch twins
+    (oracle-checked): ``plans.events.tumbling_hourly_stats`` /
+    ``hopping_halfhour_stats``.
     """
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("w.start").alias("window_start"),

@@ -90,6 +90,7 @@ _REPORT_EXEMPT = {
     "skew_safe_join_revenue",
     "training_shard_manifest",
     "events_hopping_halfhour",
+    "stats_moments_lineitem",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",

@@ -131,3 +131,27 @@ def test_approx_percentile_rank_error_bound(spark, sf001):
         r = got[b["o_orderpriority"]]
         assert b["lo50"] <= r["approx_p50"] <= b["hi50"], r
         assert b["lo99"] <= r["approx_p99"] <= b["hi99"], r
+
+
+def test_stats_moments_match_numpy(spark, sf001):
+    """The decimal power-sum derivation must agree with an independent
+    (numpy) computation of the same population statistics."""
+    import numpy as np
+
+    from export_oltp_to_olap_spark.plans.analytic import stats_moments_lineitem
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    tables = load_tables(spark, sf001, ("lineitem",))
+    got = {r["l_returnflag"]: r for r in stats_moments_lineitem(tables).collect()}
+    rows = tables["lineitem"].select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append((r["l_quantity"], r["l_extendedprice"]))
+    for flag, pairs in by_flag.items():
+        x = np.array([p[0] for p in pairs], dtype=np.float64)
+        y = np.array([p[1] for p in pairs], dtype=np.float64)
+        g = got[flag]
+        assert g["n"] == len(pairs)
+        assert abs(g["mean_qty"] - x.mean()) < 1e-4
+        assert abs(g["stddev_qty"] - x.std()) < 1e-4
+        assert abs(g["corr_qty_price"] - np.corrcoef(x, y)[0, 1]) < 1e-4

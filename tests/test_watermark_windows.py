@@ -203,3 +203,55 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(seen) == [1, 2, 3]
+
+
+def test_hopping_stream_equals_batch_twin(spark, tmp_path):
+    """Hopping (1h/30min) watermarked counts: finalized windows must
+    match the oracle-checked batch twin's counts for those windows."""
+    from export_oltp_to_olap_spark.plans.events import hopping_halfhour_stats
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows1 = [("2026-01-01 10:05:00", "click"), ("2026-01-01 10:40:00", "click")]
+    rows2 = [("2026-01-01 11:10:00", "view"), ("2026-01-01 13:00:00", "click")]
+    rows3 = [("2026-01-01 15:00:00", "click")]
+    _write(feed, "b1.json", rows1, 1)
+    _write(feed, "b2.json", rows2, 2)
+    _write(feed, "b3.json", rows3, 3)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(feed))
+    )
+    finalized: dict[tuple, int] = {}
+
+    def sink(batch_df, _):
+        for r in batch_df.collect():
+            key = (str(r["window_start"]), r["event_type"])
+            assert key not in finalized, "append mode must emit each window once"
+            finalized[key] = r["n_events"]
+
+    q = (
+        windowed_event_counts(stream, slide="30 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    all_rows = [
+        (i, r[0], r[1], 1.0) for i, r in enumerate(rows1 + rows2 + rows3)
+    ]
+    batch_events = spark.createDataFrame(
+        all_rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    want = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in hopping_halfhour_stats(batch_events).collect()
+    }
+    assert finalized, "no windows finalized"
+    for key, n in finalized.items():
+        assert want.get(key) == n, (key, n, want.get(key))
+    # every event feeds two windows; the finalized subset is consistent
+    assert all(k in want for k in finalized)
