@@ -79,7 +79,7 @@ from export_oltp_to_olap_spark.operators import (
     similarity,
     substring,
 )
-from export_oltp_to_olap_spark.plans import analytic, curation, flagship, star_oracle
+from export_oltp_to_olap_spark.plans import analytic, curation, flagship, star_oracle, tpch
 from export_oltp_to_olap_spark.plans import events as events_plans
 from export_oltp_to_olap_spark.plans import text_queries
 from export_oltp_to_olap_spark.plans.fact import fact_source
@@ -821,6 +821,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str):
     against a deterministic revised snapshot of `customer`."""
     cust = _tables(spark, sf_dir, ("customer",))["customer"]
     return diff.snapshot_diff_customers(cust)
+
+
+@register("tpch_q3_shipping_priority", tpch.Q3_SQL)
+def q_tpch_q3(spark: SparkSession, sf_dir: str):
+    """TPC-H Q3 shape: date predicates on both join sides + top-k."""
+    return tpch.q3_shipping_priority(_tables(spark, sf_dir))
+
+
+@register("tpch_q5_local_supplier", tpch.Q5_SQL)
+def q_tpch_q5(spark: SparkSession, sf_dir: str):
+    """TPC-H Q5 shape: six-way join; customer and supplier chains meet
+    on the cross-dimension equality c_nationkey = s_nationkey."""
+    return tpch.q5_local_supplier_volume(_tables(spark, sf_dir))
+
+
+@register("tpch_q6_forecast_revenue", tpch.Q6_SQL)
+def q_tpch_q6(spark: SparkSession, sf_dir: str):
+    """TPC-H Q6 shape: pure selective scan aggregate (pushdown showcase)."""
+    return tpch.q6_forecast_revenue(_tables(spark, sf_dir))
+
+
+@register("tpch_q10_returned_items", tpch.Q10_SQL)
+def q_tpch_q10(spark: SparkSession, sf_dir: str):
+    """TPC-H Q10 shape: fact-filtered join back to a wide customer
+    projection + top-k."""
+    return tpch.q10_returned_items(_tables(spark, sf_dir))
+
+
+@register("tpch_q18_large_volume", tpch.Q18_SQL)
+def q_tpch_q18(spark: SparkSession, sf_dir: str):
+    """TPC-H Q18 shape: HAVING aggregate subquery -> semi-join ->
+    re-aggregation."""
+    return tpch.q18_large_volume_orders(_tables(spark, sf_dir))
 
 
 @register("stats_moments_lineitem", analytic.STATS_MOMENTS_SQL)

@@ -91,6 +91,11 @@ _REPORT_EXEMPT = {
     "training_shard_manifest",
     "events_hopping_halfhour",
     "stats_moments_lineitem",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
