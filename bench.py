@@ -82,6 +82,13 @@ DEFAULT_HEADLINE = [
     "purchases_asof_clicks",
     "clicks_before_purchase",
     "orders_price_percentiles",
+    "stats_moments_lineitem",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_volume",
+    "snapshot_diff_customers",
+    "skew_safe_join_revenue",
+    "training_shard_manifest",
+    "events_hopping_halfhour",
 ]
 
 
