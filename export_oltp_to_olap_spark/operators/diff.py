@@ -105,6 +105,35 @@ def snapshot_diff(
     )
 
 
+def apply_diff(
+    a: DataFrame,
+    diff: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconstruct snapshot B from snapshot A plus a ``snapshot_diff``
+    output: drop removed keys, overwrite changed rows, add new ones.
+
+    The transport form of replication: compute the (small) diff where
+    both snapshots live, ship it, apply it where only A lives —
+    bandwidth ∝ drift, not table size.  Roundtrip law, property-tested:
+    ``apply_diff(a, snapshot_diff(a, b), …) ≡ b`` row-for-row.
+
+    One anti-join (drop removed/changed originals) + one union — the
+    diff side is small by construction, so the anti-join broadcasts.
+    """
+    removed_or_changed = diff.where(
+        F.col("status").isin(REMOVED, CHANGED)
+    ).select(*key_cols)
+    incoming = diff.where(F.col("status").isin(ADDED, CHANGED)).select(
+        *key_cols, *compare_cols
+    )
+    kept = a.select(*key_cols, *compare_cols).join(
+        F.broadcast(removed_or_changed), key_cols, "left_anti"
+    )
+    return kept.unionByName(incoming)
+
+
 def diff_summary(diff: DataFrame) -> DataFrame:
     """(status, n_rows) rollup of a snapshot_diff output."""
     return (

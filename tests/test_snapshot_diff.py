@@ -104,3 +104,45 @@ def test_diff_summary_census(snapshots):
     d = diff.snapshot_diff(a, b, ["k"], ["x", "y"])
     out = {r["status"]: r["n_rows"] for r in diff.diff_summary(d).collect()}
     assert out == {"added": 1, "removed": 1, "changed": 2}
+
+
+def test_apply_diff_roundtrip(snapshots):
+    a, b = snapshots
+    d = diff.snapshot_diff(a, b, ["k"], ["x", "y"])
+    rebuilt = diff.apply_diff(a, d, ["k"], ["x", "y"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, b.select("k", "x", "y").collect())
+    )
+
+
+def test_apply_diff_roundtrip_randomized(spark):
+    """Property: for randomized snapshot pairs (draws seeded, so
+    reproducible), apply(a, diff(a,b)) == b exactly — including
+    all-null payloads, disjoint keys, and identical tables."""
+    import random
+
+    rng = random.Random(20240)
+    for trial in range(6):
+        keys_a = rng.sample(range(40), rng.randint(0, 25))
+        keys_b = rng.sample(range(40), rng.randint(0, 25))
+
+        def payload(k, side):
+            if rng.random() < 0.15:
+                return None
+            if rng.random() < 0.5:
+                return k * 10  # same value both sides sometimes
+            return k * 10 + (1 if side == "b" and rng.random() < 0.5 else 0)
+
+        a = spark.createDataFrame(
+            [(k, payload(k, "a")) for k in keys_a] or [(None, None)],
+            "k long, x long",
+        ).where(F.col("k").isNotNull())
+        b = spark.createDataFrame(
+            [(k, payload(k, "b")) for k in keys_b] or [(None, None)],
+            "k long, x long",
+        ).where(F.col("k").isNotNull())
+        d = diff.snapshot_diff(a, b, ["k"], ["x"])
+        rebuilt = diff.apply_diff(a, d, ["k"], ["x"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, b.collect())
+        ), f"trial {trial}"
