@@ -67,6 +67,7 @@ from export_oltp_to_olap_spark.multimodal import media
 from export_oltp_to_olap_spark.operators import (
     asof,
     bpe,
+    dsir,
     chunking,
     decontam,
     diff,
@@ -823,6 +824,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str):
     against a deterministic revised snapshot of `customer`."""
     cust = _tables(spark, sf_dir, ("customer",))["customer"]
     return diff.snapshot_diff_customers(cust)
+
+
+@register("dsir_importance", dsir.DSIR_IMPORTANCE_SQL)
+def q_dsir(spark: SparkSession, sf_dir: str):
+    """DSIR-shaped importance scoring (arXiv:2302.03169): per-doc mean
+    of integer log2-bucket differences between target-distribution and
+    raw-pool unigram counts; keep = positive importance."""
+    return dsir.dsir_importance(_docs(spark, sf_dir))
 
 
 @register("tpch_q3_shipping_priority", tpch.Q3_SQL)

@@ -92,6 +92,7 @@ _REPORT_EXEMPT = {
     "events_hopping_halfhour",
     "stats_moments_lineitem",
     "tpch_q3_shipping_priority",
+    "dsir_importance",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
