@@ -54,8 +54,8 @@ driver-report row, never the check itself.
 * Registered after the re-rotation, in the TAIL (rotate into the
   round-5 window): bpe_token_stats (rows-only), snapshot_diff_customers,
   skew_safe_join_revenue, training_shard_manifest, stats_moments_lineitem,
-  events_hopping_halfhour, and the TPC-H-adapted suite
-  tpch_q{3,5,6,10,18} (all oracle).
+  events_hopping_halfhour, dsir_importance, and the TPC-H-adapted
+  suite tpch_q{3,5,6,10,18} (all oracle).
 """
 
 from __future__ import annotations
