@@ -108,6 +108,78 @@ def corpus_curation_summary(docs: DataFrame) -> DataFrame:
     )
 
 
+def curation_audit(docs: DataFrame) -> DataFrame:
+    """Per-document disposition ledger for the curation chain: WHY each
+    input document survived or died, and (for dedup drops) who kept its
+    slot — the provenance table a production corpus build needs when a
+    supplier asks "where did my documents go?".
+
+    One row per input doc: (doc_id, status, pred_lang, quality,
+    keeper_id, split) with status ∈ dropped_lang | dropped_quality |
+    dropped_exact_dup | dropped_near_dup | kept.  ``keeper_id`` is the
+    surviving representative for dedup drops (the min-id text twin for
+    exact, the min-id near-dup witness for near), NULL otherwise;
+    ``split`` is non-NULL only for kept rows and matches
+    :func:`curated_corpus`'s assignment exactly.
+
+    Scale: the gates/dedup/pair-join stages are the SAME operators (and
+    cost) as :func:`curated_corpus`; the ledger adds three left joins on
+    ``doc_id`` whose build sides are only the drop/keep deltas, and all
+    three reuse one hash partitioning of the scored scan.  Nothing new
+    is O(N²) or driver-side.
+    """
+    scored = stage(
+        docs.select("doc_id", "text")
+        .withColumn("quality", quality_score("text"))
+        .withColumn("pred_lang", lang_predict("text"))
+    )
+    gated = scored.where(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= QUALITY_MIN)
+    )
+    w = Window.partitionBy("text")
+    gated_k = gated.withColumn("keeper_exact", F.min("doc_id").over(w))
+    exact_losers = gated_k.where(F.col("doc_id") != F.col("keeper_exact")).select(
+        "doc_id", "keeper_exact"
+    )
+    deduped = stage(
+        gated_k.where(F.col("doc_id") == F.col("keeper_exact")).select(
+            "doc_id", "text", "quality"
+        )
+    )
+    near_witness = (
+        ngram_jaccard_pairs(deduped, n=3, threshold=NEARDUP_THRESHOLD)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("keeper_near"))
+    )
+    kept_split = assign_splits(
+        deduped.join(near_witness, "doc_id", "left_anti").select("doc_id"), "doc_id"
+    )
+    status = (
+        F.when(F.col("pred_lang") != "en", F.lit("dropped_lang"))
+        .when(F.col("quality") < QUALITY_MIN, F.lit("dropped_quality"))
+        .when(F.col("keeper_exact").isNotNull(), F.lit("dropped_exact_dup"))
+        .when(F.col("keeper_near").isNotNull(), F.lit("dropped_near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        scored.select("doc_id", "pred_lang", "quality")
+        .join(exact_losers, "doc_id", "left")
+        .join(near_witness, "doc_id", "left")
+        .join(kept_split, "doc_id", "left")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            "pred_lang",
+            "quality",
+            F.coalesce("keeper_exact", "keeper_near")
+            .cast("bigint")
+            .alias("keeper_id"),
+            "split",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _curation_sql() -> str:
     langs = list(LANG_MARKERS)
     score_cols = ",\n         ".join(
@@ -183,3 +255,101 @@ ORDER BY split
 
 
 CORPUS_CURATION_SQL = _curation_sql()
+
+
+def _audit_sql() -> str:
+    """Oracle restatement of :func:`curation_audit` — the same stage
+    CTEs as `_curation_sql` (gates, exact-dedup window, shingle pair
+    join) but carried through to the per-document ledger instead of the
+    per-split yield."""
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        f"{sql_lang_count(lang)} AS score_{lang}" for lang in langs
+    )
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    # first-listed language wins ties, matching lang_predict's fold order
+    pred = "CASE\n"
+    pred += f"           WHEN {best} = 0 THEN 'und'\n"
+    for lang in langs:
+        pred += f"           WHEN score_{lang} = {best} THEN '{lang}'\n"
+    pred += "           ELSE 'und' END"
+    from export_oltp_to_olap_spark.operators.neardup import shingle_cte
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        QUALITY_EXPR_SQL,
+        quality_feats_cte,
+    )
+
+    return rf"""
+WITH {quality_feats_cte()},
+scored0 AS (
+  SELECT doc_id, text,
+         {QUALITY_EXPR_SQL} AS quality,
+         {score_cols}
+  FROM feats
+),
+scored AS (
+  SELECT doc_id, text, quality, {pred} AS pred_lang
+  FROM scored0
+),
+gated AS (
+  SELECT doc_id, text, quality
+  FROM scored
+  WHERE pred_lang = 'en' AND quality >= {QUALITY_MIN}
+),
+gk AS (
+  SELECT g.*, min(doc_id) OVER (PARTITION BY text) AS keeper_exact FROM gated g
+),
+exact_losers AS (
+  SELECT doc_id, keeper_exact FROM gk WHERE doc_id <> keeper_exact
+),
+deduped AS (
+  SELECT doc_id, text, quality FROM gk WHERE doc_id = keeper_exact
+),
+{shingle_cte("deduped")},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_witness AS (
+  SELECT doc_b AS doc_id, min(doc_a) AS keeper_near
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {NEARDUP_THRESHOLD}
+  GROUP BY doc_b
+),
+kept_split AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN CAST('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                < 52428 THEN 'train'
+           WHEN CAST('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                < 58982 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM deduped d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM near_witness)
+)
+SELECT s.doc_id,
+       CASE
+         WHEN s.pred_lang <> 'en' THEN 'dropped_lang'
+         WHEN s.quality < {QUALITY_MIN} THEN 'dropped_quality'
+         WHEN el.keeper_exact IS NOT NULL THEN 'dropped_exact_dup'
+         WHEN nw.keeper_near IS NOT NULL THEN 'dropped_near_dup'
+         ELSE 'kept'
+       END AS status,
+       s.pred_lang,
+       s.quality,
+       CAST(coalesce(el.keeper_exact, nw.keeper_near) AS BIGINT) AS keeper_id,
+       ks.split
+FROM scored s
+LEFT JOIN exact_losers el USING (doc_id)
+LEFT JOIN near_witness nw USING (doc_id)
+LEFT JOIN kept_split ks USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+CURATION_AUDIT_SQL = _audit_sql()

@@ -54,8 +54,9 @@ driver-report row, never the check itself.
 * Registered after the re-rotation, in the TAIL (rotate into the
   round-5 window): bpe_token_stats (rows-only), snapshot_diff_customers,
   skew_safe_join_revenue, training_shard_manifest, stats_moments_lineitem,
-  events_hopping_halfhour, dsir_importance, and the TPC-H-adapted
-  suite tpch_q{3,5,6,10,18} (all oracle).
+  events_hopping_halfhour, dsir_importance, curation_audit (the
+  per-document provenance ledger), and the TPC-H-adapted suite
+  tpch_q{3,5,6,10,18} (all oracle).
 """
 
 from __future__ import annotations
@@ -889,6 +890,15 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str):
     broadcast word->subtoken probe; per-source tokenizer yield.  Merge
     list pinned against an independent reference in tests/test_bpe.py."""
     return bpe.bpe_token_stats(_docs(spark, sf_dir))
+
+
+@register("curation_audit", curation.CURATION_AUDIT_SQL)
+def q_curation_audit(spark: SparkSession, sf_dir: str):
+    """Per-document curation provenance ledger: one row per input doc
+    with the stage that dropped it (lang / quality / exact-dup /
+    near-dup), the keeper doc that holds its slot, or the split it
+    shipped in — the "where did my documents go?" audit table."""
+    return curation.curation_audit(_docs(spark, sf_dir))
 
 
 @register("rp_cosine_topk", None)  # seeded JL matrix: no SQL oracle
