@@ -291,6 +291,83 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
 """
 
+def source_overlap_matrix(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Inter-source near-duplication matrix: for each (unordered) source
+    pair, how many near-dup doc pairs cross it and how close the worst
+    one is — the corpus-governance signal that tells you WHICH suppliers
+    re-publish each other before you spend a full dedup pass deciding
+    row-by-row.
+
+    One row per source pair touched by a near-dup pair: (source_a,
+    source_b, n_pairs, max_jaccard), sources ordered lexicographically
+    within the pair (same-source pairs land on the diagonal a = b).
+
+    Scale: the pair list is the already-subquadratic
+    :func:`ngram_jaccard_pairs`; labeling is two hash joins of that
+    (small) pair set against the (doc_id, source) projection, and the
+    matrix agg groups at most |pairs| rows on a key space bounded by
+    |sources|².  ``max_jaccard`` (not avg) keeps the double order-free
+    and cross-engine exact.
+    """
+    pairs = ngram_jaccard_pairs(docs, n, threshold)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.7
+),
+labeled AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b,
+       count(*) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM labeled
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (banded, R=2) with exact-Jaccard verification
 # ---------------------------------------------------------------------------

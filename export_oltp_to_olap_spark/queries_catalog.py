@@ -55,8 +55,9 @@ driver-report row, never the check itself.
   round-5 window): bpe_token_stats (rows-only), snapshot_diff_customers,
   skew_safe_join_revenue, training_shard_manifest, stats_moments_lineitem,
   events_hopping_halfhour, dsir_importance, curation_audit (the
-  per-document provenance ledger), and the TPC-H-adapted suite
-  tpch_q{3,5,6,10,18} (all oracle).
+  per-document provenance ledger), source_overlap_matrix (inter-source
+  near-duplication), and the TPC-H-adapted suite tpch_q{3,5,6,10,18}
+  (all oracle).
 """
 
 from __future__ import annotations
@@ -899,6 +900,14 @@ def q_curation_audit(spark: SparkSession, sf_dir: str):
     near-dup), the keeper doc that holds its slot, or the split it
     shipped in — the "where did my documents go?" audit table."""
     return curation.curation_audit(_docs(spark, sf_dir))
+
+
+@register("source_overlap_matrix", neardup.SOURCE_OVERLAP_SQL)
+def q_source_overlap(spark: SparkSession, sf_dir: str):
+    """Inter-source near-duplication matrix: near-dup pair counts and
+    worst-case Jaccard per (unordered) source pair — which suppliers
+    re-publish each other."""
+    return neardup.source_overlap_matrix(_docs(spark, sf_dir))
 
 
 @register("rp_cosine_topk", None)  # seeded JL matrix: no SQL oracle

@@ -98,6 +98,7 @@ _REPORT_EXEMPT = {
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
     "curation_audit",
+    "source_overlap_matrix",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",

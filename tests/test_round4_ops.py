@@ -688,3 +688,38 @@ def test_scd2_streaming_maintenance_converges(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in spark.read.parquet(dim_path).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix — inter-source near-duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_attributes_pairs_to_source_pairs(spark):
+    from export_oltp_to_olap_spark.operators.neardup import source_overlap_matrix
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [
+        # near-dup pair across newsA/newsB (one trailing token differs)
+        (1, base, "newsA"),
+        (2, base + " again", "newsB"),
+        # near-dup pair WITHIN newsA (diagonal cell)
+        (3, base + " tonight", "newsA"),
+        # unrelated doc: appears in no cell
+        (4, "completely different content about databases and query engines", "blogC"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cells = {
+        (r.source_a, r.source_b): (r.n_pairs, r.max_jaccard)
+        for r in source_overlap_matrix(docs, threshold=0.7).collect()
+    }
+
+    # doc1~doc2 crosses newsA/newsB; doc1~doc3 and doc2~doc3 both involve
+    # newsA — doc2~doc3 crosses (newsA, newsB) too, so that cell holds 2.
+    assert set(cells) == {("newsA", "newsB"), ("newsA", "newsA")}
+    assert cells[("newsA", "newsA")][0] == 1
+    assert cells[("newsA", "newsB")][0] == 2
+    # sources are ordered within the pair: no (newsB, newsA) mirror cell
+    assert ("newsB", "newsA") not in cells
+    for n_pairs, max_j in cells.values():
+        assert n_pairs >= 1 and 0.7 <= max_j <= 1.0
