@@ -213,6 +213,30 @@ def cmd_export_corpus(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Plan review from the terminal: the scale counters
+    (`plan_audit.py::plan_summary`) for one registered query, or the
+    flagged sweep over all of them (`--all`).  `--full` additionally
+    prints the raw physical plan; `--execute` finalizes AQE first so
+    runtime re-optimizations show."""
+    from export_oltp_to_olap_spark import plan_audit, registry
+
+    registry._ensure_loaded()
+    if args.all:
+        rows = plan_audit.audit_plans(spark, args.sf_dir)
+        print(json.dumps(rows))
+        return 0 if not any(r["flags"] for r in rows) else 3
+    if args.query is None or args.query not in registry.REGISTRY:
+        print(json.dumps({"error": f"unknown or missing query {args.query!r}"}))
+        return 2
+    df = registry.REGISTRY[args.query].fn(spark, args.sf_dir)
+    summary = plan_audit.plan_summary(df, execute=args.execute)
+    print(json.dumps({"query": args.query, **summary}))
+    if args.full:
+        print(plan_audit.executed_plan(df))
+    return 0
+
+
 def cmd_web(args: argparse.Namespace, spark: SparkSession | None) -> int:
     """Ops HTTP server (ref main.py web subcommand)."""
     from export_oltp_to_olap_spark.ops_http import start_ops_server
@@ -325,6 +349,20 @@ def build_parser() -> argparse.ArgumentParser:
     export.add_argument("--out-dir", required=True)
     export.add_argument("--shards", type=int, default=None)
     export.set_defaults(fn=cmd_export_corpus)
+
+    explain = sub.add_parser(
+        "explain", help="scale counters for a registered query's physical plan"
+    )
+    explain.add_argument("query", nargs="?", default=None, help="registered query name")
+    explain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    explain.add_argument(
+        "--all", action="store_true", help="sweep every query; exit 3 if any flagged"
+    )
+    explain.add_argument(
+        "--execute", action="store_true", help="run the plan so AQE finalizes first"
+    )
+    explain.add_argument("--full", action="store_true", help="also print the raw plan")
+    explain.set_defaults(fn=cmd_explain)
     return p
 
 

@@ -1,0 +1,110 @@
+"""Physical-plan introspection: the scale review, as an API.
+
+Every operator in this engine was shipped only after a `.explain`
+review — filters pushed to the scan, dims broadcast, no cartesian
+stages, hot paths inside whole-stage codegen (tests/test_plan_quality.py
+pins those properties).  This module packages that review so OPERATORS
+of the engine can run it too: `plan_summary(df)` reduces a physical plan
+to the counters that matter at 100 TB, and `audit_plans(spark, sf_dir)`
+sweeps every registered query and flags the anti-patterns.  The CLI
+surface is `export_oltp_to_olap_spark explain <query>`.
+
+Why counters, not the raw plan string: on a cluster the plan for a
+600-line query is unreadable in a terminal, and the things that decide
+cost at scale are a handful of node classes — shuffle Exchanges (each
+one is a full re-partition of the stream), SortMergeJoin vs
+BroadcastHashJoin (shuffle-both-sides vs map-side), CartesianProduct
+(quadratic, almost always a dropped join key), scans without pushed
+filters or with unpruned columns (read amplification), and interpreted
+(non-codegen) stages.  A reviewer reads five integers, then pulls the
+full plan only when one looks wrong.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+# Scan lines look like:  FileScan parquet [c1#12,c2#13] ... PushedFilters:
+# [IsNotNull(c1)], ReadSchema: ...
+_SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\]")
+_PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
+
+
+def executed_plan(df: DataFrame, execute: bool = False) -> str:
+    """The physical plan as a string.
+
+    Under AQE the plan printed BEFORE execution is provisional
+    (`isFinalPlan=false`, no codegen markers); ``execute=True`` runs the
+    DataFrame's own plan (collect, not count — count plans a different
+    query) so runtime re-optimizations (broadcast demotion, skew splits,
+    coalesced partitions) appear in what you read.
+    """
+    if execute:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_summary(df: DataFrame, execute: bool = False) -> dict[str, Any]:
+    """Reduce a physical plan to the counters that decide cost at scale.
+
+    Keys: ``shuffle_exchanges``, ``broadcast_joins``, ``sortmerge_joins``,
+    ``cartesian_products``, ``codegen_spans``, ``scans`` (one entry per
+    parquet scan: column count + whether any filter was pushed), and
+    ``final`` (AQE finalized — only meaningful with ``execute=True``).
+    """
+    plan = executed_plan(df, execute=execute)
+    scans = []
+    for m in _SCAN_RE.finditer(plan):
+        cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+        rest = plan[m.end() : m.end() + 2000]
+        pushed = _PUSHED_RE.search(rest)
+        scans.append(
+            {
+                "columns": len(cols),
+                "pushed_filters": bool(pushed and pushed.group(1).strip()),
+            }
+        )
+    return {
+        "shuffle_exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "scans": scans,
+        "final": "isFinalPlan=true" in plan or "isFinalPlan" not in plan,
+    }
+
+
+# Queries that are cross joins BY DEFINITION (brute-force ANN baselines
+# with the small side broadcast) — the same allowlist
+# tests/test_plan_quality.py::test_no_cartesian_products_anywhere pins.
+CARTESIAN_ALLOWED = frozenset({"ann_cosine_topk", "embedding_cosine_neardup"})
+
+
+def audit_plans(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> list[dict[str, Any]]:
+    """Sweep registered queries and return one summary row per query,
+    with ``flags`` listing the anti-patterns found (empty = clean).
+
+    Flags: ``cartesian`` (quadratic stage outside the allowlist) and
+    ``sortmerge`` (a join shuffled both sides — at fixture scale every
+    dimension side should broadcast; on a real cluster SMJ can be the
+    right call, which is why this is a report, not an assertion).
+    """
+    from export_oltp_to_olap_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    for name in names or sorted(registry.REGISTRY):
+        summary = plan_summary(registry.REGISTRY[name].fn(spark, sf_dir))
+        flags = []
+        if summary["cartesian_products"] and name not in CARTESIAN_ALLOWED:
+            flags.append("cartesian")
+        if summary["sortmerge_joins"]:
+            flags.append("sortmerge")
+        rows.append({"query": name, **summary, "flags": flags})
+    return rows
