@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 # [IsNotNull(c1)], ReadSchema: ...
 _SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\]")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
+# Node line:  SortMergeJoin [k1#1L, k2#2L], [k1#9L, k2#10L], Inner
+_SMJ_RE = re.compile(r"SortMergeJoin \[[^\]]*\], \[[^\]]*\], (\w+)")
 
 
 def executed_plan(df: DataFrame, execute: bool = False) -> str:
@@ -67,10 +69,12 @@ def plan_summary(df: DataFrame, execute: bool = False) -> dict[str, Any]:
                 "pushed_filters": bool(pushed and pushed.group(1).strip()),
             }
         )
+    smj_types = _SMJ_RE.findall(plan)
     return {
         "shuffle_exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
-        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "sortmerge_joins": len(smj_types),
+        "smj_types": smj_types,
         "cartesian_products": plan.count("CartesianProduct"),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "scans": scans,
@@ -83,6 +87,23 @@ def plan_summary(df: DataFrame, execute: bool = False) -> dict[str, Any]:
 # tests/test_plan_quality.py::test_no_cartesian_products_anywhere pins.
 CARTESIAN_ALLOWED = frozenset({"ann_cosine_topk", "embedding_cosine_neardup"})
 
+# Queries whose SortMergeJoins are the AUDITED baseline: pair joins over
+# candidate sets, postings-list probes, and iterative label propagation
+# where both sides are corpus-scale by design — broadcast is impossible
+# and SMJ is the right strategy (SCALE.md reviews each).  The flag
+# exists to catch NEW both-sides-shuffled joins, not these.
+SMJ_EXPECTED = frozenset(
+    {
+        "clicks_before_purchase",
+        "corpus_curation_summary",
+        "curation_audit",
+        "ivf_cosine_topk",
+        "ivfpq_cosine_topk",
+        "neardup_clusters",
+        "semantic_dedup",
+    }
+)
+
 
 def audit_plans(
     spark, sf_dir: str, names: list[str] | None = None
@@ -91,9 +112,13 @@ def audit_plans(
     with ``flags`` listing the anti-patterns found (empty = clean).
 
     Flags: ``cartesian`` (quadratic stage outside the allowlist) and
-    ``sortmerge`` (a join shuffled both sides — at fixture scale every
-    dimension side should broadcast; on a real cluster SMJ can be the
-    right call, which is why this is a report, not an assertion).
+    ``sortmerge`` (a non-full-outer join shuffled both sides — at
+    fixture scale every dimension side should broadcast; full outers
+    are exempt because they cannot broadcast by definition, and on a
+    real cluster SMJ can be the right call, which is why this is a
+    report, not an assertion).  Sweeps read the PROVISIONAL plan (AQE
+    may still demote a flagged SMJ to broadcast at runtime); re-check a
+    flagged query with ``plan_summary(df, execute=True)``.
     """
     from export_oltp_to_olap_spark import registry
 
@@ -104,7 +129,9 @@ def audit_plans(
         flags = []
         if summary["cartesian_products"] and name not in CARTESIAN_ALLOWED:
             flags.append("cartesian")
-        if summary["sortmerge_joins"]:
+        if name not in SMJ_EXPECTED and any(
+            t != "FullOuter" for t in summary["smj_types"]
+        ):
             flags.append("sortmerge")
         rows.append({"query": name, **summary, "flags": flags})
     return rows

@@ -63,3 +63,13 @@ def test_cli_explain_emits_summary_json(spark, sf0001, capsys):
     assert "shuffle_exchanges" in out and "flags" not in out
 
     assert main(["explain", "no_such_query"], spark=spark) == 2
+
+
+def test_full_registry_sweep_matches_audited_baseline(spark, sf0001):
+    """The shipped registry must sweep clean: every cartesian is in
+    CARTESIAN_ALLOWED and every SortMergeJoin is full-outer or in
+    SMJ_EXPECTED.  A new flag here means an operator grew an
+    un-reviewed both-sides-shuffle or a dropped join key."""
+    rows = plan_audit.audit_plans(spark, sf0001)
+    flagged = {r["query"]: r["flags"] for r in rows if r["flags"]}
+    assert flagged == {}, flagged
