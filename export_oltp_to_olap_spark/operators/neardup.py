@@ -124,17 +124,16 @@ def ngram_jaccard_pairs_indexed(
     )
 
 
-def _ngram_prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
-    """Prefix-filter candidate (doc_a, doc_b) pairs from compact
-    (doc_id, shs, n_sh) rows — the pair-generation stage of
-    ``ngram_jaccard_pairs``, exposed so candidate VOLUME is measurable
-    (tests/test_scale_growth.py) independent of the verify stage."""
+def _prefix_index(sets: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, n_sh, h) prefix rows: each doc's first
+    ``p = n_sh − ⌊t·n_sh⌋ + 1`` shingles under the global md5 order —
+    the indexed fraction of the AllPairs prefix filter."""
     plen = (
         F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
     ).cast("int")
     # Global shingle order = md5 hex (ties broken by the shingle itself);
     # the 32-hex-char key is its own md5, so the index carries it directly.
-    idx = sets.select(
+    return sets.select(
         "doc_id",
         "n_sh",
         F.explode(
@@ -159,6 +158,14 @@ def _ngram_prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
         # candidate (verification restores precision).
         F.xxhash64(F.col("pref.sh")).alias("h"),
     )
+
+
+def _ngram_prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter candidate (doc_a, doc_b) pairs from compact
+    (doc_id, shs, n_sh) rows — the pair-generation stage of
+    ``ngram_jaccard_pairs``, exposed so candidate VOLUME is measurable
+    (tests/test_scale_growth.py) independent of the verify stage."""
+    idx = _prefix_index(sets, threshold)
     a, b = idx.alias("a"), idx.alias("b")
     t = F.lit(threshold)
     return (
@@ -271,6 +278,70 @@ shingles AS (
   FROM idx0 WHERE i + 2 <= len(t)
 )
 """.strip()
+
+
+def ngram_jaccard_pairs_delta(
+    corpus_docs: DataFrame,
+    delta_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Delta form of :func:`ngram_jaccard_pairs`: all pairs
+    (doc_a, doc_b, jaccard ≥ t) whose ``doc_b`` is in the DELTA batch —
+    ``doc_a`` ranges over corpus ∪ delta.  PRECONDITION: every corpus
+    doc_id < every delta doc_id (the append-only ingest invariant), so
+    ``doc_a < doc_b`` makes the output exactly the full run's pair set
+    restricted to delta-victim pairs.
+
+    Scale: the probe side indexes ONLY delta prefixes, so join volume is
+    Σ df(delta prefixes) instead of Σ df² over the whole corpus — the
+    standing corpus index is the amortized cost, and in production it is
+    a persisted table maintained by appending each admitted batch's
+    prefix rows (the same discipline as `minhash_lsh_neardup_delta`'s
+    band index and `ann_index.py`'s postings).  The prefix filter stays
+    LOSSLESS for these pairs: a qualifying pair cannot avoid the first
+    ``p`` shingles of either side, and both sides' prefixes are present
+    (corpus ∪ delta on the build side, delta on the probe side).
+    """
+    mk = lambda d: (  # noqa: E731 — one-line set builder used twice
+        doc_shingle_sets(d, n)
+        .where(F.size("shs") > 0)
+        .withColumn("n_sh", F.size("shs"))
+    )
+    sets_delta = mk(delta_docs).persist()  # union + probe + verify read it
+    sets_all = mk(corpus_docs).unionByName(sets_delta).persist()
+    t = F.lit(threshold)
+    a = _prefix_index(sets_all, threshold).alias("a")
+    b = _prefix_index(sets_delta, threshold).alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n_sh") >= t * F.col("b.n_sh"),
+                F.col("b.n_sh") >= t * F.col("a.n_sh"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hash_sets = lambda s, side: s.select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{side}"),
+        F.transform("shs", lambda x: F.xxhash64(x)).alias(f"shs_{side}"),
+    )
+    return (
+        candidates.join(hash_sets(sets_all, "a"), "doc_a")
+        .join(hash_sets(sets_delta, "b"), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 _SHINGLE_CTE = shingle_cte()

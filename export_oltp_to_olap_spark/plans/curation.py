@@ -36,7 +36,10 @@ from export_oltp_to_olap_spark.functions.text import (
     sql_lang_count,
     tokens,
 )
-from export_oltp_to_olap_spark.operators.neardup import ngram_jaccard_pairs
+from export_oltp_to_olap_spark.operators.neardup import (
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_delta,
+)
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
 from export_oltp_to_olap_spark.operators.staging import stage
 
@@ -59,19 +62,25 @@ def curated_docs(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     form a 100 TB pipeline wants.  ``checkpoint=False`` keeps the pure
     lineage for plan inspection.
     """
-    gated = (
+    w = Window.partitionBy("text")
+    deduped = (
+        _gated(docs)
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id", "pred_lang")
+    )
+    return stage(deduped) if checkpoint else deduped
+
+
+def _gated(docs: DataFrame) -> DataFrame:
+    """The shared lang+quality gate: (doc_id, text, quality, pred_lang)
+    survivors — per-row expressions only, zero shuffle."""
+    return (
         docs.select("doc_id", "text")
         .withColumn("quality", quality_score("text"))
         .withColumn("pred_lang", lang_predict("text"))
         .where((F.col("pred_lang") == "en") & (F.col("quality") >= QUALITY_MIN))
     )
-    w = Window.partitionBy("text")
-    deduped = (
-        gated.withColumn("min_id", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("min_id"))
-        .drop("min_id", "pred_lang")
-    )
-    return stage(deduped) if checkpoint else deduped
 
 
 def curated_corpus(docs: DataFrame) -> DataFrame:
@@ -87,6 +96,75 @@ def curated_corpus(docs: DataFrame) -> DataFrame:
     )
     kept = deduped.join(dropped, "doc_id", "left_anti")
     return assign_splits(kept, "doc_id")
+
+
+def curated_delta(old_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
+    """Incremental curation: admit or reject ONLY the delta batch —
+    output ≡ ``curated_corpus(old ∪ delta)`` restricted to delta ids
+    (the registered oracle states exactly that claim).  PRECONDITION:
+    every old doc_id < every delta doc_id (append-only ingest).
+
+    Equivalence, stage by stage, under the id ordering:
+    * gates are per-row, so gating delta alone is exact;
+    * full-rebuild exact dedup keeps min-id per text, so the survivors
+      are ``deduped_old ∪ (delta min-id rows whose text is unseen)`` —
+      an anti-join against the standing curated-stage text set;
+    * full-rebuild near-dup victims with doc_b in the delta have
+      witnesses ``doc_a < doc_b`` in the combined deduped set — exactly
+      :func:`ngram_jaccard_pairs_delta`'s pair set;
+    * split assignment hashes doc_id — order- and batch-independent.
+
+    Scale: the daily-ingest path.  Per batch, the old corpus is touched
+    only through its curated-stage text set (the anti-join build side)
+    and its prefix index — both persisted tables in production, so batch
+    cost is ~O(|delta| + delta-touching candidates), not O(corpus).
+    """
+    deduped_old = curated_docs(old_docs)
+    w = Window.partitionBy("text")
+    delta_min = (
+        _gated(delta_docs)
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id", "pred_lang")
+    )
+    delta_dedup = stage(
+        delta_min.join(deduped_old.select("text"), "text", "left_anti")
+    )
+    victims = (
+        ngram_jaccard_pairs_delta(
+            deduped_old.select("doc_id", "text"),
+            delta_dedup.select("doc_id", "text"),
+            n=3,
+            threshold=NEARDUP_THRESHOLD,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return assign_splits(delta_dedup.join(victims, "doc_id", "left_anti"), "doc_id")
+
+
+DELTA_CUT_FRACTION = 0.9  # registered face: ids above 90 % of max = delta
+
+
+def incremental_corpus_delta(docs: DataFrame) -> DataFrame:
+    """Registered face of :func:`curated_delta` over the fixture corpus:
+    old = ids ≤ ⌊0.9·max⌋, delta = the rest (satisfying the append-only
+    precondition by construction).  The oracle is the FULL-rebuild
+    curation SQL restricted to delta ids — the incremental ≡ rebuild
+    claim itself, the same oracle shape as ``scd2_incremental_merge``."""
+    cut = docs.agg(
+        F.floor(F.lit(DELTA_CUT_FRACTION) * F.max("doc_id"))
+        .cast("long")
+        .alias("cut")
+    )
+    with_cut = docs.crossJoin(F.broadcast(cut))
+    old = with_cut.where(F.col("doc_id") <= F.col("cut")).drop("cut")
+    delta = with_cut.where(F.col("doc_id") > F.col("cut")).drop("cut")
+    return (
+        curated_delta(old, delta)
+        .select("doc_id", "quality", "split")
+        .orderBy("doc_id")
+    )
 
 
 def corpus_curation_summary(docs: DataFrame) -> DataFrame:
@@ -180,7 +258,11 @@ def curation_audit(docs: DataFrame) -> DataFrame:
     )
 
 
-def _curation_sql() -> str:
+def _pipeline_ctes() -> str:
+    """The full-rebuild curation chain as a WITH-body string, through
+    the ``assigned`` CTE (doc_id, text, n_tokens, quality, split) —
+    shared by the yield-report oracle and the incremental-delta oracle
+    so the restated pipeline lives in one place."""
     langs = list(LANG_MARKERS)
     score_cols = ",\n         ".join(
         f"{sql_lang_count(lang)} AS score_{lang}" for lang in langs
@@ -197,8 +279,7 @@ def _curation_sql() -> str:
         quality_feats_cte,
     )
 
-    return rf"""
-WITH {quality_feats_cte()},
+    return rf"""{quality_feats_cte()},
 scored AS (
   SELECT doc_id, text, n_tokens,
          {QUALITY_EXPR_SQL} AS quality,
@@ -242,7 +323,12 @@ assigned AS (
            ELSE 'test'
          END AS split
   FROM kept
-)
+)"""
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH {_pipeline_ctes()}
 SELECT split,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
@@ -254,7 +340,23 @@ ORDER BY split
 """
 
 
+def _delta_sql() -> str:
+    """Oracle for :func:`incremental_corpus_delta`: the FULL-rebuild
+    pipeline (same CTE chain as the yield report), restricted to the
+    delta ids — so the driver's hash check IS the incremental ≡ rebuild
+    equivalence claim."""
+    return f"""
+WITH {_pipeline_ctes()}
+SELECT doc_id, quality, split
+FROM assigned
+WHERE doc_id > (SELECT CAST(floor({DELTA_CUT_FRACTION} * max(doc_id)) AS BIGINT)
+                FROM documents)
+ORDER BY doc_id
+"""
+
+
 CORPUS_CURATION_SQL = _curation_sql()
+INCREMENTAL_DELTA_SQL = _delta_sql()
 
 
 def _audit_sql() -> str:

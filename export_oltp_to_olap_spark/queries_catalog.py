@@ -56,8 +56,9 @@ driver-report row, never the check itself.
   skew_safe_join_revenue, training_shard_manifest, stats_moments_lineitem,
   events_hopping_halfhour, dsir_importance, curation_audit (the
   per-document provenance ledger), source_overlap_matrix (inter-source
-  near-duplication), and the TPC-H-adapted suite tpch_q{3,5,6,10,18}
-  (all oracle).
+  near-duplication), incremental_corpus_delta (delta curation whose
+  oracle IS the incremental ≡ rebuild claim), and the TPC-H-adapted
+  suite tpch_q{3,5,6,10,18} (all oracle).
 """
 
 from __future__ import annotations
@@ -900,6 +901,15 @@ def q_curation_audit(spark: SparkSession, sf_dir: str):
     near-dup), the keeper doc that holds its slot, or the split it
     shipped in — the "where did my documents go?" audit table."""
     return curation.curation_audit(_docs(spark, sf_dir))
+
+
+@register("incremental_corpus_delta", curation.INCREMENTAL_DELTA_SQL)
+def q_incremental_delta(spark: SparkSession, sf_dir: str):
+    """Incremental curation of an append-only delta batch (ids above
+    90% of max) against the standing corpus; the oracle is the FULL
+    rebuild restricted to delta ids — incremental ≡ rebuild is the
+    driver-checked claim, like scd2_incremental_merge."""
+    return curation.incremental_corpus_delta(_docs(spark, sf_dir))
 
 
 @register("source_overlap_matrix", neardup.SOURCE_OVERLAP_SQL)

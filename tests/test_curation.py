@@ -106,3 +106,51 @@ def test_curation_audit_ledger_semantics(spark, sf0001):
     corpus = curated_corpus(base.unionByName(planted)).select("doc_id", "split")
     expect = {(i, r.split) for i, r in audit.items() if r.status == "kept"}
     assert {(r.doc_id, r.split) for r in corpus.collect()} == expect
+
+
+def test_curated_delta_equals_full_rebuild_for_any_cut(spark, sf0001):
+    """Incremental ≡ rebuild across cut points: curating the delta batch
+    against the standing corpus must reproduce the full rebuild's
+    decisions for the delta ids exactly — including near-dups whose
+    keeper lives on the OTHER side of the cut."""
+    from export_oltp_to_olap_spark.plans.curation import (
+        curated_corpus,
+        curated_delta,
+    )
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet").select("doc_id", "text")
+    full = {
+        (r.doc_id, r.split)
+        for r in curated_corpus(docs).select("doc_id", "split").collect()
+    }
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    for frac in (0.5, 0.8, 0.95):
+        cut = int(frac * max_id)
+        old = docs.where(F.col("doc_id") <= cut)
+        delta = docs.where(F.col("doc_id") > cut)
+        got = {
+            (r.doc_id, r.split)
+            for r in curated_delta(old, delta).select("doc_id", "split").collect()
+        }
+        want = {(i, s) for i, s in full if i > cut}
+        assert got == want, f"cut={cut}: delta result diverged from rebuild"
+
+
+def test_curated_delta_drops_near_dup_of_standing_corpus(spark):
+    """A delta doc near-identical to an admitted STANDING doc must be
+    rejected even though the pair never meets inside one batch."""
+    from export_oltp_to_olap_spark.plans.curation import curated_delta
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the old river "
+        "keeps flowing through the quiet green valley under a pale sky"
+    )
+    old = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(10, base + " tonight"), (11, "a completely different "
+         "story about databases and the engines that run them at scale")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in curated_delta(old, delta).collect()}
+    assert 10 not in kept, "near-dup of standing corpus slipped through"
+    assert 11 in kept, "unrelated delta doc was wrongly rejected"

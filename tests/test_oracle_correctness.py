@@ -99,6 +99,7 @@ _REPORT_EXEMPT = {
     "tpch_q18_large_volume",
     "curation_audit",
     "source_overlap_matrix",
+    "incremental_corpus_delta",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
