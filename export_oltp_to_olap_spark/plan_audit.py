@@ -97,6 +97,7 @@ SMJ_EXPECTED = frozenset(
         "clicks_before_purchase",
         "corpus_curation_summary",
         "curation_audit",
+        "incremental_corpus_delta",
         "ivf_cosine_topk",
         "ivfpq_cosine_topk",
         "neardup_clusters",
