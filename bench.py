@@ -71,6 +71,9 @@ DEFAULT_HEADLINE = [
     "semantic_dedup[kmeans]",
     "semantic_dedup[salted]",
     "corpus_curation_summary",
+    "curation_audit",
+    "incremental_corpus_delta",
+    "source_overlap_matrix",
     "text_quality",
     "pii_scan",
     "token_count_bpe",

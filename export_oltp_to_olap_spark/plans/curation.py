@@ -18,6 +18,15 @@ Stage order matters and is the standard one:
 4. hash-range split assignment (stable under re-partition/append) and
    the per-split yield report.
 
+Three faces of the same chain, all sharing the stage operators and one
+SQL CTE restatement (`_pipeline_ctes`):
+* :func:`corpus_curation_summary` — per-split yield report;
+* :func:`curation_audit` — per-document provenance ledger (who died at
+  which stage, and which keeper holds the slot);
+* :func:`curated_delta` / :func:`incremental_corpus_delta` — append-only
+  delta batches curated against the standing corpus, provably ≡ the
+  full rebuild restricted to delta ids.
+
 Scale: gates are zero-shuffle; dedup is one hash-groupBy; the
 prefix-filter pair join is the measured-subquadratic path
 (`operators/neardup.py`); split+summary is one final agg.  Nothing in
