@@ -911,9 +911,9 @@ def minhash_neardup_clusters(docs: DataFrame) -> DataFrame:
 
 # The closure restated relationally: symmetric edges, recursive reach,
 # component label = min reachable id (UNION dedups rows, so the
-# recursion terminates on any graph).
-NEARDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+# recursion terminates on any graph).  The chain through `allc`/`csizes`
+# is shared with the leakage-safe split oracle (plans/leakage.py).
+_CLUSTERS_CTES = f"""{_MINHASH_PAIRS_CTES},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -933,7 +933,10 @@ allc AS (
 ),
 csizes AS (
   SELECT canonical_id, count(*) AS cluster_size FROM allc GROUP BY canonical_id
-)
+)""".strip()
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
 SELECT a.doc_id, a.canonical_id, s.cluster_size
 FROM allc a JOIN csizes s USING (canonical_id)
 """

@@ -100,6 +100,7 @@ SMJ_EXPECTED = frozenset(
         "incremental_corpus_delta",
         "ivf_cosine_topk",
         "ivfpq_cosine_topk",
+        "leakage_safe_splits",  # inherits neardup_clusters' propagation join
         "neardup_clusters",
         "semantic_dedup",
     }

@@ -1,0 +1,116 @@
+"""Train/test leakage through near-duplicates — measure it, then fix it.
+
+A hash-range split on ``doc_id`` (`operators/sampling.py::assign_splits`)
+is reproducible and append-stable, but it knows nothing about CONTENT:
+two near-duplicate documents hash independently, so a template family
+can straddle train and test and the eval set silently contains
+paraphrases of training rows.  This is the standard contamination
+channel benchmark decontamination (`operators/decontam.py`) does not
+cover, because the "benchmark" here is your own held-out split.
+
+Two faces:
+* :func:`split_leakage_report` — MEASURE: near-dup pairs bucketed by the
+  (unordered) split pair they straddle; off-diagonal rows ARE the leak.
+* :func:`leakage_safe_split_summary` — FIX: assign splits by the
+  near-dup CLUSTER's canonical id instead of the doc id, so every
+  member of a dup family lands in the same split by construction
+  (cross-split near-dup pairs = 0, asserted in tests).  Trade: split
+  fractions now apportion CLUSTERS, not docs — sizes drift by the dup
+  rate; the summary reports both counts so the drift is visible.
+
+Scale: both faces consume the banded MinHash-LSH pair list (already
+subquadratic, `operators/neardup.py`); the report adds two doc_id hash
+joins on the pair set and a ≤9-cell agg, the safe assignment adds the
+cluster closure (iterative min-label, rounds = component diameter) and
+a map-side split expression on the canonical id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators.neardup import (
+    _CLUSTERS_CTES,
+    _MINHASH_PAIRS_CTES,
+    minhash_lsh_neardup,
+    minhash_neardup_clusters,
+)
+from export_oltp_to_olap_spark.operators.sampling import assign_splits
+
+
+def split_leakage_report(documents: DataFrame) -> DataFrame:
+    """(split_a, split_b, n_pairs): near-dup pairs per unordered split
+    pair under the standard doc_id hash split.  Diagonal rows are safe
+    co-located duplicates; off-diagonal rows are train/test leakage."""
+    pairs = minhash_lsh_neardup(documents)
+    sp = assign_splits(documents.select("doc_id"), "doc_id")
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def leakage_safe_split_summary(documents: DataFrame) -> DataFrame:
+    """(split, n_docs, n_clusters) under CLUSTER-keyed split assignment:
+    every doc inherits its near-dup component's canonical id as the
+    split key, so dup families cannot straddle splits."""
+    clusters = minhash_neardup_clusters(documents)
+    return (
+        assign_splits(clusters, "canonical_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_case(key: str) -> str:
+    """The DuckDB restatement of `assign_splits`' default 80/10/10 hash
+    ranges over ``key`` (thresholds = the same 16-bit bucket cuts)."""
+    bucket = f"CAST('0x' || substr(md5('split:' || CAST({key} AS VARCHAR)), 1, 4) AS INTEGER)"
+    return f"""CASE
+           WHEN {bucket} < 52428 THEN 'train'
+           WHEN {bucket} < 58982 THEN 'val'
+           ELSE 'test'
+         END"""
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES},
+sp AS (
+  SELECT doc_id, {_split_case("doc_id")} AS split FROM documents
+),
+cells AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b
+  FROM pairs p
+  JOIN sp sa ON sa.doc_id = p.doc_a
+  JOIN sp sb ON sb.doc_id = p.doc_b
+)
+SELECT split_a, split_b, count(*) AS n_pairs
+FROM cells
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
+SELECT {_split_case("canonical_id")} AS split,
+       count(*) AS n_docs,
+       count(DISTINCT canonical_id) AS n_clusters
+FROM allc
+GROUP BY 1
+ORDER BY split
+"""

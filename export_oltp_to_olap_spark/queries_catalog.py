@@ -57,7 +57,9 @@ driver-report row, never the check itself.
   events_hopping_halfhour, dsir_importance, curation_audit (the
   per-document provenance ledger), source_overlap_matrix (inter-source
   near-duplication), incremental_corpus_delta (delta curation whose
-  oracle IS the incremental ≡ rebuild claim), and the TPC-H-adapted
+  oracle IS the incremental ≡ rebuild claim), split_leakage_report +
+  leakage_safe_splits (near-dup train/test leakage: measured, then made
+  impossible via cluster-keyed splits), and the TPC-H-adapted
   suite tpch_q{3,5,6,10,18} (all oracle).
 """
 
@@ -85,7 +87,7 @@ from export_oltp_to_olap_spark.operators import (
     similarity,
     substring,
 )
-from export_oltp_to_olap_spark.plans import analytic, curation, flagship, star_oracle, tpch
+from export_oltp_to_olap_spark.plans import analytic, curation, flagship, leakage, star_oracle, tpch
 from export_oltp_to_olap_spark.plans import events as events_plans
 from export_oltp_to_olap_spark.plans import text_queries
 from export_oltp_to_olap_spark.plans.fact import fact_source
@@ -910,6 +912,22 @@ def q_incremental_delta(spark: SparkSession, sf_dir: str):
     rebuild restricted to delta ids — incremental ≡ rebuild is the
     driver-checked claim, like scd2_incremental_merge."""
     return curation.incremental_corpus_delta(_docs(spark, sf_dir))
+
+
+@register("split_leakage_report", leakage.SPLIT_LEAKAGE_SQL)
+def q_split_leakage(spark: SparkSession, sf_dir: str):
+    """Near-dup pairs bucketed by the (unordered) split pair they
+    straddle under the doc_id hash split — off-diagonal rows are
+    train/test leakage through near-duplicates."""
+    return leakage.split_leakage_report(_docs(spark, sf_dir))
+
+
+@register("leakage_safe_splits", leakage.LEAKAGE_SAFE_SPLIT_SQL)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str):
+    """Split assignment keyed on the near-dup cluster's canonical id:
+    dup families co-locate by construction (cross-split pairs = 0);
+    per-split doc and cluster counts."""
+    return leakage.leakage_safe_split_summary(_docs(spark, sf_dir))
 
 
 @register("source_overlap_matrix", neardup.SOURCE_OVERLAP_SQL)

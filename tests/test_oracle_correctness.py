@@ -100,6 +100,8 @@ _REPORT_EXEMPT = {
     "curation_audit",
     "source_overlap_matrix",
     "incremental_corpus_delta",
+    "split_leakage_report",
+    "leakage_safe_splits",
     # Registered new in round 4, inside the window (first report = r04):
     "normalized_dedup_documents",
     "decontaminate_documents",
