@@ -955,65 +955,73 @@ def q_rp_topk(spark: SparkSession, sf_dir: str):
 # query still has a hash-match-green driver row from rounds 1-3 and keeps
 # its sf0.01 oracle check in tests/test_oracle_correctness.py.
 WINDOW_FIRST: tuple[str, ...] = (
+    # --- ROUND-5 ROTATION (VERDICT r4 item 1) -------------------------
+    # In:  the 17 late-round-4 registrations that have never had a
+    #      driver CORRECTNESS row in any round (16 oracle-bearing +
+    #      bpe_token_stats rows-only).
+    # Out: the 7 no-oracle rows (pq/ivfpq/rp_cosine_topk,
+    #      quality_classifier_scores, frequent_terms_sketch,
+    #      approx_distinct_parts, approx_percentiles_orders — they can
+    #      never improve on a rows-only row) plus 10 r04-hash-green
+    #      queries (orders_rolling_7d_revenue, dq_oltp_checks,
+    #      subquery_suite, profile_orders, setops_all_orders,
+    #      reconcile_customers_full_outer, events_cohort_retention,
+    #      span_dedup_report, weighted_sample_summary,
+    #      minhash_delta_neardup).  All 17 rotated-out names are in
+    #      tests/test_oracle_correctness.py::_REPORT_EXEMPT already.
+    # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; green r01-r03):
+    # probes; hash-green r01-r04):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # Versioned-dimension family (first driver rows this round):
+    # Never-reported round-4 tail — first driver rows this round:
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "stats_moments_lineitem",
+    "snapshot_diff_customers",
+    "skew_safe_join_revenue",
+    "events_hopping_halfhour",
+    "training_shard_manifest",
+    "dsir_importance",
+    "bpe_token_stats",
+    "curation_audit",
+    "incremental_corpus_delta",
+    "split_leakage_report",
+    "leakage_safe_splits",
+    "source_overlap_matrix",
+    # Oracle-bearing r04-green stability probes (one per family):
     "dim_cliente_scd2",
     "scd2_incremental_merge",
-    # Analytic/window family rotated in from the r1-r3 tail:
-    "orders_rolling_7d_revenue",
     "orders_rank_suite",
-    "dq_oltp_checks",
-    "approx_distinct_parts",
-    "approx_percentiles_orders",
-    "subquery_suite",
-    "profile_orders",
-    "setops_all_orders",
-    "reconcile_customers_full_outer",
-    # Event-analytics additions:
     "events_anomaly_zscore",
     "events_gapfill_locf",
     "events_funnel",
-    "events_cohort_retention",
-    # LLM-pipeline: chunk/pack, dedup ladder, decontamination:
     "chunk_documents",
     "pack_bins_summary",
     "normalized_dedup_documents",
     "decontaminate_documents",
     "duplicated_spans",
-    "span_dedup_report",
-    # Sampling / corpus-balancing family:
     "stratified_sample_summary",
     "capped_corpus",
-    "weighted_sample_summary",
     "mixture_weights",
-    # Near-dup + clustering (minhash kept as the family sentinel):
     "minhash_near_dup",
-    "minhash_delta_neardup",
     "neardup_clusters",
     "corpus_curation_summary",
-    # Embedding / ANN family:
     "embedding_norm_stats",
     "ann_cosine_topk",
-    "pq_cosine_topk",
-    "ivfpq_cosine_topk",
-    "rp_cosine_topk",
     "semantic_dedup",
-    # Model-based quality / text analysis:
     "lm_fluency_scores",
-    "quality_classifier_scores",
     "adaptive_quality_gate",
     "ngram_diversity_by_source",
     "pii_scan",
     "split_drift_report",
     "tfidf_top_terms",
     "text_repetition",
-    # Multimodal + sketch:
     "media_feature_extract",
-    "frequent_terms_sketch",
 )

@@ -55,6 +55,11 @@ def test_no_oracle_queries_run_and_are_driver_serializable(spark, sf001):
 # tail (windowed in round 4, so r04+ reports will contain them) and the
 # round-4 tail (3-round-green basics rotated out, present in r01-r03).
 _REPORT_EXEMPT = {
+    # ROUND-5 NOTE: WINDOW_FIRST rotated the 17 never-reported round-4
+    # tail queries IN and 17 r04-reported queries OUT (7 no-oracle + 10
+    # hash-green).  Every rotated-out name was already in this union, so
+    # no additions were needed; the set remains the grows-only union of
+    # past-window tails across all rotations.
     # Tail in rounds 1-3, rotated INTO the round-4 window:
     "approx_distinct_parts",
     "neardup_clusters",
