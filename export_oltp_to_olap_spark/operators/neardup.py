@@ -280,11 +280,26 @@ shingles AS (
 """.strip()
 
 
+def ngram_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """The persistable shingle-set side table the delta path probes:
+    (doc_id, shs, n_sh) for every non-empty doc.  In production this is
+    a real parquet table maintained by appending each admitted batch's
+    rows (see :func:`ngram_jaccard_pairs_delta`'s ``corpus_sets``);
+    here it is the one canonical builder both the fresh and persisted
+    paths share, so the formats can never drift."""
+    return (
+        doc_shingle_sets(docs, n)
+        .where(F.size("shs") > 0)
+        .withColumn("n_sh", F.size("shs"))
+    )
+
+
 def ngram_jaccard_pairs_delta(
     corpus_docs: DataFrame,
     delta_docs: DataFrame,
     n: int = 3,
     threshold: float = 0.7,
+    corpus_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Delta form of :func:`ngram_jaccard_pairs`: all pairs
     (doc_a, doc_b, jaccard ≥ t) whose ``doc_b`` is in the DELTA batch —
@@ -298,18 +313,26 @@ def ngram_jaccard_pairs_delta(
     standing corpus index is the amortized cost, and in production it is
     a persisted table maintained by appending each admitted batch's
     prefix rows (the same discipline as `minhash_lsh_neardup_delta`'s
-    band index and `ann_index.py`'s postings).  The prefix filter stays
-    LOSSLESS for these pairs: a qualifying pair cannot avoid the first
-    ``p`` shingles of either side, and both sides' prefixes are present
-    (corpus ∪ delta on the build side, delta on the probe side).
+    band index and `ann_index.py`'s postings).  Pass that table as
+    ``corpus_sets`` (:func:`ngram_shingle_sets` output for the corpus;
+    ``corpus_docs`` is then ignored) and the per-batch cost really is
+    ~O(|delta| + candidates): nothing re-shingles the standing corpus.
+    The prefix filter stays LOSSLESS for these pairs: a qualifying pair
+    cannot avoid the first ``p`` shingles of either side, and both
+    sides' prefixes are present (corpus ∪ delta on the build side,
+    delta on the probe side).
+
+    Materialization goes through :func:`stage` (session staging conf),
+    not raw ``persist()``: repeated invocations in a long-lived session
+    previously accumulated never-unpersisted executor storage
+    (ADVICE r4).
     """
-    mk = lambda d: (  # noqa: E731 — one-line set builder used twice
-        doc_shingle_sets(d, n)
-        .where(F.size("shs") > 0)
-        .withColumn("n_sh", F.size("shs"))
-    )
-    sets_delta = mk(delta_docs).persist()  # union + probe + verify read it
-    sets_all = mk(corpus_docs).unionByName(sets_delta).persist()
+    sets_delta = stage(ngram_shingle_sets(delta_docs, n))  # union+probe+verify
+    if corpus_sets is None:
+        # Derived in-call: stage it so the prefix-index build and the
+        # verify-side hash scan don't re-shingle the corpus twice.
+        corpus_sets = stage(ngram_shingle_sets(corpus_docs, n))
+    sets_all = corpus_sets.unionByName(sets_delta)
     t = F.lit(threshold)
     a = _prefix_index(sets_all, threshold).alias("a")
     b = _prefix_index(sets_delta, threshold).alias("b")

@@ -48,6 +48,7 @@ from export_oltp_to_olap_spark.functions.text import (
 from export_oltp_to_olap_spark.operators.neardup import (
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_delta,
+    ngram_shingle_sets,
 )
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
 from export_oltp_to_olap_spark.operators.staging import stage
@@ -107,7 +108,28 @@ def curated_corpus(docs: DataFrame) -> DataFrame:
     return assign_splits(kept, "doc_id")
 
 
-def curated_delta(old_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
+def standing_state(
+    old_docs: DataFrame, mode: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two persisted artifacts the steady-state ingest path
+    maintains: the curated-stage survivor table (gate + exact-dedup,
+    PRE near-dup — old near-dup victims must stay visible as witnesses)
+    and its shingle-set side table.  Production writes these once and
+    appends each admitted batch; this helper is the bootstrap — and,
+    staged as real tables (``mode='table'``), the bench's untimed setup
+    for the delta face.
+    """
+    curated = stage(curated_docs(old_docs, checkpoint=False), mode=mode)
+    sets = stage(ngram_shingle_sets(curated.select("doc_id", "text"), n=3), mode=mode)
+    return curated, sets
+
+
+def curated_delta(
+    old_docs: DataFrame,
+    delta_docs: DataFrame,
+    standing_curated: DataFrame | None = None,
+    standing_sets: DataFrame | None = None,
+) -> DataFrame:
     """Incremental curation: admit or reject ONLY the delta batch —
     output ≡ ``curated_corpus(old ∪ delta)`` restricted to delta ids
     (the registered oracle states exactly that claim).  PRECONDITION:
@@ -125,10 +147,18 @@ def curated_delta(old_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
 
     Scale: the daily-ingest path.  Per batch, the old corpus is touched
     only through its curated-stage text set (the anti-join build side)
-    and its prefix index — both persisted tables in production, so batch
-    cost is ~O(|delta| + delta-touching candidates), not O(corpus).
+    and its shingle/prefix index — pass them in as ``standing_curated``
+    and ``standing_sets`` (:func:`standing_state` output, persisted
+    tables in production) and batch cost is ~O(|delta| +
+    delta-touching candidates), not O(corpus): nothing re-gates,
+    re-dedups, or re-shingles the standing corpus.  Left at ``None``
+    (the bootstrap / oracle-fixture path) both are derived from
+    ``old_docs`` in-call.  Rebuild-equivalence with the persisted path
+    is pinned by ``test_curated_delta_standing_state_equivalent``.
     """
-    deduped_old = curated_docs(old_docs)
+    deduped_old = (
+        standing_curated if standing_curated is not None else curated_docs(old_docs)
+    )
     w = Window.partitionBy("text")
     delta_min = (
         _gated(delta_docs)
@@ -145,6 +175,7 @@ def curated_delta(old_docs: DataFrame, delta_docs: DataFrame) -> DataFrame:
             delta_dedup.select("doc_id", "text"),
             n=3,
             threshold=NEARDUP_THRESHOLD,
+            corpus_sets=standing_sets,
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
