@@ -172,6 +172,9 @@ DECONTAM_SQL = decontam_sql(FIXTURE_N)
 # ---------------------------------------------------------------------------
 
 
+MAX_EVAL_GRAMS = 16_777_216  # collect guard: 2^24 × 8 B = 128 MB on the driver
+
+
 def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "text"):
     """The eval set's distinct n-grams as a sorted int64 numpy array.
 
@@ -179,6 +182,11 @@ def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "
     `contamination_hits` broadcast the set (benchmark suites are MBs,
     not TBs); xxhash64 keys keep it 8 bytes/gram.  The sorted array is
     what `flag_contaminated`'s vectorized membership test searches.
+    The contract is ENFORCED, not assumed: more than ``MAX_EVAL_GRAMS``
+    distinct grams fails loudly before the driver can OOM (the
+    `ann_index.MAX_ROUTING_ROWS` pattern) — a caller with a larger eval
+    suite should decontaminate per-benchmark or switch to the join-side
+    `contamination_hits` report, which never collects.
     """
     import numpy as np
 
@@ -188,8 +196,16 @@ def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "
         )
         .select(F.xxhash64("gram").alias("h"))
         .distinct()
+        .limit(MAX_EVAL_GRAMS + 1)
         .collect()
     )
+    if len(rows) > MAX_EVAL_GRAMS:
+        raise ValueError(
+            f"eval set exceeds {MAX_EVAL_GRAMS} distinct {n}-grams — the "
+            f"broadcast decontamination path is for MB-scale benchmark "
+            f"suites; split the eval set per benchmark or use the "
+            f"join-based contamination_hits report instead"
+        )
     return np.sort(np.array([r["h"] for r in rows], dtype="int64"))
 
 

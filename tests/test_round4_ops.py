@@ -723,3 +723,24 @@ def test_source_overlap_matrix_attributes_pairs_to_source_pairs(spark):
     assert ("newsB", "newsA") not in cells
     for n_pairs, max_j in cells.values():
         assert n_pairs >= 1 and 0.7 <= max_j <= 1.0
+
+
+def test_eval_gram_collect_cap_fails_loudly(spark, monkeypatch):
+    """VERDICT r4 item 3: an eval suite whose distinct n-gram count
+    exceeds the broadcast budget must raise before the driver collects
+    it — with the cap monkeypatched low so the guard itself is what
+    trips, and the normal path (same set, cap restored) unchanged."""
+    import pytest as _pytest
+
+    from export_oltp_to_olap_spark.operators import decontam
+
+    eval_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(decontam, "MAX_EVAL_GRAMS", 3)
+    with _pytest.raises(ValueError, match="distinct"):
+        decontam.eval_gram_hashes(eval_docs)
+    monkeypatch.setattr(decontam, "MAX_EVAL_GRAMS", 16_777_216)
+    grams = decontam.eval_gram_hashes(eval_docs)
+    assert 3 < len(grams) <= 10 and list(grams) == sorted(grams)
