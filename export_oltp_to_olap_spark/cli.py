@@ -213,6 +213,53 @@ def cmd_export_corpus(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_quality_model(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Train-once / score-many for the learned quality classifier
+    (VERDICT r4 item 4).  ``--train`` fits L-BFGS on the deterministic
+    train split and persists the ~20-coefficient artifact
+    (`operators/quality_model.py::save_quality_model`); without it, the
+    saved artifact scores the corpus MAP-SIDE (pure column expression,
+    no ML runtime, no retraining) and optionally writes parquet."""
+    from export_oltp_to_olap_spark.operators import quality_model as qm
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    if args.train:
+        model = qm.train_weakly_supervised(docs)
+        qm.save_quality_model(model, args.model_dir)
+        print(
+            json.dumps(
+                {
+                    "model_dir": args.model_dir,
+                    "n_features": len(qm.feature_names()),
+                    "intercept": round(float(model.intercept), 6),
+                }
+            )
+        )
+        return 0
+    artifact = qm.load_quality_model(spark, args.model_dir)
+    scored = qm.score_quality_saved(docs, artifact)
+    if args.score_out:
+        scored.write.mode("overwrite").parquet(args.score_out)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_prob"), 4).alias("mean_prob"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "model_dir": args.model_dir,
+                "score_out": args.score_out,
+                "n_docs": stats["n_docs"],
+                "mean_prob": stats["mean_prob"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace, spark: SparkSession) -> int:
     """Plan review from the terminal: the scale counters
     (`plan_audit.py::plan_summary`) for one registered query, or the
@@ -349,6 +396,21 @@ def build_parser() -> argparse.ArgumentParser:
     export.add_argument("--out-dir", required=True)
     export.add_argument("--shards", type=int, default=None)
     export.set_defaults(fn=cmd_export_corpus)
+
+    qmodel = sub.add_parser(
+        "quality-model",
+        help="train-once (persist coefficients) / score-many (map-side, "
+        "no retraining) for the learned quality classifier",
+    )
+    qmodel.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    qmodel.add_argument("--model-dir", required=True, help="coefficient artifact dir")
+    qmodel.add_argument(
+        "--train", action="store_true", help="fit and persist instead of scoring"
+    )
+    qmodel.add_argument(
+        "--score-out", default=None, help="also write (doc_id, quality_prob) parquet"
+    )
+    qmodel.set_defaults(fn=cmd_quality_model)
 
     explain = sub.add_parser(
         "explain", help="scale counters for a registered query's physical plan"

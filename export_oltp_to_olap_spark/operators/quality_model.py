@@ -112,6 +112,99 @@ def score_quality(model, docs_with_features: DataFrame, id_col: str = "doc_id") 
     )
 
 
+def feature_names() -> list[str]:
+    """Canonical feature order — MUST match quality_feature_frame's
+    assembler inputCols (surface ratios, then lang markers in
+    LANG_MARKERS insertion order) or saved coefficients shift columns."""
+    from export_oltp_to_olap_spark.functions.text import LANG_MARKERS
+
+    return list(FEATURE_COLS) + [f"lang_{lang}" for lang in LANG_MARKERS]
+
+
+def save_quality_model(model, path: str) -> None:
+    """Persist the trained model as a one-row JSON artifact: feature
+    names (pinned order), coefficient vector, intercept.  Written
+    through Spark's FS layer so DFS paths work on a cluster; ~20
+    numbers, so the artifact is inspectable and diff-able — the
+    train-once/score-many production pattern (the module docstring's
+    point: the model is ~15 coefficients; nothing else is state)."""
+    names = feature_names()
+    coefs = [float(c) for c in model.coefficients.toArray()]
+    if len(coefs) != len(names):
+        raise ValueError(
+            f"model has {len(coefs)} coefficients but the engine builds "
+            f"{len(names)} features — trained on a different feature frame?"
+        )
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    row = [(names, coefs, float(model.intercept))]
+    spark.createDataFrame(
+        row, "features array<string>, coefficients array<double>, intercept double"
+    ).coalesce(1).write.mode("overwrite").json(path)
+
+
+def load_quality_model(spark, path: str) -> dict:
+    """Read the saved artifact back: {feature_name: coef} + intercept."""
+    r = spark.read.json(path).first()
+    if r is None:
+        raise ValueError(f"no quality-model artifact at {path}")
+    return {
+        "weights": dict(zip(r["features"], r["coefficients"])),
+        "intercept": float(r["intercept"]),
+    }
+
+
+def score_quality_saved(
+    docs: DataFrame, artifact: dict, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents with SAVED coefficients — no retraining, no ML
+    runtime: the logistic margin is a pure built-in column expression
+    (sigmoid(intercept + Σ wᵢ·featureᵢ)), so scoring stays inside
+    whole-stage codegen and needs only the JSON artifact.  Identical
+    output contract to :func:`score_quality` (id, quality_prob 4-dp);
+    round-trip equality is pinned by
+    ``test_quality_model_save_load_roundtrip``."""
+    from export_oltp_to_olap_spark.functions.text import lang_scores, quality_features
+
+    feats = quality_features(text_col)
+    langs = lang_scores(text_col)
+    cols = {name: feats[name] for name in FEATURE_COLS}
+    for lang, col in langs.items():
+        cols[f"lang_{lang}"] = col
+    w = artifact["weights"]
+    unknown = set(w) - set(cols)
+    if unknown:
+        raise ValueError(f"saved model has unknown features: {sorted(unknown)}")
+    margin = F.lit(float(artifact["intercept"]))
+    for name, weight in w.items():
+        margin = margin + F.lit(float(weight)) * cols[name].cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return docs.select(F.col(id_col), F.round(prob, 4).alias("quality_prob"))
+
+
+def weak_labeled_features(docs: DataFrame) -> DataFrame:
+    """The shared weak-supervision frame: features + label (the lang-ID
+    heuristic predicting English — "resembles the curated corpus",
+    produced by a rule exactly as GPT-3's WebText filter was)."""
+    from export_oltp_to_olap_spark.functions.text import lang_predict
+
+    return quality_feature_frame(docs).withColumn(
+        "label", (lang_predict("text") == "en").cast("double")
+    )
+
+
+def train_weakly_supervised(docs: DataFrame):
+    """Fit on the deterministic train split of the weak-labeled frame —
+    the train-ONCE face (`cli.py quality-model --train` persists the
+    result via :func:`save_quality_model`; scoring then never retrains)."""
+    from export_oltp_to_olap_spark.operators.sampling import assign_splits
+
+    labeled = weak_labeled_features(docs)
+    train = assign_splits(labeled, "doc_id").where(F.col("split") == "train")
+    return train_quality_classifier(train)
+
+
 def quality_classifier_scores(docs: DataFrame) -> DataFrame:
     """Fixture face: weak label = the rule-based lang-ID heuristic
     predicting English — "resembles the curated corpus", produced by a
@@ -123,14 +216,13 @@ def quality_classifier_scores(docs: DataFrame) -> DataFrame:
     is noise w.r.t. the text — 40% agreement with the marker heuristic
     — so no learnable mapping features→metadata exists.)  Output
     (doc_id, weak_label, quality_prob) ordered by doc_id; registered
-    rows-only (an iterative trainer has no SQL restatement)."""
-    from export_oltp_to_olap_spark.functions.text import lang_predict
-    from export_oltp_to_olap_spark.operators.sampling import assign_splits
-
-    feat = quality_feature_frame(docs)
-    labeled = feat.withColumn("label", (lang_predict("text") == "en").cast("double"))
-    train = assign_splits(labeled, "doc_id").where(F.col("split") == "train")
-    model = train_quality_classifier(train)
+    rows-only (an iterative trainer has no SQL restatement).
+    Production splits this: train once + save_quality_model, then
+    score_quality_saved map-side (`cli.py quality-model`); this face
+    keeps train+score in one call because the driver harness gives it
+    no artifact directory."""
+    labeled = weak_labeled_features(docs)
+    model = train_weakly_supervised(docs)
     return (
         score_quality(model, labeled)
         .join(labeled.select("doc_id", F.col("label").cast("long").alias("weak_label")), "doc_id")

@@ -54,3 +54,76 @@ def test_scores_are_deterministic_across_runs(spark, sf001):
     a = sorted((r["doc_id"], r["quality_prob"]) for r in qm.quality_classifier_scores(docs).collect())
     b = sorted((r["doc_id"], r["quality_prob"]) for r in qm.quality_classifier_scores(docs).collect())
     assert a == b
+
+
+def test_quality_model_save_load_roundtrip(spark, sf0001, tmp_path):
+    """VERDICT r4 item 4: train once, persist the coefficient artifact,
+    and score from the SAVED coefficients (pure column expression, no
+    ML runtime) — scores must be identical to the in-memory model's
+    transform, and a second load must not retrain (the artifact alone
+    suffices)."""
+    docs = (
+        load_tables(spark, sf0001, ("documents",))["documents"]
+        .select("doc_id", "text")
+    )
+    model = qm.train_weakly_supervised(docs)
+    path = str(tmp_path / "quality_model")
+    qm.save_quality_model(model, path)
+
+    in_memory = {
+        r.doc_id: r.quality_prob
+        for r in qm.score_quality(model, qm.quality_feature_frame(docs)).collect()
+    }
+    artifact = qm.load_quality_model(spark, path)
+    assert set(artifact["weights"]) == set(qm.feature_names())
+    from_saved = {
+        r.doc_id: r.quality_prob
+        for r in qm.score_quality_saved(docs, artifact).collect()
+    }
+    assert from_saved == in_memory, "saved-coefficient scores diverged from model"
+
+    # the artifact is self-contained: a fresh load scores without any
+    # model object, and perturbing a weight actually changes output
+    # (i.e. the expression really consumes the saved numbers)
+    artifact2 = qm.load_quality_model(spark, path)
+    perturbed = dict(artifact2, weights={**artifact2["weights"], "n_chars": 99.0})
+    changed = {
+        r.doc_id: r.quality_prob
+        for r in qm.score_quality_saved(docs, perturbed).collect()
+    }
+    assert changed != in_memory
+
+
+def test_cli_quality_model_train_then_score(spark, sf0001, tmp_path, capsys):
+    """The CLI faces: `quality-model --train` persists; a second
+    invocation scores WITHOUT retraining (no pyspark.ml import on the
+    scoring path) and writes the parquet scores."""
+    import json as _json
+
+    from export_oltp_to_olap_spark import cli
+
+    model_dir = str(tmp_path / "qm")
+    out_dir = str(tmp_path / "scores")
+    rc = cli.main(
+        ["quality-model", "--source-dir", sf0001, "--model-dir", model_dir, "--train"],
+        spark=spark,
+    )
+    assert rc == 0
+    trained = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert trained["n_features"] > 8
+
+    rc = cli.main(
+        [
+            "quality-model",
+            "--source-dir", sf0001,
+            "--model-dir", model_dir,
+            "--score-out", out_dir,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    scored = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_docs = spark.read.parquet(f"{sf0001}/documents.parquet").count()
+    assert scored["n_docs"] == n_docs and 0.0 <= scored["mean_prob"] <= 1.0
+    back = spark.read.parquet(out_dir)
+    assert back.count() == n_docs and set(back.columns) == {"doc_id", "quality_prob"}
