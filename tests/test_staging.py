@@ -49,3 +49,30 @@ def test_table_mode_materializes_a_queryable_table(spark, sf0001):
     out = stage(df, mode="table", name="staged_probe")
     assert out.count() == df.count()
     assert spark.table("staged_probe").count() == df.count()
+
+
+def test_table_mode_composes_through_full_curation_chain(spark, sf0001):
+    """VERDICT r4 item 5: the cluster-durable staging mode must survive a
+    COMPOSED pipeline, not just a unit frame — corpus_curation_summary
+    stages multiple times (curated set, delta paths stage shingle sets),
+    so this exercises multi-stage table staging, auto-generated name
+    uniqueness, and re-running in the same session (name/location
+    collisions on the second pass).  Results must equal local mode
+    row-for-row both times."""
+    from export_oltp_to_olap_spark.plans.curation import corpus_curation_summary
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    base = {tuple(r) for r in corpus_curation_summary(docs).collect()}
+    assert base, "empty yield report — fixture drifted"
+    spark.conf.set(STAGING_CONF_KEY, "table")
+    try:
+        first = {tuple(r) for r in corpus_curation_summary(docs).collect()}
+        assert first == base, "table-staged chain diverged from local"
+        # second run in the same session: staged-table name management
+        # (DROP + stale-location cleanup) must not collide or leak rows
+        second = {tuple(r) for r in corpus_curation_summary(docs).collect()}
+        assert second == base, "re-run under table staging diverged"
+    finally:
+        spark.conf.unset(STAGING_CONF_KEY)
