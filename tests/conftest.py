@@ -13,6 +13,7 @@ from export_oltp_to_olap_spark.session import get_spark  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")
@@ -30,3 +31,8 @@ def sf0001():
 @pytest.fixture(scope="session")
 def sf001():
     return SF001
+
+
+@pytest.fixture(scope="session")
+def sf01():
+    return SF01
