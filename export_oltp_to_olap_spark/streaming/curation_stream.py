@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import lang_predict, quality_score
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
+from export_oltp_to_olap_spark.operators.staging import stage
 from export_oltp_to_olap_spark.plans.curation import QUALITY_MIN
 from export_oltp_to_olap_spark.streaming.stateful import streaming_exact_dedup
 
@@ -103,3 +104,139 @@ def streaming_curated_docs(
         gated.select("doc_id", "fp"), max_state_per_bucket=max_state_per_bucket
     )
     return assign_splits(admitted, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental leakage-safe splits (VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+
+
+def incremental_cluster_split_assign(
+    standing_docs: DataFrame | None,
+    standing_clusters: DataFrame | None,
+    delta_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest batch of the CLUSTER-keyed split assignment
+    (`plans/leakage.py::leakage_safe_split_summary`'s per-doc form):
+    delta docs join the standing near-dup cluster map; genuinely new
+    families get fresh canonical ids.  Returns ``(delta_assign,
+    updated_clusters)`` — (doc_id, canonical_id, split) for the delta,
+    and the standing map with the batch folded in (feed it back next
+    batch).
+
+    Construction: `minhash_lsh_neardup_delta` finds only delta-touching
+    pairs; standing endpoints are CONTRACTED to their canonical ids
+    (the standing map already holds the closure of everything older),
+    and `neardup_clusters`' min-label propagation runs on the contracted
+    graph — nodes = delta ids + touched standing canonicals, edges =
+    contracted pairs — which is O(batch + touched families), never
+    O(corpus).  Under the append-only invariant (standing ids < delta
+    ids) the contracted component minimum equals the full-rebuild
+    component minimum, so each batch's assignment ≡ the batch rebuild
+    over everything seen so far, restricted to the batch ids (pinned by
+    tests/test_curation_stream.py).
+
+    Merge semantics: a delta doc bridging two standing families merges
+    them FORWARD — the updated map relabels both to the smaller
+    canonical so later batches see one family, but documents emitted in
+    earlier batches keep their already-shipped split (a stream cannot
+    recall what it emitted).  The periodic batch pass is the repair for
+    that bounded staleness — the same lambda split as near-dup dropping
+    (module docstring).
+    """
+    from export_oltp_to_olap_spark.operators.neardup import (
+        minhash_lsh_neardup_delta,
+        minhash_neardup_clusters,
+        neardup_clusters,
+    )
+
+    delta_ids = delta_docs.select("doc_id")
+    if standing_docs is None or standing_clusters is None:
+        boot = minhash_neardup_clusters(delta_docs).select("doc_id", "canonical_id")
+        return assign_splits(boot, "canonical_id"), boot
+
+    pairs = minhash_lsh_neardup_delta(standing_docs, delta_docs)
+    m = standing_clusters.select("doc_id", "canonical_id")
+    edges = (
+        pairs.join(
+            m.select(
+                F.col("doc_id").alias("doc_a"), F.col("canonical_id").alias("can_a")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            m.select(
+                F.col("doc_id").alias("doc_b"), F.col("canonical_id").alias("can_b")
+            ),
+            "doc_b",
+            "left",
+        )
+        .select(
+            F.coalesce("can_a", "doc_a").alias("doc_a"),
+            F.coalesce("can_b", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    nodes = (
+        delta_ids.unionByName(edges.select(F.col("doc_a").alias("doc_id")))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    contracted = stage(
+        neardup_clusters(nodes, edges).select("doc_id", "canonical_id")
+    )
+
+    delta_assign = assign_splits(
+        contracted.join(delta_ids, "doc_id"), "canonical_id"
+    )
+    # forward-merge the map: standing families whose canonical node got a
+    # smaller label are relabeled; the batch's rows are appended.
+    remap = contracted.where(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias("old_can"), F.col("canonical_id").alias("new_can")
+    )
+    updated = (
+        m.join(remap, m.canonical_id == F.col("old_can"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_can", "canonical_id").alias("canonical_id"),
+        )
+        .unionByName(
+            delta_assign.select("doc_id", "canonical_id")
+        )
+    )
+    return delta_assign, updated
+
+
+def leakage_safe_split_sink(emit):
+    """foreachBatch driver for :func:`incremental_cluster_split_assign`:
+    maintains the standing docs + cluster map across micro-batches
+    (staged each batch so lineage never stacks) and calls ``emit`` with
+    each batch's (doc_id, canonical_id, split) rows.  Usage::
+
+        stream.writeStream.foreachBatch(leakage_safe_split_sink(emit))
+
+    State here is a pair of staged DataFrames on the driver — the
+    production form persists both as tables (`operators/staging.py`
+    ``table`` mode) exactly like the curated-corpus standing state.
+    """
+    state: dict[str, DataFrame | None] = {"docs": None, "clusters": None}
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = stage(batch_df.select("doc_id", "text"))
+        assign, updated = incremental_cluster_split_assign(
+            state["docs"], state["clusters"], batch
+        )
+        # materialize the assignment BEFORE state mutates under it
+        assign = stage(assign)
+        emit(assign)
+        state["clusters"] = stage(updated)
+        state["docs"] = (
+            batch if state["docs"] is None
+            else stage(state["docs"].unionByName(batch))
+        )
+
+    return sink
