@@ -211,24 +211,43 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    summary = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_runs": n_runs,
+    }
     # Full per-run samples go to a side file for variance inspection; the
     # stdout line stays small enough for the driver's tail capture.
-    runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json")
-    with open(runs_path, "w", encoding="utf-8") as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_runs.json"), "w", encoding="utf-8") as fh:
         json.dump({"sf": sf_val, "n_runs": n_runs, "runs": samples}, fh, indent=1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "n_runs": n_runs,
-            },
-            separators=(",", ":"),
-        )
-    )
+    # Compact medians also land in bench_summary_r{N}.json (round from the
+    # driver's PROGRESS.jsonl tail) so round-over-round comparison is one
+    # committed file read instead of reconstructing medians from raw runs
+    # (VERDICT r4 item 8 — BENCH_r03's truncated tail cost the judge a
+    # by-hand reconstruction).
+    with open(
+        os.path.join(here, f"bench_summary_r{_current_round(here)}.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary, separators=(",", ":")))
+
+
+def _current_round(repo_dir: str) -> int:
+    """Best-effort round number from the driver's PROGRESS.jsonl (its
+    tail rows carry {"round": N}); 0 when absent/unparsable."""
+    path = os.path.join(repo_dir, "PROGRESS.jsonl")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        return int(json.loads(lines[-1]).get("round", 0))
+    except (OSError, ValueError, IndexError, KeyError):
+        return 0
 
 
 if __name__ == "__main__":
