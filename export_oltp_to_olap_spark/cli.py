@@ -270,7 +270,7 @@ def cmd_explain(args: argparse.Namespace, spark: SparkSession) -> int:
 
     registry._ensure_loaded()
     if args.all:
-        rows = plan_audit.audit_plans(spark, args.sf_dir)
+        rows = plan_audit.audit_plans(spark, args.sf_dir, plan_only=args.plan_only)
         print(json.dumps(rows))
         return 0 if not any(r["flags"] for r in rows) else 3
     if args.query is None or args.query not in registry.REGISTRY:
@@ -422,6 +422,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     explain.add_argument(
         "--execute", action="store_true", help="run the plan so AQE finalizes first"
+    )
+    explain.add_argument(
+        "--plan-only",
+        action="store_true",
+        help="skip queries whose builders execute training jobs "
+        "(plan_audit.BUILD_EXECUTES) so the sweep touches no data",
     )
     explain.add_argument("--full", action="store_true", help="also print the raw plan")
     explain.set_defaults(fn=cmd_explain)

@@ -22,9 +22,12 @@ English (the same weak-supervision proxy the quality classifier
 trains on — "looks like the curated distribution"), raw = the whole
 corpus.  Documents rich in target-distinctive grams score positive;
 boilerplate shared with the raw pool scores ~0; anti-target text
-scores negative.  ``keep = importance > 0`` is the DSIR-style
-selection bit (the paper resamples ∝ w; the deterministic threshold
-keeps the fixture oracle-checkable — `operators/sampling.py::
+scores negative.  ``keep = w_sum > 0`` — the UNROUNDED importance is
+positive — is the DSIR-style selection bit (a doc with
+0 < w_sum/n_grams < 5e-7 reports importance 0.0 at 6 dp yet
+keep=true, which is intended: the bit tracks the sign, not the
+rounded display value; the paper resamples ∝ w, the deterministic
+threshold keeps the fixture oracle-checkable — `operators/sampling.py::
 weighted_sample` is the resampling form when a stochastic draw is
 wanted).
 

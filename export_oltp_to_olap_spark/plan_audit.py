@@ -107,8 +107,27 @@ SMJ_EXPECTED = frozenset(
 )
 
 
+# Queries whose BUILDER runs Spark jobs at plan-construction time —
+# trainers and quantizers that collect a bounded sample or fit a model
+# before the returned DataFrame exists (bpe: word counts + merge loop;
+# quality classifier: L-BFGS fit; lm: vocab-cap TakeOrdered; pq/ivfpq:
+# codebook k-means on a ≤64k sample; rp: one probe row for dim).  A
+# "plan sweep" over these EXECUTES those jobs (ADVICE r4) — pass
+# ``plan_only=True`` (CLI: ``explain --all --plan-only``) to skip them.
+BUILD_EXECUTES = frozenset(
+    {
+        "bpe_token_stats",
+        "quality_classifier_scores",
+        "lm_fluency_scores",
+        "pq_cosine_topk",
+        "ivfpq_cosine_topk",
+        "rp_cosine_topk",
+    }
+)
+
+
 def audit_plans(
-    spark, sf_dir: str, names: list[str] | None = None
+    spark, sf_dir: str, names: list[str] | None = None, plan_only: bool = False
 ) -> list[dict[str, Any]]:
     """Sweep registered queries and return one summary row per query,
     with ``flags`` listing the anti-patterns found (empty = clean).
@@ -121,12 +140,22 @@ def audit_plans(
     report, not an assertion).  Sweeps read the PROVISIONAL plan (AQE
     may still demote a flagged SMJ to broadcast at runtime); re-check a
     flagged query with ``plan_summary(df, execute=True)``.
+
+    COST: building a query's DataFrame is normally driver-side only,
+    but ``BUILD_EXECUTES`` queries run bounded training jobs during
+    construction — the default sweep pays that (sf0.001 keeps it
+    cheap); ``plan_only=True`` skips them with an explanatory row.
     """
     from export_oltp_to_olap_spark import registry
 
     registry._ensure_loaded()
     rows = []
     for name in names or sorted(registry.REGISTRY):
+        if plan_only and name in BUILD_EXECUTES:
+            rows.append(
+                {"query": name, "flags": [], "skipped": "builder-executes-jobs"}
+            )
+            continue
         summary = plan_summary(registry.REGISTRY[name].fn(spark, sf_dir))
         flags = []
         if summary["cartesian_products"] and name not in CARTESIAN_ALLOWED:

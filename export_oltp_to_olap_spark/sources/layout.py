@@ -195,13 +195,74 @@ def compact_parquet(
 
     Scale: the rewrite is one shuffle-free coalesce when shrinking file
     count (or one range exchange when sorting); readers meanwhile see
-    the OLD files until the atomic-enough directory swap at the end.
-    The swap uses a temp dir + rename, the same story as
-    `ops_http.py`'s heartbeat write: never leave a half-written table.
+    the OLD files until the directory swap at the end.
+
+    Swap + crash recovery (ADVICE r4): the swap is two renames
+    (``path → path__old``, then ``path__compacting → path``) — POSIX
+    gives no multi-directory atomic swap, so instead of pretending, the
+    ORIGINAL is kept at ``path__old`` until the new table is in place,
+    and the next invocation self-heals every crash window: table
+    missing + ``__old`` present → restore the original; stale
+    ``__compacting``/``__old`` leftovers → removed.  No window loses
+    data.
+
+    Hive-partitioned tables (``key=value`` subdirs — e.g. the IVF
+    postings this maintains) are detected and re-written WITH the same
+    ``partitionBy``, preserving the pruning layout; each partition
+    value compacts to one file (``order_cols`` is rejected there — a
+    global range sort would have to straddle partition dirs).
+
+    LOCAL-FS ONLY, enforced: the byte sizing and the swap use the local
+    filesystem; a DFS path (``hdfs://``, ``s3a://``) raises — on a
+    cluster, compaction belongs to the table format's OPTIMIZE, not a
+    directory swap.
     """
     import math
     import os
+    import re
     import shutil
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_parquet swaps LOCAL directories; {path!r} is not a "
+            f"local path — use the table format's OPTIMIZE on a cluster"
+        )
+    path = path.rstrip("/")
+    tmp = path + "__compacting"
+    old = path + "__old"
+    # Self-heal prior crash windows before touching anything.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)  # crashed between the two renames: restore
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # half-written rewrite from a prior crash
+    if os.path.exists(old):
+        shutil.rmtree(old)  # swap completed earlier; backup never cleaned
+
+    part_cols: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        m = re.fullmatch(r"([^=]+)=[^=]*", entry)
+        if m and os.path.isdir(os.path.join(path, entry)):
+            part_cols = [m.group(1)]
+            # nested partition levels: descend first child chain
+            probe = os.path.join(path, entry)
+            while True:
+                subs = [
+                    s
+                    for s in sorted(os.listdir(probe))
+                    if os.path.isdir(os.path.join(probe, s)) and "=" in s
+                ]
+                if not subs:
+                    break
+                part_cols.append(subs[0].split("=", 1)[0])
+                probe = os.path.join(probe, subs[0])
+            break
+    if part_cols and order_cols:
+        raise ValueError(
+            f"compact_parquet: {path!r} is hive-partitioned by {part_cols}; "
+            f"a global range sort would destroy the partition layout — "
+            f"compact without order_cols, or sort within a single partition"
+        )
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -210,14 +271,23 @@ def compact_parquet(
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_file_bytes))
 
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    if order_cols:
-        write_sorted_parquet(df, tmp, order_cols, n_files=n_files)
+    if part_cols:
+        df = spark.read.option("basePath", path).parquet(path)
+        # one task per partition value (hash co-location), one file per
+        # value inside its key=value dir — the pruning layout survives
+        (
+            df.repartition(n_files, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
     else:
-        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
+        df = spark.read.parquet(path)
+        if order_cols:
+            write_sorted_parquet(df, tmp, order_cols, n_files=n_files)
+        else:
+            df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
-    os.rename(tmp, path)
+    os.rename(tmp, path)  # original stays at __old until this succeeds
     shutil.rmtree(old)
     return n_files

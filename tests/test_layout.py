@@ -4,6 +4,7 @@ narrow min/max statistics that make predicate pushdown prune."""
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 import pytest
@@ -215,3 +216,74 @@ def test_zorder_depth_bits_cap(spark):
     df = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id AS DOUBLE) AS y")
     with _pytest.raises(ValueError, match="caps bits"):
         zorder_key(df, ["x", "y"], bits=16, mode="depth")
+
+
+def test_compact_parquet_preserves_hive_partitioning(spark, events, tmp_path):
+    """ADVICE r4: compacting a hive-partitioned table (e.g. the IVF
+    postings) must re-write WITH the same partitionBy — the key=value
+    dirs, their contents, and partition pruning all survive; each
+    partition value compacts its file spray down."""
+    from export_oltp_to_olap_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "parts")
+    base = events.withColumn("bucket", F.col("user_id") % 4)
+    base.repartition(8).write.partitionBy("bucket").parquet(path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).select(*base.columns).collect()
+    )
+    dirs_before = sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    )
+    n_files_before = len(glob.glob(f"{path}/bucket=*/part-*.parquet"))
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    ) == dirs_before, "partition directories destroyed"
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(path).select(*base.columns).collect()
+    )
+    assert after == before
+    assert len(glob.glob(f"{path}/bucket=*/part-*.parquet")) < n_files_before
+    # pruning still works: a partition filter lists only its directory
+    pruned = spark.read.parquet(path).where(F.col("bucket") == 2)
+    assert pruned.count() == sum(1 for r in before if r[-1] == 2)
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path, order_cols=["user_id"])
+
+
+def test_compact_parquet_crash_windows_self_heal(spark, events, tmp_path):
+    """Every crash window leaves a recoverable state: the next
+    invocation restores/cleans and completes the compaction."""
+    import shutil
+
+    from export_oltp_to_olap_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "frag")
+    events.repartition(10).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    # window 1: crashed between the two renames — table gone, __old holds it
+    os.rename(path, path + "__old")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not glob.glob(f"{path}__*")
+
+    # window 2: crashed mid-rewrite — stale __compacting, table intact
+    os.makedirs(path + "__compacting")
+    with open(path + "__compacting/garbage", "w") as fh:
+        fh.write("partial")
+    # window 3 at once: crashed after swap, backup never removed
+    shutil.copytree(path, path + "__old")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not glob.glob(f"{path}__*")
+
+
+def test_compact_parquet_refuses_non_local_paths(spark):
+    from export_oltp_to_olap_spark.sources.layout import compact_parquet
+
+    with pytest.raises(ValueError, match="local"):
+        compact_parquet(spark, "s3a://bucket/table")
