@@ -258,6 +258,81 @@ def ngram_jaccard_pairs(
     )
 
 
+THRESHOLD_CURVE = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def neardup_threshold_curve(
+    docs: DataFrame, thresholds: tuple[float, ...] = THRESHOLD_CURVE, n: int = 3
+) -> DataFrame:
+    """(threshold, n_pairs, n_docs_dropped) for each candidate dedup
+    threshold — the knob-calibration table a dedup rollout reads before
+    committing to a cutoff: how many pairs qualify, and how many
+    documents the lower-id-wins drop would remove, at every t.
+
+    One pair join at the LOOSEST threshold (the prefix filter is
+    lossless per-threshold, so pairs at min(t) contain every stricter
+    level's pairs); the curve is then a map-side explode over the
+    threshold literals + one agg — no per-threshold re-join.  Double
+    comparisons are exact cross-engine: jaccard is an integer-count
+    division and the literals parse to identical doubles.
+    """
+    spark = docs.sparkSession
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=min(thresholds))
+    lits = [F.lit(float(x)) for x in thresholds]
+    t = F.explode(F.array(*lits)).alias("threshold")
+    counts = (
+        pairs.select(t, "doc_b", "jaccard")
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_docs_dropped"),
+        )
+    )
+    # every level appears even when no pair qualifies — a calibration
+    # table with silently missing rows reads as a query bug
+    levels = spark.range(1).select(t)
+    return (
+        levels.join(counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _threshold_curve_sql() -> str:
+    lits = ", ".join(str(x) for x in THRESHOLD_CURVE)
+    return f"""
+WITH {shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {min(THRESHOLD_CURVE)}
+)
+SELECT CAST(t AS DOUBLE) AS threshold,
+       CAST(count(p.doc_b) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_dropped
+FROM unnest([{lits}]) AS u(t)
+LEFT JOIN pairs p ON p.jaccard >= CAST(t AS DOUBLE)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def shingle_cte(table: str = "documents") -> str:
     """The DuckDB 3-gram shingle pipeline (toks → idx0 → shingles CTEs)
     over ``table`` — THE oracle-side restatement of `word_shingles`,
@@ -278,6 +353,9 @@ shingles AS (
   FROM idx0 WHERE i + 2 <= len(t)
 )
 """.strip()
+
+
+NEARDUP_THRESHOLD_CURVE_SQL = _threshold_curve_sql()
 
 
 def ngram_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -100,6 +100,8 @@ SMJ_EXPECTED = frozenset(
         "incremental_corpus_delta",
         "ivf_cosine_topk",
         "ivfpq_cosine_topk",
+        "leakage_fix_report",  # pair-list joins + the same propagation chain
+        "neardup_threshold_curve",  # the ngram pair verify join at min(t)
         "leakage_safe_splits",  # inherits neardup_clusters' propagation join
         "neardup_clusters",
         "semantic_dedup",

@@ -76,6 +76,45 @@ def leakage_safe_split_summary(documents: DataFrame) -> DataFrame:
     )
 
 
+def leakage_fix_report(documents: DataFrame) -> DataFrame:
+    """(scheme, n_cross_pairs): near-dup pairs straddling two different
+    splits under each assignment scheme — ``doc_hash`` (the standard
+    per-doc hash split; its count IS the leak) vs ``cluster_keyed``
+    (the fix; provably 0 because both members of any pair share a
+    component, hence a canonical id, hence a split).  One driver-checked
+    row pair stating measurement AND remedy — the summary faces report
+    sizes, this reports the actual contamination channel closing.
+
+    Scale: one banded pair list + one cluster closure, each computed
+    once and joined twice against map-side split expressions."""
+    pairs = minhash_lsh_neardup(documents).select("doc_a", "doc_b")
+    doc_sp = assign_splits(documents.select("doc_id"), "doc_id")
+    clus_sp = assign_splits(
+        minhash_neardup_clusters(documents).select("doc_id", "canonical_id"),
+        "canonical_id",
+    ).select("doc_id", "split")
+
+    def cross_count(sp: DataFrame, scheme: str) -> DataFrame:
+        a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+        b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .agg(
+                F.sum((F.col("sp_a") != F.col("sp_b")).cast("long"))
+                .cast("bigint")
+                .alias("n_cross_pairs")
+            )
+            .select(F.lit(scheme).alias("scheme"), "n_cross_pairs")
+        )
+
+    return (
+        cross_count(doc_sp, "doc_hash")
+        .unionByName(cross_count(clus_sp, "cluster_keyed"))
+        .orderBy("scheme")
+    )
+
+
 def _split_case(key: str) -> str:
     """The DuckDB restatement of `assign_splits`' default 80/10/10 hash
     ranges over ``key`` (thresholds = the same 16-bit bucket cuts)."""
@@ -113,4 +152,29 @@ SELECT {_split_case("canonical_id")} AS split,
 FROM allc
 GROUP BY 1
 ORDER BY split
+"""
+
+LEAKAGE_FIX_SQL = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+doc_sp AS (
+  SELECT doc_id, {_split_case("doc_id")} AS split FROM documents
+),
+clus_sp AS (
+  SELECT doc_id, {_split_case("canonical_id")} AS split FROM allc
+),
+both_schemes AS (
+  SELECT 'doc_hash' AS scheme,
+         CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_pairs
+  FROM pairs p
+  JOIN doc_sp sa ON sa.doc_id = p.doc_a
+  JOIN doc_sp sb ON sb.doc_id = p.doc_b
+  UNION ALL
+  SELECT 'cluster_keyed',
+         CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+  FROM pairs p
+  JOIN clus_sp sa ON sa.doc_id = p.doc_a
+  JOIN clus_sp sb ON sb.doc_id = p.doc_b
+)
+SELECT scheme, n_cross_pairs FROM both_schemes ORDER BY scheme
 """

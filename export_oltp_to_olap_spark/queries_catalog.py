@@ -946,6 +946,22 @@ def q_rp_topk(spark: SparkSession, sf_dir: str):
     return similarity.rp_cosine_topk(_embeddings(spark, sf_dir))
 
 
+@register("leakage_fix_report", leakage.LEAKAGE_FIX_SQL)
+def q_leakage_fix(spark: SparkSession, sf_dir: str):
+    """Cross-split near-dup pair count under the per-doc hash split
+    (the measured leak) vs the cluster-keyed split (provably 0) — one
+    driver-checked row pair stating contamination AND its remedy."""
+    return leakage.leakage_fix_report(_docs(spark, sf_dir))
+
+
+@register("neardup_threshold_curve", neardup.NEARDUP_THRESHOLD_CURVE_SQL)
+def q_threshold_curve(spark: SparkSession, sf_dir: str):
+    """Dedup-threshold calibration table: qualifying pairs and would-be
+    dropped docs at each Jaccard cutoff 0.5–0.9, from ONE pair join at
+    the loosest threshold (prefix filter is lossless per level)."""
+    return neardup.neardup_threshold_curve(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------

@@ -56,3 +56,39 @@ def test_prefix_index_is_smaller_than_full_index(spark, sf0001):
     )
     # At t=0.7 the prefix index should hold well under half the full rows.
     assert pref_rows < 0.5 * full_rows
+
+
+def test_threshold_curve_monotone_on_similarity_gradient(spark):
+    """The calibration curve's semantics on a corpus with a GRADIENT of
+    similarity (the synthetic fixture's near-dups are all ~1.0, so the
+    registered face alone can't show the shape): counts must be
+    non-increasing in t, each level must equal an independently
+    computed pair count, and the drop column counts distinct victims."""
+    from export_oltp_to_olap_spark.operators.neardup import (
+        neardup_threshold_curve,
+        ngram_jaccard_pairs,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu").split()
+    rows = [(0, " ".join(base))]
+    # doc k keeps the first 26-2k words and appends 2k fresh ones —
+    # jaccard vs doc 0 decays smoothly
+    for k in range(1, 6):
+        words = base[: 26 - 4 * k] + [f"new{k}w{i}" for i in range(4 * k)]
+        rows.append((k, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    curve = {
+        r["threshold"]: (r["n_pairs"], r["n_docs_dropped"])
+        for r in neardup_threshold_curve(docs).collect()
+    }
+    assert set(curve) == {0.5, 0.6, 0.7, 0.8, 0.9}
+    counts = [curve[t][0] for t in (0.5, 0.6, 0.7, 0.8, 0.9)]
+    assert counts == sorted(counts, reverse=True), f"not monotone: {counts}"
+    assert counts[0] > counts[-1], "gradient produced a flat curve"
+    for t, (n_pairs, n_dropped) in curve.items():
+        got = ngram_jaccard_pairs(docs, threshold=t)
+        assert n_pairs == got.count()
+        assert n_dropped == got.select("doc_b").distinct().count()

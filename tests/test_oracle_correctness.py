@@ -60,6 +60,9 @@ _REPORT_EXEMPT = {
     # hash-green).  Every rotated-out name was already in this union, so
     # no additions were needed; the set remains the grows-only union of
     # past-window tails across all rotations.
+    # Registered new in round 5, past the window:
+    "leakage_fix_report",
+    "neardup_threshold_curve",
     # Tail in rounds 1-3, rotated INTO the round-4 window:
     "approx_distinct_parts",
     "neardup_clusters",

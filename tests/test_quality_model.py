@@ -127,3 +127,21 @@ def test_cli_quality_model_train_then_score(spark, sf0001, tmp_path, capsys):
     assert scored["n_docs"] == n_docs and 0.0 <= scored["mean_prob"] <= 1.0
     back = spark.read.parquet(out_dir)
     assert back.count() == n_docs and set(back.columns) == {"doc_id", "quality_prob"}
+
+
+def test_trainer_sample_cap_binds_and_is_hash_stable(spark, sf0001):
+    """The bounded-sample discipline: with a small cap the trainer fits
+    on the cap smallest xxhash64(doc_id) rows — membership stable under
+    repartition (the sampled_train_matrix convention), so the model is
+    identical either way; and the fit still succeeds."""
+    docs = load_tables(spark, sf0001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    labeled = qm.weak_labeled_features(docs)
+    m1 = qm.train_quality_classifier(labeled, sample_cap=64)
+    m2 = qm.train_quality_classifier(labeled.repartition(7), sample_cap=64)
+    assert list(m1.coefficients) == list(m2.coefficients)
+    assert m1.intercept == m2.intercept
+    # a different cap really changes the training set (cap binds)
+    m3 = qm.train_quality_classifier(labeled, sample_cap=32)
+    assert list(m3.coefficients) != list(m1.coefficients)
