@@ -373,7 +373,7 @@ def ngram_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs_delta(
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     delta_docs: DataFrame,
     n: int = 3,
     threshold: float = 0.7,

@@ -125,7 +125,7 @@ def standing_state(
 
 
 def curated_delta(
-    old_docs: DataFrame,
+    old_docs: DataFrame | None,
     delta_docs: DataFrame,
     standing_curated: DataFrame | None = None,
     standing_sets: DataFrame | None = None,
@@ -155,10 +155,21 @@ def curated_delta(
     (the bootstrap / oracle-fixture path) both are derived from
     ``old_docs`` in-call.  Rebuild-equivalence with the persisted path
     is pinned by ``test_curated_delta_standing_state_equivalent``.
+
+    The independence is STRUCTURAL: with both standing tables supplied,
+    ``old_docs`` may be ``None`` — the steady-state batch provably never
+    reads the raw corpus at all (its plan scans only the delta and the
+    two persisted tables).
     """
-    deduped_old = (
-        standing_curated if standing_curated is not None else curated_docs(old_docs)
-    )
+    if standing_curated is not None:
+        deduped_old = standing_curated
+    elif old_docs is not None:
+        deduped_old = curated_docs(old_docs)
+    else:
+        raise ValueError(
+            "curated_delta: pass old_docs (bootstrap) or standing_curated "
+            "(steady state) — with neither there is no standing corpus"
+        )
     w = Window.partitionBy("text")
     delta_min = (
         _gated(delta_docs)

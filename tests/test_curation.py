@@ -157,14 +157,12 @@ def test_curated_delta_standing_state_equivalent(spark, sf0001):
     delta = docs.where(F.col("doc_id") > cut)
 
     standing_curated, standing_sets = standing_state(old, mode="table")
-    got = {
-        (r.doc_id, r.split)
-        for r in curated_delta(
-            old, delta, standing_curated=standing_curated, standing_sets=standing_sets
-        )
-        .select("doc_id", "split")
-        .collect()
-    }
+    # old_docs=None: the steady-state batch STRUCTURALLY cannot read the
+    # raw corpus — the staged tables are its only view of the past
+    steady = curated_delta(
+        None, delta, standing_curated=standing_curated, standing_sets=standing_sets
+    )
+    got = {(r.doc_id, r.split) for r in steady.select("doc_id", "split").collect()}
     derived = {
         (r.doc_id, r.split)
         for r in curated_delta(old, delta).select("doc_id", "split").collect()
@@ -176,6 +174,11 @@ def test_curated_delta_standing_state_equivalent(spark, sf0001):
         if r.doc_id > cut
     }
     assert got == rebuild, "persisted-standing path diverged from full rebuild"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="standing corpus"):
+        curated_delta(None, delta)
 
 
 def test_curated_delta_drops_near_dup_of_standing_corpus(spark):
