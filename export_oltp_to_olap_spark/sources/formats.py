@@ -77,6 +77,17 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, invalid
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest — the columnar interchange format Hive/Trino lakes
+    still hand over; Spark's reader is built in (predicate pushdown +
+    column pruning work as with parquet, no extra packages)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 

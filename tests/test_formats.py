@@ -75,3 +75,23 @@ def test_parquet_lake_partitioning(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan
+
+def test_orc_roundtrip_preserves_values_and_prunes(spark, sf0001, tmp_path):
+    """ORC is the third lake interchange format next to CSV/JSONL: a
+    write→read round trip must preserve values and schema exactly, and
+    the reader must push filters/prune columns like the parquet path
+    (spot-checked via the scan's ReadSchema)."""
+    from export_oltp_to_olap_spark.sources.formats import read_orc, write_orc
+
+    src = spark.read.parquet(f"{sf0001}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    pruned = back.select("o_orderkey").where(back.o_orderkey == 1)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "o_orderkey" in plan and "o_totalprice" not in plan.split("ReadSchema")[1][:200]
