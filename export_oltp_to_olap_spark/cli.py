@@ -426,8 +426,10 @@ def build_parser() -> argparse.ArgumentParser:
     explain.add_argument(
         "--plan-only",
         action="store_true",
-        help="skip queries whose builders execute training jobs "
-        "(plan_audit.BUILD_EXECUTES) so the sweep touches no data",
+        help="skip queries whose builders execute Spark jobs at "
+        "construction time — training-job builders (plan_audit."
+        "BUILD_EXECUTES) and stage()-materializing builders "
+        "(plan_audit.STAGE_EXECUTES) — so the sweep touches no data",
     )
     explain.add_argument("--full", action="store_true", help="also print the raw plan")
     explain.set_defaults(fn=cmd_explain)

@@ -22,9 +22,11 @@ Scale design (100 TB corpora):
   exact Jaccard verifies only candidates.  O(docs × H) signature rows
   instead of O(pairs).
 * SimHash — constant-size (60-bit) fingerprint per doc; near-dup =
-  small Hamming distance.  At scale, band the fingerprint into segments
-  (pigeonhole: distance ≤ k → some segment equal) to avoid the full
-  cross-join; fixture-scale uses the direct self-join.
+  small Hamming distance.  The registered path bands the fingerprint
+  into k+1 segments (pigeonhole: distance ≤ k → some segment equal,
+  ``_simhash_banded_fp_candidates``) so candidates come from segment
+  hash-bucket joins, never a full cross-join — at fixture scale and at
+  100 TB alike.
 """
 
 from __future__ import annotations

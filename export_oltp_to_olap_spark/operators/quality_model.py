@@ -225,13 +225,19 @@ def weak_labeled_features(docs: DataFrame) -> DataFrame:
     )
 
 
-def train_weakly_supervised(docs: DataFrame):
+def train_weakly_supervised(docs: DataFrame, labeled: DataFrame | None = None):
     """Fit on the deterministic train split of the weak-labeled frame —
     the train-ONCE face (`cli.py quality-model --train` persists the
-    result via :func:`save_quality_model`; scoring then never retrains)."""
+    result via :func:`save_quality_model`; scoring then never retrains).
+
+    Pass a prebuilt ``labeled`` frame (:func:`weak_labeled_features`
+    output) when the caller already computed it — the featurize +
+    assembler + lang-predict chain is the expensive part and must not
+    be derived twice (ADVICE r5)."""
     from export_oltp_to_olap_spark.operators.sampling import assign_splits
 
-    labeled = weak_labeled_features(docs)
+    if labeled is None:
+        labeled = weak_labeled_features(docs)
     train = assign_splits(labeled, "doc_id").where(F.col("split") == "train")
     return train_quality_classifier(train)
 
@@ -253,7 +259,7 @@ def quality_classifier_scores(docs: DataFrame) -> DataFrame:
     keeps train+score in one call because the driver harness gives it
     no artifact directory."""
     labeled = weak_labeled_features(docs)
-    model = train_weakly_supervised(docs)
+    model = train_weakly_supervised(docs, labeled=labeled)
     return (
         score_quality(model, labeled)
         .join(labeled.select("doc_id", F.col("label").cast("long").alias("weak_label")), "doc_id")

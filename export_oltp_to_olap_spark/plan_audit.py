@@ -128,6 +128,26 @@ BUILD_EXECUTES = frozenset(
 )
 
 
+# Queries whose builders MATERIALIZE intermediate stages at
+# DataFrame-construction time — ``stage()`` cuts (eager
+# ``localCheckpoint`` in the default ``local`` staging mode) or
+# iterative closures whose convergence ``count()`` runs per round.
+# Not trainers, but a "plan-only" sweep over them still scans (and at
+# corpus scale, shingles) real data (ADVICE r5), so ``plan_only``
+# skips these too.
+STAGE_EXECUTES = frozenset(
+    {
+        "corpus_curation_summary",
+        "curation_audit",
+        "incremental_corpus_delta",
+        "neardup_clusters",
+        "leakage_safe_splits",
+        "leakage_fix_report",
+        "duplicated_spans",
+    }
+)
+
+
 def audit_plans(
     spark, sf_dir: str, names: list[str] | None = None, plan_only: bool = False
 ) -> list[dict[str, Any]]:
@@ -145,8 +165,9 @@ def audit_plans(
 
     COST: building a query's DataFrame is normally driver-side only,
     but ``BUILD_EXECUTES`` queries run bounded training jobs during
-    construction — the default sweep pays that (sf0.001 keeps it
-    cheap); ``plan_only=True`` skips them with an explanatory row.
+    construction and ``STAGE_EXECUTES`` queries materialize staged
+    intermediates — the default sweep pays both (sf0.001 keeps it
+    cheap); ``plan_only=True`` skips both sets with explanatory rows.
     """
     from export_oltp_to_olap_spark import registry
 
@@ -156,6 +177,11 @@ def audit_plans(
         if plan_only and name in BUILD_EXECUTES:
             rows.append(
                 {"query": name, "flags": [], "skipped": "builder-executes-jobs"}
+            )
+            continue
+        if plan_only and name in STAGE_EXECUTES:
+            rows.append(
+                {"query": name, "flags": [], "skipped": "builder-stages-data"}
             )
             continue
         summary = plan_summary(registry.REGISTRY[name].fn(spark, sf_dir))

@@ -35,8 +35,10 @@ from export_oltp_to_olap_spark.operators.neardup import (
     _MINHASH_PAIRS_CTES,
     minhash_lsh_neardup,
     minhash_neardup_clusters,
+    neardup_clusters,
 )
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
+from export_oltp_to_olap_spark.operators.staging import stage
 
 
 def split_leakage_report(documents: DataFrame) -> DataFrame:
@@ -86,11 +88,13 @@ def leakage_fix_report(documents: DataFrame) -> DataFrame:
     sizes, this reports the actual contamination channel closing.
 
     Scale: one banded pair list + one cluster closure, each computed
-    once and joined twice against map-side split expressions."""
-    pairs = minhash_lsh_neardup(documents).select("doc_a", "doc_b")
+    once and joined twice against map-side split expressions — the pair
+    list is staged and FED to the closure (`neardup_clusters`), so
+    neither is re-derived per scheme."""
+    pairs = stage(minhash_lsh_neardup(documents).select("doc_a", "doc_b"))
     doc_sp = assign_splits(documents.select("doc_id"), "doc_id")
     clus_sp = assign_splits(
-        minhash_neardup_clusters(documents).select("doc_id", "canonical_id"),
+        neardup_clusters(documents, pairs).select("doc_id", "canonical_id"),
         "canonical_id",
     ).select("doc_id", "split")
 
@@ -101,7 +105,10 @@ def leakage_fix_report(documents: DataFrame) -> DataFrame:
             pairs.join(a, "doc_a")
             .join(b, "doc_b")
             .agg(
-                F.sum((F.col("sp_a") != F.col("sp_b")).cast("long"))
+                # coalesce: an empty pair list must report 0, not NULL
+                F.coalesce(
+                    F.sum((F.col("sp_a") != F.col("sp_b")).cast("long")), F.lit(0)
+                )
                 .cast("bigint")
                 .alias("n_cross_pairs")
             )
@@ -164,14 +171,15 @@ clus_sp AS (
 ),
 both_schemes AS (
   SELECT 'doc_hash' AS scheme,
-         CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_cross_pairs
+         CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_cross_pairs
   FROM pairs p
   JOIN doc_sp sa ON sa.doc_id = p.doc_a
   JOIN doc_sp sb ON sb.doc_id = p.doc_b
   UNION ALL
   SELECT 'cluster_keyed',
-         CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+              AS BIGINT)
   FROM pairs p
   JOIN clus_sp sa ON sa.doc_id = p.doc_a
   JOIN clus_sp sb ON sb.doc_id = p.doc_b

@@ -220,11 +220,26 @@ def leakage_safe_split_sink(emit):
     State here is a pair of staged DataFrames on the driver — the
     production form persists both as tables (`operators/staging.py`
     ``table`` mode) exactly like the curated-corpus standing state.
+
+    Retry safety: ``foreachBatch`` is at-least-once, so a failed epoch
+    can be REDELIVERED with the same ``batch_id``; folding it twice
+    would union duplicate doc rows into the standing state and violate
+    `minhash_lsh_neardup_delta`'s disjoint-id precondition.  The sink
+    therefore records the last folded ``batch_id`` and no-ops (without
+    re-emitting) on a duplicate.  Restart limitation: the state lives
+    in this closure, so a CHECKPOINT RESTART of the query starts with
+    an empty standing map while the source skips already-processed
+    files — production keeps the standing docs/cluster tables in the
+    lake (``table`` staging) and reloads them at query start; this
+    in-memory form is for single-process runs and tests.
     """
-    state: dict[str, DataFrame | None] = {"docs": None, "clusters": None}
+    state: dict = {"docs": None, "clusters": None, "last_batch_id": None}
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if _batch_id == state["last_batch_id"]:
+            return  # at-least-once redelivery of an already-folded epoch
         if batch_df.isEmpty():
+            state["last_batch_id"] = _batch_id
             return
         batch = stage(batch_df.select("doc_id", "text"))
         assign, updated = incremental_cluster_split_assign(
@@ -238,5 +253,6 @@ def leakage_safe_split_sink(emit):
             batch if state["docs"] is None
             else stage(state["docs"].unionByName(batch))
         )
+        state["last_batch_id"] = _batch_id
 
     return sink
