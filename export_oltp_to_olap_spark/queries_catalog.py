@@ -938,11 +938,13 @@ def q_source_overlap(spark: SparkSession, sf_dir: str):
     return neardup.source_overlap_matrix(_docs(spark, sf_dir))
 
 
-@register("rp_cosine_topk", None)  # seeded JL matrix: no SQL oracle
+@register("rp_cosine_topk", similarity.RP_COSINE_TOPK_SQL)
 def q_rp_topk(spark: SparkSession, sf_dir: str):
     """Top-k cosine via Johnson-Lindenstrauss compressed shortlist +
     exact full-space rescore (4× ranking-stage bandwidth cut; recall and
-    exact-score contracts pinned in tests/test_similarity_recall.py)."""
+    exact-score contracts pinned in tests/test_similarity_recall.py).
+    The md5-keyed sign matrix regenerates inside the DuckDB oracle, so
+    this face is fully value-checked (VERDICT r5 item 3)."""
     return similarity.rp_cosine_topk(_embeddings(spark, sf_dir))
 
 
