@@ -28,8 +28,12 @@ split keeps it reproducible) is the production pattern — the model has
 Determinism: with fixed maxIter/regParam and the default zero init,
 L-BFGS on the same rows yields the same coefficients to fp precision;
 scores are rounded to 4 decimals.  No cross-engine SQL oracle exists
-for an iterative trainer (registered rows-only, like the k-means ANN
-quantizers); the semantic contract is pinned by planted-signal tests.
+for the iterative TRAINER (`quality_classifier_scores` stays
+rows-only, like the k-means ANN quantizers; its semantic contract is
+pinned by planted-signal tests) — but SCORING from the committed
+artifact is a pure sigmoid-of-linear-margin transform, so
+`quality_scores_saved` carries a full DuckDB oracle with the saved
+coefficients inlined.
 
 Reference parity: none (reference has no ML surface); north-star
 extension.
@@ -212,6 +216,90 @@ def score_quality_saved(
         margin = margin + F.lit(float(weight)) * cols[name].cast("double")
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return docs.select(F.col(id_col), F.round(prob, 4).alias("quality_prob"))
+
+
+import os
+
+# The committed fixture artifact: trained ONCE on the sf0.001 documents
+# train split (weak label = lang_predict == 'en'), ~20 numbers checked
+# into the repo — the train-once/score-many production pattern made
+# literal.  `quality_scores_saved` reads it; the registered face is
+# therefore a pure deterministic transform with a full SQL oracle,
+# unlike `quality_classifier_scores` which must retrain per call.
+QUALITY_ARTIFACT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts",
+    "quality_model_fixture.json",
+)
+
+
+def load_quality_artifact_json(path: str | None = None) -> dict:
+    """Read a committed plain-JSON artifact (no Spark session needed —
+    unlike :func:`load_quality_model`, which reads the Spark-FS form
+    written by :func:`save_quality_model`).  Same return shape."""
+    import json
+
+    with open(path or QUALITY_ARTIFACT_PATH, encoding="utf-8") as fh:
+        art = json.load(fh)
+    return {
+        "weights": dict(zip(art["features"], art["coefficients"])),
+        "intercept": float(art["intercept"]),
+    }
+
+
+def quality_scores_saved(docs: DataFrame, artifact: dict | None = None) -> DataFrame:
+    """Registered face: score every document with the COMMITTED
+    coefficients — ``(doc_id, quality_prob)`` ordered by doc_id.  Zero
+    training jobs, zero ML runtime: the whole query is built-in column
+    expressions (sigmoid of a linear margin over the engineered
+    features), whole-stage-codegen'd end to end, which is exactly what
+    the 100 TB scoring pass runs after one bounded training job."""
+    art = artifact or load_quality_artifact_json()
+    return score_quality_saved(docs, art).orderBy("doc_id")
+
+
+# DuckDB names for each engine feature, over the shared ``feats`` CTE
+# (plans/text_queries.quality_feats_cte) — int/int divisions, so values
+# are engine-identical; the greatest() guards mirror quality_features.
+_FEATURE_SQL = {
+    "n_chars": "n_chars",
+    "n_tokens": "n_tokens",
+    "n_distinct_tokens": "n_distinct_tokens",
+    "punct_ratio": "n_punct / greatest(n_chars, 1)",
+    "digit_ratio": "n_digits / greatest(n_chars, 1)",
+    "space_ratio": "n_spaces / greatest(n_chars, 1)",
+    "stopword_ratio": "n_stop / greatest(n_tokens, 1)",
+    "distinct_ratio": "n_distinct_tokens / greatest(n_tokens, 1)",
+}
+
+
+def quality_scores_saved_sql(artifact: dict | None = None) -> str:
+    """Exact DuckDB restatement of :func:`quality_scores_saved`: the
+    saved coefficients inlined as shortest-roundtrip literals (repr of
+    a Python float parses back to the identical double), the margin
+    summed in the SAME left-to-right saved-feature order as
+    `score_quality_saved` builds it, so both engines execute the same
+    IEEE operation sequence; only exp() can differ, by ≤1 ulp, which
+    the 4-dp round erases."""
+    from export_oltp_to_olap_spark.functions.text import sql_lang_count
+    from export_oltp_to_olap_spark.plans.text_queries import quality_feats_cte
+
+    art = artifact or load_quality_artifact_json()
+    terms = [repr(art["intercept"])]
+    for name, weight in art["weights"].items():
+        if name.startswith("lang_"):
+            fexpr = sql_lang_count(name[len("lang_"):])
+        else:
+            fexpr = _FEATURE_SQL[name]
+        terms.append(f"{weight!r} * ({fexpr})")
+    margin = "\n           + ".join(terms)
+    return f"""
+WITH {quality_feats_cte()}
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({margin}))), 4) AS quality_prob
+FROM feats
+ORDER BY doc_id
+"""
 
 
 def weak_labeled_features(docs: DataFrame) -> DataFrame:

@@ -805,6 +805,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str):
     return quality_model.quality_classifier_scores(_docs(spark, sf_dir))
 
 
+@register("quality_scores_saved", quality_model.quality_scores_saved_sql())
+def q_quality_saved(spark: SparkSession, sf_dir: str):
+    """Score-from-committed-artifact face of the learned quality filter
+    — the production train-once/score-many split made driver-checkable:
+    coefficients live in `artifacts/quality_model_fixture.json`, scoring
+    is sigmoid(linear margin) over the shared engineered features (pure
+    built-in expressions, zero ML runtime), and the DuckDB oracle inlines
+    the same coefficients over the same feature CTE (VERDICT r5 item 2).
+    Artifact ≡ freshly-trained equivalence is pinned in
+    tests/test_quality_model.py."""
+    return quality_model.quality_scores_saved(_docs(spark, sf_dir))
+
+
 @register("training_shard_manifest", sampling.TRAINING_SHARD_MANIFEST_SQL)
 def q_training_shards(spark: SparkSession, sf_dir: str):
     """Deterministic training-shard export manifest: hash-assigned

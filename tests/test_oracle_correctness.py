@@ -60,9 +60,14 @@ _REPORT_EXEMPT = {
     # hash-green).  Every rotated-out name was already in this union, so
     # no additions were needed; the set remains the grows-only union of
     # past-window tails across all rotations.
-    # Registered new in round 5, past the window:
+    # Registered new in round 5, past the window (rotated INTO the
+    # round-6 window for their first driver rows):
     "leakage_fix_report",
     "neardup_threshold_curve",
+    # Registered new in round 6 (rotated into the round-6 window; no
+    # driver row exists until CORRECTNESS_r06 lands):
+    "quality_scores_saved",
+    "curated_corpus_decontaminated",
     # Tail in rounds 1-3, rotated INTO the round-4 window:
     "approx_distinct_parts",
     "neardup_clusters",

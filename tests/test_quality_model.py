@@ -145,3 +145,35 @@ def test_trainer_sample_cap_binds_and_is_hash_stable(spark, sf0001):
     # a different cap really changes the training set (cap binds)
     m3 = qm.train_quality_classifier(labeled, sample_cap=32)
     assert list(m3.coefficients) != list(m1.coefficients)
+
+
+def test_committed_artifact_matches_fresh_retrain(spark, sf0001):
+    """Rebuild equivalence for the committed fixture artifact
+    (`artifacts/quality_model_fixture.json`): retraining on the same
+    sf0.001 train split reproduces the committed coefficients (L-BFGS
+    with fixed data/params is deterministic to fp precision; tolerance
+    covers treeAggregate order drift across partitionings), and the
+    saved-scoring path agrees with live model.transform scoring."""
+    docs = load_tables(spark, sf0001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    art = qm.load_quality_artifact_json()
+    model = qm.train_weakly_supervised(docs)
+    assert list(art["weights"]) == qm.feature_names()
+    fresh = dict(zip(qm.feature_names(), (float(c) for c in model.coefficients)))
+    for name, w in art["weights"].items():
+        assert abs(fresh[name] - w) <= 1e-6 * max(1.0, abs(w)), name
+    assert abs(float(model.intercept) - art["intercept"]) <= 1e-6 * max(
+        1.0, abs(art["intercept"])
+    )
+    # scoring parity: committed-artifact expressions vs live ML transform
+    saved = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qm.quality_scores_saved(docs).collect()
+    }
+    live = {
+        r["doc_id"]: r["quality_prob"]
+        for r in qm.score_quality(model, qm.quality_feature_frame(docs)).collect()
+    }
+    assert saved.keys() == live.keys()
+    assert all(abs(saved[k] - live[k]) <= 2e-4 for k in saved)
