@@ -219,9 +219,10 @@ def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "
 
 def flag_contaminated(
     docs: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None = None,
     n: int = FIXTURE_N,
     text_col: str = "text",
+    eval_hashes=None,
 ) -> DataFrame:
     """Append a boolean ``contaminated`` column: does the doc share any
     word n-gram with the eval set?
@@ -235,10 +236,20 @@ def flag_contaminated(
     dispatch).  Decisions agree with `contamination_hits` doc-for-doc
     (both compare the same normalized n-grams; only the key hash
     differs: md5 for the SQL oracle, xxhash64 here for 8-byte keys).
+
+    ``eval_hashes`` (an :func:`eval_gram_hashes` array) lets the
+    steady-state ingest path compute the eval set ONCE and reuse it per
+    delta batch / stream start — the standing eval-gram artifact; when
+    given, ``eval_docs`` is ignored and nothing re-shingles the eval
+    suite.
     """
     from pyspark.sql.functions import pandas_udf
 
-    evals = eval_gram_hashes(eval_docs, n, text_col)
+    evals = (
+        eval_hashes
+        if eval_hashes is not None
+        else eval_gram_hashes(eval_docs, n, text_col)
+    )
     bc = docs.sparkSession.sparkContext.broadcast(evals)
 
     @pandas_udf("boolean")

@@ -97,6 +97,7 @@ SMJ_EXPECTED = frozenset(
         "clicks_before_purchase",
         "corpus_curation_summary",
         "curation_audit",
+        "curated_corpus_decontaminated",  # same staged curation chain
         "incremental_corpus_delta",
         "ivf_cosine_topk",
         "ivfpq_cosine_topk",
@@ -139,6 +140,7 @@ STAGE_EXECUTES = frozenset(
     {
         "corpus_curation_summary",
         "curation_audit",
+        "curated_corpus_decontaminated",  # also collects the eval-gram set
         "incremental_corpus_delta",
         "neardup_clusters",
         "leakage_safe_splits",

@@ -93,19 +93,79 @@ def _gated(docs: DataFrame) -> DataFrame:
     )
 
 
-def curated_corpus(docs: DataFrame) -> DataFrame:
-    """The full curation chain's OUTPUT rows: (doc_id, text, quality,
-    split) — gates, exact dedup, near-dup drop, split assignment.  The
-    yield report aggregates this; the corpus EXPORT (`cli.py
-    export-corpus`) ships it."""
+def _curated_kept(docs: DataFrame) -> DataFrame:
+    """Gates + exact dedup + near-dup drop — the kept rows BEFORE split
+    assignment: (doc_id, text, quality).  Shared by the plain and the
+    decontaminated curation faces."""
     deduped = curated_docs(docs)
     dropped = (
         ngram_jaccard_pairs(deduped, n=3, threshold=NEARDUP_THRESHOLD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    kept = deduped.join(dropped, "doc_id", "left_anti")
-    return assign_splits(kept, "doc_id")
+    return deduped.join(dropped, "doc_id", "left_anti")
+
+
+def curated_corpus(docs: DataFrame) -> DataFrame:
+    """The full curation chain's OUTPUT rows: (doc_id, text, quality,
+    split) — gates, exact dedup, near-dup drop, split assignment.  The
+    yield report aggregates this; the corpus EXPORT (`cli.py
+    export-corpus`) ships it."""
+    return assign_splits(_curated_kept(docs), "doc_id")
+
+
+def fixture_eval_docs(docs: DataFrame) -> DataFrame:
+    """The stand-in external benchmark set for the self-contained
+    fixture faces: the ``test`` hash split of the RAW corpus (the
+    `decontam.decontaminate_docs` convention).  Production callers pass
+    their real benchmark DataFrame instead."""
+    return (
+        assign_splits(docs.select("doc_id", "text"), "doc_id")
+        .where(F.col("split") == "test")
+        .drop("split")
+    )
+
+
+def curated_corpus_decontaminated(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    eval_hashes=None,
+) -> DataFrame:
+    """The curation chain WITH the decontamination stage every real
+    pretraining pipeline runs before split assignment: gates → exact
+    dedup → near-dup drop → eval-n-gram decontamination → split.
+    Output (doc_id, quality, split) ordered by doc_id.
+
+    Decontamination uses the stateless broadcast flag
+    (`operators/decontam.flag_contaminated`): the eval suite's distinct
+    n-gram hashes ship once to executors, membership is one vectorized
+    probe per Arrow batch — map-side, no shuffle, O(corpus) regardless
+    of eval size (bounded by MAX_EVAL_GRAMS).  Pass ``eval_hashes``
+    (`decontam.eval_gram_hashes` output — the persisted standing
+    artifact) to skip recomputing the eval set per run; ``eval_docs``
+    derives it in-call; with neither, the fixture stand-in benchmark
+    (:func:`fixture_eval_docs`) is used so the registered face is
+    self-contained and oracle-checkable.
+
+    Because the split is a per-doc hash, decontaminating before or
+    after assignment yields identical rows — the oracle filters the
+    shared ``assigned`` CTE by the same eval-gram collision set.
+    """
+    from export_oltp_to_olap_spark.operators.decontam import flag_contaminated
+
+    kept = _curated_kept(docs)
+    if eval_hashes is None and eval_docs is None:
+        eval_docs = fixture_eval_docs(docs)
+    clean = (
+        flag_contaminated(kept, eval_docs, eval_hashes=eval_hashes)
+        .where(~F.col("contaminated"))
+        .drop("contaminated")
+    )
+    return (
+        assign_splits(clean, "doc_id")
+        .select("doc_id", "quality", "split")
+        .orderBy("doc_id")
+    )
 
 
 def standing_state(
@@ -129,6 +189,7 @@ def curated_delta(
     delta_docs: DataFrame,
     standing_curated: DataFrame | None = None,
     standing_sets: DataFrame | None = None,
+    eval_hashes=None,
 ) -> DataFrame:
     """Incremental curation: admit or reject ONLY the delta batch —
     output ≡ ``curated_corpus(old ∪ delta)`` restricted to delta ids
@@ -160,6 +221,14 @@ def curated_delta(
     ``old_docs`` may be ``None`` — the steady-state batch provably never
     reads the raw corpus at all (its plan scans only the delta and the
     two persisted tables).
+
+    ``eval_hashes`` (`decontam.eval_gram_hashes` output — the standing
+    eval-gram artifact, computed once for a static benchmark suite)
+    adds the decontamination stage between near-dup drop and split
+    assignment.  Because the flag is per-row against a STATIC set,
+    gating the delta alone is exact: the result still equals the full
+    decontaminated rebuild restricted to delta ids (pinned by
+    ``test_curated_delta_decontaminated_equiv``).
     """
     if standing_curated is not None:
         deduped_old = standing_curated
@@ -191,7 +260,16 @@ def curated_delta(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return assign_splits(delta_dedup.join(victims, "doc_id", "left_anti"), "doc_id")
+    surviving = delta_dedup.join(victims, "doc_id", "left_anti")
+    if eval_hashes is not None:
+        from export_oltp_to_olap_spark.operators.decontam import flag_contaminated
+
+        surviving = (
+            flag_contaminated(surviving, eval_hashes=eval_hashes)
+            .where(~F.col("contaminated"))
+            .drop("contaminated")
+        )
+    return assign_splits(surviving, "doc_id")
 
 
 DELTA_CUT_FRACTION = 0.9  # registered face: ids above 90 % of max = delta
@@ -408,6 +486,58 @@ ORDER BY doc_id
 
 CORPUS_CURATION_SQL = _curation_sql()
 INCREMENTAL_DELTA_SQL = _delta_sql()
+
+
+def _decontaminated_sql() -> str:
+    """Oracle for :func:`curated_corpus_decontaminated`: the shared
+    pipeline CTEs through ``assigned``, minus kept docs sharing any
+    word 4-gram with the stand-in benchmark set (the raw corpus's
+    ``test`` hash split — `operators/decontam.py`'s fixture
+    convention, same gram construction as DECONTAM_SQL).  Filtering
+    after the split CTE is exact because the split is a per-doc hash,
+    independent of the decontamination decision."""
+    from export_oltp_to_olap_spark.operators.decontam import FIXTURE_N, _VAL_BOUND
+
+    n = FIXTURE_N
+    return f"""
+WITH {_pipeline_ctes()},
+eval_toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+  WHERE CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+        >= {_VAL_BOUND}
+),
+eval_grams AS (
+  SELECT DISTINCT u.g
+  FROM (SELECT list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - {n - 1}, 0)),
+            i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+        FROM eval_toks) e, unnest(e.gs) AS u(g)
+),
+kept_grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {n - 1}, 0)),
+             i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM kept)
+),
+contaminated AS (
+  SELECT DISTINCT k.doc_id
+  FROM kept_grams k, unnest(k.gs) AS u(g)
+  WHERE u.g IN (SELECT g FROM eval_grams)
+)
+SELECT doc_id, quality, split
+FROM assigned
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
+CURATED_DECONTAMINATED_SQL = _decontaminated_sql()
 
 
 def _audit_sql() -> str:

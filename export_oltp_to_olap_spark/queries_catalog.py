@@ -977,6 +977,17 @@ def q_threshold_curve(spark: SparkSession, sf_dir: str):
     return neardup.neardup_threshold_curve(_docs(spark, sf_dir))
 
 
+@register("curated_corpus_decontaminated", curation.CURATED_DECONTAMINATED_SQL)
+def q_curated_decontaminated(spark: SparkSession, sf_dir: str):
+    """The composed curation chain WITH the decontamination stage every
+    real pretraining pipeline runs: gates → exact dedup → near-dup drop
+    → eval-n-gram decontamination (broadcast flag, stand-in benchmark =
+    the raw corpus's test hash split) → split assignment.  Per-doc
+    output so the driver hash pins every document's fate
+    (VERDICT r5 item 4)."""
+    return curation.curated_corpus_decontaminated(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------

@@ -60,6 +60,7 @@ def streaming_curated_docs(
     eval_docs: DataFrame | None = None,
     lm_model=None,
     lm_min: float | None = None,
+    eval_hashes=None,
 ) -> DataFrame:
     """Online curation: (doc_id, fp, split) of every ADMITTED document —
     gated, first-seen-deduped, split-assigned as it arrives.
@@ -75,6 +76,11 @@ def streaming_curated_docs(
     hash table + vectorized membership), not the batch join, so it
     composes into the stream without state or stream-stream joins and
     agrees with the batch `contamination_hits` decision doc-for-doc.
+    Pass ``eval_hashes`` (the persisted `decontam.eval_gram_hashes`
+    artifact — the STANDING eval-gram set) instead of ``eval_docs`` to
+    skip re-shingling the benchmark suite at every query start: the
+    steady-state ingest path computes it once, stores it beside the
+    standing curated tables, and hands the array straight to the gate.
 
     ``lm_model`` (the ``operators/lm.model_count_arrays`` of a STATIC
     reference corpus) + ``lm_min`` add an online LM fluency gate — the
@@ -92,11 +98,11 @@ def streaming_curated_docs(
             .where(F.col("lm_score") >= lm_min)
             .drop("lm_score")
         )
-    if eval_docs is not None:
+    if eval_docs is not None or eval_hashes is not None:
         from export_oltp_to_olap_spark.operators.decontam import flag_contaminated
 
         gated = (
-            flag_contaminated(gated, eval_docs)
+            flag_contaminated(gated, eval_docs, eval_hashes=eval_hashes)
             .where(~F.col("contaminated"))
             .drop("contaminated")
         )

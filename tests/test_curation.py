@@ -199,3 +199,82 @@ def test_curated_delta_drops_near_dup_of_standing_corpus(spark):
     kept = {r.doc_id for r in curated_delta(old, delta).collect()}
     assert 10 not in kept, "near-dup of standing corpus slipped through"
     assert 11 in kept, "unrelated delta doc was wrongly rejected"
+
+
+def test_curated_delta_decontaminated_equiv(spark, sf0001):
+    """Decontaminated delta ≡ decontaminated rebuild restricted to delta
+    ids: the eval-gram flag is per-row against a STATIC benchmark set,
+    so gating the delta alone is exact — and the standing eval-hash
+    artifact (computed ONCE via eval_gram_hashes) gives the same
+    decisions as deriving the set in-call."""
+    from export_oltp_to_olap_spark.operators.decontam import eval_gram_hashes
+    from export_oltp_to_olap_spark.plans.curation import (
+        curated_corpus_decontaminated,
+        curated_delta,
+        fixture_eval_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet").select("doc_id", "text")
+    eval_hashes = eval_gram_hashes(fixture_eval_docs(docs))
+    full = {
+        (r.doc_id, r.split)
+        for r in curated_corpus_decontaminated(docs, eval_hashes=eval_hashes)
+        .select("doc_id", "split")
+        .collect()
+    }
+    # self-contained face (derives the eval set in-call) agrees
+    assert full == {
+        (r.doc_id, r.split)
+        for r in curated_corpus_decontaminated(docs).select("doc_id", "split").collect()
+    }
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    for frac in (0.6, 0.9):
+        cut = int(frac * max_id)
+        old = docs.where(F.col("doc_id") <= cut)
+        delta = docs.where(F.col("doc_id") > cut)
+        got = {
+            (r.doc_id, r.split)
+            for r in curated_delta(old, delta, eval_hashes=eval_hashes)
+            .select("doc_id", "split")
+            .collect()
+        }
+        want = {(i, s) for i, s in full if i > cut}
+        assert got == want, f"cut={cut}: decontaminated delta diverged from rebuild"
+
+
+def test_streaming_curation_standing_eval_hashes(spark, sf0001, tmp_path):
+    """The standing eval-gram artifact threads through the STREAM gate:
+    feeding eval_hashes (no eval_docs) admits exactly the same documents
+    as the eval_docs form — the steady-state path never re-shingles the
+    benchmark suite at query start."""
+    from export_oltp_to_olap_spark.operators.decontam import eval_gram_hashes
+    from export_oltp_to_olap_spark.plans.curation import fixture_eval_docs
+    from export_oltp_to_olap_spark.streaming.curation_stream import (
+        streaming_curated_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet").select("doc_id", "text")
+    eval_docs = fixture_eval_docs(docs)
+    eval_hashes = eval_gram_hashes(eval_docs)
+
+    feed = str(tmp_path / "feed")
+    docs.coalesce(1).write.mode("overwrite").parquet(feed)
+    out: dict[str, set] = {}
+    for tag, kwargs in (
+        ("docs", {"eval_docs": eval_docs}),
+        ("hashes", {"eval_hashes": eval_hashes}),
+    ):
+        stream = spark.readStream.schema(docs.schema).parquet(feed)
+        admitted = streaming_curated_docs(stream, **kwargs)
+        sink = f"mem_eval_{tag}"
+        q = (
+            admitted.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out[tag] = {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {sink}").collect()}
+    assert out["docs"] == out["hashes"] and out["docs"]
