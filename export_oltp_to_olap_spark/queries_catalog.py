@@ -997,20 +997,20 @@ def q_curated_decontaminated(spark: SparkSession, sf_dir: str):
 # query still has a hash-match-green driver row from rounds 1-3 and keeps
 # its sf0.01 oracle check in tests/test_oracle_correctness.py.
 WINDOW_FIRST: tuple[str, ...] = (
-    # --- ROUND-5 ROTATION (VERDICT r4 item 1) -------------------------
-    # In:  the 17 late-round-4 registrations that have never had a
-    #      driver CORRECTNESS row in any round (16 oracle-bearing +
-    #      bpe_token_stats rows-only).
-    # Out: the 7 no-oracle rows (pq/ivfpq/rp_cosine_topk,
-    #      quality_classifier_scores, frequent_terms_sketch,
-    #      approx_distinct_parts, approx_percentiles_orders — they can
-    #      never improve on a rows-only row) plus 10 r04-hash-green
-    #      queries (orders_rolling_7d_revenue, dq_oltp_checks,
-    #      subquery_suite, profile_orders, setops_all_orders,
-    #      reconcile_customers_full_outer, events_cohort_retention,
-    #      span_dedup_report, weighted_sample_summary,
-    #      minhash_delta_neardup).  All 17 rotated-out names are in
-    #      tests/test_oracle_correctness.py::_REPORT_EXEMPT already.
+    # --- ROUND-6 ROTATION (VERDICT r5 item 1, standing chore) ----------
+    # In:  the only queries with no driver CORRECTNESS row in any round —
+    #      the two round-5 tail registrations (leakage_fix_report,
+    #      neardup_threshold_curve), the two round-6 registrations
+    #      (quality_scores_saved, curated_corpus_decontaminated), and
+    #      rp_cosine_topk, whose md5-keyed projection matrix gave it a
+    #      full DuckDB oracle this round (its only prior rows were
+    #      rows-only).
+    # Out: 5 r05-hash-green stability probes whose families stay
+    #      represented (scd2_incremental_merge — dim_cliente_scd2 stays;
+    #      events_gapfill_locf — three event probes stay;
+    #      pack_bins_summary — chunk_documents stays; mixture_weights —
+    #      three sampling probes stay; tfidf_top_terms — five text
+    #      probes stay).  All 5 added to _REPORT_EXEMPT.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
     # probes; hash-green r01-r04):
@@ -1019,7 +1019,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # Never-reported round-4 tail — first driver rows this round:
+    # First driver rows this round (round-6 rotation):
+    "leakage_fix_report",
+    "neardup_threshold_curve",
+    "rp_cosine_topk",
+    "quality_scores_saved",
+    "curated_corpus_decontaminated",
+    # r05-green driver rows (kept one more round as family probes):
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
@@ -1039,19 +1045,15 @@ WINDOW_FIRST: tuple[str, ...] = (
     "source_overlap_matrix",
     # Oracle-bearing r04-green stability probes (one per family):
     "dim_cliente_scd2",
-    "scd2_incremental_merge",
     "orders_rank_suite",
     "events_anomaly_zscore",
-    "events_gapfill_locf",
     "events_funnel",
     "chunk_documents",
-    "pack_bins_summary",
     "normalized_dedup_documents",
     "decontaminate_documents",
     "duplicated_spans",
     "stratified_sample_summary",
     "capped_corpus",
-    "mixture_weights",
     "minhash_near_dup",
     "neardup_clusters",
     "corpus_curation_summary",
@@ -1063,7 +1065,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ngram_diversity_by_source",
     "pii_scan",
     "split_drift_report",
-    "tfidf_top_terms",
     "text_repetition",
     "media_feature_extract",
 )

@@ -68,6 +68,10 @@ _REPORT_EXEMPT = {
     # driver row exists until CORRECTNESS_r06 lands):
     "quality_scores_saved",
     "curated_corpus_decontaminated",
+    # Rotated OUT of the round-6 window (r05-hash-green; families stay
+    # probed — see the WINDOW_FIRST rotation note):
+    "events_gapfill_locf",
+    "pack_bins_summary",
     # Tail in rounds 1-3, rotated INTO the round-4 window:
     "approx_distinct_parts",
     "neardup_clusters",
