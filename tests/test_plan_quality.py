@@ -171,3 +171,19 @@ def test_curation_checkpoint_collapses_gate_recompute(spark, sf001):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_replace") == 0, plan
     assert "FileScan parquet" not in plan, plan
+
+
+def test_quality_scores_saved_is_one_mapside_sweep(spark, sf001):
+    """The committed-artifact scorer reads ONLY (doc_id, text) from the
+    documents scan, inlines the whole sigmoid margin as one Project
+    over the scan (no ML runtime, no Python), and shuffles exactly once
+    — the final orderBy's range partitioning.  That is the plan shape
+    that makes the 100 TB scoring pass a single map-side sweep."""
+    plan = _plan(spark, sf001, "quality_scores_saved")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, plan
+    for cols in scans:
+        names = {c.split("#")[0] for c in cols.split(",") if c}
+        assert names <= {"doc_id", "text"}, names
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
