@@ -273,32 +273,129 @@ _FEATURE_SQL = {
 }
 
 
-def quality_scores_saved_sql(artifact: dict | None = None) -> str:
-    """Exact DuckDB restatement of :func:`quality_scores_saved`: the
-    saved coefficients inlined as shortest-roundtrip literals (repr of
-    a Python float parses back to the identical double), the margin
+def _margin_sql(artifact: dict) -> str:
+    """The saved linear margin as a DuckDB expression over the ``feats``
+    CTE columns — coefficients inlined as shortest-roundtrip literals
+    (repr of a Python float parses back to the identical double),
     summed in the SAME left-to-right saved-feature order as
     `score_quality_saved` builds it, so both engines execute the same
-    IEEE operation sequence; only exp() can differ, by ≤1 ulp, which
-    the 4-dp round erases."""
+    IEEE operation sequence."""
     from export_oltp_to_olap_spark.functions.text import sql_lang_count
-    from export_oltp_to_olap_spark.plans.text_queries import quality_feats_cte
 
-    art = artifact or load_quality_artifact_json()
-    terms = [repr(art["intercept"])]
-    for name, weight in art["weights"].items():
+    terms = [repr(artifact["intercept"])]
+    for name, weight in artifact["weights"].items():
         if name.startswith("lang_"):
             fexpr = sql_lang_count(name[len("lang_"):])
         else:
             fexpr = _FEATURE_SQL[name]
         terms.append(f"{weight!r} * ({fexpr})")
-    margin = "\n           + ".join(terms)
+    return "\n           + ".join(terms)
+
+
+def quality_scores_saved_sql(artifact: dict | None = None) -> str:
+    """Exact DuckDB restatement of :func:`quality_scores_saved` — the
+    inlined-margin sigmoid over the shared feature CTE; only exp() can
+    differ cross-engine, by ≤1 ulp, which the 4-dp round erases."""
+    from export_oltp_to_olap_spark.plans.text_queries import quality_feats_cte
+
+    art = artifact or load_quality_artifact_json()
     return f"""
 WITH {quality_feats_cte()}
 SELECT doc_id,
-       round(1.0 / (1.0 + exp(-({margin}))), 4) AS quality_prob
+       round(1.0 / (1.0 + exp(-({_margin_sql(art)}))), 4) AS quality_prob
 FROM feats
 ORDER BY doc_id
+"""
+
+
+def quality_calibration_bins(docs: DataFrame, artifact: dict | None = None) -> DataFrame:
+    """Reliability table for the committed quality model: fixed-width
+    predicted-probability bins × (count, exact mean predicted prob,
+    empirical weak-label rate) — the calibration diagram every deployed
+    classifier ships with, as a query.  A well-calibrated model has
+    ``label_rate`` tracking ``mean_prob`` per bin; drift between them
+    across rounds is a model-rot signal no single accuracy number
+    shows.
+
+    Bins: ``least(floor(prob·10), 9)`` — ten [0.1) widths with 1.0
+    folded into bin 9.  Both engines compute the same doubles, so the
+    bin edges cannot disagree.  The mean uses the exact-sum convention
+    (4-dp probs summed as DECIMAL(18,4), one double division at the
+    end); the label rate is an integer-count division.  Scale: one
+    map-side scoring sweep + a ≤10-group aggregate.
+    """
+    from export_oltp_to_olap_spark.functions.text import lang_predict
+
+    art = artifact or load_quality_artifact_json()
+    scored = score_quality_saved(docs, art)
+    labels = docs.select(
+        "doc_id", (lang_predict("text") == "en").cast("long").alias("weak_label")
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.join(labels, "doc_id")
+        .select(
+            F.least(F.floor(F.col("quality_prob") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            "quality_prob",
+            "weak_label",
+        )
+        .groupBy("bin")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.round("quality_prob", 4).cast("decimal(18,4)")).cast("double")
+                / n,
+                6,
+            ).alias("mean_prob"),
+            F.round(F.sum("weak_label") / n, 6).alias("label_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def quality_calibration_sql(artifact: dict | None = None) -> str:
+    """DuckDB restatement of :func:`quality_calibration_bins`: the same
+    inlined margin, the same bin arithmetic on identical doubles, the
+    same DECIMAL(18,4) exact summation.  The weak label restates
+    ``lang_predict == 'en'`` as ``score_en = greatest(all scores) AND
+    score_en > 0`` — equivalent because 'en' is first in LANG_MARKERS,
+    so it wins every max tie."""
+    from export_oltp_to_olap_spark.functions.text import LANG_MARKERS, sql_lang_count
+    from export_oltp_to_olap_spark.plans.text_queries import quality_feats_cte
+
+    art = artifact or load_quality_artifact_json()
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        f"{sql_lang_count(lang)} AS score_{lang}" for lang in langs
+    )
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    return f"""
+WITH {quality_feats_cte()},
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({_margin_sql(art)}))), 4) AS quality_prob
+  FROM feats
+),
+labs0 AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM documents
+),
+labs AS (
+  SELECT doc_id,
+         CASE WHEN score_en > 0 AND score_en = {best} THEN 1 ELSE 0 END AS weak_label
+  FROM labs0
+)
+SELECT CAST(least(floor(quality_prob * 10), 9) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(CAST(round(quality_prob, 4) AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 6) AS mean_prob,
+       round(SUM(weak_label) / count(*), 6) AS label_rate
+FROM scored JOIN labs USING (doc_id)
+GROUP BY 1
+ORDER BY bin
 """
 
 

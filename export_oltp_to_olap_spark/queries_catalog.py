@@ -818,6 +818,16 @@ def q_quality_saved(spark: SparkSession, sf_dir: str):
     return quality_model.quality_scores_saved(_docs(spark, sf_dir))
 
 
+@register("quality_calibration_bins", quality_model.quality_calibration_sql())
+def q_quality_calibration(spark: SparkSession, sf_dir: str):
+    """Calibration/reliability table for the committed quality model:
+    predicted-prob deciles × (count, exact mean prob, empirical
+    weak-label rate) — the deployment artifact that shows whether the
+    scores MEAN anything, and whose drift across rounds is a model-rot
+    signal.  One scoring sweep + a ≤10-group aggregate."""
+    return quality_model.quality_calibration_bins(_docs(spark, sf_dir))
+
+
 @register("training_shard_manifest", sampling.TRAINING_SHARD_MANIFEST_SQL)
 def q_training_shards(spark: SparkSession, sf_dir: str):
     """Deterministic training-shard export manifest: hash-assigned

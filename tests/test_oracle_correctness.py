@@ -68,6 +68,7 @@ _REPORT_EXEMPT = {
     # driver row exists until CORRECTNESS_r06 lands):
     "quality_scores_saved",
     "curated_corpus_decontaminated",
+    "quality_calibration_bins",  # registered after the r6 window pin
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
