@@ -159,6 +159,156 @@ LM_FLUENCY_SQL = lm_fluency_sql(FIXTURE_N, MAX_VOCAB)
 
 
 # ---------------------------------------------------------------------------
+# Model-signal-guided mixture weights (DoReMi-flavored)
+# ---------------------------------------------------------------------------
+
+
+def lm_guided_mixture(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
+    """Per-source mixture weights guided by the reference-LM signal:
+    w_s ∝ √tokens_s · fluency_s — the size-α recipe
+    (`sampling.mixture_weights`) with each source's mass modulated by
+    how fluent the reference n-gram LM finds its text.  This is the
+    one-step, closed-form cousin of DoReMi (arXiv:2305.10429): where
+    DoReMi iterates a proxy-model excess-loss reweighting, production
+    mix planning routinely starts from exactly this — size-damped
+    shares times a model-quality factor — and both inputs already
+    exist here as audited operators.
+
+    ``fluency_s`` is the corpus-level mean log2-count bucket of the
+    source's grams against the train-split model:
+    round(Σ bucket_sum / Σ n_grams, 6) — an integer/integer division,
+    engine-exact (sources with zero grams get fluency 0 and weight 0).
+    √tokens is IEEE-correctly-rounded in both engines; the
+    normalization denominator is DECIMAL-summed — the same determinism
+    ledger as `mixture_weights`.
+
+    Output (source, tokens, fluency, weight) ordered by source.  Scale:
+    the gram-join is the same one big stage as `lm_fluency_scores`
+    (broadcast model, partial-aggregated), plus arithmetic on S rows.
+    """
+    from export_oltp_to_olap_spark.functions.text import token_count
+    from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
+
+    assigned = assign_splits(docs, "doc_id")
+    train = assigned.where(F.col("split") == "train").drop("split")
+    model = train_gram_model(train, n)
+    bucket = (F.length(F.bin(F.coalesce(F.col("cnt"), F.lit(0)) + 1)) - 1).cast("long")
+    per_doc = (
+        _doc_grams(docs, n, "doc_id", "text")
+        .join(F.broadcast(model), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(bucket).cast("long").alias("bucket_sum"),
+        )
+    )
+    per_source_fluency = (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_grams").cast("long").alias("tot_grams"),
+            F.sum("bucket_sum").cast("long").alias("tot_buckets"),
+        )
+    )
+    tokens = (
+        spread_for_compute(docs.select("source", "text"), "source")
+        .select("source", token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("tokens"))
+    )
+    raw = (
+        tokens.join(per_source_fluency, "source", "left")
+        .select(
+            "source",
+            "tokens",
+            F.coalesce(
+                F.round(F.col("tot_buckets") / F.col("tot_grams"), 6), F.lit(0.0)
+            ).alias("fluency"),
+        )
+        .withColumn(
+            "raw",
+            F.round(F.sqrt(F.col("tokens").cast("double")) * F.col("fluency"), 6),
+        )
+    )
+    totals = raw.agg(F.sum(F.col("raw").cast("decimal(28,10)")).alias("raw_total"))
+    return (
+        raw.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "tokens",
+            "fluency",
+            F.round(F.col("raw") / F.col("raw_total").cast("double"), 6).alias(
+                "weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def lm_guided_mixture_sql(n: int = FIXTURE_N, max_vocab: int = MAX_VOCAB) -> str:
+    """DuckDB restatement of :func:`lm_guided_mixture` — the LM-model
+    CTEs from `lm_fluency_sql` carried to a per-source aggregate, then
+    the `mixture_weights` determinism ledger (√ · 6-dp rounds · DECIMAL
+    denominator)."""
+    toks = SQL_TOKENS.format(t="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+           AS bucket,
+         {toks} AS t
+  FROM documents
+),
+doc_grams AS (
+  SELECT doc_id, bucket,
+         md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM base, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+),
+model AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS cnt
+  FROM doc_grams WHERE bucket < {_TRAIN_BOUND}
+  GROUP BY g
+  ORDER BY cnt DESC, g
+  LIMIT {max_vocab}
+),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(length(bin(coalesce(m.cnt, 0) + 1)) - 1) AS BIGINT) AS bucket_sum
+  FROM doc_grams d LEFT JOIN model m USING (g)
+  GROUP BY d.doc_id
+),
+per_source_fluency AS (
+  SELECT b.source,
+         CAST(SUM(p.n_grams) AS BIGINT) AS tot_grams,
+         CAST(SUM(p.bucket_sum) AS BIGINT) AS tot_buckets
+  FROM per_doc p JOIN (SELECT DISTINCT doc_id, source FROM base) b USING (doc_id)
+  GROUP BY b.source
+),
+tokens AS (
+  SELECT source, CAST(SUM(len(t)) AS BIGINT) AS tokens FROM base GROUP BY source
+),
+raw AS (
+  SELECT t.source, t.tokens,
+         coalesce(round(f.tot_buckets / f.tot_grams, 6), 0.0) AS fluency,
+         round(sqrt(CAST(t.tokens AS DOUBLE))
+               * coalesce(round(f.tot_buckets / f.tot_grams, 6), 0.0), 6) AS raw
+  FROM tokens t LEFT JOIN per_source_fluency f USING (source)
+),
+totals AS (
+  SELECT SUM(CAST(raw AS DECIMAL(28,10))) AS raw_total FROM raw
+)
+SELECT source, tokens, fluency,
+       round(raw / CAST(raw_total AS DOUBLE), 6) AS weight
+FROM raw, totals
+ORDER BY source
+"""
+
+
+LM_GUIDED_MIXTURE_SQL = lm_guided_mixture_sql()
+
+
+# ---------------------------------------------------------------------------
 # Stateless per-row scoring (the streaming-safe form)
 # ---------------------------------------------------------------------------
 

@@ -122,6 +122,7 @@ BUILD_EXECUTES = frozenset(
         "bpe_token_stats",
         "quality_classifier_scores",
         "lm_fluency_scores",
+        "lm_guided_mixture",
         "pq_cosine_topk",
         "ivfpq_cosine_topk",
         "rp_cosine_topk",

@@ -828,6 +828,16 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str):
     return quality_model.quality_calibration_bins(_docs(spark, sf_dir))
 
 
+@register("lm_guided_mixture", lm.LM_GUIDED_MIXTURE_SQL)
+def q_lm_guided_mixture(spark: SparkSession, sf_dir: str):
+    """Model-signal-guided training mixture: w_s ∝ √tokens_s ·
+    LM-fluency_s — the closed-form cousin of DoReMi's reweighting,
+    composing the audited fluency scorer with the α-sampling
+    determinism ledger (integer-exact fluency, IEEE sqrt, DECIMAL
+    denominator)."""
+    return lm.lm_guided_mixture(_docs(spark, sf_dir))
+
+
 @register("training_shard_manifest", sampling.TRAINING_SHARD_MANIFEST_SQL)
 def q_training_shards(spark: SparkSession, sf_dir: str):
     """Deterministic training-shard export manifest: hash-assigned

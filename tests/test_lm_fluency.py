@@ -70,3 +70,39 @@ def test_short_docs_have_no_row(spark):
     train = _docs(spark, [(1, "alpha beta gamma")])
     out = lm_score_docs(_docs(spark, [(9, "single")]), train_gram_model(train, n=2), n=2)
     assert out.count() == 0
+
+
+def test_lm_guided_mixture_upweights_fluent_sources(spark):
+    """Two sources with EQUAL token mass: the one whose text the
+    reference model finds fluent (on-model phrasing) must get strictly
+    more mixture weight than the OOV-gibberish source; weights must sum
+    to ~1 and every source must appear."""
+    from pyspark.sql.types import StringType, StructField
+
+    from export_oltp_to_olap_spark.operators.lm import lm_guided_mixture
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    phrase = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    # doc_ids spread so the hash train split (80%) surely contains many
+    # fluent docs — the model corpus must learn the phrasing.  Each
+    # gibberish doc is UNIQUE (12 tokens, same mass as the phrase):
+    # repeated noise would be learned by the model just like the
+    # phrasing and the two sources would tie.
+    for i in range(40):
+        rows.append((i, phrase, "fluent"))
+        noise = " ".join(f"zq{i}x{j}" for j in range(12))
+        rows.append((100 + i, noise, "gibberish"))
+    docs = spark.createDataFrame(rows, schema)
+    out = {r["source"]: r for r in lm_guided_mixture(docs).collect()}
+    assert set(out) == {"fluent", "gibberish"}
+    assert out["fluent"]["tokens"] == out["gibberish"]["tokens"]
+    assert out["fluent"]["weight"] > out["gibberish"]["weight"]
+    total = sum(r["weight"] for r in out.values())
+    assert abs(total - 1.0) < 1e-4, total

@@ -69,6 +69,7 @@ _REPORT_EXEMPT = {
     "quality_scores_saved",
     "curated_corpus_decontaminated",
     "quality_calibration_bins",  # registered after the r6 window pin
+    "lm_guided_mixture",  # registered after the r6 window pin
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
