@@ -188,13 +188,12 @@ def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "
     suite should decontaminate per-benchmark or switch to the join-side
     `contamination_hits` report, which never collects.
 
-    The guard runs BEFORE anything materializes on the driver: a
-    distributed ``count()`` of the distinct-gram set first (one cheap
-    agg — zero rows cross to the driver), then an Arrow ``toPandas``
-    transfer of the winners (8 B/gram columnar, so the 128 MB budget in
-    the cap's comment is the ACTUAL driver footprint — a row-object
-    ``collect()`` of the same 2^24 keys would be several GB of Python
-    ``Row``s and could OOM the guard itself, ADVICE r5).
+    The driver transfer is Arrow (``limit(cap+1).toPandas()`` — ONE
+    bounded job): at most cap+1 int64 keys cross as a columnar batch,
+    so the 128 MB budget in the cap's comment is the ACTUAL driver
+    footprint — a row-object ``collect()`` of the same 2^24 keys would
+    be several GB of Python ``Row``s and could OOM the guard itself
+    (ADVICE r5); the limit makes the overflow check itself memory-safe.
     """
     import numpy as np
 
@@ -204,16 +203,16 @@ def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "
         )
         .select(F.xxhash64("gram").alias("h"))
         .distinct()
+        .limit(MAX_EVAL_GRAMS + 1)
     )
-    n_grams = grams.count()
-    if n_grams > MAX_EVAL_GRAMS:
+    vals = grams.toPandas()["h"].to_numpy(dtype="int64")
+    if len(vals) > MAX_EVAL_GRAMS:
         raise ValueError(
-            f"eval set has {n_grams} distinct {n}-grams (cap {MAX_EVAL_GRAMS}) "
-            f"— the broadcast decontamination path is for MB-scale benchmark "
+            f"eval set exceeds {MAX_EVAL_GRAMS} distinct {n}-grams — the "
+            f"broadcast decontamination path is for MB-scale benchmark "
             f"suites; split the eval set per benchmark or use the "
             f"join-based contamination_hits report instead"
         )
-    vals = grams.toPandas()["h"].to_numpy(dtype="int64")
     return np.sort(vals)
 
 
