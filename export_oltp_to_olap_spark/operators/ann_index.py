@@ -80,14 +80,32 @@ def build_ivf_index(
 
 def append_ivf_index(new_embeddings: DataFrame, path: str) -> None:
     """Assign a delta batch against the frozen centroids and append to
-    the postings table — existing lists are never rewritten."""
+    the postings table — existing lists are never rewritten.
+
+    Element-type contract: the postings table's schema is the index's
+    schema.  A producer whose feed declares `array<double>` against a
+    float-built index (or vice versa) must NOT be written verbatim —
+    parquet part files with mixed element types corrupt the directory
+    (which footer the reader samples decides whether probes work).  We
+    read the stored postings schema once and cast every appended column
+    to it before the write.
+    """
     spark = new_embeddings.sparkSession
     cen = spark.read.parquet(f"{path}/centroids")
-    base = with_norm(new_embeddings).select("vec_id", "embedding", "norm")
+    stored = {f.name: f.dataType for f in spark.read.parquet(f"{path}/postings").schema}
+    delta = new_embeddings.withColumn(
+        "embedding", F.col("embedding").cast(stored["embedding"])
+    )
+    base = with_norm(delta).select("vec_id", "embedding", "norm")
     assigned = (
         rank_centroids(base, cen)
         .where(F.col("cen_rank") == 1)
-        .select("cen_id", "vec_id", "embedding", "norm")
+        .select(
+            F.col("cen_id").cast(stored["cen_id"]).alias("cen_id"),
+            F.col("vec_id").cast(stored["vec_id"]).alias("vec_id"),
+            "embedding",
+            F.col("norm").cast(stored["norm"]).alias("norm"),
+        )
     )
     (
         assigned.repartition("cen_id")

@@ -118,3 +118,34 @@ def test_append_works_as_stream_maintainer(spark, emb, tmp_path):
     got = ann_index.probe_ivf_index(spark, path, queries, nprobe=NPROBE, k=K)
     want = ann_index.probe_ivf_index(spark, full, queries, nprobe=NPROBE, k=K)
     assert _rows(got) == _rows(want)
+
+
+def test_append_casts_delta_to_stored_element_type(spark, emb, tmp_path):
+    """A producer whose feed declares array<double> must not corrupt a
+    float-built index: append_ivf_index casts to the postings schema, so
+    every part file carries the stored element type and probes equal a
+    full rebuild regardless of which footer the reader samples
+    (regression: PARQUET_COLUMN_DATA_TYPE_MISMATCH, flaky in suite order)."""
+    a = emb.where((F.col("vec_id") < N_CEN) | (F.col("vec_id") % 2 == 0))
+    b = emb.where((F.col("vec_id") >= N_CEN) & (F.col("vec_id") % 2 == 1))
+
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(a, path, n_centroids=N_CEN, centroid_mode="first")
+    stored = dict(spark.read.parquet(f"{path}/postings").dtypes)["embedding"]
+
+    drifted = b.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    ann_index.append_ivf_index(drifted, path)
+
+    # Every part file must carry the stored element type — assert via a
+    # full-directory read with schema merging, which would surface a
+    # float/double mix as a conflict or a per-file mismatch on collect.
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{path}/postings")
+    assert dict(merged.dtypes)["embedding"] == stored
+    merged.collect()
+
+    full = str(tmp_path / "full")
+    ann_index.build_ivf_index(emb, full, n_centroids=N_CEN, centroid_mode="first")
+    q = _queries(emb)
+    got = ann_index.probe_ivf_index(spark, path, q, nprobe=NPROBE, k=K)
+    want = ann_index.probe_ivf_index(spark, full, q, nprobe=NPROBE, k=K)
+    assert _rows(got) == _rows(want)
