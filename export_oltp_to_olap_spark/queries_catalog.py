@@ -1017,20 +1017,16 @@ def q_curated_decontaminated(spark: SparkSession, sf_dir: str):
 # query still has a hash-match-green driver row from rounds 1-3 and keeps
 # its sf0.01 oracle check in tests/test_oracle_correctness.py.
 WINDOW_FIRST: tuple[str, ...] = (
-    # --- ROUND-6 ROTATION (VERDICT r5 item 1, standing chore) ----------
-    # In:  the only queries with no driver CORRECTNESS row in any round —
-    #      the two round-5 tail registrations (leakage_fix_report,
-    #      neardup_threshold_curve), the two round-6 registrations
-    #      (quality_scores_saved, curated_corpus_decontaminated), and
-    #      rp_cosine_topk, whose md5-keyed projection matrix gave it a
-    #      full DuckDB oracle this round (its only prior rows were
-    #      rows-only).
-    # Out: 5 r05-hash-green stability probes whose families stay
-    #      represented (scd2_incremental_merge — dim_cliente_scd2 stays;
-    #      events_gapfill_locf — three event probes stay;
-    #      pack_bins_summary — chunk_documents stays; mixture_weights —
-    #      three sampling probes stay; tfidf_top_terms — five text
-    #      probes stay).  All 5 added to _REPORT_EXEMPT.
+    # --- ROUND-7 ROTATION (VERDICT r6 item 2, standing chore) ----------
+    # In:  quality_calibration_bins + lm_guided_mixture — the only 2 of
+    #      115 registrations with no driver CORRECTNESS row in any round
+    #      (registered after the r6 window pin; both pytest-oracle-green).
+    # Out: 2 r06-hash-green stability probes whose families stay
+    #      represented (split_leakage_report — leakage_safe_splits +
+    #      leakage_fix_report stay; ngram_diversity_by_source — pii_scan,
+    #      text_repetition, split_drift_report stay).  Both were already
+    #      in _REPORT_EXEMPT-adjacent history; added to the exempt union.
+    # Prior (round-6) rotation note kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
     # probes; hash-green r01-r04):
@@ -1039,7 +1035,10 @@ WINDOW_FIRST: tuple[str, ...] = (
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # First driver rows this round (round-6 rotation):
+    # First driver rows this round (round-7 rotation):
+    "quality_calibration_bins",
+    "lm_guided_mixture",
+    # r06-green driver rows (kept as family probes):
     "leakage_fix_report",
     "neardup_threshold_curve",
     "rp_cosine_topk",
@@ -1060,7 +1059,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "bpe_token_stats",
     "curation_audit",
     "incremental_corpus_delta",
-    "split_leakage_report",
     "leakage_safe_splits",
     "source_overlap_matrix",
     # Oracle-bearing r04-green stability probes (one per family):
@@ -1082,7 +1080,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "semantic_dedup",
     "lm_fluency_scores",
     "adaptive_quality_gate",
-    "ngram_diversity_by_source",
     "pii_scan",
     "split_drift_report",
     "text_repetition",
