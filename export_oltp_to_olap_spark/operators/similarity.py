@@ -638,8 +638,15 @@ def _kmeans_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
     """
     X = sampled_train_matrix(base)
     C = lloyd_kmeans(X, n_centroids, seed=42)
+    return centroid_frame(base.sparkSession, C)
+
+
+def centroid_frame(spark, C) -> DataFrame:
+    """(cen_id, cen_emb, cen_norm) from an in-memory (k, d) centroid
+    array — the shared construction between the k-means trainer and the
+    artifact-frozen (saved-quantizer) faces, so both rank against
+    byte-identical centroid tables."""
     rows = [(i, [float(v) for v in c]) for i, c in enumerate(C)]
-    spark = base.sparkSession
     cen = spark.createDataFrame(rows, "cen_id bigint, cen_emb array<double>")
     return cen.withColumn("cen_norm", _exact_norm(F.col("cen_emb")))
 

@@ -423,24 +423,30 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str):
     return similarity.ivf_cosine_topk(_embeddings(spark, sf_dir))
 
 
-@register("pq_cosine_topk", None)  # k-means codebooks: iterative, no SQL oracle
+from export_oltp_to_olap_spark.operators import pq as _pq
+
+
+@register("pq_cosine_topk", _pq.pq_cosine_topk_saved_sql())
 def q_pq_topk(spark: SparkSession, sf_dir: str):
     """Product-quantization ADC top-k (8-byte codes, 32× index
-    compression) + exact rescore — rows-only check; determinism, recall
-    floor, and exact-score contract pinned in tests."""
-    from export_oltp_to_olap_spark.operators import pq
+    compression) + exact rescore, against the COMMITTED codebook
+    artifact (`artifacts/pq_codebooks_fixture.json`) — the frozen
+    quantizer makes the face a fixed constant table + argmin/ADC
+    arithmetic, fully restated in the DuckDB oracle.  The per-corpus
+    training path (`pq.train_codebooks`) stays API + pytest-covered;
+    rebuild equivalence of the artifact is pinned in
+    tests/test_pq_artifact.py."""
+    return _pq.pq_cosine_topk_saved(_embeddings(spark, sf_dir))
 
-    return pq.pq_cosine_topk(_embeddings(spark, sf_dir))
 
-
-@register("ivfpq_cosine_topk", None)  # k-means training: no SQL oracle
+@register("ivfpq_cosine_topk", _pq.ivfpq_cosine_topk_saved_sql())
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str):
     """IVF-PQ top-k (coarse lists + residual product codes, the FAISS
-    billion-scale layout) — rows-only check; recall floor and
-    exact-score contract pinned in tests."""
-    from export_oltp_to_olap_spark.operators import pq
-
-    return pq.ivfpq_cosine_topk(_embeddings(spark, sf_dir))
+    billion-scale layout) against the COMMITTED coarse centroids +
+    residual codebooks — frozen-quantizer face with a full DuckDB
+    oracle (assignment, residuals, encode, probed ADC, exact rescore);
+    formerly permanent rows-only."""
+    return _pq.ivfpq_cosine_topk_saved(_embeddings(spark, sf_dir))
 
 
 @register("semantic_dedup", semdedup.semantic_dedup_sql())

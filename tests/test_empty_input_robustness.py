@@ -7,12 +7,13 @@ zero-row copy of every fixture table (same schemas) and drives each
 registered query over it: the result may be empty, but planning and
 execution must succeed and the schema must be stable.
 
-Known principled exception: quantizer-backed ANN (`pq_cosine_topk`,
-`ivfpq_cosine_topk`; also `ivf_cosine_topk` in its kmeans mode, whose
-registered default first-N mode handles empty fine) REQUIRES a
+Known principled exception: quantizer TRAINING (`quality_classifier_scores`;
+also `ivf_cosine_topk`/`pq_cosine_topk` when called with their training
+paths rather than the registered frozen-artifact faces) REQUIRES a
 non-empty training sample — FAISS raises on empty training sets too.
 Those must fail with a clear error, not a shapeless crash; asserted
-separately.
+separately.  The registered PQ faces freeze their quantizers to the
+committed artifact, so they survive empty inputs like everything else.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ TABLES = (
 
 # Queries whose semantics genuinely require non-empty input (quantizer /
 # classifier training); everything else must succeed on empty tables.
-_NEEDS_DATA = {"pq_cosine_topk", "ivfpq_cosine_topk", "quality_classifier_scores"}
+_NEEDS_DATA = {"quality_classifier_scores"}
 
 registry._ensure_loaded()
 
