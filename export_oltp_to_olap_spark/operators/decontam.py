@@ -216,6 +216,28 @@ def eval_gram_hashes(eval_docs: DataFrame, n: int = FIXTURE_N, text_col: str = "
     return np.sort(vals)
 
 
+def save_eval_hashes(hashes, path: str) -> None:
+    """Persist the standing eval-gram artifact (sorted int64 xxhash64
+    keys) as a single-column parquet file — the compute-once half of the
+    compute-once / reuse-per-batch contract (`cli.py eval-hashes`).
+    Parquet (not npy/pickle) so any engine can audit the artifact."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    papq.write_table(
+        pa.table({"h": pa.array([int(v) for v in hashes], type=pa.int64())}), path
+    )
+
+
+def load_eval_hashes(path: str):
+    """Read a :func:`save_eval_hashes` artifact back into the sorted
+    int64 array :func:`flag_contaminated` expects."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    return np.sort(papq.read_table(path)["h"].to_numpy().astype("int64", copy=False))
+
+
 def flag_contaminated(
     docs: DataFrame,
     eval_docs: DataFrame | None = None,

@@ -106,12 +106,32 @@ def _curated_kept(docs: DataFrame) -> DataFrame:
     return deduped.join(dropped, "doc_id", "left_anti")
 
 
-def curated_corpus(docs: DataFrame) -> DataFrame:
+def curated_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    eval_hashes=None,
+) -> DataFrame:
     """The full curation chain's OUTPUT rows: (doc_id, text, quality,
     split) — gates, exact dedup, near-dup drop, split assignment.  The
     yield report aggregates this; the corpus EXPORT (`cli.py
-    export-corpus`) ships it."""
-    return assign_splits(_curated_kept(docs), "doc_id")
+    export-corpus`) ships it.
+
+    ``eval_docs`` / ``eval_hashes`` (either, not both needed): insert
+    the eval-n-gram decontamination stage before split assignment —
+    ``eval_hashes`` is the persisted standing artifact
+    (`decontam.eval_gram_hashes` / `load_eval_hashes`), the
+    compute-once/reuse-per-batch form `cli.py export-corpus
+    --eval-hashes` drives."""
+    kept = _curated_kept(docs)
+    if eval_docs is not None or eval_hashes is not None:
+        from export_oltp_to_olap_spark.operators.decontam import flag_contaminated
+
+        kept = (
+            flag_contaminated(kept, eval_docs, eval_hashes=eval_hashes)
+            .where(~F.col("contaminated"))
+            .drop("contaminated")
+        )
+    return assign_splits(kept, "doc_id")
 
 
 def fixture_eval_docs(docs: DataFrame) -> DataFrame:
@@ -151,18 +171,10 @@ def curated_corpus_decontaminated(
     after assignment yields identical rows — the oracle filters the
     shared ``assigned`` CTE by the same eval-gram collision set.
     """
-    from export_oltp_to_olap_spark.operators.decontam import flag_contaminated
-
-    kept = _curated_kept(docs)
     if eval_hashes is None and eval_docs is None:
         eval_docs = fixture_eval_docs(docs)
-    clean = (
-        flag_contaminated(kept, eval_docs, eval_hashes=eval_hashes)
-        .where(~F.col("contaminated"))
-        .drop("contaminated")
-    )
     return (
-        assign_splits(clean, "doc_id")
+        curated_corpus(docs, eval_docs=eval_docs, eval_hashes=eval_hashes)
         .select("doc_id", "quality", "split")
         .orderBy("doc_id")
     )

@@ -245,3 +245,47 @@ def test_cli_export_corpus_writes_split_shards(spark, sf001, tmp_path):
     # hive layout: split=*/shard=* directories exist for every split seen
     for s in {s for _, s in want}:
         assert glob.glob(f"{out}/split={s}/shard=*"), s
+
+
+def test_cli_eval_hashes_persist_then_reuse(spark, sf001, tmp_path):
+    """The compute-once/reuse-per-batch eval-gram contract, driven
+    entirely from the CLI: `eval-hashes` persists the standing artifact,
+    `export-corpus --eval-hashes` consumes it, and the exported corpus
+    equals the in-call decontaminated face (VERDICT r6 item 5)."""
+    import json as _json
+
+    import numpy as np
+
+    from export_oltp_to_olap_spark.cli import main
+    from export_oltp_to_olap_spark.operators.decontam import (
+        eval_gram_hashes,
+        load_eval_hashes,
+    )
+    from export_oltp_to_olap_spark.plans.curation import (
+        curated_corpus_decontaminated,
+        fixture_eval_docs,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    art = str(tmp_path / "eval_hashes.parquet")
+    rc = main(["eval-hashes", "--source-dir", sf001, "--out", art], spark=spark)
+    assert rc == 0
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    assert np.array_equal(
+        load_eval_hashes(art), eval_gram_hashes(fixture_eval_docs(docs))
+    )
+
+    out = str(tmp_path / "corpus")
+    rc = main(
+        ["export-corpus", "--source-dir", sf001, "--out-dir", out,
+         "--shards", "2", "--eval-hashes", art],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {(r["doc_id"], r["split"]) for r in spark.read.parquet(out).collect()}
+    want = {
+        (r["doc_id"], r["split"])
+        for r in curated_corpus_decontaminated(docs).collect()
+    }
+    assert got == want
