@@ -215,7 +215,7 @@ def incremental_cluster_split_assign(
     return delta_assign, updated
 
 
-def leakage_safe_split_sink(emit):
+def leakage_safe_split_sink(emit, state_dir: str | None = None):
     """foreachBatch driver for :func:`incremental_cluster_split_assign`:
     maintains the standing docs + cluster map across micro-batches
     (staged each batch so lineage never stacks) and calls ``emit`` with
@@ -223,29 +223,71 @@ def leakage_safe_split_sink(emit):
 
         stream.writeStream.foreachBatch(leakage_safe_split_sink(emit))
 
-    State here is a pair of staged DataFrames on the driver — the
-    production form persists both as tables (`operators/staging.py`
-    ``table`` mode) exactly like the curated-corpus standing state.
-
     Retry safety: ``foreachBatch`` is at-least-once, so a failed epoch
     can be REDELIVERED with the same ``batch_id``; folding it twice
     would union duplicate doc rows into the standing state and violate
     `minhash_lsh_neardup_delta`'s disjoint-id precondition.  The sink
     therefore records the last folded ``batch_id`` and no-ops (without
-    re-emitting) on a duplicate.  Restart limitation: the state lives
-    in this closure, so a CHECKPOINT RESTART of the query starts with
-    an empty standing map while the source skips already-processed
-    files — production keeps the standing docs/cluster tables in the
-    lake (``table`` staging) and reloads them at query start; this
-    in-memory form is for single-process runs and tests.
+    re-emitting) on a duplicate or stale epoch.
+
+    ``state_dir`` is the PRODUCTION form: standing docs + cluster map
+    persist as VERSIONED parquet directories (``v{batch_id}/docs``,
+    ``v{batch_id}/clusters``, with a ``_COMMITTED`` marker written
+    LAST), and the sink reloads the latest committed version at its
+    first batch — a checkpoint restart of the query resumes with the
+    standing state it durably folded instead of an empty map (pinned by
+    the restart test in tests/test_curation_stream.py).  Commit
+    protocol per epoch: emit → write both tables under the new version
+    → write marker → prune older committed versions.  A crash between
+    emit and marker refolds the epoch from the prior version on
+    redelivery, so ``emit`` is at-least-once (key downstream writes by
+    the emitted rows / batch id); the state itself is exactly-once.
+    Like `sources/layout.py::compact_parquet`, the version bookkeeping
+    uses local-filesystem listing — on a cluster point ``state_dir`` at
+    a fuse/NFS mount or swap the marker logic for your object store's
+    conditional put (the table-format commit pattern).
+
+    Without ``state_dir`` the state lives in this closure — a restart
+    starts empty while the source skips processed files; that form is
+    for single-process runs and tests.
     """
+    import os
+    import shutil
+
     state: dict = {"docs": None, "clusters": None, "last_batch_id": None}
 
+    def _committed_versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(state_dir)
+            if name.startswith("v")
+            and os.path.exists(os.path.join(state_dir, name, "_COMMITTED"))
+        )
+
+    if state_dir is not None:
+        versions = _committed_versions()
+        if versions:
+            # DataFrames load lazily at the first batch (needs the session).
+            state["last_batch_id"] = versions[-1]
+
+    def _vdir(batch_id: int) -> str:
+        return os.path.join(state_dir, f"v{batch_id:08d}")
+
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        if _batch_id == state["last_batch_id"]:
+        if state["last_batch_id"] is not None and _batch_id <= state["last_batch_id"]:
             return  # at-least-once redelivery of an already-folded epoch
+        if state_dir is not None and state["docs"] is None and state["last_batch_id"] is not None:
+            latest = _vdir(state["last_batch_id"])
+            spark = batch_df.sparkSession
+            state["docs"] = spark.read.parquet(os.path.join(latest, "docs"))
+            state["clusters"] = spark.read.parquet(os.path.join(latest, "clusters"))
         if batch_df.isEmpty():
-            state["last_batch_id"] = _batch_id
+            if state_dir is None:
+                state["last_batch_id"] = _batch_id
+            # durable mode: nothing to fold, nothing to commit — the
+            # ≤-guard makes a redelivered empty epoch a no-op anyway.
             return
         batch = stage(batch_df.select("doc_id", "text"))
         assign, updated = incremental_cluster_split_assign(
@@ -254,11 +296,26 @@ def leakage_safe_split_sink(emit):
         # materialize the assignment BEFORE state mutates under it
         assign = stage(assign)
         emit(assign)
-        state["clusters"] = stage(updated)
-        state["docs"] = (
-            batch if state["docs"] is None
-            else stage(state["docs"].unionByName(batch))
+        new_docs = (
+            batch if state["docs"] is None else state["docs"].unionByName(batch)
         )
+        if state_dir is None:
+            state["clusters"] = stage(updated)
+            state["docs"] = stage(new_docs) if state["docs"] is not None else batch
+            state["last_batch_id"] = _batch_id
+            return
+        vdir = _vdir(_batch_id)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)  # uncommitted leftovers from a crashed epoch
+        updated.write.mode("overwrite").parquet(os.path.join(vdir, "clusters"))
+        new_docs.write.mode("overwrite").parquet(os.path.join(vdir, "docs"))
+        with open(os.path.join(vdir, "_COMMITTED"), "w", encoding="utf-8") as fh:
+            fh.write(str(_batch_id))
+        for v in _committed_versions()[:-1]:
+            shutil.rmtree(_vdir(v), ignore_errors=True)
+        spark = batch_df.sparkSession
+        state["docs"] = spark.read.parquet(os.path.join(vdir, "docs"))
+        state["clusters"] = spark.read.parquet(os.path.join(vdir, "clusters"))
         state["last_batch_id"] = _batch_id
 
     return sink

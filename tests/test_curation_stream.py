@@ -259,3 +259,95 @@ def test_incremental_leakage_safe_splits_match_batch(spark, sf0001, tmp_path):
         "no batch doc ever joined an existing family — the fixture slicing "
         "makes the equivalence vacuous; re-cut the chunks"
     )
+
+
+def test_leakage_safe_split_sink_survives_checkpoint_restart(spark, sf0001, tmp_path):
+    """The table-backed standing state (VERDICT r6 item 6): run two
+    micro-batches with `state_dir` set, KILL the query, construct a
+    FRESH sink (new process ≙ new closure) over the same state_dir and
+    restart from the same checkpoint with a third file — the reloaded
+    standing map must make every batch's assignment equal the full
+    rebuild over everything seen so far, including cross-family joins
+    into pre-restart families (which an empty post-restart map would
+    get wrong)."""
+    from export_oltp_to_olap_spark.operators.neardup import (
+        minhash_neardup_clusters,
+    )
+    from export_oltp_to_olap_spark.streaming.curation_stream import (
+        leakage_safe_split_sink,
+    )
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    chunks = [rows[:40], rows[40:45], rows[45:]]
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    state_dir = str(tmp_path / "split_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(i, chunk):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    emitted: list[dict[int, tuple[int, str]]] = []
+
+    def emit(df):
+        emitted.append(
+            {r["doc_id"]: (r["canonical_id"], r["split"]) for r in df.collect()}
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(feed))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                leakage_safe_split_sink(emit, state_dir=state_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_chunk(0, chunks[0])
+    write_chunk(1, chunks[1])
+    run_once()  # first incarnation: folds batches 0 and 1, then stops
+    assert len(emitted) == 2
+    write_chunk(2, chunks[2])
+    run_once()  # FRESH sink closure + same checkpoint: only batch 2 runs
+    assert len(emitted) == 3
+
+    seen: list = []
+    post_restart_joins = 0
+    for i, (chunk, got) in enumerate(zip(chunks, emitted)):
+        seen.extend(chunk)
+        prefix = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in seen], "doc_id long, text string"
+        )
+        rebuilt = assign_splits(
+            minhash_neardup_clusters(prefix).select("doc_id", "canonical_id"),
+            "canonical_id",
+        )
+        chunk_ids = {r["doc_id"] for r in chunk}
+        want = {
+            r["doc_id"]: (r["canonical_id"], r["split"])
+            for r in rebuilt.collect()
+            if r["doc_id"] in chunk_ids
+        }
+        assert got == want, f"batch {i} diverged from rebuild after restart"
+        if i == 2:
+            post_restart_joins = sum(
+                1 for d, (c, _) in got.items() if c != d and c not in chunk_ids
+            )
+    assert post_restart_joins > 0, (
+        "no post-restart doc joined a pre-restart family — the restart "
+        "equivalence is vacuous; re-cut the chunks"
+    )
