@@ -177,3 +177,42 @@ def test_committed_artifact_matches_fresh_retrain(spark, sf0001):
     }
     assert saved.keys() == live.keys()
     assert all(abs(saved[k] - live[k]) <= 2e-4 for k in saved)
+
+
+def test_calibration_bins_match_committed_fixture_and_floor(spark, sf0001):
+    """Calibration drift guard (VERDICT r6 item 7): the committed
+    reliability table (`artifacts/quality_calibration_fixture.json`) is
+    the model's calibration signature — ANY model/feature drift moves
+    some bin, so exact recompute equality catches rot the way
+    RECALL.json catches ANN drift.  On top of the signature, two
+    quantitative floors that would survive an intentional retrain:
+    expected calibration error (bin-mass-weighted |mean_prob −
+    label_rate|) ≤ 0.10 (measured 0.042), and per-bin gap ≤ 0.20 for
+    bins holding ≥ 25 docs (the discriminative mass; measured 0.133 at
+    bin 8).  Sparse mid bins are excluded from the per-bin floor — a
+    hard-thresholded weak label makes their gap structurally large."""
+    import json as _json
+    import os
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    got = [
+        {"bin": r["bin"], "n_docs": r["n_docs"],
+         "mean_prob": r["mean_prob"], "label_rate": r["label_rate"]}
+        for r in qm.quality_calibration_bins(docs).collect()
+    ]
+    path = os.path.join(
+        os.path.dirname(qm.QUALITY_ARTIFACT_PATH), "quality_calibration_fixture.json"
+    )
+    with open(path, encoding="utf-8") as fh:
+        committed = _json.load(fh)["bins"]
+    assert got == committed, "calibration signature drifted from the committed fixture"
+
+    total = sum(b["n_docs"] for b in got)
+    ece = sum(
+        b["n_docs"] * abs(b["mean_prob"] - b["label_rate"]) for b in got
+    ) / total
+    assert ece <= 0.10, f"expected calibration error {ece:.4f} above floor"
+    for b in got:
+        if b["n_docs"] >= 25:
+            gap = abs(b["mean_prob"] - b["label_rate"])
+            assert gap <= 0.20, f"bin {b['bin']} gap {gap:.4f} above floor"
