@@ -16,6 +16,15 @@ BENCH_r03.json unparsed (VERDICT r3 item 3).
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_QUERIES (comma-list to subset),
 BENCH_RUNS (default 3).
+
+Crowding tax (measured, round 7 — bench_isolated_curation_r7.json):
+heavy multi-stage chains (the curation family) run 2-26% slower inside
+the full 54-query suite JVM than in a fresh JVM on the same container —
+GC/code-cache/broadcast pressure accumulate over the session.  Compare
+in-suite medians round-over-round (the driver's contract), but
+attribute family-wide drifts to crowding + container co-tenancy before
+suspecting the plans; `BENCH_QUERIES=<family> BENCH_RUNS=5 python
+bench.py` is the isolation experiment.
 """
 
 from __future__ import annotations
