@@ -100,6 +100,8 @@ DEFAULT_HEADLINE = [
     "stats_moments_lineitem",
     "tpch_q5_local_supplier",
     "tpch_q18_large_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q19_discounted_revenue",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
     "training_shard_manifest",

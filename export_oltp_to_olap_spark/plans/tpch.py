@@ -216,3 +216,316 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Round-7 widening: six more classics, again chosen for plan shapes the
+# catalog does not exercise elsewhere.  Adaptations forced by the fixture
+# schema (no l_commitdate / l_receiptdate / l_shipmode / p_container /
+# c_phone) keep each query's RELATIONAL essence:
+#
+# * Q4  — EXISTS with a correlated comparison across both relations
+#         ("late" := shipped > 60 days after order date stands in for
+#         commit < receipt); compiles to a left-semi join whose
+#         condition mixes an equality and an inequality.
+# * Q7  — two copies of the SAME dimension (nation) joined under
+#         different roles + a symmetric disjunction over the role pair
+#         + year extraction.
+# * Q12 — conditional two-way counts (urgent vs not) bucketed by a
+#         derived CASE column (shipping-delay bands for shipmode).
+# * Q14 — ratio of a conditionally-summed measure to its total in one
+#         aggregate pass (CASE inside exact_sum).
+# * Q19 — disjunction of conjunctive (brand, size-range, qty-range)
+#         triples as the JOIN predicate: Catalyst must push the common
+#         equality and keep the residual OR as a join filter.
+# * Q22 — anti-join against orders gated by a scalar aggregate
+#         subquery threshold (customers above the average balance who
+#         never ordered).
+
+
+def q4_order_priority(tables: dict[str, DataFrame]) -> DataFrame:
+    """Orders in one quarter with at least one late lineitem, counted
+    per priority — the EXISTS shape: a left-semi join whose condition
+    correlates the two relations beyond the key equality
+    (``l_shipdate > o_orderdate + 60 days``)."""
+    o, li = tables["orders"], tables["lineitem"]
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-07-01"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01"))
+        )
+        .join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1997-07-01'
+  AND o_orderdate < DATE '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_volume_shipping(tables: dict[str, DataFrame]) -> DataFrame:
+    """Revenue flowing between two nations by year — the same dimension
+    (nation) joined twice under different roles (supplier's vs
+    customer's), with the symmetric pair disjunction and a year
+    extraction on the fact date."""
+    s, li, o, c = (
+        tables["supplier"],
+        tables["lineitem"],
+        tables["orders"],
+        tables["customer"],
+    )
+    n1 = tables["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tables["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = Q7_NATIONS
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(exact_sum(F.expr(REVENUE)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {EXACT_SUM_SQL.format(expr=REVENUE)} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+    OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""".strip()
+
+
+def q12_shipping_delay_priority(tables: dict[str, DataFrame]) -> DataFrame:
+    """Urgent-vs-other line counts per shipping-delay band — Q12's
+    conditional two-way counting, bucketed by a derived CASE column
+    (delay bands stand in for the missing ``l_shipmode``)."""
+    o, li = tables["orders"], tables["lineitem"]
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay <= 30, "0-30")
+        .when(delay <= 90, "31-90")
+        .otherwise("90+")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90'
+            ELSE '90+' END AS delay_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1
+ORDER BY delay_band
+""".strip()
+
+
+def q14_promo_revenue(tables: dict[str, DataFrame]) -> DataFrame:
+    """Share of one month's revenue from PROMO parts — a conditional
+    sum and its total in ONE aggregate pass over the join, then the
+    ratio (both sums exact-decimal, the percentage a deterministic
+    double division of the two rounded sums)."""
+    li, p = tables["lineitem"], tables["part"]
+    promo = F.when(F.col("p_type") == "PROMO", F.expr(REVENUE)).otherwise(F.lit(0.0))
+    agg = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01"))
+        )
+        .agg(
+            exact_sum(promo).alias("promo_revenue"),
+            exact_sum(F.expr(REVENUE)).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+Q14_SQL = f"""
+WITH sums AS (
+  SELECT
+    {EXACT_SUM_SQL.format(expr="CASE WHEN p_type = 'PROMO' THEN " + REVENUE + " ELSE 0.0 END")}
+      AS promo_revenue,
+    {EXACT_SUM_SQL.format(expr=REVENUE)} AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1997-09-01'
+    AND l_shipdate < DATE '1997-10-01'
+)
+SELECT promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+FROM sums
+""".strip()
+
+
+Q19_TRIPLES = (
+    ("Brand#4", 1, 15, 1, 11),
+    ("Brand#2", 10, 30, 10, 20),
+    ("Brand#19", 20, 50, 20, 30),
+)
+
+
+def q19_discounted_revenue(tables: dict[str, DataFrame]) -> DataFrame:
+    """Revenue matching ANY of three (brand, size-range, qty-range)
+    conjunctions — the disjunctive-join-predicate shape: the key
+    equality is pushed into the join, the OR-of-ANDs stays as the
+    residual filter, and per-branch columns still prune/push to the
+    scans."""
+    li, p = tables["lineitem"], tables["part"]
+    cond = None
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_TRIPLES:
+        branch = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = branch if cond is None else (cond | branch)
+    return (
+        li.join(p, (F.col("l_partkey") == F.col("p_partkey")) & cond)
+        .agg(
+            exact_sum(F.expr(REVENUE)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT {EXACT_SUM_SQL.format(expr=REVENUE)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {sl} AND {sh} "
+    f"AND l_quantity BETWEEN {ql} AND {qh})"
+    for b, sl, sh, ql, qh in Q19_TRIPLES
+)}
+""".strip()
+
+
+Q22_SEGMENTS = ("BUILDING", "MACHINERY", "HOUSEHOLD")
+
+
+Q22_CUTOFF = "1999-01-01"
+
+
+def q22_global_sales_opportunity(tables: dict[str, DataFrame]) -> DataFrame:
+    """Well-funded customers gone DORMANT (no order since the cutoff),
+    per segment — the anti-join gated by a scalar aggregate threshold
+    (average positive balance over the segment population).  Every
+    fixture customer has SOME order, so the dormancy cutoff supplies
+    the selectivity the original's never-ordered gate has at TPC-H
+    scale; the threshold is computed in the exact-decimal convention so
+    the inequality cut is engine-identical."""
+    c, o = tables["customer"], tables["orders"]
+    seg = c.where(F.col("c_mktsegment").isin(*Q22_SEGMENTS))
+    threshold = seg.where(F.col("c_acctbal") > 0).agg(
+        F.round(
+            F.avg(F.col("c_acctbal").cast("decimal(28,10)")), 4
+        ).cast("double").alias("avg_bal")
+    )
+    recent = o.where(F.col("o_orderdate") >= F.lit(Q22_CUTOFF))
+    return (
+        seg.crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_custs,
+       {EXACT_SUM_SQL.format(expr="c_acctbal")} AS total_acctbal
+FROM customer
+WHERE c_mktsegment IN {Q22_SEGMENTS!r}
+  AND c_acctbal > (
+    SELECT CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(28,10))), 4) AS DOUBLE)
+    FROM customer
+    WHERE c_mktsegment IN {Q22_SEGMENTS!r} AND c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= DATE '{Q22_CUTOFF}'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""".strip()

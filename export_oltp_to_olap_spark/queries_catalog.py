@@ -911,6 +911,53 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str):
     return tpch.q18_large_volume_orders(_tables(spark, sf_dir))
 
 
+# Round-7 TPC-H widening (tail; rotate into the window next round):
+# six more classics, each a plan shape the catalog lacked — see the
+# adaptation notes in plans/tpch.py.
+
+
+@register("tpch_q4_order_priority", tpch.Q4_SQL)
+def q_tpch_q4(spark: SparkSession, sf_dir: str):
+    """TPC-H Q4 shape: EXISTS as a left-semi join whose condition mixes
+    the key equality with a cross-relation date inequality."""
+    return tpch.q4_order_priority(_tables(spark, sf_dir))
+
+
+@register("tpch_q7_volume_shipping", tpch.Q7_SQL)
+def q_tpch_q7(spark: SparkSession, sf_dir: str):
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    roles + symmetric pair disjunction + year extraction."""
+    return tpch.q7_volume_shipping(_tables(spark, sf_dir))
+
+
+@register("tpch_q12_shipping_delay", tpch.Q12_SQL)
+def q_tpch_q12(spark: SparkSession, sf_dir: str):
+    """TPC-H Q12 shape: conditional two-way counts bucketed by a
+    derived CASE column."""
+    return tpch.q12_shipping_delay_priority(_tables(spark, sf_dir))
+
+
+@register("tpch_q14_promo_revenue", tpch.Q14_SQL)
+def q_tpch_q14(spark: SparkSession, sf_dir: str):
+    """TPC-H Q14 shape: conditional sum and its total in one aggregate
+    pass, then the ratio."""
+    return tpch.q14_promo_revenue(_tables(spark, sf_dir))
+
+
+@register("tpch_q19_discounted_revenue", tpch.Q19_SQL)
+def q_tpch_q19(spark: SparkSession, sf_dir: str):
+    """TPC-H Q19 shape: disjunction of conjunctive triples as the join
+    predicate (common equality pushed, residual OR kept)."""
+    return tpch.q19_discounted_revenue(_tables(spark, sf_dir))
+
+
+@register("tpch_q22_sales_opportunity", tpch.Q22_SQL)
+def q_tpch_q22(spark: SparkSession, sf_dir: str):
+    """TPC-H Q22 shape: anti-join gated by a scalar aggregate
+    threshold subquery."""
+    return tpch.q22_global_sales_opportunity(_tables(spark, sf_dir))
+
+
 @register("stats_moments_lineitem", analytic.STATS_MOMENTS_SQL)
 def q_stats_moments(spark: SparkSession, sf_dir: str):
     """Engine-exact stddev/covar/corr via decimal power sums (native

@@ -70,6 +70,14 @@ _REPORT_EXEMPT = {
     "curated_corpus_decontaminated",
     "quality_calibration_bins",  # registered after the r6 window pin
     "lm_guided_mixture",  # registered after the r6 window pin
+    # Registered new in round 7, past the window (rotate into the
+    # round-8 window for their first driver rows):
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_shipping_delay",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
