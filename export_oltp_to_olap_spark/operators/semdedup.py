@@ -52,7 +52,7 @@ from export_oltp_to_olap_spark.operators.similarity import (
     rank_centroids,
     with_norm,
 )
-from export_oltp_to_olap_spark.operators.staging import stage
+from export_oltp_to_olap_spark.operators.staging import stage_fanout
 
 SEMDEDUP_CENTROIDS = 16
 SEMDEDUP_THRESHOLD = 0.4
@@ -157,9 +157,9 @@ def semantic_dedup(
     # final keep/drop select) consume it through different projections,
     # which defeats exchange reuse and would re-run the full N×C
     # assignment pass per branch (same rule as plans/curation.py).
-    # Staging mode (executor-local / checkpoint / table) follows the
-    # spark.export_oltp.staging conf — operators/staging.py.
-    assigned = stage(assigned)
+    # Fan-out staging: cache under the default conf (lineage + stats
+    # kept), checkpoint/table on a cluster — operators/staging.py.
+    assigned = stage_fanout(assigned)
     # Prescore every within-cluster pair with the vectorized dot; the
     # exact decimal dot is When-guarded so it only evaluates on prescore
     # survivors (Catalyst merges stacked filters — see similarity.py).

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
-from export_oltp_to_olap_spark.operators.staging import stage
+from export_oltp_to_olap_spark.operators.staging import stage_fanout
 
 DOT_DECIMAL = "decimal(38,16)"
 
@@ -990,7 +990,7 @@ def rp_cosine_topk(
     # Stage once: the query extract, the ranking crossJoin, and the
     # exact-rescore join all consume `base`; without the cut each branch
     # re-runs the scan + norm + Arrow matmul projection.
-    base = stage(
+    base = stage_fanout(
         project_embeddings(
             with_norm(embeddings).select("vec_id", "embedding", "norm"), dim_out
         )

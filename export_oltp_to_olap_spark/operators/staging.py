@@ -5,10 +5,18 @@ Three modes, selected per-call or session-wide via the Spark conf
 ``spark.export_oltp.staging`` (default ``local``):
 
 * ``local`` — ``df.localCheckpoint()``: blocks are cached on the
-  executors that computed them.  Fastest (no DFS write) and right for
+  executors that computed them.  No DFS write and right for
   single-process runs, but the blocks die with their executor — on a
   real cluster an executor loss makes every downstream job fail with
   "missing checkpoint block".
+* ``cache`` — ``df.persist()`` + an eager count: columnar in-memory
+  (spilling) batches that KEEP the lineage and therefore the planner's
+  statistics — AQE still broadcasts the staged side, and the
+  CacheManager serves any later identical plan from the same entry.
+  The right mode for FAN-OUT reuse (several consumers of one frame in
+  one query); WRONG for iterative folds, where the retained lineage
+  grows per iteration — use :func:`stage` (checkpoint family) there.
+  See :func:`stage_fanout` for the measured difference.
 * ``checkpoint`` — ``df.checkpoint()``: blocks go to the configured
   ``spark.sparkContext.setCheckpointDir`` (HDFS/S3 on a cluster).
   Survives executor loss; costs one distributed write + read.
@@ -33,7 +41,7 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame
 
 STAGING_CONF_KEY = "spark.export_oltp.staging"
-_MODES = ("local", "checkpoint", "table")
+_MODES = ("local", "cache", "checkpoint", "table")
 _table_counter = itertools.count()
 
 
@@ -53,6 +61,10 @@ def stage(df: DataFrame, mode: str | None = None, name: str | None = None) -> Da
         raise ValueError(f"staging mode {mode!r} not one of {_MODES}")
     if mode == "local":
         return df.localCheckpoint()
+    if mode == "cache":
+        out = df.persist()
+        out.count()  # eager, like the other modes
+        return out
     if mode == "checkpoint":
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
@@ -61,6 +73,10 @@ def stage(df: DataFrame, mode: str | None = None, name: str | None = None) -> Da
                 "(point it at DFS/S3 on a cluster)"
             )
         return df.checkpoint()
+    return _stage_table(df, name)
+
+
+def _stage_table(df: DataFrame, name: str | None) -> DataFrame:
     table = name or f"__staged_{next(_table_counter)}"
     spark = df.sparkSession
     # A previous SESSION's table directory may survive in the warehouse
@@ -75,3 +91,34 @@ def stage(df: DataFrame, mode: str | None = None, name: str | None = None) -> Da
             shutil.rmtree(stale)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
     return spark.table(table)
+
+
+def stage_fanout(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Materialize a frame consumed by SEVERAL branches of one query —
+    the fan-out form of :func:`stage` for call sites that do NOT need
+    lineage cutting (no iterative folding over the result).
+
+    Under the default ``local`` conf this uses ``cache`` instead of
+    ``localCheckpoint``, which is the same materialize-once guarantee
+    but measurably faster for fan-out consumers: a localCheckpoint
+    truncates the plan to an opaque RDD scan, so every downstream stage
+    pays a fresh row-oriented read with no statistics, while the cached
+    form keeps columnar batches + planner stats and lets the
+    CacheManager serve repeated identical plans (sf0.1 curation chain:
+    face 5.9 s → 2.5 s cold-per-run, 1.4 s when the session re-runs the
+    same face — the r6 "curation family drift" was largely this, eager
+    per-run checkpoints accumulating dead blocks).
+
+    Under ``checkpoint``/``table`` conf it defers to :func:`stage`
+    unchanged: on a cluster the durable staging patterns (and the
+    inspectable staged-table artifact) take precedence over the
+    fan-out micro-cost.
+
+    Cache-mode caveats: entries live until ``unpersist()`` or session
+    end (bounded — one entry per distinct plan, not per invocation),
+    and like any Spark cache they snapshot the source as of first
+    materialization.
+    """
+    if staging_mode(df) == "local":
+        return stage(df, mode="cache")
+    return stage(df, name=name)

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import TOKEN_SPLIT_RE, tokens
 from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
-from export_oltp_to_olap_spark.operators.staging import stage
+from export_oltp_to_olap_spark.operators.staging import stage_fanout
 
 # Published pipelines use 50-token spans; the synthetic fixture docs are
 # ~tens of tokens, so the fixture width is 8 — long enough that seeds
@@ -102,7 +102,7 @@ def duplicated_spans(
     # join-back consume them, and recomputing the tokenize+shingle+hash
     # fan-out doubles the most expensive map stage (warm runs 2.0 s at
     # sf0.1; at 100 TB the staged gram table is the thing to persist).
-    pg = stage(positional_grams(docs, n, id_col, text_col))
+    pg = stage_fanout(positional_grams(docs, n, id_col, text_col))
     seeds = pg.groupBy("g").agg(F.count(F.lit(1)).alias("occ")).where(F.col("occ") >= 2)
     dup_pos = pg.join(seeds.select("g"), "g", "inner").select(id_col, "pos")
 

@@ -51,7 +51,7 @@ from export_oltp_to_olap_spark.operators.neardup import (
     ngram_shingle_sets,
 )
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
-from export_oltp_to_olap_spark.operators.staging import stage
+from export_oltp_to_olap_spark.operators.staging import stage, stage_fanout
 
 QUALITY_MIN = 0.45
 NEARDUP_THRESHOLD = 0.7
@@ -64,13 +64,15 @@ def curated_docs(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     ONCE before any fan-out: the near-dup pair join and the yield
     report each consume it through different projections/partitionings,
     and without a stage boundary Catalyst re-derives the whole regex
-    gate chain per branch (measured: 7 document scans, 18 regexp nodes
-    in the executed plan).  HOW it materializes follows the
-    ``spark.export_oltp.staging`` conf (operators/staging.py): ``local``
-    for single-process runs, ``checkpoint``/``table`` on a cluster —
-    ``table`` is exactly the "staged curated corpus as a real table"
-    form a 100 TB pipeline wants.  ``checkpoint=False`` keeps the pure
-    lineage for plan inspection.
+    gate chain per branch (measured: 18 document scans, 234 regexp
+    nodes in the executed plan).  HOW it materializes follows the
+    ``spark.export_oltp.staging`` conf via :func:`stage_fanout`
+    (operators/staging.py): cache under the default single-process
+    conf — keeps lineage + stats, measured 2.2× faster than
+    localCheckpoint on this face — and ``checkpoint``/``table`` on a
+    cluster, where ``table`` is exactly the "staged curated corpus as
+    a real table" form a 100 TB pipeline wants.  ``checkpoint=False``
+    keeps the pure lineage for plan inspection.
     """
     w = Window.partitionBy("text")
     deduped = (
@@ -79,7 +81,7 @@ def curated_docs(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
         .where(F.col("doc_id") == F.col("min_id"))
         .drop("min_id", "pred_lang")
     )
-    return stage(deduped) if checkpoint else deduped
+    return stage_fanout(deduped) if checkpoint else deduped
 
 
 def _gated(docs: DataFrame) -> DataFrame:
@@ -347,7 +349,7 @@ def curation_audit(docs: DataFrame) -> DataFrame:
     three reuse one hash partitioning of the scored scan.  Nothing new
     is O(N²) or driver-side.
     """
-    scored = stage(
+    scored = stage_fanout(
         docs.select("doc_id", "text")
         .withColumn("quality", quality_score("text"))
         .withColumn("pred_lang", lang_predict("text"))
@@ -360,7 +362,7 @@ def curation_audit(docs: DataFrame) -> DataFrame:
     exact_losers = gated_k.where(F.col("doc_id") != F.col("keeper_exact")).select(
         "doc_id", "keeper_exact"
     )
-    deduped = stage(
+    deduped = stage_fanout(
         gated_k.where(F.col("doc_id") == F.col("keeper_exact")).select(
             "doc_id", "text", "quality"
         )

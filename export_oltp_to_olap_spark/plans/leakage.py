@@ -38,7 +38,7 @@ from export_oltp_to_olap_spark.operators.neardup import (
     neardup_clusters,
 )
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
-from export_oltp_to_olap_spark.operators.staging import stage
+from export_oltp_to_olap_spark.operators.staging import stage_fanout
 
 
 def split_leakage_report(documents: DataFrame) -> DataFrame:
@@ -91,7 +91,7 @@ def leakage_fix_report(documents: DataFrame) -> DataFrame:
     once and joined twice against map-side split expressions — the pair
     list is staged and FED to the closure (`neardup_clusters`), so
     neither is re-derived per scheme."""
-    pairs = stage(minhash_lsh_neardup(documents).select("doc_a", "doc_b"))
+    pairs = stage_fanout(minhash_lsh_neardup(documents).select("doc_a", "doc_b"))
     doc_sp = assign_splits(documents.select("doc_id"), "doc_id")
     clus_sp = assign_splits(
         neardup_clusters(documents, pairs).select("doc_id", "canonical_id"),

@@ -28,7 +28,7 @@ def test_reliable_staging_modes_match_local(spark, sf0001, tmp_path):
     base = _decisions(spark, sf0001)  # default: local
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
-        for mode in ("checkpoint", "table"):
+        for mode in ("cache", "checkpoint", "table"):
             spark.conf.set(STAGING_CONF_KEY, mode)
             assert _decisions(spark, sf0001) == base, f"mode={mode} diverged"
     finally:
