@@ -1071,15 +1071,19 @@ def q_curated_decontaminated(spark: SparkSession, sf_dir: str):
 # its sf0.01 oracle check in tests/test_oracle_correctness.py.
 WINDOW_FIRST: tuple[str, ...] = (
     # --- ROUND-7 ROTATION (VERDICT r6 item 2, standing chore) ----------
-    # In:  quality_calibration_bins + lm_guided_mixture — the only 2 of
-    #      115 registrations with no driver CORRECTNESS row in any round
-    #      (registered after the r6 window pin; both pytest-oracle-green).
-    # Out: 2 r06-hash-green stability probes whose families stay
-    #      represented (split_leakage_report — leakage_safe_splits +
-    #      leakage_fix_report stay; ngram_diversity_by_source — pii_scan,
-    #      text_repetition, split_drift_report stay).  Both were already
-    #      in _REPORT_EXEMPT-adjacent history; added to the exempt union.
-    # Prior (round-6) rotation note kept in git history.
+    # In:  quality_calibration_bins + lm_guided_mixture (the only 2
+    #      never-reported registrations at round start) and, same-round,
+    #      the 6 round-7 TPC-H registrations tpch_q{4,7,12,14,19,22} so
+    #      they earn first driver rows without waiting a round.
+    # Out: split_leakage_report + ngram_diversity_by_source (r06-green)
+    #      and 6 multi-round-green r04 probes (normalized_dedup_documents,
+    #      stratified_sample_summary, events_anomaly_zscore,
+    #      chunk_documents, adaptive_quality_gate, text_repetition) —
+    #      every family stays represented (minhash/neardup_clusters,
+    #      capped_corpus, events_funnel/hopping, training_shard_manifest,
+    #      lm_fluency/quality_scores_saved, pii_scan/split_drift_report).
+    #      All rotated-out names joined the grows-only _REPORT_EXEMPT.
+    # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
     # probes; hash-green r01-r04):
@@ -1091,6 +1095,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     # First driver rows this round (round-7 rotation):
     "quality_calibration_bins",
     "lm_guided_mixture",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_shipping_delay",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity",
     # r06-green driver rows (kept as family probes):
     "leakage_fix_report",
     "neardup_threshold_curve",
@@ -1117,13 +1127,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     # Oracle-bearing r04-green stability probes (one per family):
     "dim_cliente_scd2",
     "orders_rank_suite",
-    "events_anomaly_zscore",
     "events_funnel",
-    "chunk_documents",
-    "normalized_dedup_documents",
     "decontaminate_documents",
     "duplicated_spans",
-    "stratified_sample_summary",
     "capped_corpus",
     "minhash_near_dup",
     "neardup_clusters",
@@ -1132,9 +1138,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ann_cosine_topk",
     "semantic_dedup",
     "lm_fluency_scores",
-    "adaptive_quality_gate",
     "pii_scan",
     "split_drift_report",
-    "text_repetition",
     "media_feature_extract",
 )

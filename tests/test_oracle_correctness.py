@@ -82,6 +82,13 @@ _REPORT_EXEMPT = {
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
     "pack_bins_summary",
+    # Rotated OUT of the round-7 window (multi-round-green probes
+    # displaced by the round-7 TPC-H additions; families stay probed):
+    "normalized_dedup_documents",
+    "stratified_sample_summary",
+    "events_anomaly_zscore",
+    "chunk_documents",
+    "adaptive_quality_gate",
     # Tail in rounds 1-3, rotated INTO the round-4 window:
     "approx_distinct_parts",
     "neardup_clusters",
