@@ -18,13 +18,17 @@ SPARK_GRAFT_CPUS (default 32), BENCH_QUERIES (comma-list to subset),
 BENCH_RUNS (default 3).
 
 Crowding tax (measured, round 7 — bench_isolated_curation_r7.json):
-heavy multi-stage chains (the curation family) run 2-26% slower inside
-the full 54-query suite JVM than in a fresh JVM on the same container —
-GC/code-cache/broadcast pressure accumulate over the session.  Compare
-in-suite medians round-over-round (the driver's contract), but
-attribute family-wide drifts to crowding + container co-tenancy before
-suspecting the plans; `BENCH_QUERIES=<family> BENCH_RUNS=5 python
-bench.py` is the isolation experiment.
+heavy multi-stage chains (the curation family) ran 2-26% slower inside
+the full 54-query suite JVM than in a fresh JVM on the same container.
+The follow-up root-cause (SCALE.md round 7) found most of the "tax"
+was the chains themselves: eager localCheckpoints at fan-out sites
+leaked blocks per invocation and forced stats-free row-oriented
+rereads; `stage_fanout` (cache-based staging) removed 2-3x from the
+family.  Residual in-suite-vs-isolated spread is container co-tenancy
+— still compare in-suite medians round-over-round (the driver's
+contract) and use `BENCH_QUERIES=<family> BENCH_RUNS=5 python
+bench.py` as the isolation experiment (subset runs no longer overwrite
+the round summary).
 """
 
 from __future__ import annotations
@@ -245,23 +249,27 @@ def main() -> None:
     # median/min/max (VERDICT r5 item 7): "regression or variance?" is
     # answerable from this one file — a new median inside last round's
     # [min, max] spread is variance, not regression.
-    summary_file = dict(
-        summary,
-        spreads={
-            name: {
-                "median": timings[name],
-                "min": min(s),
-                "max": max(s),
-            }
-            for name, s in samples.items()
-        },
-    )
-    with open(
-        os.path.join(here, f"bench_summary_r{_current_round(here)}.json"),
-        "w",
-        encoding="utf-8",
-    ) as fh:
-        json.dump(summary_file, fh, indent=1)
+    # Only a FULL headline run may write the round record — a
+    # BENCH_QUERIES subset run (the isolation experiment) would
+    # otherwise clobber the round's committed summary with 5 queries.
+    if not wanted:
+        summary_file = dict(
+            summary,
+            spreads={
+                name: {
+                    "median": timings[name],
+                    "min": min(s),
+                    "max": max(s),
+                }
+                for name, s in samples.items()
+            },
+        )
+        with open(
+            os.path.join(here, f"bench_summary_r{_current_round(here)}.json"),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(summary_file, fh, indent=1)
     print(json.dumps(summary, separators=(",", ":")))
 
 
