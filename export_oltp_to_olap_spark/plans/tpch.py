@@ -529,3 +529,193 @@ WHERE c_mktsegment IN {Q22_SEGMENTS!r}
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """.strip()
+
+
+# Second round-7 batch: four more shapes, chosen because each exercises
+# an aggregation topology the catalog still lacked.
+#
+# * Q8  — market share: a conditional revenue ratio per year over a
+#         seven-relation join (two nation roles + region gate).
+# * Q13 — distribution of group sizes: LEFT join, per-customer count,
+#         then a second aggregation OVER the counts (histogram of
+#         cardinalities — the "group by the group size" topology).
+# * Q15 — argmax via aggregate subquery: per-supplier revenue, keep the
+#         suppliers equal to the global max (ties preserved).
+# * Q17 — per-group aggregate threshold: lineitems below 20% of their
+#         part's average quantity (the correlated-average shape).
+
+
+Q8_NATION = "NATION_3"
+
+
+def q8_market_share(tables: dict[str, DataFrame]) -> DataFrame:
+    """Share of AMERICA's revenue supplied by one nation, per order
+    year — the conditional-ratio-per-group topology over the full
+    seven-relation star (customer chain fixes the market region, the
+    supplier's nation is the CASE condition)."""
+    c, o, li = tables["customer"], tables["orders"], tables["lineitem"]
+    s, n, r = tables["supplier"], tables["nation"], tables["region"]
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    nation_rev = F.when(
+        F.col("supp_nation") == Q8_NATION, F.expr(REVENUE)
+    ).otherwise(F.lit(0.0))
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "AMERICA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            exact_sum(nation_rev).alias("nation_revenue"),
+            exact_sum(F.expr(REVENUE)).alias("total_revenue"),
+        )
+    )
+    return (
+        agg.select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         {EXACT_SUM_SQL.format(expr="CASE WHEN n2.n_name = '" + Q8_NATION + "' THEN " + REVENUE + " ELSE 0.0 END")}
+           AS nation_revenue,
+         {EXACT_SUM_SQL.format(expr=REVENUE)} AS total_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+  GROUP BY year(o_orderdate)
+)
+SELECT o_year, nation_revenue, total_revenue,
+       ROUND(nation_revenue / total_revenue, 6) AS mkt_share
+FROM yearly
+ORDER BY o_year
+""".strip()
+
+
+def q13_customer_distribution(tables: dict[str, DataFrame]) -> DataFrame:
+    """How many customers placed exactly N orders (zero included) — the
+    group-by-the-group-size topology: LEFT join so orderless customers
+    count at 0, per-customer count, then a second aggregation over the
+    counts."""
+    c, o = tables["customer"], tables["orders"]
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""".strip()
+
+
+def q15_top_supplier(tables: dict[str, DataFrame]) -> DataFrame:
+    """Suppliers whose quarterly revenue equals the global maximum —
+    argmax via an aggregate-of-aggregate scalar subquery, ties kept
+    (exact decimal revenue, so the equality join is engine-safe)."""
+    li, s = tables["lineitem"], tables["supplier"]
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(exact_sum(F.expr(REVENUE)).alias("total_rev"))
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {EXACT_SUM_SQL.format(expr=REVENUE)} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s_suppkey
+""".strip()
+
+
+def q17_small_quantity_revenue(tables: dict[str, DataFrame]) -> DataFrame:
+    """Average yearly revenue lost by not stocking small orders: line
+    items under 20% of their part's average quantity — the correlated
+    per-group-average threshold, decorrelated into an aggregate join
+    (the threshold is decimal-exact so the cut is engine-identical)."""
+    li, p = tables["lineitem"], tables["part"]
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            F.round(
+                F.lit(0.2) * F.avg(F.col("l_quantity").cast("decimal(28,10)")), 4
+            ).cast("double").alias("qty_threshold")
+        )
+    )
+    return (
+        li.join(p.where(F.col("p_brand") == "Brand#4"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            exact_sum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(exact_sum(F.col("l_extendedprice")) / F.lit(7.0), 2).alias("avg_yearly"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH thresholds AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(ROUND(0.2 * AVG(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE)
+           AS qty_threshold
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT {EXACT_SUM_SQL.format(expr="l_extendedprice")} AS total_price,
+       count(*) AS n_lines,
+       ROUND({EXACT_SUM_SQL.format(expr="l_extendedprice")} / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN thresholds ON l_partkey = t_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < qty_threshold
+""".strip()

@@ -958,6 +958,34 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str):
     return tpch.q22_global_sales_opportunity(_tables(spark, sf_dir))
 
 
+@register("tpch_q8_market_share", tpch.Q8_SQL)
+def q_tpch_q8(spark: SparkSession, sf_dir: str):
+    """TPC-H Q8 shape: conditional revenue ratio per group over the
+    seven-relation star (two nation roles + region gate)."""
+    return tpch.q8_market_share(_tables(spark, sf_dir))
+
+
+@register("tpch_q13_custdist", tpch.Q13_SQL)
+def q_tpch_q13(spark: SparkSession, sf_dir: str):
+    """TPC-H Q13 shape: histogram of group sizes (LEFT join keeps
+    zero-order customers, second aggregation over the counts)."""
+    return tpch.q13_customer_distribution(_tables(spark, sf_dir))
+
+
+@register("tpch_q15_top_supplier", tpch.Q15_SQL)
+def q_tpch_q15(spark: SparkSession, sf_dir: str):
+    """TPC-H Q15 shape: argmax via aggregate-of-aggregate scalar
+    subquery, ties preserved through an exact-decimal equality."""
+    return tpch.q15_top_supplier(_tables(spark, sf_dir))
+
+
+@register("tpch_q17_small_qty", tpch.Q17_SQL)
+def q_tpch_q17(spark: SparkSession, sf_dir: str):
+    """TPC-H Q17 shape: per-group aggregate threshold (correlated
+    average decorrelated into an aggregate join)."""
+    return tpch.q17_small_quantity_revenue(_tables(spark, sf_dir))
+
+
 @register("stats_moments_lineitem", analytic.STATS_MOMENTS_SQL)
 def q_stats_moments(spark: SparkSession, sf_dir: str):
     """Engine-exact stddev/covar/corr via decimal power sums (native

@@ -78,6 +78,10 @@ _REPORT_EXEMPT = {
     "tpch_q14_promo_revenue",
     "tpch_q19_discounted_revenue",
     "tpch_q22_sales_opportunity",
+    "tpch_q8_market_share",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
