@@ -986,6 +986,55 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str):
     return tpch.q17_small_quantity_revenue(_tables(spark, sf_dir))
 
 
+# With the six below, the catalog adapts ALL 22 TPC-H queries to the
+# fixture schema (lineitem stands in for partsupp as the supply-
+# relationship witness; shipdate-vs-orderdate stands in for the missing
+# commit/receipt lateness signal — adaptation notes in plans/tpch.py).
+
+
+@register("tpch_q2_min_cost_supplier", tpch.Q2_SQL)
+def q_tpch_q2(spark: SparkSession, sf_dir: str):
+    """TPC-H Q2 shape: correlated per-part MIN decorrelated into an
+    equality join back on the aggregate, region-gated, wide top-k."""
+    return tpch.q2_min_cost_supplier(_tables(spark, sf_dir))
+
+
+@register("tpch_q9_product_profit", tpch.Q9_SQL)
+def q_tpch_q9(spark: SparkSession, sf_dir: str):
+    """TPC-H Q9 shape: five-relation profit rollup; the summed
+    expression mixes fact and dimension columns in one decimal SUM."""
+    return tpch.q9_product_type_profit(_tables(spark, sf_dir))
+
+
+@register("tpch_q11_important_flow", tpch.Q11_SQL)
+def q_tpch_q11(spark: SparkSession, sf_dir: str):
+    """TPC-H Q11 shape: HAVING against a scalar aggregate-of-aggregate
+    share-of-total threshold."""
+    return tpch.q11_important_flow_value(_tables(spark, sf_dir))
+
+
+@register("tpch_q16_supplier_count", tpch.Q16_SQL)
+def q_tpch_q16(spark: SparkSession, sf_dir: str):
+    """TPC-H Q16 shape: distinct-pair derivation + NOT-IN anti-join +
+    COUNT(DISTINCT) per three-attribute group."""
+    return tpch.q16_supplier_relationship_count(_tables(spark, sf_dir))
+
+
+@register("tpch_q20_dominant_share", tpch.Q20_SQL)
+def q_tpch_q20(spark: SparkSession, sf_dir: str):
+    """TPC-H Q20 shape: two-level aggregate share comparison feeding a
+    semi-join into the supplier/nation chain."""
+    return tpch.q20_dominant_share_suppliers(_tables(spark, sf_dir))
+
+
+@register("tpch_q21_sole_blame", tpch.Q21_SQL)
+def q_tpch_q21(spark: SparkSession, sf_dir: str):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation — a
+    left-semi then a left-anti join, each with a non-equality residual
+    beside the key equality."""
+    return tpch.q21_sole_blame_suppliers(_tables(spark, sf_dir))
+
+
 @register("stats_moments_lineitem", analytic.STATS_MOMENTS_SQL)
 def q_stats_moments(spark: SparkSession, sf_dir: str):
     """Engine-exact stddev/covar/corr via decimal power sums (native

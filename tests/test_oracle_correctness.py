@@ -82,6 +82,12 @@ _REPORT_EXEMPT = {
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_flow",
+    "tpch_q16_supplier_count",
+    "tpch_q20_dominant_share",
+    "tpch_q21_sole_blame",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
