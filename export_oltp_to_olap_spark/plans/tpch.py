@@ -874,18 +874,25 @@ ORDER BY nation, o_year DESC
 
 
 Q11_NATION = "NATION_7"
-Q11_FRACTION = "0.001"
+Q11_MULTIPLE = "3"
 
 
 def q11_important_flow_value(tables: dict[str, DataFrame]) -> DataFrame:
-    """Parts whose traded value through one nation's suppliers exceeds a
-    share-of-total threshold.
+    """Parts whose traded value through one nation's suppliers is well
+    above the per-part average.
 
     Adaptation: stock value (``ps_supplycost * ps_availqty``) becomes
     the nation's observed discounted-charge flow per part.  The scalar
-    threshold is an aggregate OF the grouped aggregate; the share cut is
-    computed in decimal on both engines so the HAVING edge cannot drift
-    in floating ulps."""
+    threshold is an aggregate OF the grouped aggregate — Q11's defining
+    shape — but cut as a MULTIPLE OF THE AVERAGE rather than the spec's
+    fixed share-of-total: a fixed share divided by a growing part count
+    selects nothing as data scales (the spec itself scales its fraction
+    by 1/SF); the multiple-of-average form is scale-free, so the same
+    constant works from the sf0.001 fixture to 100 TB.  The cut is
+    evaluated as ``part_value * count > multiple * total`` — pure
+    decimal multiplication, no division or decimal AVG (DuckDB's AVG
+    over decimal degrades to DOUBLE), so the edge is bit-identical on
+    both engines."""
     li, s, n = tables["lineitem"], tables["supplier"], tables["nation"]
     flow = (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -896,16 +903,16 @@ def q11_important_flow_value(tables: dict[str, DataFrame]) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(exact_sum(F.expr(REVENUE)).alias("part_value"))
     )
-    threshold = flow.agg(
-        (
-            F.lit(Q11_FRACTION).cast("decimal(8,6)")
-            * F.sum(F.col("part_value").cast("decimal(28,10)"))
-        )
-        .cast("double")
-        .alias("cut")
+    totals = flow.agg(
+        F.sum(F.col("part_value").cast("decimal(28,10)")).alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
     return (
-        flow.join(F.broadcast(threshold), F.col("part_value") > F.col("cut"))
+        flow.join(
+            F.broadcast(totals),
+            F.col("part_value").cast("decimal(28,10)") * F.col("n_parts")
+            > F.lit(Q11_MULTIPLE).cast("decimal(8,6)") * F.col("total_value"),
+        )
         .select("p_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
@@ -923,11 +930,9 @@ WITH flow AS (
 )
 SELECT p_partkey, part_value
 FROM flow
-WHERE part_value > (
-  SELECT CAST(CAST({Q11_FRACTION} AS DECIMAL(8,6))
-              * SUM(CAST(part_value AS DECIMAL(28,10))) AS DOUBLE)
-  FROM flow
-)
+WHERE CAST(part_value AS DECIMAL(28,10)) * (SELECT COUNT(*) FROM flow)
+      > CAST({Q11_MULTIPLE} AS DECIMAL(8,6))
+        * (SELECT SUM(CAST(part_value AS DECIMAL(28,10))) FROM flow)
 ORDER BY part_value DESC, p_partkey
 """.strip()
 
