@@ -23,6 +23,45 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _nodes_outside_cache_builds(df) -> list[tuple[str, str]]:
+    """Walk the executed physical plan via the JVM tree and return
+    ``(class, simpleString)`` per node, STOPPING at the cache boundary.
+
+    A cached stage legitimately CONTAINS the expensive build plan (gates,
+    scans) — it runs once, at materialization.  What a fan-out plan test
+    must assert is that those nodes appear ONLY there, never in the query
+    body above the cache.  Every STRING rendering of the plan is the
+    wrong surface for that: both ``executedPlan().toString()`` and
+    formatted explain print the ``InMemoryRelation``'s build plan as
+    innerChildren, whose nested AQE sections RESET indentation (so the
+    subtree cannot be excised by depth), and what prints depends on
+    session cache state — a prior test materializing the same frame
+    flips the string, which made this assertion order-dependent in the
+    suite.  The real tree has no such ambiguity: ``InMemoryTableScanExec``
+    is a leaf (the build plan hangs off its relation, not its children),
+    so a walk that descends through AQE and query-stage wrappers and
+    stops at cache scans sees exactly the query body."""
+    out: list[tuple[str, str]] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        out.append((cls, node.simpleString(10000)))
+        if cls == "InMemoryTableScanExec":
+            return
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def test_point_filter_pushed_to_parquet_scan(spark, sf001):
     plan = _plan(spark, sf001, "point_filter_customer")
     assert "PushedFilters" in plan
@@ -168,9 +207,17 @@ def test_curation_checkpoint_collapses_gate_recompute(spark, sf001):
     contains zero regex gate nodes and zero document rescans."""
     df = registry.REGISTRY["corpus_curation_summary"].fn(spark, sf001)
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("regexp_replace") == 0, plan
-    assert "FileScan parquet" not in plan, plan
+    nodes = _nodes_outside_cache_builds(df)
+    # the staged set IS cache-served
+    assert any(cls == "InMemoryTableScanExec" for cls, _ in nodes), nodes
+    gate_hits = [s for _, s in nodes if "regexp_replace" in s]
+    assert not gate_hits, gate_hits
+    rescans = [
+        (cls, s)
+        for cls, s in nodes
+        if "FileSourceScan" in cls or "Scan parquet" in s
+    ]
+    assert not rescans, rescans
 
 
 def test_quality_scores_saved_is_one_mapside_sweep(spark, sf001):
