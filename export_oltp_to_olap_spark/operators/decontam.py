@@ -301,3 +301,197 @@ def flag_contaminated(
         F.array_distinct(word_shingles(text_col, n)), lambda g: F.xxhash64(g)
     )
     return docs.withColumn("contaminated", any_hit(gram_hashes))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the beyond-broadcast scale path
+# ---------------------------------------------------------------------------
+#
+# `contamination_hits` broadcasts the eval gram SET (exact, but bounded
+# by executor memory) and `flag_contaminated` broadcasts it as a sorted
+# hash array capped at MAX_EVAL_GRAMS.  When the "eval" side outgrows
+# both — decontaminating against an entire held-out corpus rather than
+# a benchmark suite — the exact join would shuffle EVERY exploded train
+# gram.  The classic fix is a two-phase Bloom prefilter:
+#
+#   1. build a fixed-size bitmap over the eval grams (size chosen by
+#      false-positive budget, INDEPENDENT of eval cardinality),
+#   2. probe it map-side over the train gram stream (vectorized Arrow
+#      batches — drops ~everything),
+#   3. exact-verify only the surviving candidates with the real join,
+#      which removes every false positive.
+#
+# Phase 3 makes the result bit-identical to `contamination_hits` (the
+# same DuckDB oracle hash-checks both), while the only full-corpus
+# shuffle left is the per-doc COUNT — the candidate join moves a few
+# hits instead of the whole gram stream.  Bloom filters cannot produce
+# false negatives when probe and build share the hash family, which
+# they do by construction here (both sides compute the same two
+# xxhash64 columns in Spark; Kirsch-Mitzenmacher double hashing derives
+# the k probes).
+
+BLOOM_M_BITS = 1 << 24  # fixture default: 2 MiB bitmap
+BLOOM_K = 5
+
+
+def _bloom_positions(h1, h2, m_bits: int, k: int):
+    """(k, n) bit positions via double hashing: ``(h1 + i*h2) mod m``.
+
+    Shared by build and probe so the two can never drift.  ``m_bits``
+    must be a power of two (the mod is a mask; uint64 wraparound is the
+    intended modular arithmetic)."""
+    import numpy as np
+
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    u1 = np.asarray(h1, dtype="int64").view("uint64")
+    u2 = np.asarray(h2, dtype="int64").view("uint64")
+    ks = np.arange(k, dtype="uint64")[:, None]
+    return ((u1[None, :] + ks * u2[None, :]) & np.uint64(m_bits - 1)).astype("int64")
+
+
+def _gram_hash_cols(gram_col: str = "gram"):
+    """The two independent 64-bit gram hashes (build ≡ probe)."""
+    return (
+        F.xxhash64(gram_col).alias("h1"),
+        F.xxhash64(F.lit("bloom:"), F.col(gram_col)).alias("h2"),
+    )
+
+
+def eval_gram_bloom(
+    eval_docs: DataFrame,
+    n: int = FIXTURE_N,
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+):
+    """Bloom bitmap (packed uint8 numpy array, ``m_bits/8`` bytes) over
+    the eval set's distinct n-grams.
+
+    Built distributively: each partition folds its grams into a local
+    bitmap inside one ``mapInPandas`` pass (no shuffle, no gram ever
+    leaves its partition), and the driver ORs the per-partition bitmaps.
+    Driver transfer is ``partitions × m_bits/8`` bytes and the standing
+    footprint is ``m_bits/8`` — both INDEPENDENT of eval cardinality,
+    which is the whole point: this is the eval-side structure that
+    still fits when `MAX_EVAL_GRAMS` does not.  At cluster scale with a
+    large ``m_bits``, repartition the gram stream to a handful of
+    partitions first (or tree-aggregate) to bound the OR fan-in.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from export_oltp_to_olap_spark import shipping
+
+    # the build closure calls the module-level _bloom_positions on
+    # executors — the package must travel with the job
+    shipping.ensure_shipped(eval_docs.sparkSession)
+
+    grams = (
+        spread_for_compute(eval_docs.select(text_col))
+        .select(F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram"))
+        .select(*_gram_hash_cols())
+    )
+
+    def build(batches):
+        bm = np.zeros(m_bits // 8, dtype="uint8")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = _bloom_positions(pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), m_bits, k)
+            flat = pos.ravel()
+            np.bitwise_or.at(
+                bm, flat >> 3, (np.uint8(1) << (flat & 7).astype("uint8"))
+            )
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = grams.mapInPandas(build, "bm binary").toPandas()
+    out = np.zeros(m_bits // 8, dtype="uint8")
+    for b in parts["bm"]:
+        out |= np.frombuffer(b, dtype="uint8")
+    return out
+
+
+def contamination_hits_bloom(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = FIXTURE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    bloom=None,
+) -> DataFrame:
+    """`contamination_hits`, Bloom-prefiltered: identical output (the
+    exact verify join removes every false positive — one oracle checks
+    both faces), different cost shape.
+
+    The exact path's single-agg trick needs the eval set broadcast; here
+    the per-doc gram total is its own aggregation (one extra doc_id
+    shuffle of per-doc partials) and the candidate→eval join is left
+    UNHINTED: at fixture scale AQE broadcasts it anyway, at the scale
+    this path exists for (eval too big to broadcast) it becomes a
+    shuffle join of the few surviving candidates against the eval grams
+    — never of the full corpus gram stream.
+
+    ``bloom`` accepts a prebuilt :func:`eval_gram_bloom` bitmap — the
+    standing-artifact form (compute the eval structure once, reuse per
+    batch), mirroring ``flag_contaminated(eval_hashes=…)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from export_oltp_to_olap_spark import shipping
+
+    # the probe closure calls the module-level _bloom_positions on
+    # executors — the package must travel with the job
+    shipping.ensure_shipped(corpus.sparkSession)
+
+    bm = bloom if bloom is not None else eval_gram_bloom(eval_docs, n, text_col, m_bits, k)
+    if len(bm) != m_bits // 8:
+        raise ValueError(f"bitmap is {len(bm)} bytes, expected {m_bits // 8}")
+    bc = corpus.sparkSession.sparkContext.broadcast(bm)
+
+    @pandas_udf("boolean")
+    def might_contain(h1s, h2s):
+        table = bc.value
+        if not len(h1s):
+            return pd.Series([], dtype="bool")
+        pos = _bloom_positions(h1s.to_numpy(), h2s.to_numpy(), m_bits, k)
+        bits = (np.uint8(1) << (pos & 7).astype("uint8"))
+        hits = (table[pos >> 3] & bits) != 0
+        return pd.Series(hits.all(axis=0))
+
+    corpus_grams = (
+        spread_for_compute(corpus.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram"))
+        .select(id_col, F.md5("gram").alias("g"), *_gram_hash_cols())
+    )
+    totals = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    candidates = corpus_grams.where(might_contain("h1", "h2")).select(id_col, "g")
+    overlaps = (
+        candidates.join(eval_ngram_set(eval_docs, n, text_col), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        totals.join(overlaps, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(F.col("n_overlap") / F.col("n_ngrams"), 6).alias("overlap_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def decontaminate_docs_bloom(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
+    """Fixture-shaped Bloom face of `decontaminate_docs`: same splits,
+    same output, same ORACLE (`decontam_sql` — the exact verify makes
+    the prefilter invisible in the result)."""
+    assigned = assign_splits(docs, "doc_id")
+    train = assigned.where(F.col("split") == "train").drop("split")
+    eval_docs = assigned.where(F.col("split") == "test").drop("split")
+    return contamination_hits_bloom(train, eval_docs, n=n)

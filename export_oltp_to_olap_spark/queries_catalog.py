@@ -324,6 +324,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str):
     return decontam.decontaminate_docs(_docs(spark, sf_dir))
 
 
+@register("decontaminate_bloom", decontam.DECONTAM_SQL)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str):
+    """Bloom-prefiltered decontamination for eval sets too large to
+    broadcast: fixed-size bitmap probe map-side, exact verify join on
+    the surviving candidates — same oracle as the exact face because
+    the verify removes every false positive."""
+    return decontam.decontaminate_docs_bloom(_docs(spark, sf_dir))
+
+
 @register("stratified_sample_summary", sampling.STRATIFIED_SAMPLE_SQL)
 def q_stratified_sample(spark: SparkSession, sf_dir: str):
     """Per-stratum deterministic downsample yield (corpus balancing) —

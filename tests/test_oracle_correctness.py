@@ -88,6 +88,7 @@ _REPORT_EXEMPT = {
     "tpch_q16_supplier_count",
     "tpch_q20_dominant_share",
     "tpch_q21_sole_blame",
+    "decontaminate_bloom",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
