@@ -86,6 +86,7 @@ from export_oltp_to_olap_spark.operators import (
     semdedup,
     similarity,
     substring,
+    winnow,
 )
 from export_oltp_to_olap_spark.plans import analytic, curation, flagship, leakage, star_oracle, tpch
 from export_oltp_to_olap_spark.plans import events as events_plans
@@ -331,6 +332,14 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str):
     the surviving candidates — same oracle as the exact face because
     the verify removes every false positive."""
     return decontam.decontaminate_docs_bloom(_docs(spark, sf_dir))
+
+
+@register("winnowing_fingerprints", winnow.WINNOWING_SQL)
+def q_winnowing(spark: SparkSession, sf_dir: str):
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): window-min
+    k-gram selection per doc + clone signal (docs sharing a fingerprint
+    hash) — all window functions, no UDFs, tie-free selection key."""
+    return winnow.fingerprint_report(_docs(spark, sf_dir))
 
 
 @register("stratified_sample_summary", sampling.STRATIFIED_SAMPLE_SQL)

@@ -1,0 +1,99 @@
+"""Winnowing fingerprints — the MOSS guarantees, pinned.
+
+What the algorithm promises (Schleimer et al. 2003) and what these
+tests hold it to: any shared passage of at least ``w + k - 1`` tokens
+yields at least one IDENTICAL fingerprint hash in both documents (the
+detection guarantee), selected density sits near ``2/(w+1)`` (the
+efficiency claim), position-shifting a passage does not break matching
+(position-robustness — the reason winnowing beats whole-doc hashing for
+clone detection), and short documents still fingerprint via the
+global-min fallback.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators import winnow
+
+K, W = winnow.FINGERPRINT_K, winnow.FINGERPRINT_W
+GUARANTEE = W + K - 1  # tokens: any shared run this long must match
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PASSAGE = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = GUARANTEE
+
+
+def test_planted_clone_shares_a_fingerprint(spark):
+    """The detection guarantee: a GUARANTEE-token passage embedded in two
+    otherwise-different documents must produce a common fingerprint hash,
+    wherever it sits in each document."""
+    assert len(PASSAGE.split()) == GUARANTEE
+    docs = _docs(
+        spark,
+        [
+            (1, f"one two three {PASSAGE} four five six"),
+            (2, f"seven eight nine ten eleven {PASSAGE}"),
+            (3, "totally unrelated words about something else entirely here"),
+        ],
+    )
+    fps = winnow.winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "planted clone produced no common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_report_clone_signal(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, f"one two three {PASSAGE} four five six"),
+            (2, f"seven eight nine ten eleven {PASSAGE}"),
+            (3, "totally unrelated words about something else entirely here"),
+        ],
+    )
+    rows = {r.doc_id: r for r in winnow.fingerprint_report(docs).collect()}
+    assert rows[1].shared_docs == 1 and rows[2].shared_docs == 1
+    assert rows[3].shared_docs == 0
+    for r in rows.values():
+        assert 0 < r.density <= 1.0
+
+
+def test_density_near_expectation(spark, sf001):
+    """Expected density is 2/(w+1); hold the corpus-wide mean to a loose
+     2x band (per-doc variance is high on short synthetic docs)."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    rep = winnow.fingerprint_report(docs)
+    agg = rep.agg(
+        (F.sum("n_fps") / F.sum("n_grams")).alias("mean_density")
+    ).collect()[0]
+    expected = 2.0 / (W + 1)
+    assert expected / 2 <= agg.mean_density <= expected * 2, agg.mean_density
+
+
+def test_short_doc_global_min_fallback(spark):
+    """k..k+w-2 tokens → at least one gram but no full window: exactly
+    one fingerprint (the global min)."""
+    docs = _docs(spark, [(1, "just four tiny words"), (2, "one two")])
+    fps = winnow.winnowing_fingerprints(docs).collect()
+    assert len([r for r in fps if r.doc_id == 1]) == 1
+    assert not [r for r in fps if r.doc_id == 2]  # < k tokens: no gram
+
+
+def test_position_shift_does_not_change_passage_hashes(spark):
+    """Moving the passage changes fp positions, never the matching
+    hashes — the property whole-document fingerprints lack."""
+    base = f"{PASSAGE} trailing words here"
+    shifted = f"some leading filler words {PASSAGE} trailing words here"
+    docs = _docs(spark, [(1, base), (2, shifted)])
+    fps = winnow.winnowing_fingerprints(docs).collect()
+    h1 = {r.fp_hash for r in fps if r.doc_id == 1}
+    h2 = {r.fp_hash for r in fps if r.doc_id == 2}
+    assert h1 & h2
