@@ -106,6 +106,13 @@ DEFAULT_HEADLINE = [
     "tpch_q18_large_volume",
     "tpch_q7_volume_shipping",
     "tpch_q19_discounted_revenue",
+    # Round-7 completion batch: the partsupp-role adaptations with the
+    # heaviest / most distinctive plan shapes (two-level aggregates, the
+    # decorrelated min-equality join, semi+anti residual joins).
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_count",
+    "tpch_q21_sole_blame",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
     "training_shard_manifest",

@@ -106,6 +106,13 @@ SMJ_EXPECTED = frozenset(
         "leakage_safe_splits",  # inherits neardup_clusters' propagation join
         "neardup_clusters",
         "semantic_dedup",
+        # TPC-H completion batch: large-large joins between frames both
+        # DERIVED FROM the fact aggregate, where neither side is
+        # broadcastable at scale and statistics are unknown at plan
+        # time — SMJ is the correct shape, reviewed:
+        "tpch_q2_min_cost_supplier",  # offers ⋈ per-part min (both from the lineitem agg)
+        "tpch_q20_dominant_share",  # per-supp share ⋈ per-part total semi-chain
+        "tpch_q21_sole_blame",  # late-lines anti ⋈ late-others (both from lineitem)
     }
 )
 
