@@ -1,0 +1,129 @@
+"""Custom stateful streaming on ``transformWithStateInPandas`` —
+the Spark-4-native state API.
+
+`streaming/stateful.py` builds on ``applyInPandasWithState`` (one opaque
+state tuple per group, whole-state read-modify-write per batch).  Spark
+4's ``transformWithStateInPandas`` replaces that with a
+``StatefulProcessor`` holding TYPED state handles — ValueState /
+ListState / MapState with per-entry access, optional per-state TTL, and
+timers — backed by the state-store server, so a group's state no longer
+round-trips wholesale through Python on every batch.
+
+The operator here is the first-seen exact dedup re-grounded on that
+API, because the older implementation's main compromise is exactly what
+MapState removes: ``applyInPandasWithState`` forces the WHOLE seen-set
+(one list per bucket) through Arrow every batch, which is why it needs
+the FIFO ``max_state_per_bucket`` cap; with MapState each fingerprint
+is its own store entry — lookups touch only the fingerprints in the
+batch, state size stops being a per-batch transfer cost, and retention
+becomes a declarative TTL instead of a hand-rolled eviction queue.
+
+Semantics match `streaming_exact_dedup`: emit the first arrival of each
+fingerprint, drop every later copy, within and across micro-batches
+(state is checkpointed).  With ``ttl_ms`` set, a fingerprint is
+retained for that long after its last write — the time-bounded
+retention production dedup wants (a copy arriving after expiry
+re-emits; never a false drop).  TTL requires processing-time tracking,
+so the operator switches ``timeMode`` accordingly.
+
+Scale: grouping on a fingerprint prefix spreads state over 256 buckets
+(widen the prefix at corpus scale); the per-row Python loop inside the
+processor is per-BUCKET-batch (bounded by arrival rate, not state
+size), and each MapState probe is a point lookup in the executor-local
+store — RocksDB-backed on a cluster.
+
+ENVIRONMENT GATE (declared, like the media codec stubs): Spark's
+transformWithState Python↔JVM state protocol is protobuf-based
+(``pyspark/sql/streaming/proto/StateMessage_pb2``), and the sandbox
+image ships no ``google.protobuf`` — so this operator cannot EXECUTE
+here and ``tests/test_stateful_v2.py`` import-skips.  The requirements
+discovered getting to that point are encoded anyway because they are
+the non-obvious part: (1) the RocksDB state-store provider is
+mandatory, (2) the processor must pickle BY VALUE because the
+driver-side StreamingPythonRunner never sees ``sc.addPyFile``.  On a
+cluster with protobuf installed the test module runs as-is, including
+the v1↔v2 migration-equivalence test; `streaming/stateful.py` remains
+the execution-tested dedup in this container.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+DEDUP_OUTPUT_SCHEMA = "doc_id long, fp string"
+
+
+class FirstSeenDedupProcessor(StatefulProcessor):
+    """MapState(fp → first doc_id) per bucket; emit on first sight."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getMapState(
+            "seen", "fp string", "doc_id long", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator["pd.DataFrame"], timer_values: Any
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        out_ids: list[int] = []
+        out_fps: list[str] = []
+        for pdf in rows:
+            for did, fp in zip(pdf["doc_id"], pdf["fp"]):
+                if not self._seen.containsKey((fp,)):
+                    self._seen.updateValue((fp,), (int(did),))
+                    out_ids.append(int(did))
+                    out_fps.append(fp)
+        if out_ids:
+            yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_exact_dedup_tws(
+    docs: DataFrame, ttl_ms: int | None = None, prefix_len: int = 2
+) -> DataFrame:
+    """First-seen-wins streaming dedup on the Spark-4 state API.
+
+    Input needs ``doc_id`` and ``fp`` (content fingerprint) columns.
+    ``ttl_ms`` bounds retention per fingerprint (time-based, the
+    production form); unset keeps exact forever-dedup semantics —
+    unlike the v1 operator no FIFO cap is needed, because MapState
+    entries are point lookups rather than a per-batch Arrow transfer
+    of the whole seen-set.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark import shipping
+
+    # transformWithState unpickles the processor in a long-running
+    # DRIVER-side Python worker (StreamingPythonRunner) that does NOT
+    # see sc.addPyFile additions — ensure_shipped alone leaves it with
+    # ModuleNotFoundError.  Registering this module by value makes
+    # cloudpickle inline the processor class into the pickle itself, so
+    # no worker anywhere needs to import the package for it.
+    cloudpickle.register_pickle_by_value(sys.modules[streaming_exact_dedup_tws.__module__])
+    shipping.ensure_shipped(docs.sparkSession)  # task-side workers
+    keyed = docs.withColumn("bucket", F.substring("fp", 1, prefix_len))
+    return keyed.groupBy("bucket").transformWithStateInPandas(
+        FirstSeenDedupProcessor(ttl_ms),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )
