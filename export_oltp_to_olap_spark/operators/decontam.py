@@ -106,6 +106,18 @@ def contamination_hits(
     ).orderBy(id_col)
 
 
+def train_eval_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The fixture (train, eval) pair: hash-split the corpus and let the
+    ``test`` split stand in for the external benchmark set.  ONE home
+    for this convention — both decontamination faces and their tests
+    must decontaminate against the same eval set or the shared-oracle
+    contract silently breaks."""
+    assigned = assign_splits(docs, "doc_id")
+    train = assigned.where(F.col("split") == "train").drop("split")
+    eval_docs = assigned.where(F.col("split") == "test").drop("split")
+    return train, eval_docs
+
+
 def decontaminate_docs(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
     """Fixture-shaped entry: flag ``train``-split docs sharing any word
     ``n``-gram with the ``test`` split (the stand-in benchmark set).
@@ -114,9 +126,7 @@ def decontaminate_docs(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
     it; production callers use `contamination_hits` with a real
     benchmark DataFrame.
     """
-    assigned = assign_splits(docs, "doc_id")
-    train = assigned.where(F.col("split") == "train").drop("split")
-    eval_docs = assigned.where(F.col("split") == "test").drop("split")
+    train, eval_docs = train_eval_split(docs)
     return contamination_hits(train, eval_docs, n=n)
 
 
@@ -426,13 +436,16 @@ def contamination_hits_bloom(
     exact verify join removes every false positive — one oracle checks
     both faces), different cost shape.
 
-    The exact path's single-agg trick needs the eval set broadcast; here
-    the per-doc gram total is its own aggregation (one extra doc_id
-    shuffle of per-doc partials) and the candidate→eval join is left
-    UNHINTED: at fixture scale AQE broadcasts it anyway, at the scale
-    this path exists for (eval too big to broadcast) it becomes a
-    shuffle join of the few surviving candidates against the eval grams
-    — never of the full corpus gram stream.
+    The corpus is scanned ONCE: the probe verdict rides the exploded
+    gram stream as a column, and one per-doc aggregation yields both the
+    gram total and the (tiny) candidate-gram list, which then explodes
+    into the exact verify join.  Each stage's cost: full gram stream
+    map-side (scan + shingle + probe), one doc_id shuffle of per-doc
+    partials, then a join that moves ONLY the bloom survivors.  The
+    candidate→eval join is left UNHINTED: at fixture scale AQE
+    broadcasts it anyway, at the scale this path exists for (eval too
+    big to broadcast) it becomes a shuffle join of the few survivors
+    against the eval grams — never of the full corpus gram stream.
 
     ``bloom`` accepts a prebuilt :func:`eval_gram_bloom` bitmap — the
     standing-artifact form (compute the eval structure once, reuse per
@@ -468,30 +481,37 @@ def contamination_hits_bloom(
         .select(F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram"))
         .select(id_col, F.md5("gram").alias("g"), *_gram_hash_cols())
     )
-    totals = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    candidates = corpus_grams.where(might_contain("h1", "h2")).select(id_col, "g")
-    overlaps = (
-        candidates.join(eval_ngram_set(eval_docs, n, text_col), "g")
+    # ONE pass over the gram stream: probe verdict as a column, then a
+    # single per-doc agg producing the total AND the candidate list
+    # (collect_list skips the when()'s nulls; its size is bounded by
+    # true hits + fpp·n_ngrams, i.e. tiny).  Two independent branches
+    # here would re-scan and re-shingle the whole corpus — the branches
+    # diverge before any exchange, so ReuseExchange cannot merge them.
+    per_doc = (
+        corpus_grams.withColumn("cand", might_contain("h1", "h2"))
         .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.collect_list(F.when(F.col("cand"), F.col("g"))).alias("cand_g"),
+        )
+    )
+    hits = (
+        per_doc.select(id_col, "n_ngrams", F.explode("cand_g").alias("g"))
+        .join(eval_ngram_set(eval_docs, n, text_col), "g")
+        .groupBy(id_col, "n_ngrams")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    return (
-        totals.join(overlaps, id_col)
-        .select(
-            F.col(id_col),
-            F.col("n_ngrams").cast("long").alias("n_ngrams"),
-            F.col("n_overlap").cast("long").alias("n_overlap"),
-            F.round(F.col("n_overlap") / F.col("n_ngrams"), 6).alias("overlap_ratio"),
-        )
-        .orderBy(id_col)
-    )
+    return hits.select(
+        F.col(id_col),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.col("n_ngrams"), 6).alias("overlap_ratio"),
+    ).orderBy(id_col)
 
 
 def decontaminate_docs_bloom(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
-    """Fixture-shaped Bloom face of `decontaminate_docs`: same splits,
-    same output, same ORACLE (`decontam_sql` — the exact verify makes
-    the prefilter invisible in the result)."""
-    assigned = assign_splits(docs, "doc_id")
-    train = assigned.where(F.col("split") == "train").drop("split")
-    eval_docs = assigned.where(F.col("split") == "test").drop("split")
+    """Fixture-shaped Bloom face of `decontaminate_docs`: same splits
+    (`train_eval_split`), same output, same ORACLE (`decontam_sql` —
+    the exact verify makes the prefilter invisible in the result)."""
+    train, eval_docs = train_eval_split(docs)
     return contamination_hits_bloom(train, eval_docs, n=n)

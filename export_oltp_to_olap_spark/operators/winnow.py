@@ -58,19 +58,18 @@ FINGERPRINT_W = 5
 _POS_PAD = 10  # zero-pad width: string order == numeric order
 
 
-def winnowing_fingerprints(
+def _selected_keys(
     docs: DataFrame,
-    k: int = FINGERPRINT_K,
-    w: int = FINGERPRINT_W,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    k: int,
+    w: int,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """Per-doc winnowing fingerprint set: ``(doc_id, fp_pos, fp_hash)``.
-
-    ``fp_hash`` is the md5 of the k-gram at ``fp_pos`` — the unit that
-    matches across documents.  Documents with no k-gram (fewer than
-    ``k`` tokens) produce no rows.
-    """
+    """Distinct selected ``(id, key, maxpos)`` rows — the one winnowing
+    pass both public faces consume.  ``maxpos`` rides along because
+    ``maxpos + 1`` IS the doc's gram count (posexplode positions are
+    dense): the report face gets its denominator for free instead of
+    re-tokenizing the corpus in a second branch Catalyst cannot merge."""
     grams = (
         spread_for_compute(docs.select(id_col, text_col), id_col)
         .select(
@@ -103,8 +102,24 @@ def winnowing_fingerprints(
     sel = keyed.where(
         (F.col("pos") <= F.col("maxpos") - (w - 1))
         | ((F.col("maxpos") < w - 1) & (F.col("pos") == 0))
-    ).select(id_col, F.col("wmin").alias("key"))
-    return sel.distinct().select(
+    ).select(id_col, F.col("wmin").alias("key"), "maxpos")
+    return sel.distinct()
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc winnowing fingerprint set: ``(doc_id, fp_pos, fp_hash)``.
+
+    ``fp_hash`` is the md5 of the k-gram at ``fp_pos`` — the unit that
+    matches across documents.  Documents with no k-gram (fewer than
+    ``k`` tokens) produce no rows.
+    """
+    return _selected_keys(docs, k, w, id_col, text_col).select(
         F.col(id_col),
         F.substring("key", 34, _POS_PAD).cast("int").alias("fp_pos"),
         F.substring("key", 1, 32).alias("fp_hash"),
@@ -125,19 +140,25 @@ def fingerprint_report(
     and ``shared_docs`` counts OTHER documents sharing at least one
     fingerprint hash — the winnowing clone-detection signal.
     """
-    fps = winnowing_fingerprints(docs, k, w, id_col, text_col)
-    gram_counts = (
-        spread_for_compute(docs.select(id_col, text_col), id_col)
-        .select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("gram"))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_grams"))
+    sel = _selected_keys(docs, k, w, id_col, text_col)
+    # Every doc with >=1 gram has >=1 selected key (full windows, or the
+    # pos-0 fallback), so this one agg covers the whole gram-bearing
+    # corpus: n_grams = maxpos+1, no second tokenization pass.
+    per_doc = sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        (F.max("maxpos") + 1).alias("n_grams"),
     )
-    per_doc = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
-    other = fps.select(
+    # Clone signal joins DISTINCT (doc, hash) pairs: a hash selected at
+    # p positions in one doc and q in another must contribute ONE pair,
+    # not p*q join rows (boilerplate hashes make that product explode).
+    fph = sel.select(
+        F.col(id_col), F.substring("key", 1, 32).alias("fp_hash")
+    ).distinct()
+    other = fph.select(
         F.col(id_col).alias("other_id"), F.col("fp_hash").alias("other_hash")
     )
     shared = (
-        fps.join(
+        fph.join(
             other,
             (F.col("fp_hash") == F.col("other_hash"))
             & (F.col(id_col) != F.col("other_id")),
@@ -146,8 +167,7 @@ def fingerprint_report(
         .agg(F.countDistinct("other_id").alias("shared_docs"))
     )
     return (
-        gram_counts.join(per_doc, id_col)
-        .join(shared, id_col, "left")
+        per_doc.join(shared, id_col, "left")
         .select(
             F.col(id_col),
             F.col("n_grams").cast("long").alias("n_grams"),

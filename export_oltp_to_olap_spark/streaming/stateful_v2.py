@@ -78,14 +78,23 @@ class FirstSeenDedupProcessor(StatefulProcessor):
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        # Deterministic in-batch winner: the post-groupBy shuffle delivers
+        # rows in arbitrary order, so resolve each fingerprint's batch
+        # winner to the MIN doc_id before probing state (the v1
+        # operator's sort_values + drop_duplicates convention — without
+        # this the v1↔v2 equivalence contract is false on a cluster).
+        pdfs = list(rows)
+        if not pdfs:
+            return
+        batch = pd.concat(pdfs, ignore_index=True)
+        batch = batch.sort_values("doc_id").drop_duplicates("fp", keep="first")
         out_ids: list[int] = []
         out_fps: list[str] = []
-        for pdf in rows:
-            for did, fp in zip(pdf["doc_id"], pdf["fp"]):
-                if not self._seen.containsKey((fp,)):
-                    self._seen.updateValue((fp,), (int(did),))
-                    out_ids.append(int(did))
-                    out_fps.append(fp)
+        for did, fp in zip(batch["doc_id"], batch["fp"]):
+            if not self._seen.containsKey((fp,)):
+                self._seen.updateValue((fp,), (int(did),))
+                out_ids.append(int(did))
+                out_fps.append(fp)
         if out_ids:
             yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
 

@@ -17,7 +17,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.operators import decontam
-from export_oltp_to_olap_spark.operators.sampling import assign_splits
 
 
 def _docs(spark, sf001):
@@ -25,10 +24,7 @@ def _docs(spark, sf001):
 
 
 def _splits(spark, sf001):
-    assigned = assign_splits(_docs(spark, sf001), "doc_id")
-    train = assigned.where(F.col("split") == "train").drop("split")
-    eval_docs = assigned.where(F.col("split") == "test").drop("split")
-    return train, eval_docs
+    return decontam.train_eval_split(_docs(spark, sf001))
 
 
 def test_bloom_face_equals_exact_face(spark, sf001):
