@@ -113,6 +113,7 @@ SMJ_EXPECTED = frozenset(
         "tpch_q2_min_cost_supplier",  # offers ⋈ per-part min (both from the lineitem agg)
         "tpch_q20_dominant_share",  # per-supp share ⋈ per-part total semi-chain
         "tpch_q21_sole_blame",  # late-lines anti ⋈ late-others (both from lineitem)
+        "winnowing_fingerprints",  # clone signal = fingerprint set ⋈ itself on fp_hash
     }
 )
 
