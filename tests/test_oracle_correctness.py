@@ -215,6 +215,20 @@ _REPORT_EXEMPT = {
 }
 
 
+def test_window_first_is_exactly_the_driver_window():
+    """WINDOW_FIRST pins the 50 names the driver records.  The registry
+    filters it with ``if n in REGISTRY`` — a typo or a stale name after
+    a rename would SILENTLY shrink the window and hand a tail query an
+    unplanned driver row, so the pin must be exactly 50 valid, unique
+    names."""
+    from export_oltp_to_olap_spark.queries_catalog import WINDOW_FIRST
+
+    unknown = [n for n in WINDOW_FIRST if n not in registry.REGISTRY]
+    assert not unknown, f"WINDOW_FIRST names not in the registry: {unknown}"
+    assert len(set(WINDOW_FIRST)) == len(WINDOW_FIRST), "duplicate window names"
+    assert len(WINDOW_FIRST) == 50, len(WINDOW_FIRST)
+
+
 def test_driver_report_completeness():
     """Every registered query must appear in the latest driver-emitted
     CORRECTNESS_r{N}.json — a silently dropped row could mask a real
