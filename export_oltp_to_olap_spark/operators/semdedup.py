@@ -248,3 +248,146 @@ LEFT JOIN (SELECT vec_id, max(cos) AS dup_cos
            FROM dup_pairs GROUP BY vec_id) d
   ON d.vec_id = a.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Threshold calibration curve — the embedding-side twin of
+# neardup.neardup_threshold_curve
+# ---------------------------------------------------------------------------
+
+# Levels straddle the fixture operating point (SEMDEDUP_THRESHOLD=0.4):
+# synthetic embeddings are near-orthogonal, so cosines above ~0.45 are
+# empty — a curve of all-zero rows calibrates nothing.
+SEMDEDUP_CURVE = (0.25, 0.3, 0.35, 0.4, 0.45)
+
+
+def semdedup_threshold_curve(
+    embeddings: DataFrame,
+    thresholds: tuple[float, ...] = SEMDEDUP_CURVE,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    centroid_mode: str = "first",
+) -> DataFrame:
+    """(threshold, n_pairs, n_vecs_dropped) per candidate cosine cutoff
+    — the knob-calibration table a SemDeDup rollout reads before
+    committing to a threshold, exactly like the n-gram curve on the
+    lexical side.
+
+    ONE within-cluster pair pass at the loosest level (stricter levels'
+    pairs are a subset, so the prescore guard at ``min(thresholds)`` is
+    lossless for every level); the curve is a map-side explode over the
+    threshold literals + one agg.  Cosines are the same
+    decimal-exact-rounded values as `semantic_dedup`, so the cutoff
+    comparisons are engine-identical.
+    """
+    spark = embeddings.sparkSession
+    tmin = min(thresholds)
+    pair_dot = _pair_dot_udf()
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    assigned = stage_fanout(
+        rank_centroids(base, centroid_table(base, n_centroids, centroid_mode))
+        .where(F.col("cen_rank") == 1)
+        .select("vec_id", "embedding", "norm", F.col("cen_id").alias("cluster_id"))
+    )
+    pairs = (
+        _within_cluster_pairs(assigned, None)
+        .withColumn(
+            "cos_pre",
+            pair_dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .withColumn(
+            "cos",
+            F.when(
+                F.col("cos_pre") >= F.lit(tmin - PRESCORE_MARGIN),
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
+            ),
+        )
+        .where(F.col("cos") >= F.lit(tmin))
+        .select("vec_b", "cos")
+    )
+    lits = [F.lit(float(x)) for x in thresholds]
+    t = F.explode(F.array(*lits)).alias("threshold")
+    counts = (
+        pairs.select(t, "vec_b", "cos")
+        .where(F.col("cos") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("vec_b").cast("bigint").alias("n_vecs_dropped"),
+        )
+    )
+    levels = spark.range(1).select(t)
+    return (
+        levels.join(counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_vecs_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_vecs_dropped"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def semdedup_threshold_curve_sql(
+    thresholds: tuple[float, ...] = SEMDEDUP_CURVE,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+) -> str:
+    """DuckDB restatement of `semdedup_threshold_curve` (first-K
+    centroids), sharing `semantic_dedup_sql`'s assignment CTEs."""
+    from export_oltp_to_olap_spark.operators.similarity import _NORMS_CTE
+
+    lits = ", ".join(str(x) for x in thresholds)
+    tmin = min(thresholds)
+    return f"""
+WITH {_NORMS_CTE},
+cen_sims AS (
+  SELECT v.vec_id, c.vec_id AS cen_id,
+         SUM(v.e * c.e) / (nv.norm * nc.norm) AS sim
+  FROM elems v
+  JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY v.vec_id, c.vec_id, nv.norm, nc.norm
+),
+assigned AS (
+  SELECT vec_id, cen_id AS cluster_id
+  FROM (SELECT vec_id, cen_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS cen_rank
+        FROM cen_sims)
+  WHERE cen_rank = 1
+),
+pair_cos AS (
+  SELECT p.vb AS vec_b,
+         round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
+               / (na.norm * nb.norm), 6) AS cos
+  FROM (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM assigned a JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  ) p
+  JOIN elems ea ON ea.vec_id = p.va
+  JOIN elems eb ON eb.vec_id = p.vb AND eb.i = ea.i
+  JOIN norms na ON na.vec_id = p.va
+  JOIN norms nb ON nb.vec_id = p.vb
+  GROUP BY p.va, p.vb, na.norm, nb.norm
+  HAVING round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
+               / (na.norm * nb.norm), 6) >= {tmin}
+)
+SELECT CAST(t AS DOUBLE) AS threshold,
+       CAST(count(p.vec_b) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.vec_b) AS BIGINT) AS n_vecs_dropped
+FROM unnest([{lits}]) AS u(t)
+LEFT JOIN pair_cos p ON p.cos >= CAST(t AS DOUBLE)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+SEMDEDUP_THRESHOLD_CURVE_SQL = semdedup_threshold_curve_sql()

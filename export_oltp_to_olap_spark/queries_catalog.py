@@ -475,6 +475,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str):
     return semdedup.semantic_dedup(_embeddings(spark, sf_dir))
 
 
+@register("semdedup_threshold_curve", semdedup.SEMDEDUP_THRESHOLD_CURVE_SQL)
+def q_semdedup_threshold_curve(spark: SparkSession, sf_dir: str):
+    """Cosine-cutoff calibration table for SemDeDup (embedding-side twin
+    of neardup_threshold_curve): one pair pass at the loosest level,
+    then a map-side threshold-literal sweep."""
+    return semdedup.semdedup_threshold_curve(_embeddings(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis over documents
 # ---------------------------------------------------------------------------

@@ -90,6 +90,7 @@ _REPORT_EXEMPT = {
     "tpch_q21_sole_blame",
     "decontaminate_bloom",
     "winnowing_fingerprints",
+    "semdedup_threshold_curve",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
