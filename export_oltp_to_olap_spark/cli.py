@@ -245,7 +245,35 @@ def cmd_eval_hashes(args: argparse.Namespace, spark: SparkSession) -> int:
         return 2
     hashes = eval_gram_hashes(eval_docs)
     save_eval_hashes(hashes, args.out)
-    print(json.dumps({"out": args.out, "n_grams": int(len(hashes))}))
+    out = {"out": args.out, "n_grams": int(len(hashes))}
+    if args.bloom_out:
+        from export_oltp_to_olap_spark.operators.decontam import (
+            BLOOM_K,
+            eval_gram_bloom,
+            save_eval_bloom,
+        )
+
+        bm = eval_gram_bloom(eval_docs, m_bits=args.bloom_m_bits)
+        save_eval_bloom(bm, args.bloom_out, k=BLOOM_K)
+        out["bloom_out"] = args.bloom_out
+        out["bloom_bytes"] = int(len(bm))
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_fingerprints(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Winnowing fingerprints (MOSS) from the command line: persist the
+    per-doc fingerprint set, or the per-doc summary + clone-signal
+    report with ``--report``."""
+    from export_oltp_to_olap_spark.operators import winnow
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    fn = winnow.fingerprint_report if args.report else winnow.winnowing_fingerprints
+    df = fn(docs, k=args.k, w=args.w)
+    df.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "rows": int(n), "k": args.k, "w": args.w}))
     return 0
 
 
@@ -459,7 +487,31 @@ def build_parser() -> argparse.ArgumentParser:
         "documents) when no --eval-dir is given",
     )
     evalh.add_argument("--out", required=True, help="artifact path (parquet file)")
+    evalh.add_argument(
+        "--bloom-out",
+        default=None,
+        help="also persist the Bloom bitmap artifact (the beyond-broadcast "
+        "eval structure for contamination_hits_bloom)",
+    )
+    evalh.add_argument(
+        "--bloom-m-bits",
+        type=int,
+        default=1 << 24,
+        help="bitmap size in bits (power of two; sets the fp budget)",
+    )
     evalh.set_defaults(fn=cmd_eval_hashes)
+
+    fprints = sub.add_parser(
+        "fingerprints",
+        help="winnowing (MOSS) document fingerprints: per-doc fingerprint "
+        "set, or the summary + clone-signal report with --report",
+    )
+    fprints.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    fprints.add_argument("--out", required=True, help="output parquet dir")
+    fprints.add_argument("--report", action="store_true")
+    fprints.add_argument("--k", type=int, default=4, help="k-gram width")
+    fprints.add_argument("--w", type=int, default=5, help="winnowing window")
+    fprints.set_defaults(fn=cmd_fingerprints)
 
     qmodel = sub.add_parser(
         "quality-model",

@@ -422,6 +422,37 @@ def eval_gram_bloom(
     return out
 
 
+def save_eval_bloom(bitmap, path: str, k: int = BLOOM_K) -> None:
+    """Persist an :func:`eval_gram_bloom` bitmap as a one-row parquet
+    artifact carrying its own (m_bits, k) — the compute-once half of
+    the compute-once / reuse-per-batch contract, mirroring
+    `save_eval_hashes`.  Parquet (not npy/pickle) so any engine can
+    audit the artifact."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    papq.write_table(
+        pa.table(
+            {
+                "bm": pa.array([bytes(bitmap)], type=pa.binary()),
+                "m_bits": pa.array([len(bitmap) * 8], type=pa.int64()),
+                "k": pa.array([k], type=pa.int64()),
+            }
+        ),
+        path,
+    )
+
+
+def load_eval_bloom(path: str):
+    """Read a :func:`save_eval_bloom` artifact back: (bitmap, m_bits, k)."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(path)
+    bm = np.frombuffer(t["bm"][0].as_py(), dtype="uint8")
+    return bm, int(t["m_bits"][0].as_py()), int(t["k"][0].as_py())
+
+
 def contamination_hits_bloom(
     corpus: DataFrame,
     eval_docs: DataFrame,

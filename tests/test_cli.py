@@ -289,3 +289,56 @@ def test_cli_eval_hashes_persist_then_reuse(spark, sf001, tmp_path):
         for r in curated_corpus_decontaminated(docs).collect()
     }
     assert got == want
+
+
+def test_cli_eval_hashes_bloom_artifact(spark, sf001, tmp_path):
+    """`eval-hashes --bloom-out` persists the Bloom bitmap next to the
+    hash array; the loaded artifact drives contamination_hits_bloom to
+    the same rows as an inline build."""
+    import numpy as np
+
+    from export_oltp_to_olap_spark.cli import main
+    from export_oltp_to_olap_spark.operators import decontam
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    art = str(tmp_path / "eval_hashes.parquet")
+    bart = str(tmp_path / "eval_bloom.parquet")
+    rc = main(
+        ["eval-hashes", "--source-dir", sf001, "--out", art, "--bloom-out", bart],
+        spark=spark,
+    )
+    assert rc == 0
+    bm, m_bits, k = decontam.load_eval_bloom(bart)
+    assert m_bits == decontam.BLOOM_M_BITS and k == decontam.BLOOM_K
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    train, eval_docs = decontam.train_eval_split(docs)
+    assert np.array_equal(bm, decontam.eval_gram_bloom(eval_docs))
+    reused = decontam.contamination_hits_bloom(train, eval_docs, bloom=bm).collect()
+    inline = decontam.contamination_hits_bloom(train, eval_docs).collect()
+    assert [tuple(r) for r in reused] == [tuple(r) for r in inline]
+
+
+def test_cli_fingerprints(spark, sf001, tmp_path):
+    """`fingerprints` writes the per-doc set; `--report` the clone
+    report — both equal to the API faces."""
+    from export_oltp_to_olap_spark.cli import main
+    from export_oltp_to_olap_spark.operators import winnow
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    out = str(tmp_path / "fps")
+    rc = main(["fingerprints", "--source-dir", sf001, "--out", out], spark=spark)
+    assert rc == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in winnow.winnowing_fingerprints(docs).collect()}
+    assert got == want
+
+    rep = str(tmp_path / "rep")
+    rc = main(
+        ["fingerprints", "--source-dir", sf001, "--out", rep, "--report"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {tuple(r) for r in spark.read.parquet(rep).collect()}
+    want = {tuple(r) for r in winnow.fingerprint_report(docs).collect()}
+    assert got == want
