@@ -113,6 +113,10 @@ DEFAULT_HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q16_supplier_count",
     "tpch_q21_sole_blame",
+    # Round-7 corpus-operator additions (all oracle-green):
+    "winnowing_fingerprints",
+    "decontaminate_bloom",
+    "semdedup_threshold_curve",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
     "training_shard_manifest",
