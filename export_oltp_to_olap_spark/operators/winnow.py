@@ -179,8 +179,99 @@ def fingerprint_report(
     )
 
 
-def winnowing_sql(k: int = FINGERPRINT_K, w: int = FINGERPRINT_W) -> str:
-    """DuckDB restatement of `fingerprint_report` at the same (k, w)."""
+def fingerprint_delta_report(
+    new_docs: DataFrame,
+    standing_fph: DataFrame,
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`fingerprint_report` for an append-only delta batch against a
+    standing corpus — incremental ≡ rebuild-restricted-to-delta-ids.
+
+    Winnowing is per-document, so the delta's fingerprints need ONLY the
+    delta (nothing re-tokenizes the standing corpus); the clone signal
+    probes the delta's hashes against ``standing_fph`` — the persistable
+    ``(doc_id, fp_hash)`` side table `standing_fingerprints` derives —
+    plus the delta's own hashes.  Steady-state batch cost is
+    O(|delta|) fingerprinting + one hash join whose stream side is the
+    delta's fingerprint set, never the corpus.
+    """
+    sel = _selected_keys(new_docs, k, w, id_col, text_col)
+    per_doc = sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        (F.max("maxpos") + 1).alias("n_grams"),
+    )
+    fph_new = sel.select(
+        F.col(id_col), F.substring("key", 1, 32).alias("fp_hash")
+    ).distinct()
+    fph_all = standing_fph.select(id_col, "fp_hash").unionByName(fph_new)
+    other = fph_all.select(
+        F.col(id_col).alias("other_id"), F.col("fp_hash").alias("other_hash")
+    )
+    shared = (
+        fph_new.join(
+            other,
+            (F.col("fp_hash") == F.col("other_hash"))
+            & (F.col(id_col) != F.col("other_id")),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("other_id").alias("shared_docs"))
+    )
+    return (
+        per_doc.join(shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_fps").cast("long").alias("n_fps"),
+            F.round(F.col("n_fps") / F.col("n_grams"), 6).alias("density"),
+            F.coalesce(F.col("shared_docs"), F.lit(0)).cast("long").alias("shared_docs"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def standing_fingerprints(
+    docs: DataFrame,
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistable ``(doc_id, fp_hash)`` side table the delta face
+    probes — in production this is written once and appended per batch
+    (the `ngram_shingle_sets` pattern)."""
+    return (
+        winnowing_fingerprints(docs, k, w, id_col, text_col)
+        .select(id_col, "fp_hash")
+        .distinct()
+    )
+
+
+DELTA_CUT_FRACTION = 0.9  # registered face: ids above 90 % of max = delta
+
+
+def fingerprint_delta_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: delta = ids above 90 % of max (the
+    `incremental_corpus_delta` convention); standing fingerprints are
+    derived in-call here, persisted in production."""
+    cut = docs.agg(
+        F.floor(F.lit(DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
+    )
+    new_docs = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("cut")).drop("cut")
+    old_docs = docs.join(F.broadcast(cut), F.col("doc_id") <= F.col("cut")).drop("cut")
+    return fingerprint_delta_report(new_docs, standing_fingerprints(old_docs))
+
+
+def winnowing_sql(
+    k: int = FINGERPRINT_K, w: int = FINGERPRINT_W, final_where: str = ""
+) -> str:
+    """DuckDB restatement of `fingerprint_report` at the same (k, w).
+
+    ``final_where`` restricts the FINAL select (e.g. to delta ids) while
+    the fingerprint/clone computation still sees the whole corpus — the
+    incremental ≡ rebuild oracle shape."""
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -227,8 +318,16 @@ SELECT g.doc_id,
 FROM gram_counts g
 JOIN per_doc p USING (doc_id)
 LEFT JOIN shared s USING (doc_id)
+{final_where}
 ORDER BY doc_id
 """.strip()
 
 
 WINNOWING_SQL = winnowing_sql()
+
+FINGERPRINT_DELTA_SQL = winnowing_sql(
+    final_where=(
+        "WHERE g.doc_id > (SELECT CAST(floor("
+        f"{DELTA_CUT_FRACTION} * max(doc_id)) AS BIGINT) FROM documents)"
+    )
+)

@@ -342,6 +342,15 @@ def q_winnowing(spark: SparkSession, sf_dir: str):
     return winnow.fingerprint_report(_docs(spark, sf_dir))
 
 
+@register("fingerprint_delta", winnow.FINGERPRINT_DELTA_SQL)
+def q_fingerprint_delta(spark: SparkSession, sf_dir: str):
+    """Incremental winnowing for an append-only delta batch (ids above
+    90% of max) probing the standing fingerprint side table; the oracle
+    is the FULL rebuild restricted to delta ids — incremental ≡ rebuild,
+    the incremental_corpus_delta convention."""
+    return winnow.fingerprint_delta_fixture(_docs(spark, sf_dir))
+
+
 @register("stratified_sample_summary", sampling.STRATIFIED_SAMPLE_SQL)
 def q_stratified_sample(spark: SparkSession, sf_dir: str):
     """Per-stratum deterministic downsample yield (corpus balancing) —

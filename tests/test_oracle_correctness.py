@@ -91,6 +91,7 @@ _REPORT_EXEMPT = {
     "decontaminate_bloom",
     "winnowing_fingerprints",
     "semdedup_threshold_curve",
+    "fingerprint_delta",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",

@@ -97,3 +97,39 @@ def test_position_shift_does_not_change_passage_hashes(spark):
     h1 = {r.fp_hash for r in fps if r.doc_id == 1}
     h2 = {r.fp_hash for r in fps if r.doc_id == 2}
     assert h1 & h2
+
+
+def test_delta_report_equals_rebuild_restricted(spark, sf001):
+    """Incremental ≡ rebuild: the delta face over (delta docs, standing
+    fingerprints) must equal the full-rebuild report restricted to the
+    delta ids."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    cut = docs.agg(
+        F.floor(F.lit(winnow.DELTA_CUT_FRACTION) * F.max("doc_id"))
+    ).collect()[0][0]
+    delta = winnow.fingerprint_delta_fixture(docs).collect()
+    full = [
+        r
+        for r in winnow.fingerprint_report(docs).collect()
+        if r.doc_id > cut
+    ]
+    assert [tuple(r) for r in delta] == [tuple(r) for r in full]
+
+
+def test_delta_probes_persisted_standing_table(spark, sf001, tmp_path):
+    """The standing fingerprint table round-trips through parquet — the
+    production persist-once/probe-per-batch pattern."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    cut = docs.agg(
+        F.floor(F.lit(winnow.DELTA_CUT_FRACTION) * F.max("doc_id"))
+    ).collect()[0][0]
+    old = docs.where(F.col("doc_id") <= cut)
+    new = docs.where(F.col("doc_id") > cut)
+    path = str(tmp_path / "standing_fph")
+    winnow.standing_fingerprints(old).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    got = winnow.fingerprint_delta_report(new, reloaded).collect()
+    want = winnow.fingerprint_delta_report(
+        new, winnow.standing_fingerprints(old)
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
