@@ -331,3 +331,69 @@ FINGERPRINT_DELTA_SQL = winnowing_sql(
         f"{DELTA_CUT_FRACTION} * max(doc_id)) AS BIGINT) FROM documents)"
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Stateless array formulation — the streaming-safe twin
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_entries(
+    text_col: str = "text", k: int = FINGERPRINT_K, w: int = FINGERPRINT_W
+):
+    """The winnowing selection as ONE pure column expression:
+    ``array<struct<fp_pos int, fp_hash string>>`` per document.
+
+    Winnowing is per-document, so the whole selection fits in array
+    expressions (transform + slice + array_min) with no window function
+    and no shuffle — which makes it STREAMING-SAFE in append mode with
+    zero state (non-time window functions are not allowed on streaming
+    DataFrames, so the batch formulation cannot stream).  Selection is
+    definitionally identical to `_selected_keys`: min key of every full
+    w-window, global min for shorter docs, distinct — the equivalence
+    test pins it row-for-row.
+    """
+    grams = word_shingles(text_col, k)
+    keys = F.transform(
+        grams,
+        lambda g, i: F.concat(
+            F.md5(g), F.lit(":"), F.lpad(i.cast("string"), _POS_PAD, "0")
+        ),
+    )
+    n = F.size(keys)
+    full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.array_min(F.slice(keys, i + 1, w)),
+        )
+    )
+    selected = (
+        F.when(n >= w, full)
+        .when(n >= 1, F.array(F.array_min(keys)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.transform(
+        selected,
+        lambda key: F.struct(
+            F.substring(key, 34, _POS_PAD).cast("int").alias("fp_pos"),
+            F.substring(key, 1, 32).alias("fp_hash"),
+        ),
+    )
+
+
+def streaming_fingerprints(
+    docs: DataFrame,
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, fp_pos, fp_hash)`` over a (doc_id, text) stream —
+    stateless map-side winnowing, append-mode-safe with no watermark and
+    no state store.  In a pipeline the sink appends these rows to the
+    standing fingerprint table (`standing_fingerprints`' layout), which
+    `fingerprint_delta_report` then probes per delta batch."""
+    entries = fingerprint_entries(text_col, k, w)
+    return docs.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.fp_pos").alias("fp_pos"), F.col("e.fp_hash").alias("fp_hash")
+    )

@@ -133,3 +133,60 @@ def test_delta_probes_persisted_standing_table(spark, sf001, tmp_path):
         new, winnow.standing_fingerprints(old)
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_array_formulation_equals_window_formulation(spark, sf001):
+    """The stateless array expression must select bit-identically to the
+    window-function batch pass over the whole fixture corpus."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    batch = {tuple(r) for r in winnow.winnowing_fingerprints(docs).collect()}
+    arr = {tuple(r) for r in winnow.streaming_fingerprints(docs).collect()}
+    assert arr == batch
+
+
+def test_streaming_fingerprints_stream_equals_batch(spark, tmp_path):
+    """Drive the stateless face as an actual stream (file feed,
+    availableNow): emitted fingerprints ≡ the batch operator's."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    rows = [
+        (1, f"one two three {PASSAGE} four five six"),
+        (2, f"seven eight nine ten eleven {PASSAGE}"),
+        (3, "tiny doc here"),
+    ]
+    for i, (did, text) in enumerate(rows):
+        with open(feed / f"b{i}.json", "w") as f:
+            f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    emitted = []
+
+    def sink(batch_df, _):
+        emitted.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        winnow.streaming_fingerprints(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = {
+        tuple(r)
+        for r in winnow.winnowing_fingerprints(
+            _docs(spark, rows)
+        ).collect()
+    }
+    assert set(emitted) == batch and len(emitted) == len(batch)
