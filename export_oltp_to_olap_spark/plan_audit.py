@@ -114,6 +114,8 @@ SMJ_EXPECTED = frozenset(
         "tpch_q20_dominant_share",  # per-supp share ⋈ per-part total semi-chain
         "tpch_q21_sole_blame",  # late-lines anti ⋈ late-others (both from lineitem)
         "winnowing_fingerprints",  # clone signal = fingerprint set ⋈ itself on fp_hash
+        "fingerprint_delta",  # delta fingerprints ⋈ the standing side table on fp_hash
+        "semdedup_threshold_curve",  # inherits semantic_dedup's within-cluster pair join
     }
 )
 
