@@ -393,6 +393,11 @@ def eval_gram_bloom(
 
     from export_oltp_to_olap_spark import shipping
 
+    # Fail fast on the driver: _bloom_positions re-checks on executors,
+    # but an invalid geometry should not cost a launched Spark job.
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+
     # the build closure calls the module-level _bloom_positions on
     # executors — the package must travel with the job
     shipping.ensure_shipped(eval_docs.sparkSession)
@@ -478,9 +483,14 @@ def contamination_hits_bloom(
     big to broadcast) it becomes a shuffle join of the few survivors
     against the eval grams — never of the full corpus gram stream.
 
-    ``bloom`` accepts a prebuilt :func:`eval_gram_bloom` bitmap — the
-    standing-artifact form (compute the eval structure once, reuse per
-    batch), mirroring ``flag_contaminated(eval_hashes=…)``.
+    ``bloom`` accepts a prebuilt bitmap — the standing-artifact form
+    (compute the eval structure once, reuse per batch), mirroring
+    ``flag_contaminated(eval_hashes=…)``.  Pass the
+    :func:`load_eval_bloom` triple ``(bm, m_bits, k)`` and the
+    artifact's own geometry is used (the safe form: probing with
+    different (m_bits, k) than the build would break the no-false-
+    negative guarantee); a raw array is validated against the
+    ``m_bits`` argument and rejected on mismatch.
     """
     import numpy as np
     import pandas as pd
@@ -492,9 +502,18 @@ def contamination_hits_bloom(
     # executors — the package must travel with the job
     shipping.ensure_shipped(corpus.sparkSession)
 
-    bm = bloom if bloom is not None else eval_gram_bloom(eval_docs, n, text_col, m_bits, k)
+    if bloom is None:
+        bm = eval_gram_bloom(eval_docs, n, text_col, m_bits, k)
+    elif isinstance(bloom, tuple):
+        bm, m_bits, k = bloom  # the load_eval_bloom triple carries its geometry
+    else:
+        bm = bloom
     if len(bm) != m_bits // 8:
-        raise ValueError(f"bitmap is {len(bm)} bytes, expected {m_bits // 8}")
+        raise ValueError(
+            f"bitmap is {len(bm)} bytes, expected {m_bits // 8} — a "
+            f"non-default artifact must be passed as the load_eval_bloom "
+            f"(bm, m_bits, k) triple so probe geometry matches the build"
+        )
     bc = corpus.sparkSession.sparkContext.broadcast(bm)
 
     @pandas_udf("boolean")

@@ -146,42 +146,9 @@ def semantic_dedup(
     re-partitions the pair work, so set it whenever cluster sizes are
     unknown or skewed.
     """
-    pair_dot = _pair_dot_udf()
-    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    assigned = (
-        rank_centroids(base, centroid_table(base, n_centroids, centroid_mode))
-        .where(F.col("cen_rank") == 1)
-        .select("vec_id", "embedding", "norm", F.col("cen_id").alias("cluster_id"))
-    )
-    # Stage the assignment once: three branches (pair sides a/b and the
-    # final keep/drop select) consume it through different projections,
-    # which defeats exchange reuse and would re-run the full N×C
-    # assignment pass per branch (same rule as plans/curation.py).
-    # Fan-out staging: cache under the default conf (lineage + stats
-    # kept), checkpoint/table on a cluster — operators/staging.py.
-    assigned = stage_fanout(assigned)
-    # Prescore every within-cluster pair with the vectorized dot; the
-    # exact decimal dot is When-guarded so it only evaluates on prescore
-    # survivors (Catalyst merges stacked filters — see similarity.py).
+    assigned = _staged_assignment(embeddings, n_centroids, centroid_mode)
     dup_pairs = (
-        _within_cluster_pairs(assigned, max_members_per_pair_task)
-        .withColumn(
-            "cos_pre",
-            pair_dot(F.col("emb_a"), F.col("emb_b"))
-            / (F.col("norm_a") * F.col("norm_b")),
-        )
-        .withColumn(
-            "cos",
-            F.when(
-                F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN),
-                F.round(
-                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
-                    / (F.col("norm_a") * F.col("norm_b")),
-                    6,
-                ),
-            ),
-        )
-        .where(F.col("cos") >= F.lit(threshold))
+        _scored_pairs(assigned, threshold, max_members_per_pair_task)
         .groupBy(F.col("vec_b").alias("vec_id"))
         .agg(F.max("cos").alias("dup_cos"))
     )
@@ -197,15 +164,62 @@ def semantic_dedup(
     )
 
 
-def semantic_dedup_sql(
-    n_centroids: int = SEMDEDUP_CENTROIDS,
-    threshold: float = SEMDEDUP_THRESHOLD,
-) -> str:
-    """DuckDB restatement of `semantic_dedup(centroid_mode="first")`."""
+def _staged_assignment(
+    embeddings: DataFrame, n_centroids: int, centroid_mode: str
+) -> DataFrame:
+    """Centroid-argmax assignment, staged once — shared by
+    `semantic_dedup` and the threshold curve so the exactness recipe has
+    ONE home per engine.  Staged because several branches (pair sides
+    a/b, the keep/drop select, the curve sweep) consume it through
+    different projections, which defeats exchange reuse and would re-run
+    the full N×C assignment pass per branch (same rule as
+    plans/curation.py); fan-out staging = cache under the default conf,
+    checkpoint/table on a cluster — operators/staging.py."""
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    return stage_fanout(
+        rank_centroids(base, centroid_table(base, n_centroids, centroid_mode))
+        .where(F.col("cen_rank") == 1)
+        .select("vec_id", "embedding", "norm", F.col("cen_id").alias("cluster_id"))
+    )
+
+
+def _scored_pairs(
+    assigned: DataFrame, floor_threshold: float, max_members: int | None
+) -> DataFrame:
+    """Within-cluster pairs with ``cos ≥ floor_threshold`` — the shared
+    exactness recipe: vectorized prescore dot, then the exact decimal
+    dot When-guarded so it only evaluates on prescore survivors
+    (Catalyst merges stacked filters — see similarity.py)."""
+    pair_dot = _pair_dot_udf()
+    return (
+        _within_cluster_pairs(assigned, max_members)
+        .withColumn(
+            "cos_pre",
+            pair_dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .withColumn(
+            "cos",
+            F.when(
+                F.col("cos_pre") >= F.lit(floor_threshold - PRESCORE_MARGIN),
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
+            ),
+        )
+        .where(F.col("cos") >= F.lit(floor_threshold))
+    )
+
+
+def _assignment_ctes(n_centroids: int) -> str:
+    """The norms → centroid-sims → argmax-assignment CTE text — ONE home
+    for the oracle-side assignment, shared by `semantic_dedup_sql` and
+    the threshold-curve SQL (the Spark twin is `_staged_assignment`)."""
     from export_oltp_to_olap_spark.operators.similarity import _NORMS_CTE
 
-    return f"""
-WITH {_NORMS_CTE},
+    return f"""{_NORMS_CTE},
 cen_sims AS (
   SELECT v.vec_id, c.vec_id AS cen_id,
          SUM(v.e * c.e) / (nv.norm * nc.norm) AS sim
@@ -222,11 +236,20 @@ assigned AS (
                    PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS cen_rank
         FROM cen_sims)
   WHERE cen_rank = 1
-),
-dup_pairs AS (
-  SELECT p.vb AS vec_id,
-         round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
-               / (na.norm * nb.norm), 6) AS cos
+)"""
+
+
+def _pair_cos_cte(name: str, out_col: str, floor_threshold: float) -> str:
+    """The within-cluster exact-decimal pair-cosine CTE with the floor
+    cut — ONE home for the oracle-side exactness recipe (the Spark twin
+    is `_scored_pairs`)."""
+    exact = (
+        "round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)"
+        "\n               / (na.norm * nb.norm), 6)"
+    )
+    return f"""{name} AS (
+  SELECT p.vb AS {out_col},
+         {exact} AS cos
   FROM (
     SELECT a.vec_id AS va, b.vec_id AS vb
     FROM assigned a JOIN assigned b
@@ -237,9 +260,18 @@ dup_pairs AS (
   JOIN norms na ON na.vec_id = p.va
   JOIN norms nb ON nb.vec_id = p.vb
   GROUP BY p.va, p.vb, na.norm, nb.norm
-  HAVING round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
-               / (na.norm * nb.norm), 6) >= {threshold}
-)
+  HAVING {exact} >= {floor_threshold}
+)"""
+
+
+def semantic_dedup_sql(
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    """DuckDB restatement of `semantic_dedup(centroid_mode="first")`."""
+    return f"""
+WITH {_assignment_ctes(n_centroids)},
+{_pair_cos_cte("dup_pairs", "vec_id", threshold)}
 SELECT a.vec_id, a.cluster_id,
        (d.dup_cos IS NULL) AS kept,
        d.dup_cos
@@ -266,6 +298,7 @@ def semdedup_threshold_curve(
     thresholds: tuple[float, ...] = SEMDEDUP_CURVE,
     n_centroids: int = SEMDEDUP_CENTROIDS,
     centroid_mode: str = "first",
+    max_members_per_pair_task: int | None = None,
 ) -> DataFrame:
     """(threshold, n_pairs, n_vecs_dropped) per candidate cosine cutoff
     — the knob-calibration table a SemDeDup rollout reads before
@@ -275,39 +308,18 @@ def semdedup_threshold_curve(
     ONE within-cluster pair pass at the loosest level (stricter levels'
     pairs are a subset, so the prescore guard at ``min(thresholds)`` is
     lossless for every level); the curve is a map-side explode over the
-    threshold literals + one agg.  Cosines are the same
-    decimal-exact-rounded values as `semantic_dedup`, so the cutoff
-    comparisons are engine-identical.
+    threshold literals + one agg.  Assignment and pair scoring are
+    `semantic_dedup`'s own helpers (`_staged_assignment`,
+    `_scored_pairs`), so the cutoff comparisons are engine-identical by
+    construction, and ``max_members_per_pair_task`` (hot-cluster
+    salting) passes through — the curve scans MORE pairs than the
+    operating point, so the skew knob matters here at least as much.
     """
     spark = embeddings.sparkSession
     tmin = min(thresholds)
-    pair_dot = _pair_dot_udf()
-    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
-    assigned = stage_fanout(
-        rank_centroids(base, centroid_table(base, n_centroids, centroid_mode))
-        .where(F.col("cen_rank") == 1)
-        .select("vec_id", "embedding", "norm", F.col("cen_id").alias("cluster_id"))
-    )
-    pairs = (
-        _within_cluster_pairs(assigned, None)
-        .withColumn(
-            "cos_pre",
-            pair_dot(F.col("emb_a"), F.col("emb_b"))
-            / (F.col("norm_a") * F.col("norm_b")),
-        )
-        .withColumn(
-            "cos",
-            F.when(
-                F.col("cos_pre") >= F.lit(tmin - PRESCORE_MARGIN),
-                F.round(
-                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
-                    / (F.col("norm_a") * F.col("norm_b")),
-                    6,
-                ),
-            ),
-        )
-        .where(F.col("cos") >= F.lit(tmin))
-        .select("vec_b", "cos")
+    assigned = _staged_assignment(embeddings, n_centroids, centroid_mode)
+    pairs = _scored_pairs(assigned, tmin, max_members_per_pair_task).select(
+        "vec_b", "cos"
     )
     lits = [F.lit(float(x)) for x in thresholds]
     t = F.explode(F.array(*lits)).alias("threshold")
@@ -339,47 +351,12 @@ def semdedup_threshold_curve_sql(
     n_centroids: int = SEMDEDUP_CENTROIDS,
 ) -> str:
     """DuckDB restatement of `semdedup_threshold_curve` (first-K
-    centroids), sharing `semantic_dedup_sql`'s assignment CTEs."""
-    from export_oltp_to_olap_spark.operators.similarity import _NORMS_CTE
-
+    centroids) — composed from the SAME assignment and pair-cosine CTE
+    builders as `semantic_dedup_sql`."""
     lits = ", ".join(str(x) for x in thresholds)
-    tmin = min(thresholds)
     return f"""
-WITH {_NORMS_CTE},
-cen_sims AS (
-  SELECT v.vec_id, c.vec_id AS cen_id,
-         SUM(v.e * c.e) / (nv.norm * nc.norm) AS sim
-  FROM elems v
-  JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
-  JOIN norms nv ON nv.vec_id = v.vec_id
-  JOIN norms nc ON nc.vec_id = c.vec_id
-  GROUP BY v.vec_id, c.vec_id, nv.norm, nc.norm
-),
-assigned AS (
-  SELECT vec_id, cen_id AS cluster_id
-  FROM (SELECT vec_id, cen_id,
-               row_number() OVER (
-                   PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS cen_rank
-        FROM cen_sims)
-  WHERE cen_rank = 1
-),
-pair_cos AS (
-  SELECT p.vb AS vec_b,
-         round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
-               / (na.norm * nb.norm), 6) AS cos
-  FROM (
-    SELECT a.vec_id AS va, b.vec_id AS vb
-    FROM assigned a JOIN assigned b
-      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-  ) p
-  JOIN elems ea ON ea.vec_id = p.va
-  JOIN elems eb ON eb.vec_id = p.vb AND eb.i = ea.i
-  JOIN norms na ON na.vec_id = p.va
-  JOIN norms nb ON nb.vec_id = p.vb
-  GROUP BY p.va, p.vb, na.norm, nb.norm
-  HAVING round(CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE)
-               / (na.norm * nb.norm), 6) >= {tmin}
-)
+WITH {_assignment_ctes(n_centroids)},
+{_pair_cos_cte("pair_cos", "vec_b", min(thresholds))}
 SELECT CAST(t AS DOUBLE) AS threshold,
        CAST(count(p.vec_b) AS BIGINT) AS n_pairs,
        CAST(count(DISTINCT p.vec_b) AS BIGINT) AS n_vecs_dropped

@@ -141,20 +141,35 @@ def fingerprint_report(
     fingerprint hash — the winnowing clone-detection signal.
     """
     sel = _selected_keys(docs, k, w, id_col, text_col)
-    # Every doc with >=1 gram has >=1 selected key (full windows, or the
-    # pos-0 fallback), so this one agg covers the whole gram-bearing
-    # corpus: n_grams = maxpos+1, no second tokenization pass.
+    return _report_from_selected(sel, None, id_col)
+
+
+def _report_from_selected(
+    sel: DataFrame, standing_fph: DataFrame | None, id_col: str
+) -> DataFrame:
+    """The report body both faces share: per-doc counts from the
+    selected keys, clone signal against (standing ∪ these docs) — the
+    batch face is exactly the delta face with an empty standing table.
+
+    Per-doc counts come from ONE agg over ``sel`` (every doc with ≥ 1
+    gram has ≥ 1 selected key, and ``n_grams = maxpos + 1`` — no second
+    tokenization pass).  The clone signal joins DISTINCT (doc, hash)
+    pairs: a hash selected at p positions in one doc and q in another
+    must contribute ONE pair, not p·q join rows (boilerplate hashes
+    make that product explode)."""
     per_doc = sel.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_fps"),
         (F.max("maxpos") + 1).alias("n_grams"),
     )
-    # Clone signal joins DISTINCT (doc, hash) pairs: a hash selected at
-    # p positions in one doc and q in another must contribute ONE pair,
-    # not p*q join rows (boilerplate hashes make that product explode).
     fph = sel.select(
         F.col(id_col), F.substring("key", 1, 32).alias("fp_hash")
     ).distinct()
-    other = fph.select(
+    fph_all = (
+        fph
+        if standing_fph is None
+        else standing_fph.select(id_col, "fp_hash").unionByName(fph)
+    )
+    other = fph_all.select(
         F.col(id_col).alias("other_id"), F.col("fp_hash").alias("other_hash")
     )
     shared = (
@@ -199,37 +214,7 @@ def fingerprint_delta_report(
     delta's fingerprint set, never the corpus.
     """
     sel = _selected_keys(new_docs, k, w, id_col, text_col)
-    per_doc = sel.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_fps"),
-        (F.max("maxpos") + 1).alias("n_grams"),
-    )
-    fph_new = sel.select(
-        F.col(id_col), F.substring("key", 1, 32).alias("fp_hash")
-    ).distinct()
-    fph_all = standing_fph.select(id_col, "fp_hash").unionByName(fph_new)
-    other = fph_all.select(
-        F.col(id_col).alias("other_id"), F.col("fp_hash").alias("other_hash")
-    )
-    shared = (
-        fph_new.join(
-            other,
-            (F.col("fp_hash") == F.col("other_hash"))
-            & (F.col(id_col) != F.col("other_id")),
-        )
-        .groupBy(id_col)
-        .agg(F.countDistinct("other_id").alias("shared_docs"))
-    )
-    return (
-        per_doc.join(shared, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.col("n_fps").cast("long").alias("n_fps"),
-            F.round(F.col("n_fps") / F.col("n_grams"), 6).alias("density"),
-            F.coalesce(F.col("shared_docs"), F.lit(0)).cast("long").alias("shared_docs"),
-        )
-        .orderBy(id_col)
-    )
+    return _report_from_selected(sel, standing_fph, id_col)
 
 
 def standing_fingerprints(

@@ -308,14 +308,26 @@ def test_cli_eval_hashes_bloom_artifact(spark, sf001, tmp_path):
         spark=spark,
     )
     assert rc == 0
-    bm, m_bits, k = decontam.load_eval_bloom(bart)
+    triple = decontam.load_eval_bloom(bart)
+    bm, m_bits, k = triple
     assert m_bits == decontam.BLOOM_M_BITS and k == decontam.BLOOM_K
     docs = load_tables(spark, sf001, ("documents",))["documents"]
     train, eval_docs = decontam.train_eval_split(docs)
     assert np.array_equal(bm, decontam.eval_gram_bloom(eval_docs))
-    reused = decontam.contamination_hits_bloom(train, eval_docs, bloom=bm).collect()
+    # the triple form carries its own geometry — the recommended reuse
+    reused = decontam.contamination_hits_bloom(
+        train, eval_docs, bloom=triple
+    ).collect()
     inline = decontam.contamination_hits_bloom(train, eval_docs).collect()
     assert [tuple(r) for r in reused] == [tuple(r) for r in inline]
+    # a raw array whose size disagrees with the probe geometry must be
+    # rejected, not silently probed with the wrong modulus
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="triple"):
+        decontam.contamination_hits_bloom(
+            train, eval_docs, bloom=bm, m_bits=decontam.BLOOM_M_BITS * 4
+        )
 
 
 def test_cli_fingerprints(spark, sf001, tmp_path):
