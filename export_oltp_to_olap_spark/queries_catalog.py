@@ -61,6 +61,14 @@ driver-report row, never the check itself.
   leakage_safe_splits (near-dup train/test leakage: measured, then made
   impossible via cluster-keyed splits), and the TPC-H-adapted
   suite tpch_q{3,5,6,10,18} (all oracle).
+* Round 7 completes the TPC-H adaptation to ALL 22 queries
+  (tpch_q{4,7,8,12,13,14,15,17,19,22} then the partsupp-role batch
+  tpch_q{2,9,11,16,20,21}) and adds the corpus operators
+  decontaminate_bloom (Bloom-prefiltered, shares the exact oracle),
+  winnowing_fingerprints + fingerprint_delta (MOSS fingerprints:
+  batch, delta-vs-standing-table, plus a zero-state streaming face),
+  and semdedup_threshold_curve — all registered in the TAIL with
+  sf0.01 oracle checks, to rotate into the round-8 window.
 """
 
 from __future__ import annotations

@@ -263,3 +263,27 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["region", "nation", "anio", "mes", "revenue", "n_lines", "n_orders"]
+
+
+def test_bench_headline_names_all_resolve():
+    """bench.py filters DEFAULT_HEADLINE with "if n in qs" — the same
+    silent-shrink trap as WINDOW_FIRST: a typo or stale name after a
+    rename would drop the query from every future BENCH_r{N} without a
+    trace.  Bracketed names are bench-only variants resolved against
+    _variant_queries() at run time."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    unknown = [
+        n
+        for n in bench.DEFAULT_HEADLINE
+        if "[" not in n and n not in registry.REGISTRY
+    ]
+    assert not unknown, f"bench headline names not in the registry: {unknown}"
+    assert len(set(bench.DEFAULT_HEADLINE)) == len(bench.DEFAULT_HEADLINE)
