@@ -1190,6 +1190,21 @@ def q_curated_decontaminated(spark: SparkSession, sf_dir: str):
 # query still has a hash-match-green driver row from rounds 1-3 and keeps
 # its sf0.01 oracle check in tests/test_oracle_correctness.py.
 WINDOW_FIRST: tuple[str, ...] = (
+    # ROUND-8 CHORE (first commit): rotate IN the 20 round-7 tail
+    # registrations — tpch_q{2,8,9,11,13,15,16,17,20,21} (the second and
+    # completion TPC-H batches), decontaminate_bloom,
+    # winnowing_fingerprints, fingerprint_delta, semdedup_threshold_curve
+    # — plus the 6 round-7-window TPC-H q{4,7,12,14,19,22} stay until
+    # their r07 rows land.  Rotate OUT multi-round-green probes keeping
+    # one per family (candidates: tpch_q3/q6/q10, leakage_fix_report,
+    # neardup_threshold_curve, rp_cosine_topk, quality_scores_saved,
+    # stats_moments_lineitem, snapshot_diff_customers,
+    # skew_safe_join_revenue, events_hopping_halfhour,
+    # training_shard_manifest, dsir_importance, dim_cliente_scd2,
+    # orders_rank_suite, events_funnel, duplicated_spans, capped_corpus,
+    # source_overlap_matrix, leakage_safe_splits — pick after reading
+    # CORRECTNESS_r07).  Every rotated-out name goes into the grows-only
+    # _REPORT_EXEMPT union.
     # --- ROUND-7 ROTATION (VERDICT r6 item 2, standing chore) ----------
     # In:  quality_calibration_bins + lm_guided_mixture (the only 2
     #      never-reported registrations at round start) and, same-round,
