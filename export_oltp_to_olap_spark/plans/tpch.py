@@ -1131,3 +1131,64 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """.strip()
+
+
+def q9_profit_trend(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-nation profit trend over the Q9 rollup: running cumulative
+    profit and year-over-year growth — the aggregate→window-lag→ratio
+    composite the plain TPC-H set lacks (every other window query in
+    the catalog ranks or buckets; this one differences a TIME SERIES of
+    aggregates).  The cumulative sum is decimal-exact (order-dependent
+    double summation would drift between engines); the growth ratio
+    divides two already-rounded 2-decimal doubles, the same engine-safe
+    pattern as the fingerprint densities."""
+    from pyspark.sql import Window
+
+    profit = q9_product_type_profit(tables)
+    w = Window.partitionBy("nation").orderBy("o_year")
+    cum = Window.partitionBy("nation").orderBy("o_year").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        profit.withColumn(
+            "cum_profit",
+            F.round(
+                F.sum(F.col("sum_profit").cast("decimal(28,10)")).over(cum), 2
+            ).cast("double"),
+        )
+        .withColumn("prev_profit", F.lag("sum_profit").over(w))
+        .withColumn(
+            "yoy_growth",
+            F.round(
+                (F.col("sum_profit") - F.col("prev_profit")) / F.col("prev_profit"),
+                6,
+            ),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+Q9_TREND_SQL = f"""
+WITH profit AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         {EXACT_SUM_SQL.format(expr=Q9_PROFIT)} AS sum_profit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '{Q9_PATTERN}'
+  GROUP BY n_name, year(o_orderdate)
+)
+SELECT nation, o_year, sum_profit,
+       CAST(ROUND(SUM(CAST(sum_profit AS DECIMAL(28,10)))
+                    OVER (PARTITION BY nation ORDER BY o_year), 2) AS DOUBLE)
+         AS cum_profit,
+       lag(sum_profit) OVER (PARTITION BY nation ORDER BY o_year) AS prev_profit,
+       round((sum_profit - lag(sum_profit) OVER (PARTITION BY nation ORDER BY o_year))
+             / lag(sum_profit) OVER (PARTITION BY nation ORDER BY o_year), 6)
+         AS yoy_growth
+FROM profit
+ORDER BY nation, o_year
+""".strip()

@@ -1078,6 +1078,15 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str):
     return tpch.q21_sole_blame_suppliers(_tables(spark, sf_dir))
 
 
+@register("tpch_q9_profit_trend", tpch.Q9_TREND_SQL)
+def q_tpch_q9_trend(spark: SparkSession, sf_dir: str):
+    """Aggregate → window-lag → ratio composite: per-nation running
+    cumulative profit (decimal-exact) and year-over-year growth over
+    the Q9 rollup — the catalog's one window query that DIFFERENCES a
+    time series of aggregates instead of ranking or bucketing."""
+    return tpch.q9_profit_trend(_tables(spark, sf_dir))
+
+
 @register("stats_moments_lineitem", analytic.STATS_MOMENTS_SQL)
 def q_stats_moments(spark: SparkSession, sf_dir: str):
     """Engine-exact stddev/covar/corr via decimal power sums (native

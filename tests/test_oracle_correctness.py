@@ -92,6 +92,7 @@ _REPORT_EXEMPT = {
     "winnowing_fingerprints",
     "semdedup_threshold_curve",
     "fingerprint_delta",
+    "tpch_q9_profit_trend",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
