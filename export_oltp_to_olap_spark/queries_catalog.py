@@ -1199,64 +1199,62 @@ def q_curated_decontaminated(spark: SparkSession, sf_dir: str):
 # query still has a hash-match-green driver row from rounds 1-3 and keeps
 # its sf0.01 oracle check in tests/test_oracle_correctness.py.
 WINDOW_FIRST: tuple[str, ...] = (
-    # ROUND-8 CHORE (first commit): rotate IN the 20 round-7 tail
-    # registrations — tpch_q{2,8,9,11,13,15,16,17,20,21} (the second and
-    # completion TPC-H batches), decontaminate_bloom,
-    # winnowing_fingerprints, fingerprint_delta, semdedup_threshold_curve
-    # — plus the 6 round-7-window TPC-H q{4,7,12,14,19,22} stay until
-    # their r07 rows land.  Rotate OUT multi-round-green probes keeping
-    # one per family (candidates: tpch_q3/q6/q10, leakage_fix_report,
-    # neardup_threshold_curve, rp_cosine_topk, quality_scores_saved,
-    # stats_moments_lineitem, snapshot_diff_customers,
-    # skew_safe_join_revenue, events_hopping_halfhour,
-    # training_shard_manifest, dsir_importance, dim_cliente_scd2,
-    # orders_rank_suite, events_funnel, duplicated_spans, capped_corpus,
-    # source_overlap_matrix, leakage_safe_splits — pick after reading
-    # CORRECTNESS_r07).  Every rotated-out name goes into the grows-only
-    # _REPORT_EXEMPT union.
-    # --- ROUND-7 ROTATION (VERDICT r6 item 2, standing chore) ----------
-    # In:  quality_calibration_bins + lm_guided_mixture (the only 2
-    #      never-reported registrations at round start) and, same-round,
-    #      the 6 round-7 TPC-H registrations tpch_q{4,7,12,14,19,22} so
-    #      they earn first driver rows without waiting a round.
-    # Out: split_leakage_report + ngram_diversity_by_source (r06-green)
-    #      and 6 multi-round-green r04 probes (normalized_dedup_documents,
-    #      stratified_sample_summary, events_anomaly_zscore,
-    #      chunk_documents, adaptive_quality_gate, text_repetition) —
-    #      every family stays represented (minhash/neardup_clusters,
-    #      capped_corpus, events_funnel/hopping, training_shard_manifest,
-    #      lm_fluency/quality_scores_saved, pii_scan/split_drift_report).
-    #      All rotated-out names joined the grows-only _REPORT_EXEMPT.
+    # STANDING RULE (VERDICT r7 item 3): any registration landing in the
+    # catalog tail mid-round must be rotated into this window IN THE SAME
+    # COMMIT that registers it, so it earns a driver row the round it is
+    # born.  Zero never-reported registrations at round end is the
+    # invariant; tests/test_oracle_correctness.py::
+    # test_driver_report_completeness enforces it against the latest
+    # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
+    # --- ROUND-8 ROTATION (VERDICT r7 item 1, pre-staged last round) ---
+    # In:  the 15 never-reported round-7 tail registrations —
+    #      tpch_q{2,8,9,11,13,15,16,17,20,21}, tpch_q9_profit_trend,
+    #      winnowing_fingerprints, fingerprint_delta, decontaminate_bloom,
+    #      semdedup_threshold_curve — plus pq_cosine_topk and
+    #      ivfpq_cosine_topk, whose oracles were retired from rows-only in
+    #      round 7 (committed codebook artifact + ADC SQL) and which need
+    #      their first HASH-green rows (their old rows were rows-only).
+    # Out: 17 multi-round-green probes, every family staying represented:
+    #      quality_calibration_bins + lm_guided_mixture (r07;
+    #      quality_scores_saved/lm_fluency_scores remain),
+    #      tpch_q{4,7,12,14,19,22} (r07) and tpch_q{3,5,6,10,18}
+    #      (r05+r07) — 11 fresh TPC-H registrations replace them,
+    #      leakage_fix_report (r06+r07; leakage_safe_splits remains),
+    #      neardup_threshold_curve (r06+r07; minhash/clusters remain),
+    #      rp_cosine_topk (r06+r07; ann_cosine_topk remains),
+    #      curated_corpus_decontaminated (r07; 3 curation faces remain).
+    #      All 17 were already members of the grows-only _REPORT_EXEMPT
+    #      union (each sat in a past-window tail at least once).
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04):
+    # probes; hash-green r01-r04 + r07):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # First driver rows this round (round-7 rotation):
-    "quality_calibration_bins",
-    "lm_guided_mixture",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q12_shipping_delay",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_sales_opportunity",
-    # r06-green driver rows (kept as family probes):
-    "leakage_fix_report",
-    "neardup_threshold_curve",
-    "rp_cosine_topk",
+    # First driver rows this round (round-8 rotation):
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q9_profit_trend",
+    "tpch_q11_important_flow",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty",
+    "tpch_q20_dominant_share",
+    "tpch_q21_sole_blame",
+    "winnowing_fingerprints",
+    "fingerprint_delta",
+    "decontaminate_bloom",
+    "semdedup_threshold_curve",
+    # First HASH-green rows (oracle retired from rows-only in round 7):
+    "pq_cosine_topk",
+    "ivfpq_cosine_topk",
+    # Multi-round-green family probes:
     "quality_scores_saved",
-    "curated_corpus_decontaminated",
-    # r05-green driver rows (kept one more round as family probes):
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
     "stats_moments_lineitem",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
