@@ -32,9 +32,15 @@ Shape (all built-in expressions — no UDFs anywhere):
 Scale (100 TB): the window pass partitions by doc_id (perfectly
 distributed, one shuffle); the fingerprint set is ~2/(w+1) of the gram
 stream, so the clone-signal self-join moves a small fraction of the
-corpus; boilerplate hashes shared by millions of docs skew that join —
-cap them by document frequency first (the `ngram_jaccard_pairs`
-df-cap pattern) when pointing this at web-scale corpora.
+corpus.  Boilerplate hashes shared by M documents (license headers,
+navigation chrome) would contribute M² rows on ONE join key — so the
+clone signal df-caps them: hashes whose document frequency exceeds
+``max_hash_df`` (default ``CLONE_SIGNAL_MAX_DF``) are excluded from the
+join and surfaced per-doc as ``capped_hashes``, making the truncation
+visible instead of silent.  Join input is then bounded by
+Σ_{df ≤ cap} df² ≤ cap · Σ df = cap · |fingerprint rows| — linear in
+the corpus, never quadratic in a hot key (growth pinned in
+tests/test_scale_growth.py on a crafted boilerplate-heavy corpus).
 
 Reference parity: none — the reference engine has no corpus operators;
 north-star extension per the build brief.
@@ -56,6 +62,15 @@ FINGERPRINT_K = 4
 FINGERPRINT_W = 5
 
 _POS_PAD = 10  # zero-pad width: string order == numeric order
+
+# Clone-signal df cap: fingerprint hashes present in MORE documents than
+# this are boilerplate (license headers, templates), not clone evidence —
+# they are dropped from the shared-docs join (bounding its fan-out to
+# cap·|fps| rows) and counted per doc as ``capped_hashes``.  Fixture
+# corpora peak at df = 6 (sf0.1), so the default changes nothing there;
+# at web scale it is the difference between a linear join and an M²
+# blow-up on one hot key.
+CLONE_SIGNAL_MAX_DF = 1000
 
 
 def _selected_keys(
@@ -132,20 +147,27 @@ def fingerprint_report(
     w: int = FINGERPRINT_W,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_hash_df: int = CLONE_SIGNAL_MAX_DF,
 ) -> DataFrame:
     """Per-doc fingerprint summary + clone signal.
 
-    ``(doc_id, n_grams, n_fps, density, shared_docs)`` where ``density``
-    is the selected fraction of gram positions (expectation 2/(w+1))
-    and ``shared_docs`` counts OTHER documents sharing at least one
-    fingerprint hash — the winnowing clone-detection signal.
+    ``(doc_id, n_grams, n_fps, density, shared_docs, capped_hashes)``
+    where ``density`` is the selected fraction of gram positions
+    (expectation 2/(w+1)), ``shared_docs`` counts OTHER documents
+    sharing at least one non-boilerplate fingerprint hash (document
+    frequency ≤ ``max_hash_df``) — the winnowing clone-detection signal
+    — and ``capped_hashes`` counts the doc's hashes excluded as
+    boilerplate, so truncation is visible.
     """
     sel = _selected_keys(docs, k, w, id_col, text_col)
-    return _report_from_selected(sel, None, id_col)
+    return _report_from_selected(sel, None, id_col, max_hash_df)
 
 
 def _report_from_selected(
-    sel: DataFrame, standing_fph: DataFrame | None, id_col: str
+    sel: DataFrame,
+    standing_fph: DataFrame | None,
+    id_col: str,
+    max_hash_df: int = CLONE_SIGNAL_MAX_DF,
 ) -> DataFrame:
     """The report body both faces share: per-doc counts from the
     selected keys, clone signal against (standing ∪ these docs) — the
@@ -155,8 +177,11 @@ def _report_from_selected(
     gram has ≥ 1 selected key, and ``n_grams = maxpos + 1`` — no second
     tokenization pass).  The clone signal joins DISTINCT (doc, hash)
     pairs: a hash selected at p positions in one doc and q in another
-    must contribute ONE pair, not p·q join rows (boilerplate hashes
-    make that product explode)."""
+    must contribute ONE pair, not p·q join rows.  Hashes hotter than
+    ``max_hash_df`` documents are dropped from BOTH join sides (join
+    input bounded by cap·|fps| — the `ngram_jaccard_pairs` df-cap
+    pattern) and reported per doc as ``capped_hashes``; ``hot`` is at
+    most |fps|/cap rows, so AQE broadcasts the anti-joins."""
     per_doc = sel.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_fps"),
         (F.max("maxpos") + 1).alias("n_grams"),
@@ -169,11 +194,25 @@ def _report_from_selected(
         if standing_fph is None
         else standing_fph.select(id_col, "fp_hash").unionByName(fph)
     )
-    other = fph_all.select(
+    # Document frequency over the FULL probe universe (standing ∪ new):
+    # a hash is boilerplate no matter which side its copies live on.
+    hot = (
+        fph_all.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_hash_df)
+        .select("fp_hash")
+    )
+    capped = (
+        fph.join(hot, "fp_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("capped_hashes"))
+    )
+    other = fph_all.join(hot, "fp_hash", "left_anti").select(
         F.col(id_col).alias("other_id"), F.col("fp_hash").alias("other_hash")
     )
     shared = (
-        fph.join(
+        fph.join(hot, "fp_hash", "left_anti")
+        .join(
             other,
             (F.col("fp_hash") == F.col("other_hash"))
             & (F.col(id_col) != F.col("other_id")),
@@ -183,12 +222,16 @@ def _report_from_selected(
     )
     return (
         per_doc.join(shared, id_col, "left")
+        .join(capped, id_col, "left")
         .select(
             F.col(id_col),
             F.col("n_grams").cast("long").alias("n_grams"),
             F.col("n_fps").cast("long").alias("n_fps"),
             F.round(F.col("n_fps") / F.col("n_grams"), 6).alias("density"),
             F.coalesce(F.col("shared_docs"), F.lit(0)).cast("long").alias("shared_docs"),
+            F.coalesce(F.col("capped_hashes"), F.lit(0))
+            .cast("long")
+            .alias("capped_hashes"),
         )
         .orderBy(id_col)
     )
@@ -201,6 +244,7 @@ def fingerprint_delta_report(
     w: int = FINGERPRINT_W,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_hash_df: int = CLONE_SIGNAL_MAX_DF,
 ) -> DataFrame:
     """`fingerprint_report` for an append-only delta batch against a
     standing corpus — incremental ≡ rebuild-restricted-to-delta-ids.
@@ -214,7 +258,7 @@ def fingerprint_delta_report(
     delta's fingerprint set, never the corpus.
     """
     sel = _selected_keys(new_docs, k, w, id_col, text_col)
-    return _report_from_selected(sel, standing_fph, id_col)
+    return _report_from_selected(sel, standing_fph, id_col, max_hash_df)
 
 
 def standing_fingerprints(
@@ -250,9 +294,14 @@ def fingerprint_delta_fixture(docs: DataFrame) -> DataFrame:
 
 
 def winnowing_sql(
-    k: int = FINGERPRINT_K, w: int = FINGERPRINT_W, final_where: str = ""
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    final_where: str = "",
+    max_hash_df: int = CLONE_SIGNAL_MAX_DF,
 ) -> str:
-    """DuckDB restatement of `fingerprint_report` at the same (k, w).
+    """DuckDB restatement of `fingerprint_report` at the same (k, w,
+    max_hash_df) — including the boilerplate df-cap and the
+    ``capped_hashes`` visibility column.
 
     ``final_where`` restricts the FINAL select (e.g. to delta ids) while
     the fingerprint/clone computation still sees the whole corpus — the
@@ -288,21 +337,33 @@ fps AS (
   SELECT DISTINCT doc_id, key FROM sel
 ),
 fph AS (SELECT DISTINCT doc_id, substr(key, 1, 32) AS fp_hash FROM fps),
+-- boilerplate df-cap: hashes in more than {max_hash_df} docs leave the
+-- clone join (bounded fan-out) and surface per doc as capped_hashes
+hot AS (
+  SELECT fp_hash FROM fph GROUP BY fp_hash HAVING count(*) > {max_hash_df}
+),
+capped AS (
+  SELECT doc_id, count(*) AS capped_hashes FROM fph
+  WHERE fp_hash IN (SELECT fp_hash FROM hot) GROUP BY doc_id
+),
 gram_counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
 per_doc AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id, count(DISTINCT b.doc_id) AS shared_docs
   FROM fph a JOIN fph b ON a.fp_hash = b.fp_hash AND a.doc_id <> b.doc_id
+  WHERE a.fp_hash NOT IN (SELECT fp_hash FROM hot)
   GROUP BY a.doc_id
 )
 SELECT g.doc_id,
        CAST(g.n_grams AS BIGINT) AS n_grams,
        CAST(p.n_fps AS BIGINT) AS n_fps,
        round(p.n_fps / CAST(g.n_grams AS DOUBLE), 6) AS density,
-       CAST(COALESCE(s.shared_docs, 0) AS BIGINT) AS shared_docs
+       CAST(COALESCE(s.shared_docs, 0) AS BIGINT) AS shared_docs,
+       CAST(COALESCE(c.capped_hashes, 0) AS BIGINT) AS capped_hashes
 FROM gram_counts g
 JOIN per_doc p USING (doc_id)
 LEFT JOIN shared s USING (doc_id)
+LEFT JOIN capped c USING (doc_id)
 {final_where}
 ORDER BY doc_id
 """.strip()

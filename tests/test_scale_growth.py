@@ -323,6 +323,66 @@ def test_winnowing_clone_pairs_answer_bounded(spark, sf001, sf01):
     assert e < 1.8, f"winnowing clone-pair growth exponent {e:.2f}"
 
 
+def test_winnowing_df_cap_bounds_boilerplate_join(spark):
+    """The clone-signal df-cap (VERDICT r7 item 2): M documents sharing
+    one boilerplate header put M² rows on a single join key; with
+    hashes above CLONE_SIGNAL_MAX_DF docs dropped from the join, the
+    join input must grow ~linearly in M.  Join input is computed
+    exactly as Σ df·(df−1) over the surviving hash dfs (the ordered
+    pair volume the shared-docs join would shuffle) — capped exponent
+    pinned ≤ 1.1 while the uncapped volume on the same corpora is
+    ≥ 1.8 (the blow-up the cap exists to kill)."""
+    from export_oltp_to_olap_spark.operators import winnow
+
+    boiler = (
+        "copyright acme corporation all rights reserved redistribution "
+        "permitted under license terms apply"
+    )
+    cap = 16
+
+    def pair_volume(m):
+        # Each doc = the shared boilerplate header (df = m, hot) + an
+        # 8-token passage shared with ONE partner doc (df = 2, the
+        # linear-in-m genuine clone signal) + a unique tail.
+        rows = [
+            (
+                i,
+                f"{boiler} pair{i // 2}a pair{i // 2}b pair{i // 2}c "
+                f"pair{i // 2}d pair{i // 2}e pair{i // 2}f pair{i // 2}g "
+                f"pair{i // 2}h unique tail w{i}a w{i}b w{i}c",
+            )
+            for i in range(1, m + 1)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        dfs = (
+            winnow.winnowing_fingerprints(docs)
+            .select("doc_id", "fp_hash")
+            .distinct()
+            .groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        vol = dfs.agg(
+            F.sum(
+                F.when(F.col("df") <= cap, F.col("df") * (F.col("df") - 1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("capped"),
+            F.sum(F.col("df") * (F.col("df") - 1)).alias("uncapped"),
+        ).collect()[0]
+        return vol.capped, vol.uncapped
+
+    m_small, m_big = 40, 160
+    cap_s, unc_s = pair_volume(m_small)
+    cap_b, unc_b = pair_volume(m_big)
+    e_capped = _exponent(cap_s, cap_b, m_small, m_big)
+    e_uncapped = _exponent(unc_s, unc_b, m_small, m_big)
+    assert e_uncapped >= 1.8, f"corpus not boilerplate-heavy? {e_uncapped:.2f}"
+    assert e_capped <= 1.1, (
+        f"df-capped clone-join volume grew with exponent {e_capped:.2f} "
+        f"on a boilerplate-heavy corpus — the cap is not bounding the join"
+    )
+
+
 def test_bloom_candidate_stream_tracks_the_answer(spark, sf001, sf01):
     """The Bloom prefilter's 100 TB claim is that the verify join moves
     candidates ≈ true hits + fp overhead, at EVERY scale — the filter's

@@ -66,6 +66,57 @@ def test_report_clone_signal(spark):
         assert 0 < r.density <= 1.0
 
 
+BOILERPLATE = (
+    "copyright acme corporation all rights reserved redistribution "
+    "permitted under license terms apply"
+)  # 14 tokens — guaranteed to fingerprint in every carrier doc
+
+
+def _boilerplate_corpus(spark, m):
+    """m docs = shared boilerplate header + a unique tail each, plus one
+    genuine clone pair planted on PASSAGE (non-boilerplate evidence)."""
+    rows = [
+        (i, f"{BOILERPLATE} unique tail w{i}a w{i}b w{i}c w{i}d w{i}e")
+        for i in range(1, m + 1)
+    ]
+    rows.append((m + 1, f"fresh opening words {PASSAGE} closing words here"))
+    rows.append((m + 2, f"other intro tokens {PASSAGE} different ending now"))
+    return _docs(spark, rows)
+
+
+def test_clone_signal_df_cap_drops_boilerplate_only_pairs(spark):
+    """Hashes hotter than max_hash_df leave the clone join: docs related
+    ONLY through boilerplate report shared_docs=0 with capped_hashes>0,
+    while the genuine clone pair (passage df=2 ≤ cap) still matches —
+    and the uncapped face confirms the boilerplate WAS the only link."""
+    m = 8
+    docs = _boilerplate_corpus(spark, m)
+    capped = {
+        r.doc_id: r for r in winnow.fingerprint_report(docs, max_hash_df=4).collect()
+    }
+    for i in range(1, m + 1):
+        assert capped[i].shared_docs == 0, capped[i]
+        assert capped[i].capped_hashes > 0, capped[i]
+    assert capped[m + 1].shared_docs == 1 and capped[m + 2].shared_docs == 1
+    assert capped[m + 1].capped_hashes == 0
+    uncapped = {
+        r.doc_id: r
+        for r in winnow.fingerprint_report(docs, max_hash_df=m + 2).collect()
+    }
+    for i in range(1, m + 1):
+        assert uncapped[i].shared_docs == m - 1  # the boilerplate link
+        assert uncapped[i].capped_hashes == 0
+
+
+def test_default_cap_is_invisible_on_fixture(spark, sf001):
+    """CLONE_SIGNAL_MAX_DF (1000) must not touch the fixture corpus:
+    capped_hashes = 0 everywhere (max fixture df is single-digit), so
+    the registered oracle face is unchanged by the cap machinery."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    rep = winnow.fingerprint_report(docs)
+    assert rep.agg(F.max("capped_hashes")).collect()[0][0] == 0
+
+
 def test_density_near_expectation(spark, sf001):
     """Expected density is 2/(w+1); hold the corpus-wide mean to a loose
      2x band (per-doc variance is high on short synthetic docs)."""
