@@ -243,6 +243,15 @@ def cmd_eval_hashes(args: argparse.Namespace, spark: SparkSession) -> int:
     else:
         print("eval-hashes: need --eval-dir or --source-dir", file=sys.stderr)
         return 2
+    m = args.bloom_m_bits
+    if args.bloom_out and (m <= 0 or m & (m - 1)):
+        # the CLI's invalid-input convention is stderr + rc 2, not the
+        # eval_gram_bloom ValueError traceback (ADVICE r7)
+        print(
+            f"eval-hashes: --bloom-m-bits must be a power of two, got {m}",
+            file=sys.stderr,
+        )
+        return 2
     hashes = eval_gram_hashes(eval_docs)
     save_eval_hashes(hashes, args.out)
     out = {"out": args.out, "n_grams": int(len(hashes))}

@@ -485,12 +485,13 @@ def contamination_hits_bloom(
 
     ``bloom`` accepts a prebuilt bitmap — the standing-artifact form
     (compute the eval structure once, reuse per batch), mirroring
-    ``flag_contaminated(eval_hashes=…)``.  Pass the
-    :func:`load_eval_bloom` triple ``(bm, m_bits, k)`` and the
-    artifact's own geometry is used (the safe form: probing with
-    different (m_bits, k) than the build would break the no-false-
-    negative guarantee); a raw array is validated against the
-    ``m_bits`` argument and rejected on mismatch.
+    ``flag_contaminated(eval_hashes=…)``.  It must be the
+    :func:`load_eval_bloom` triple ``(bm, m_bits, k)`` so the
+    artifact's own geometry is used for probing: a bare array is
+    REJECTED, because the byte length pins ``m_bits`` but not ``k``,
+    and probing with a larger k than the build silently yields false
+    negatives — missed contamination, the one failure mode the Bloom
+    contract forbids.
     """
     import numpy as np
     import pandas as pd
@@ -504,10 +505,15 @@ def contamination_hits_bloom(
 
     if bloom is None:
         bm = eval_gram_bloom(eval_docs, n, text_col, m_bits, k)
-    elif isinstance(bloom, tuple):
+    elif isinstance(bloom, tuple) and len(bloom) == 3:
         bm, m_bits, k = bloom  # the load_eval_bloom triple carries its geometry
     else:
-        bm = bloom
+        raise TypeError(
+            "prebuilt bloom must be the load_eval_bloom (bm, m_bits, k) "
+            "triple — a bare bitmap cannot carry its build-time k, and a "
+            "k mismatch between build and probe silently produces false "
+            "negatives (missed contamination)"
+        )
     if len(bm) != m_bits // 8:
         raise ValueError(
             f"bitmap is {len(bm)} bytes, expected {m_bits // 8} — a "

@@ -1157,10 +1157,15 @@ def q9_profit_trend(tables: dict[str, DataFrame]) -> DataFrame:
             ).cast("double"),
         )
         .withColumn("prev_profit", F.lag("sum_profit").over(w))
+        # nullif pins the zero-denominator case to NULL on BOTH engines:
+        # profit can be negative, so a nation-year summing to exactly 0
+        # is possible — Spark (non-ANSI) would return NULL for x/0 while
+        # DuckDB's IEEE doubles return ±inf/NaN (ADVICE r7).
         .withColumn(
             "yoy_growth",
             F.round(
-                (F.col("sum_profit") - F.col("prev_profit")) / F.col("prev_profit"),
+                (F.col("sum_profit") - F.col("prev_profit"))
+                / F.nullif(F.col("prev_profit"), F.lit(0.0)),
                 6,
             ),
         )
@@ -1186,8 +1191,10 @@ SELECT nation, o_year, sum_profit,
                     OVER (PARTITION BY nation ORDER BY o_year), 2) AS DOUBLE)
          AS cum_profit,
        lag(sum_profit) OVER (PARTITION BY nation ORDER BY o_year) AS prev_profit,
+       -- nullif: a zero prev_profit must yield NULL on both engines
+       -- (DuckDB IEEE doubles would give inf/NaN, Spark gives NULL)
        round((sum_profit - lag(sum_profit) OVER (PARTITION BY nation ORDER BY o_year))
-             / lag(sum_profit) OVER (PARTITION BY nation ORDER BY o_year), 6)
+             / nullif(lag(sum_profit) OVER (PARTITION BY nation ORDER BY o_year), 0), 6)
          AS yoy_growth
 FROM profit
 ORDER BY nation, o_year

@@ -80,9 +80,16 @@ class FirstSeenDedupProcessor(StatefulProcessor):
 
         # Deterministic in-batch winner: the post-groupBy shuffle delivers
         # rows in arbitrary order, so resolve each fingerprint's batch
-        # winner to the MIN doc_id before probing state (the v1
-        # operator's sort_values + drop_duplicates convention — without
-        # this the v1↔v2 equivalence contract is false on a cluster).
+        # winner to the GLOBAL min doc_id across all Arrow chunks before
+        # probing state.  This STRENGTHENS the v1 convention rather than
+        # copying it: v1 (stateful.py) resolves min-doc_id per Arrow
+        # chunk and updates seen between chunks, so for bucket batches
+        # spanning multiple chunks (~10k+ rows) v1's winner depends on
+        # chunk arrival order while v2's is order-free.  The emitted fp
+        # SET is identical either way (dedup semantics agree); only the
+        # attributed doc_id can differ — which is why the v1↔v2
+        # migration test compares fp sets, not (fp, doc_id) pairs, on
+        # multi-chunk batches (ADVICE r7).
         pdfs = list(rows)
         if not pdfs:
             return

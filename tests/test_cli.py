@@ -320,14 +320,37 @@ def test_cli_eval_hashes_bloom_artifact(spark, sf001, tmp_path):
     ).collect()
     inline = decontam.contamination_hits_bloom(train, eval_docs).collect()
     assert [tuple(r) for r in reused] == [tuple(r) for r in inline]
-    # a raw array whose size disagrees with the probe geometry must be
-    # rejected, not silently probed with the wrong modulus
+    # a raw array cannot carry its build-time k — rejected outright, not
+    # silently probed with the caller's (possibly mismatched) geometry
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="triple"):
+    with _pytest.raises(TypeError, match="triple"):
         decontam.contamination_hits_bloom(
             train, eval_docs, bloom=bm, m_bits=decontam.BLOOM_M_BITS * 4
         )
+
+
+def test_cli_eval_hashes_rejects_non_power_of_two_m_bits(spark, sf001, tmp_path, capsys):
+    """Invalid --bloom-m-bits follows the CLI convention (stderr + rc 2),
+    not an uncaught ValueError traceback from eval_gram_bloom (ADVICE r7)."""
+    from export_oltp_to_olap_spark.cli import main
+
+    rc = main(
+        [
+            "eval-hashes",
+            "--source-dir",
+            sf001,
+            "--out",
+            str(tmp_path / "h.parquet"),
+            "--bloom-out",
+            str(tmp_path / "b.parquet"),
+            "--bloom-m-bits",
+            "1000",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "power of two" in capsys.readouterr().err
 
 
 def test_cli_fingerprints(spark, sf001, tmp_path):

@@ -90,10 +90,23 @@ def test_m_bits_must_be_power_of_two():
 
 
 def test_prebuilt_bitmap_reuse_matches_inline_build(spark, sf001):
-    """The standing-artifact form: build once, hand the bitmap to the
-    probe — same rows as letting the operator build it."""
+    """The standing-artifact form: build once, hand the (bm, m_bits, k)
+    triple to the probe — same rows as letting the operator build it."""
     train, eval_docs = _splits(spark, sf001)
     bm = decontam.eval_gram_bloom(eval_docs)
+    triple = (bm, decontam.BLOOM_M_BITS, decontam.BLOOM_K)
     inline = decontam.contamination_hits_bloom(train, eval_docs).collect()
-    reused = decontam.contamination_hits_bloom(train, eval_docs, bloom=bm).collect()
+    reused = decontam.contamination_hits_bloom(
+        train, eval_docs, bloom=triple
+    ).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in reused]
+
+
+def test_bare_bitmap_is_rejected(spark, sf001):
+    """A bare array cannot carry its build-time k; probing a k-mismatched
+    bitmap silently MISSES contamination, so the operator only accepts
+    the load_eval_bloom triple."""
+    train, eval_docs = _splits(spark, sf001)
+    bm = decontam.eval_gram_bloom(eval_docs)
+    with pytest.raises(TypeError, match="triple"):
+        decontam.contamination_hits_bloom(train, eval_docs, bloom=bm)

@@ -97,12 +97,20 @@ def test_tws_dedup_first_seen_wins(spark, tmp_path):
 
 
 def test_tws_matches_v1_operator(spark, tmp_path):
-    """Migration guarantee: old and new state APIs emit the same set."""
+    """Migration guarantee: old and new state APIs emit the same
+    fingerprint SET.  Compared as fp sets, not (fp, doc_id) pairs: for
+    bucket batches spanning multiple Arrow chunks, v1's in-batch winner
+    is the per-chunk min (chunk-order-dependent) while v2 resolves the
+    global batch min — dedup semantics agree, attribution can differ
+    (ADVICE r7).  This tiny feed is single-chunk, so doc_ids happen to
+    agree too, but the CONTRACT — and this assertion — is the fp set."""
     feed = tmp_path / "docs"
     _write_feed(feed)
     v1 = _run(spark, feed, tmp_path / "ckpt_v1", streaming_exact_dedup)
     v2 = _run(spark, feed, tmp_path / "ckpt_v2", streaming_exact_dedup_tws)
-    assert set(v1) == set(v2) == FIRST_SEEN
+    assert {fp for _, fp in v1} == {fp for _, fp in v2} == {
+        fp for _, fp in FIRST_SEEN
+    }
 
 
 def test_tws_state_survives_restart(spark, tmp_path):
