@@ -46,6 +46,29 @@ PQ_M = 8  # subspaces
 PQ_KSUB = 16  # codewords per subspace
 DIM = 64
 
+# Exact-rescore shortlist sizes, as multiples of k.  The shortlist is
+# the recall/bandwidth dial: ADC ranking over 8-byte codes is noisy, so
+# the rescore must look past the first k code-ranked candidates.  PQ
+# ADC-scans the WHOLE corpus, so its code ranking is only locally wrong
+# — 4k suffices for its floor; IVF-PQ ranks RESIDUAL codes inside
+# probed lists where quantization error is a larger share of the
+# distance, so its shipped shortlist is wider (recall@10 0.40 → ~0.7 at
+# sf0.1 for 16× instead of 4×; the sweep lives in RECALL.json).  Cost:
+# shortlist_mult·k raw vectors per query touch the exact rescore — at
+# any corpus size this stays ≪ the probed-candidate count, so the
+# 100 TB story (codes bound bandwidth, rescore bounds error) is intact.
+PQ_SHORTLIST_MULT = 4
+IVFPQ_SHORTLIST_MULT = 16
+
+IVFPQ_CENTROIDS = 16
+# Shipped operating point (VERDICT r7 item 4): the sf0.1 grid measured
+# recall@10 = {nprobe 4: 0.59 ceiling, 6: 0.68, 8: 0.72} at mult=16 —
+# nprobe 4 was COVERAGE-limited (its full-rescore ceiling sat below the
+# 0.6 bar), so the shipped point widens both dials: 6/16 lists probed,
+# 16k-wide exact rescore.  RECALL.json commits the shortlist sweep and
+# a 0.60 floor; the exact-rescore contract is unchanged.
+IVFPQ_NPROBE = 6
+
 
 def train_codebooks(
     embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = DIM
@@ -145,10 +168,11 @@ def pq_cosine_topk(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     codebooks=None,
+    shortlist_mult: int = PQ_SHORTLIST_MULT,
 ) -> DataFrame:
     """PQ-ADC top-k with exact rescore: rank the whole corpus by the
-    compressed-code distance, shortlist 4k per query, exact-cosine the
-    shortlist.  Output matches ``cosine_topk``'s shape.
+    compressed-code distance, shortlist ``shortlist_mult·k`` per query,
+    exact-cosine the shortlist.  Output matches ``cosine_topk``'s shape.
 
     Squared-L2 ADC ranking recalls cosine neighbors imperfectly (norm
     variation + quantization error) — the recall test pins the floor
@@ -175,7 +199,7 @@ def pq_cosine_topk(
     )
     w_pre = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
     shortlist = scored.withColumn("prerank", F.row_number().over(w_pre)).where(
-        F.col("prerank") <= 4 * k
+        F.col("prerank") <= shortlist_mult * k
     )
     exact = shortlist.withColumn(
         "cos",
@@ -210,14 +234,15 @@ def _residual(x, c):
 
 def ivfpq_cosine_topk(
     embeddings: DataFrame,
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    n_centroids: int = IVFPQ_CENTROIDS,
+    nprobe: int = IVFPQ_NPROBE,
     n_queries: int = 10,
     k: int = 10,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     coarse_centroids=None,
     codebooks=None,
+    shortlist_mult: int = IVFPQ_SHORTLIST_MULT,
 ) -> DataFrame:
     """IVF-PQ top-k: coarse k-means lists bound the candidate set
     (probe ``nprobe`` lists per query), per-vector RESIDUAL product codes
@@ -231,7 +256,10 @@ def ivfpq_cosine_topk(
     corpus-wide spread — tighter quantization for the same bytes.
 
     Cost per query: nprobe/n_centroids of the corpus scored against an
-    8-byte code each; only the 4k shortlist touches raw vectors.
+    8-byte code each; only the ``shortlist_mult·k`` shortlist touches
+    raw vectors (16k shipped — residual-code ranking is noisier than
+    whole-vector PQ, so recall needs the wider rescore; see the
+    shortlist sweep in RECALL.json).
 
     ``coarse_centroids`` / ``codebooks``: pass frozen in-memory arrays
     (e.g. from :func:`load_pq_artifact`) to skip both training jobs —
@@ -290,7 +318,7 @@ def ivfpq_cosine_topk(
     w_pre = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
     shortlist = (
         scored.withColumn("prerank", F.row_number().over(w_pre))
-        .where(F.col("prerank") <= 4 * k)
+        .where(F.col("prerank") <= shortlist_mult * k)
         .join(F.broadcast(queries), "query_id")
     )
     exact = shortlist.withColumn(
@@ -335,9 +363,6 @@ PQ_ARTIFACT_PATH = os.path.join(
     "artifacts",
     "pq_codebooks_fixture.json",
 )
-
-IVFPQ_CENTROIDS = 16
-IVFPQ_NPROBE = 4
 
 
 def train_pq_artifact(
@@ -417,6 +442,7 @@ def ivfpq_cosine_topk_saved(
     k: int = 10,
     nprobe: int = IVFPQ_NPROBE,
     artifact: dict | None = None,
+    shortlist_mult: int = IVFPQ_SHORTLIST_MULT,
 ) -> DataFrame:
     """Registered face: IVF-PQ top-k against COMMITTED coarse centroids
     + residual codebooks — assignment, encode, probe, ADC, rescore, all
@@ -432,6 +458,7 @@ def ivfpq_cosine_topk_saved(
         ksub=art["ksub"],
         coarse_centroids=art["coarse_centroids"],
         codebooks=art["residual_codebooks"],
+        shortlist_mult=shortlist_mult,
     )
 
 
@@ -492,7 +519,10 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 
 
 def pq_cosine_topk_saved_sql(
-    artifact: dict | None = None, n_queries: int = 10, k: int = 10
+    artifact: dict | None = None,
+    n_queries: int = 10,
+    k: int = 10,
+    shortlist_mult: int = PQ_SHORTLIST_MULT,
 ) -> str:
     """Exact DuckDB restatement of :func:`pq_cosine_topk_saved`.
 
@@ -538,7 +568,7 @@ shortlist AS (
     SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY adc_d2 ASC, vec_id ASC) AS pr
-    FROM adc) WHERE pr <= {4 * k}
+    FROM adc) WHERE pr <= {shortlist_mult * k}
 ),
 {_PQ_TAIL_SQL.format(k=k)}
 """
@@ -549,6 +579,7 @@ def ivfpq_cosine_topk_saved_sql(
     n_queries: int = 10,
     k: int = 10,
     nprobe: int = IVFPQ_NPROBE,
+    shortlist_mult: int = IVFPQ_SHORTLIST_MULT,
 ) -> str:
     """Exact DuckDB restatement of :func:`ivfpq_cosine_topk_saved`:
     frozen-centroid assignment (cosine rank, cen_id tiebreak), exact
@@ -629,7 +660,7 @@ shortlist AS (
     SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY adc_d2 ASC, vec_id ASC) AS pr
-    FROM adc) WHERE pr <= {4 * k}
+    FROM adc) WHERE pr <= {shortlist_mult * k}
 ),
 {_PQ_TAIL_SQL.format(k=k)}
 """
