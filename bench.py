@@ -102,17 +102,31 @@ DEFAULT_HEADLINE = [
     "clicks_before_purchase",
     "orders_price_percentiles",
     "stats_moments_lineitem",
-    "tpch_q5_local_supplier",
-    "tpch_q18_large_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q19_discounted_revenue",
-    # Round-7 completion batch: the partsupp-role adaptations with the
-    # heaviest / most distinctive plan shapes (two-level aggregates, the
-    # decorrelated min-equality join, semi+anti residual joins).
+    # The complete 22-query TPC-H adaptation (round 8 closes the set:
+    # the suite is the standard warehouse workload, so its trend line
+    # should cover every query, not just the distinctive plan shapes).
     "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    "tpch_q9_profit_trend",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_flow",
+    "tpch_q12_shipping_delay",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_dominant_share",
     "tpch_q21_sole_blame",
+    "tpch_q22_sales_opportunity",
     # Round-7 corpus-operator additions (all oracle-green):
     "winnowing_fingerprints",
     "decontaminate_bloom",
