@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
@@ -396,6 +396,81 @@ ORDER BY source
 
 
 MIXTURE_WEIGHTS_SQL = mixture_weights_sql()
+
+
+def epoch_allocation(
+    documents: DataFrame, budget_tenths: int = 15, alpha_tenths: int = 5
+) -> DataFrame:
+    """Per-source epoch/repeat plan for a token budget under the
+    α-mixture — the planning table every pretraining run publishes
+    (LLaMA Table 1's "Epochs" column): given ``budget = budget_tenths/10
+    × total corpus tokens`` and the `mixture_weights` targets,
+
+    * ``target_tokens`` — the budget share this source must supply,
+    * ``epochs``        — target/available: >1 means the source repeats,
+    * ``repeat_factor`` — whole passes over the source (⌊epochs⌋),
+    * ``residual_rate`` — sampling rate of the final partial pass.
+
+    The budget is SCALE-FREE (a multiple of the corpus, not an absolute
+    count) so the plan is meaningful at every sf — fixed absolute
+    budgets degenerate at 100 TB exactly like fixed share-of-total
+    thresholds do.  Determinism: weights come 6-dp rounded from
+    `mixture_weights`; target_tokens floors weight×budget on BIGINTs;
+    the epoch ratios divide two already-pinned numbers — every value
+    hashes identically across engines.
+
+    Scale: `mixture_weights`' one corpus aggregate, then arithmetic on
+    S source rows.
+    """
+    weights = mixture_weights(documents, alpha_tenths)
+    budget = F.floor(
+        F.lit(budget_tenths)
+        * F.sum("tokens").over(Window.partitionBy())
+        / F.lit(10)
+    ).cast("long")
+    planned = weights.withColumn(
+        "target_tokens",
+        F.floor(F.col("weight") * budget).cast("long"),
+    )
+    epochs = F.col("target_tokens") / F.col("tokens")
+    return (
+        planned.select(
+            "source",
+            "tokens",
+            "weight",
+            "target_tokens",
+            F.round(epochs, 6).alias("epochs"),
+            F.floor(epochs).cast("long").alias("repeat_factor"),
+            F.round(epochs - F.floor(epochs), 6).alias("residual_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def epoch_allocation_sql(budget_tenths: int = 15, alpha_tenths: int = 5) -> str:
+    """DuckDB restatement of `epoch_allocation` at the same knobs."""
+    inner = mixture_weights_sql(alpha_tenths).strip()
+    return f"""
+WITH mw AS (
+{inner}
+),
+planned AS (
+  SELECT source, tokens, weight,
+         CAST(floor(weight * floor({budget_tenths}
+               * (SUM(tokens) OVER ()) / 10)) AS BIGINT) AS target_tokens
+  FROM mw
+)
+SELECT source, tokens, weight, target_tokens,
+       round(target_tokens / CAST(tokens AS DOUBLE), 6) AS epochs,
+       CAST(floor(target_tokens / CAST(tokens AS DOUBLE)) AS BIGINT) AS repeat_factor,
+       round(target_tokens / CAST(tokens AS DOUBLE)
+             - floor(target_tokens / CAST(tokens AS DOUBLE)), 6) AS residual_rate
+FROM planned
+ORDER BY source
+""".strip()
+
+
+EPOCH_ALLOCATION_SQL = epoch_allocation_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -813,6 +813,114 @@ SELECT query_id, neighbor_id, cos, rank FROM topk WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling
+# ---------------------------------------------------------------------------
+
+# Per-cluster pick cap: at sf0.01 (500 vectors / 16 lists ≈ 31 avg) the
+# cap genuinely binds, so the fixture face exercises the truncation path.
+DIVERSITY_CAP = 16
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    cap: int = DIVERSITY_CAP,
+    centroid_mode: str = "first",
+) -> DataFrame:
+    """Diversity subsample: at most ``cap`` vectors per embedding
+    cluster, picked by a deterministic hash order — the
+    cluster-balanced coreset selection curation pipelines run AFTER
+    near-dup removal (proportional sampling re-concentrates on the
+    densest modes; capping per cluster keeps the tails represented,
+    the same argument α-mixture weighting makes across sources).
+
+    Assignment reuses the shared `rank_centroids` convention (IVF /
+    IVF-PQ / SemDeDup); pick order is ``md5(vec_id)`` — engine-portable,
+    stable under repartition/append, and independent of the clustering
+    (re-running after an append only ADDS picks while cluster
+    membership is stable, it never reshuffles survivors the way an
+    RNG sample would).
+
+    Output: ``(vec_id, cen_id, pick_rank, cluster_size)`` for the
+    picked rows — ``cluster_size`` makes the balance (and the
+    truncation) visible per cluster.
+
+    Scale: one broadcast assignment pass + one per-cluster window on
+    (cen_id)-partitioned rows; hot clusters cost a bounded sort, and
+    the output is ≤ cap·n_clusters rows.
+    """
+    from pyspark.sql import Window
+
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    ranked = rank_centroids(base, centroid_table(base, n_centroids, centroid_mode))
+    assigned = ranked.where(F.col("cen_rank") == 1).select("vec_id", "cen_id")
+    sizes = assigned.groupBy("cen_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    w = Window.partitionBy("cen_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    picked = assigned.withColumn("pick_rank", F.row_number().over(w)).where(
+        F.col("pick_rank") <= cap
+    )
+    return (
+        # sizes is ≤ n_centroids rows — broadcast, never sort-merge
+        picked.join(F.broadcast(sizes), "cen_id")
+        .select(
+            "vec_id",
+            "cen_id",
+            F.col("pick_rank").cast("int").alias("pick_rank"),
+            "cluster_size",
+        )
+        .orderBy("cen_id", "pick_rank")
+    )
+
+
+def cluster_balanced_sample_sql(
+    n_centroids: int = IVF_CENTROIDS, cap: int = DIVERSITY_CAP
+) -> str:
+    """DuckDB restatement of `cluster_balanced_sample` ("first"
+    centroid mode — the oracle-restatable assignment, same raw-double
+    sim caveat the IVF oracle documents)."""
+    return f"""
+WITH {_NORMS_CTE},
+cen_sims AS (
+  SELECT v.vec_id, c.vec_id AS cen_id,
+         SUM(v.e * c.e) / (nv.norm * nc.norm) AS sim
+  FROM elems v
+  JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY v.vec_id, c.vec_id, nv.norm, nc.norm
+),
+ranked AS (
+  SELECT vec_id, cen_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS cen_rank
+  FROM cen_sims
+),
+assigned AS (SELECT vec_id, cen_id FROM ranked WHERE cen_rank = 1),
+sizes AS (
+  SELECT cen_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assigned GROUP BY cen_id
+),
+picked AS (
+  SELECT vec_id, cen_id,
+         CAST(row_number() OVER (
+             PARTITION BY cen_id
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS pick_rank
+  FROM assigned
+)
+SELECT p.vec_id, p.cen_id, p.pick_rank, s.cluster_size
+FROM picked p JOIN sizes s USING (cen_id)
+WHERE p.pick_rank <= {cap}
+ORDER BY p.cen_id, p.pick_rank
+""".strip()
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = cluster_balanced_sample_sql()
+
+
+# ---------------------------------------------------------------------------
 # Embedding hygiene: per-label corpus health stats
 # ---------------------------------------------------------------------------
 

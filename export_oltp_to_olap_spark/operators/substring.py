@@ -156,6 +156,107 @@ def span_dedup_report(
     )
 
 
+def strip_duplicated_spans(
+    docs: DataFrame, n: int = FIXTURE_SPAN_N, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The REWRITE face of span dedup (Lee et al. arXiv:2107.06499 §4:
+    published pipelines cut the duplicated substring out of the text,
+    they don't drop the document): emit every document's cleaned,
+    normalized token stream with non-canonical duplicated windows
+    removed.
+
+    Canonicality is per gram at document granularity: the gram's
+    canonical document is the corpus-wide MIN doc_id containing it, and
+    a token position is removed when it is covered by a duplicated
+    gram's window in a NON-canonical document.  One copy of every
+    duplicated passage therefore survives (in its lowest-id carrier);
+    intra-document repeats inside the canonical carrier also survive —
+    the documented trade for keeping canonicality a one-agg decision
+    instead of a per-occurrence global argmin.
+
+    Output: ``(doc_id, n_tokens, removed_tokens, kept_tokens,
+    clean_text)`` for EVERY document (untouched docs pass through with
+    ``removed_tokens = 0``); ``clean_text`` is the kept tokens joined
+    with single spaces — the rewrite operates on the normalized token
+    stream, exactly the stream the span detector hashed.
+
+    Scale: canonical assignment is the same one-shuffle gram aggregate
+    as `duplicated_spans`; removal fan-out is one row per REMOVED token
+    (linear in the duplicated text, never in the corpus); the rebuild
+    is one per-doc sort inside a groupBy — all keys well-distributed,
+    nothing quadratic, no driver state.
+    """
+    pg = stage_fanout(positional_grams(docs, n, id_col, text_col))
+    # gram → (occurrence count, canonical doc); seeds are the ≥2 grams
+    canon = (
+        pg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"), F.min(id_col).alias("canon_doc"))
+        .where(F.col("occ") >= 2)
+        .select("g", "canon_doc")
+    )
+    # non-canonical duplicated windows, merged into maximal removal
+    # intervals per doc (same gaps-and-islands as `duplicated_spans`)
+    windows = (
+        pg.join(canon, "g")
+        .where(F.col(id_col) != F.col("canon_doc"))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("pos").over(by_doc)
+    spans = (
+        windows.withColumn(
+            "isl",
+            F.sum(
+                F.when(prev.isNotNull() & (F.col("pos") - prev <= n), 0).otherwise(1)
+            ).over(run),
+        )
+        .groupBy(id_col, "isl")
+        .agg(F.min("pos").alias("mn"), (F.max("pos") + F.lit(n - 1)).alias("mx"))
+    )
+    # one row per REMOVED token position — linear in removed text
+    removed_pos = spans.select(
+        F.col(id_col), F.explode(F.sequence("mn", "mx")).alias("pos")
+    )
+    toks = tokens(text_col)
+    tok_pos = (
+        spread_for_compute(docs.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(toks).alias("p0", "tok"),
+        )
+        .select(id_col, (F.col("p0") + 1).alias("pos"), "tok")
+    )
+    kept = tok_pos.join(removed_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.where(F.col("tok").isNotNull()).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    sizes = spread_for_compute(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return (
+        sizes.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def _pos_grams_sql(n: int) -> str:
     """Shared DuckDB CTE prefix: tokens → positional md5 grams.
 
@@ -218,5 +319,72 @@ ORDER BY s.doc_id
 """
 
 
+def strip_spans_sql(n: int = FIXTURE_SPAN_N) -> str:
+    """DuckDB restatement of `strip_duplicated_spans` at the same ``n``.
+
+    Hash choice (md5 here, xxhash64 in the engine) is invisible:
+    canonicality and spans depend only on gram EQUALITY, and only the
+    rebuilt token streams are compared."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+  FROM documents
+),
+pos_grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+),
+canon AS (
+  SELECT g, min(doc_id) AS canon_doc
+  FROM pos_grams GROUP BY g HAVING count(*) >= 2
+),
+win AS (
+  SELECT DISTINCT p.doc_id, p.pos
+  FROM pos_grams p JOIN canon c USING (g)
+  WHERE p.doc_id <> c.canon_doc
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NOT NULL AND pos - prev <= {n} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (
+    SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM win
+  )
+),
+spans AS (
+  SELECT doc_id, min(pos) AS mn, max(pos) + {n - 1} AS mx
+  FROM islands GROUP BY doc_id, isl
+),
+removed AS (
+  SELECT DISTINCT doc_id, i AS pos
+  FROM spans, unnest(generate_series(mn, mx)) AS u(i)
+),
+tok_pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tok_pos tp
+  ANTI JOIN removed r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(len(k.t) - COALESCE(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM toks k LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY k.doc_id
+""".strip()
+
+
 DUP_SPANS_SQL = dup_spans_sql(FIXTURE_SPAN_N)
 SPAN_REPORT_SQL = span_report_sql(FIXTURE_SPAN_N)
+STRIP_SPANS_SQL = strip_spans_sql(FIXTURE_SPAN_N)

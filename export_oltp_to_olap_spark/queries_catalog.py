@@ -1191,6 +1191,38 @@ def q_curated_decontaminated(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-8 additions: span-removal rewrite, epoch planning, diversity sample
+# (rotated into WINDOW_FIRST in the SAME commit — the standing rule)
+# ---------------------------------------------------------------------------
+
+
+@register("span_strip_rewrite", substring.STRIP_SPANS_SQL)
+def q_span_strip(spark: SparkSession, sf_dir: str):
+    """The REWRITE face of span dedup (Lee et al. 2107.06499): cleaned
+    normalized token stream per document with non-canonical duplicated
+    windows cut out — one copy of every duplicated passage survives in
+    its lowest-id carrier.  Driver hash pins every document's rebuilt
+    text, not just the span bounds."""
+    return substring.strip_duplicated_spans(_docs(spark, sf_dir))
+
+
+@register("epoch_allocation", sampling.EPOCH_ALLOCATION_SQL)
+def q_epoch_allocation(spark: SparkSession, sf_dir: str):
+    """Per-source epoch/repeat plan for a scale-free token budget (1.5x
+    the corpus) under the α-mixture — the LLaMA-style 'Epochs' planning
+    table: target tokens, whole passes, residual sampling rate."""
+    return sampling.epoch_allocation(_docs(spark, sf_dir))
+
+
+@register("cluster_balanced_sample", similarity.CLUSTER_BALANCED_SAMPLE_SQL)
+def q_cluster_balanced(spark: SparkSession, sf_dir: str):
+    """Diversity subsample: ≤ cap vectors per embedding cluster in
+    deterministic md5 pick order (cluster-balanced coreset selection —
+    keeps tail modes a proportional sample would starve)."""
+    return similarity.cluster_balanced_sample(_embeddings(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the FIRST 50 names returned by
@@ -1253,11 +1285,14 @@ WINDOW_FIRST: tuple[str, ...] = (
     # First HASH-green rows (oracle retired from rows-only in round 7):
     "pq_cosine_topk",
     "ivfpq_cosine_topk",
+    # Registered mid-round-8, windowed in the SAME commit (standing
+    # rule; displaced stats_moments_lineitem, snapshot_diff_customers,
+    # skew_safe_join_revenue — r05+r07 green, families still probed):
+    "span_strip_rewrite",
+    "epoch_allocation",
+    "cluster_balanced_sample",
     # Multi-round-green family probes:
     "quality_scores_saved",
-    "stats_moments_lineitem",
-    "snapshot_diff_customers",
-    "skew_safe_join_revenue",
     "events_hopping_halfhour",
     "training_shard_manifest",
     "dsir_importance",

@@ -93,6 +93,11 @@ _REPORT_EXEMPT = {
     "semdedup_threshold_curve",
     "fingerprint_delta",
     "tpch_q9_profit_trend",
+    # Registered new in round 8, windowed same-commit (first driver
+    # rows land in CORRECTNESS_r08):
+    "span_strip_rewrite",
+    "epoch_allocation",
+    "cluster_balanced_sample",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",

@@ -113,6 +113,93 @@ def test_mixture_weights_alpha_upweights_small_sources(spark):
     assert out["small"]["oversample_factor"] > 1 > out["big"]["oversample_factor"]
 
 
+def test_epoch_allocation_arithmetic_and_budget(spark):
+    """The plan's invariants: target tokens split the budget by weight,
+    epochs = target/available (repeat_factor + residual consistent),
+    and α-upweighted small sources repeat while big sources subsample."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from export_oltp_to_olap_spark.operators.sampling import epoch_allocation
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [(i, "big", "word " * 100) for i in range(50)] + [
+        (100 + i, "small", "word " * 100) for i in range(2)
+    ]
+    out = {
+        r["source"]: r
+        for r in epoch_allocation(
+            spark.createDataFrame(rows, schema), budget_tenths=15
+        ).collect()
+    }
+    total = sum(r["tokens"] for r in out.values())
+    budget = 15 * total // 10
+    # floor() per source: the target sum may undershoot the budget by
+    # < n_sources tokens, never overshoot
+    tgt = sum(r["target_tokens"] for r in out.values())
+    assert budget - len(out) < tgt <= budget
+    for r in out.values():
+        assert r["repeat_factor"] == int(r["target_tokens"] / r["tokens"])
+        assert (
+            abs(
+                r["epochs"]
+                - round(r["target_tokens"] / r["tokens"], 6)
+            )
+            < 1e-12
+        )
+        assert 0 <= r["residual_rate"] < 1
+    # α=0.5 at a 1.5x budget: the small source must repeat (>1 epoch),
+    # the big one must subsample (<1.5 epochs, pulled under its share)
+    assert out["small"]["epochs"] > 1.5 > out["big"]["epochs"]
+
+
+def test_cluster_balanced_sample_caps_and_is_deterministic(spark, sf001):
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    out = S.cluster_balanced_sample(emb, cap=16)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cen_id"], []).append(r)
+    for cen, picks in per.items():
+        assert len(picks) <= 16
+        assert sorted(p["pick_rank"] for p in picks) == list(
+            range(1, len(picks) + 1)
+        )
+        # a cluster smaller than the cap keeps every member
+        size = picks[0]["cluster_size"]
+        if size <= 16:
+            assert len(picks) == size
+    # the cap binds somewhere at this scale (500 vectors / 16 lists)
+    assert any(p[0]["cluster_size"] > 16 for p in per.values())
+    # deterministic under repartition (hash pick order, not RNG)
+    again = S.cluster_balanced_sample(emb.repartition(7), cap=16).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+    # picks cover every cluster
+    n_clusters = (
+        S.rank_centroids(
+            S.with_norm(emb).select("vec_id", "embedding", "norm"),
+            S.centroid_table(
+                S.with_norm(emb).select("vec_id", "embedding", "norm"),
+                S.IVF_CENTROIDS,
+            ),
+        )
+        .where(F.col("cen_rank") == 1)
+        .select("cen_id")
+        .distinct()
+        .count()
+    )
+    assert len(per) == n_clusters
+
+
 # ---------------------------------------------------------------------------
 # Training-shard export
 # ---------------------------------------------------------------------------

@@ -11,6 +11,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from export_oltp_to_olap_spark.operators.substring import (
     duplicated_spans,
     span_dedup_report,
+    strip_duplicated_spans,
 )
 
 _DOC_SCHEMA = StructType(
@@ -102,6 +103,72 @@ def test_short_and_unique_docs_yield_no_spans(spark):
         ],
     )
     assert duplicated_spans(docs, n=8).count() == 0
+
+
+def test_strip_removes_noncanonical_copies_only(spark):
+    """The rewrite contract: the duplicated passage survives in its
+    lowest-id carrier and is cut from every other carrier; untouched
+    docs pass through verbatim (normalized)."""
+    docs = _docs(
+        spark,
+        [
+            (1, f"unique opening words here {_PASSAGE} and a unique tail one"),
+            (2, f"different preamble tokens now {_PASSAGE} then ending two"),
+            (3, "totally unrelated text with no duplicated passage at all yes"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(docs, n=8).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["clean_text"] == (
+        f"unique opening words here {_PASSAGE} and a unique tail one"
+    )
+    assert out[2]["removed_tokens"] == 8
+    assert out[2]["clean_text"] == "different preamble tokens now then ending two"
+    assert out[3]["removed_tokens"] == 0
+    for r in out.values():
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]
+        assert r["kept_tokens"] == len(r["clean_text"].split())
+
+
+def test_strip_canonical_doc_keeps_intra_doc_repeats(spark):
+    """Documented trade: repeats INSIDE the canonical carrier survive
+    (canonicality is per gram at doc granularity)."""
+    docs = _docs(
+        spark,
+        [
+            (1, f"{_PASSAGE} filler middle words go here {_PASSAGE}"),
+            (2, f"prefix words {_PASSAGE}"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(docs, n=8).collect()}
+    assert out[1]["removed_tokens"] == 0  # doc 1 is canonical for the passage
+    assert out[2]["clean_text"] == "prefix words"
+    assert out[2]["removed_tokens"] == 8
+
+
+def test_strip_short_doc_passes_through(spark):
+    docs = _docs(spark, [(1, "short doc"), (2, "short doc")])
+    # both docs are < n tokens: no grams, nothing strippable
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(docs, n=8).collect()}
+    assert out[1]["clean_text"] == "short doc" and out[1]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == "short doc"
+
+
+def test_strip_merges_overlapping_removal_windows(spark):
+    """A 12-token shared passage must come out of the non-canonical doc
+    as ONE 12-token cut, not window-by-window fragments."""
+    passage = _PASSAGE + " india juliett kilo lima"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{passage} trailing unique words first"),
+            (2, f"{passage} other unique trailer second"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(docs, n=8).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["removed_tokens"] == 12
+    assert out[2]["clean_text"] == "other unique trailer second"
 
 
 def test_report_ratio_and_counts(spark):
