@@ -69,6 +69,12 @@ driver-report row, never the check itself.
   batch, delta-vs-standing-table, plus a zero-state streaming face),
   and semdedup_threshold_curve — all registered in the TAIL with
   sf0.01 oracle checks, to rotate into the round-8 window.
+* Round 8 executes that rotation (plus pq/ivfpq's freshly-retired
+  oracle forms), and adds span_strip_rewrite (the Lee-et-al
+  span-REMOVAL rewrite), epoch_allocation (token-budget epoch/repeat
+  planning), and cluster_balanced_sample (per-cluster-capped
+  diversity subsample) — each windowed IN THE SAME COMMIT that
+  registered it, per the standing rule at the WINDOW_FIRST pin.
 """
 
 from __future__ import annotations
