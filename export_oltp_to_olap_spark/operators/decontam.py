@@ -177,6 +177,93 @@ ORDER BY doc_id
 DECONTAM_SQL = decontam_sql(FIXTURE_N)
 
 
+def strip_contaminated_spans(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = FIXTURE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgical decontamination (the REWRITE face): cut every n-token
+    window that collides with the eval n-gram set out of the corpus
+    text, instead of dropping whole documents — the Llama-2 §A.6 move
+    for documents that are mostly clean but quote a benchmark item.
+    Overlapping contaminated windows island-merge into one cut
+    (`substring.strip_window_positions`, the span-dedup rewrite tail).
+
+    Output matches `strip_duplicated_spans`: ``(doc_id, n_tokens,
+    removed_tokens, kept_tokens, clean_text)`` for EVERY corpus doc,
+    clean_text being the normalized kept-token stream.
+
+    Scale: eval grams broadcast (the module's standing contract); the
+    corpus gram stream is scanned once map-side; removal fan-out is one
+    row per removed token.
+    """
+    from export_oltp_to_olap_spark.operators.substring import strip_window_positions
+
+    pg = (
+        spread_for_compute(corpus.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(word_shingles(text_col, n)).alias("p0", "gram"),
+        )
+        .select(id_col, (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("g"))
+    )
+    win = (
+        pg.join(F.broadcast(eval_ngram_set(eval_docs, n, text_col)), "g")
+        .select(id_col, "pos")
+        .distinct()
+    )
+    return strip_window_positions(corpus, win, n, id_col, text_col)
+
+
+def decontaminated_strip_rewrite(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
+    """Fixture-shaped entry: rewrite the ``train`` split with ``test``-
+    split n-gram windows cut out (same split convention as
+    `decontaminate_docs`, so the two faces describe the same
+    contamination)."""
+    train, eval_docs = train_eval_split(docs)
+    return strip_contaminated_spans(train, eval_docs, n=n)
+
+
+def decontam_strip_sql(n: int = FIXTURE_N) -> str:
+    """DuckDB restatement of `decontaminated_strip_rewrite` at the same
+    ``n`` — split CTEs from `decontam_sql`, rewrite tail from
+    `substring.strip_tail_sql`."""
+    from export_oltp_to_olap_spark.operators.substring import strip_tail_sql
+
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+           AS bucket
+  FROM documents
+),
+toks_all AS (
+  SELECT doc_id, bucket,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM assigned
+),
+toks AS (SELECT doc_id, t FROM toks_all WHERE bucket < {_TRAIN_BOUND}),
+eval_grams AS (
+  SELECT DISTINCT md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM toks_all, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+  WHERE bucket >= {_VAL_BOUND}
+),
+pos_grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+),
+win AS (
+  SELECT DISTINCT p.doc_id, p.pos FROM pos_grams p JOIN eval_grams USING (g)
+),
+{strip_tail_sql(n)}
+""".strip()
+
+
+DECONTAM_STRIP_SQL = decontam_strip_sql(FIXTURE_N)
+
+
 # ---------------------------------------------------------------------------
 # Stateless per-row contamination flag (the streaming-safe form)
 # ---------------------------------------------------------------------------

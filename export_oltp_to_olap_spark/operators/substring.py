@@ -202,9 +202,29 @@ def strip_duplicated_spans(
         .select(id_col, "pos")
         .distinct()
     )
-    by_doc = Window.partitionBy(id_col).orderBy("pos")
-    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    prev = F.lag("pos").over(by_doc)
+    return strip_window_positions(docs, windows, n, id_col, text_col)
+
+
+def strip_window_positions(
+    docs: DataFrame,
+    windows: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared rewrite tail: given ``(id, pos)`` n-token removal-window
+    STARTS, island-merge them, cut the covered tokens, and rebuild every
+    document's normalized token stream — the machinery behind both
+    `strip_duplicated_spans` and decontamination's
+    `strip_contaminated_spans` (only the window SOURCE differs).
+
+    Scale: one per-doc window over the (sparse) window starts, one row
+    per REMOVED token (linear in removed text), one per-doc rebuild
+    aggregation — nothing proportional to corpus × windows."""
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev = F.lag("pos").over(Window.partitionBy(id_col).orderBy("pos"))
     spans = (
         windows.withColumn(
             "isl",
@@ -319,6 +339,54 @@ ORDER BY s.doc_id
 """
 
 
+def strip_tail_sql(n: int, toks_cte: str = "toks") -> str:
+    """The shared rewrite SQL tail: expects two prior CTEs — ``toks_cte``
+    with ``(doc_id, t)`` token arrays for the docs being rewritten, and
+    ``win(doc_id, pos)`` with the removal-window starts — and emits
+    islands → spans → removal → rebuild → final select, mirroring
+    :func:`strip_window_positions` exactly."""
+    return f"""
+islands AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NOT NULL AND pos - prev <= {n} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (
+    SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM win
+  )
+),
+spans AS (
+  SELECT doc_id, min(pos) AS mn, max(pos) + {n - 1} AS mx
+  FROM islands GROUP BY doc_id, isl
+),
+removed AS (
+  SELECT DISTINCT doc_id, i AS pos
+  FROM spans, unnest(generate_series(mn, mx)) AS u(i)
+),
+tok_pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM {toks_cte}, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tok_pos tp
+  ANTI JOIN removed r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(len(k.t) - COALESCE(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM {toks_cte} k LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY k.doc_id
+""".strip()
+
+
 def strip_spans_sql(n: int = FIXTURE_SPAN_N) -> str:
     """DuckDB restatement of `strip_duplicated_spans` at the same ``n``.
 
@@ -344,44 +412,7 @@ win AS (
   FROM pos_grams p JOIN canon c USING (g)
   WHERE p.doc_id <> c.canon_doc
 ),
-islands AS (
-  SELECT doc_id, pos,
-         sum(CASE WHEN prev IS NOT NULL AND pos - prev <= {n} THEN 0 ELSE 1 END)
-           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-  FROM (
-    SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-    FROM win
-  )
-),
-spans AS (
-  SELECT doc_id, min(pos) AS mn, max(pos) + {n - 1} AS mx
-  FROM islands GROUP BY doc_id, isl
-),
-removed AS (
-  SELECT DISTINCT doc_id, i AS pos
-  FROM spans, unnest(generate_series(mn, mx)) AS u(i)
-),
-tok_pos AS (
-  SELECT doc_id, i AS pos, t[i] AS tok
-  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
-),
-kept AS (
-  SELECT tp.doc_id, tp.pos, tp.tok
-  FROM tok_pos tp
-  ANTI JOIN removed r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
-),
-rebuilt AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
-         string_agg(tok, ' ' ORDER BY pos) AS clean_text
-  FROM kept GROUP BY doc_id
-)
-SELECT k.doc_id,
-       CAST(len(k.t) AS BIGINT) AS n_tokens,
-       CAST(len(k.t) - COALESCE(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
-       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-       COALESCE(r.clean_text, '') AS clean_text
-FROM toks k LEFT JOIN rebuilt r USING (doc_id)
-ORDER BY k.doc_id
+{strip_tail_sql(n)}
 """.strip()
 
 

@@ -182,6 +182,14 @@ def _report_from_selected(
     input bounded by cap·|fps| — the `ngram_jaccard_pairs` df-cap
     pattern) and reported per doc as ``capped_hashes``; ``hot`` is at
     most |fps|/cap rows, so AQE broadcasts the anti-joins."""
+    # The selected-key frame now feeds FIVE consumers (per-doc counts,
+    # both clone-join sides, the df aggregate, the capped count) — stage
+    # it once or the winnowing window pass re-runs per consumer
+    # (measured: the df-cap's extra consumers pushed the sf0.1 report
+    # 0.70 → 0.97 s unstaged; staged it is back under the r7 time).
+    from export_oltp_to_olap_spark.operators.staging import stage_fanout
+
+    sel = stage_fanout(sel)
     per_doc = sel.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_fps"),
         (F.max("maxpos") + 1).alias("n_grams"),

@@ -72,9 +72,11 @@ driver-report row, never the check itself.
 * Round 8 executes that rotation (plus pq/ivfpq's freshly-retired
   oracle forms), and adds span_strip_rewrite (the Lee-et-al
   span-REMOVAL rewrite), epoch_allocation (token-budget epoch/repeat
-  planning), and cluster_balanced_sample (per-cluster-capped
-  diversity subsample) — each windowed IN THE SAME COMMIT that
-  registered it, per the standing rule at the WINDOW_FIRST pin.
+  planning), cluster_balanced_sample (per-cluster-capped diversity
+  subsample), and decontam_strip_rewrite (surgical eval-window
+  removal — the rewrite face of decontamination) — each windowed IN
+  THE SAME COMMIT that registered it, per the standing rule at the
+  WINDOW_FIRST pin.
 """
 
 from __future__ import annotations
@@ -1228,6 +1230,16 @@ def q_cluster_balanced(spark: SparkSession, sf_dir: str):
     return similarity.cluster_balanced_sample(_embeddings(spark, sf_dir))
 
 
+@register("decontam_strip_rewrite", decontam.DECONTAM_STRIP_SQL)
+def q_decontam_strip(spark: SparkSession, sf_dir: str):
+    """Surgical decontamination (Llama-2 §A.6 shape): eval-colliding
+    n-token windows island-merged and CUT from the train split's text —
+    per-doc rebuilt token stream, driver-hash-pinned, instead of the
+    drop-the-document gate.  Shares the split convention (and hence the
+    contamination definition) with `decontaminate_documents`."""
+    return decontam.decontaminated_strip_rewrite(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1293,13 +1305,14 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ivfpq_cosine_topk",
     # Registered mid-round-8, windowed in the SAME commit (standing
     # rule; displaced stats_moments_lineitem, snapshot_diff_customers,
-    # skew_safe_join_revenue — r05+r07 green, families still probed):
+    # skew_safe_join_revenue, events_hopping_halfhour — r05+r07 green,
+    # families still probed):
     "span_strip_rewrite",
     "epoch_allocation",
     "cluster_balanced_sample",
+    "decontam_strip_rewrite",
     # Multi-round-green family probes:
     "quality_scores_saved",
-    "events_hopping_halfhour",
     "training_shard_manifest",
     "dsir_importance",
     "bpe_token_stats",

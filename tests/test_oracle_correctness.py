@@ -98,6 +98,7 @@ _REPORT_EXEMPT = {
     "span_strip_rewrite",
     "epoch_allocation",
     "cluster_balanced_sample",
+    "decontam_strip_rewrite",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",

@@ -171,6 +171,34 @@ def test_strip_merges_overlapping_removal_windows(spark):
     assert out[2]["clean_text"] == "other unique trailer second"
 
 
+def test_strip_contaminated_spans_cuts_eval_windows(spark):
+    """The decontamination rewrite (same tail, different window source):
+    benchmark-quoting passages come out of corpus docs, clean docs pass
+    through, and the cut is island-merged."""
+    from export_oltp_to_olap_spark.operators.decontam import strip_contaminated_spans
+
+    corpus = _docs(
+        spark,
+        [
+            (1, f"intro words here {_PASSAGE} closing remark now"),
+            (2, "a perfectly clean document with zero benchmark overlap"),
+        ],
+    )
+    eval_docs = _docs(spark, [(100, f"benchmark item text {_PASSAGE}")])
+    out = {
+        r["doc_id"]: r
+        for r in strip_contaminated_spans(corpus, eval_docs, n=8).collect()
+    }
+    assert out[1]["removed_tokens"] == 8
+    assert out[1]["clean_text"] == "intro words here closing remark now"
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == (
+        "a perfectly clean document with zero benchmark overlap"
+    )
+    for r in out.values():
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]
+
+
 def test_report_ratio_and_counts(spark):
     docs = _docs(
         spark,
