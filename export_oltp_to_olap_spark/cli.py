@@ -286,6 +286,51 @@ def cmd_fingerprints(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_strip_spans(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Span-removal rewrites from the command line: persist the cleaned
+    normalized token streams.  ``--mode dup`` cuts non-canonical
+    duplicated passages (`substring.strip_duplicated_spans`); ``--mode
+    decontam`` cuts eval-colliding windows from the train split
+    (`decontam.decontaminated_strip_rewrite`, optionally against an
+    external ``--eval-dir`` benchmark set)."""
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.operators import decontam, substring
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    # per-mode default widths: the faces' own fixture conventions
+    if args.mode == "dup":
+        n = args.n or substring.FIXTURE_SPAN_N
+        df = substring.strip_duplicated_spans(docs, n=n)
+    elif args.eval_dir:
+        n = args.n or decontam.FIXTURE_N
+        eval_docs = spark.read.parquet(args.eval_dir).select("doc_id", "text")
+        df = decontam.strip_contaminated_spans(docs, eval_docs, n=n)
+    else:
+        n = args.n or decontam.FIXTURE_N
+        df = decontam.decontaminated_strip_rewrite(docs, n=n)
+    df.write.mode("overwrite").parquet(args.out)
+    agg = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("removed_tokens").alias("removed"),
+        F.sum("n_tokens").alias("total"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "mode": args.mode,
+                "n": n,
+                "rows": int(agg["rows"]),
+                "removed_tokens": int(agg["removed"] or 0),
+                "total_tokens": int(agg["total"] or 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_quality_model(args: argparse.Namespace, spark: SparkSession) -> int:
     """Train-once / score-many for the learned quality classifier
     (VERDICT r4 item 4).  ``--train`` fits L-BFGS on the deterministic
@@ -521,6 +566,25 @@ def build_parser() -> argparse.ArgumentParser:
     fprints.add_argument("--k", type=int, default=4, help="k-gram width")
     fprints.add_argument("--w", type=int, default=5, help="winnowing window")
     fprints.set_defaults(fn=cmd_fingerprints)
+
+    sspans = sub.add_parser(
+        "strip-spans",
+        help="span-removal rewrites: cut duplicated passages (dup) or "
+        "eval-colliding windows (decontam) out of the corpus text",
+    )
+    sspans.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    sspans.add_argument("--out", required=True, help="output parquet dir")
+    sspans.add_argument(
+        "--mode", choices=("dup", "decontam"), default="dup", help="window source"
+    )
+    sspans.add_argument(
+        "--eval-dir",
+        default=None,
+        help="decontam mode: parquet of benchmark docs (doc_id, text); "
+        "defaults to the fixture's test-split stand-in",
+    )
+    sspans.add_argument("--n", type=int, default=None, help="window width in tokens")
+    sspans.set_defaults(fn=cmd_strip_spans)
 
     qmodel = sub.add_parser(
         "quality-model",

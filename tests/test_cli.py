@@ -330,6 +330,42 @@ def test_cli_eval_hashes_bloom_artifact(spark, sf001, tmp_path):
         )
 
 
+def test_cli_strip_spans_both_modes(spark, sf001, tmp_path, capsys):
+    """`strip-spans` persists the rewrite faces: dup mode equals the
+    span-dedup API face, decontam mode the surgical-decontamination
+    face, and the printed summary carries real removal totals."""
+    import json as _json
+
+    from export_oltp_to_olap_spark.cli import main
+    from export_oltp_to_olap_spark.operators import decontam, substring
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    out_dup = str(tmp_path / "dup")
+    rc = main(
+        ["strip-spans", "--source-dir", sf001, "--out", out_dup], spark=spark
+    )
+    assert rc == 0
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["mode"] == "dup" and line["n"] == substring.FIXTURE_SPAN_N
+    got = {tuple(r) for r in spark.read.parquet(out_dup).collect()}
+    want = {tuple(r) for r in substring.strip_duplicated_spans(docs).collect()}
+    assert got == want
+    assert line["removed_tokens"] > 0  # the fixture has real dup families
+
+    out_dec = str(tmp_path / "dec")
+    rc = main(
+        ["strip-spans", "--source-dir", sf001, "--out", out_dec, "--mode", "decontam"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {tuple(r) for r in spark.read.parquet(out_dec).collect()}
+    want = {
+        tuple(r) for r in decontam.decontaminated_strip_rewrite(docs).collect()
+    }
+    assert got == want
+
+
 def test_cli_eval_hashes_rejects_non_power_of_two_m_bits(spark, sf001, tmp_path, capsys):
     """Invalid --bloom-m-bits follows the CLI convention (stderr + rc 2),
     not an uncaught ValueError traceback from eval_gram_bloom (ADVICE r7)."""
