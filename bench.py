@@ -131,6 +131,13 @@ DEFAULT_HEADLINE = [
     "winnowing_fingerprints",
     "decontaminate_bloom",
     "semdedup_threshold_curve",
+    # Round-8 additions: the rewrite faces move the whole token stream
+    # (the heaviest text-op shape), epoch/diversity planning round out
+    # the sampling family:
+    "span_strip_rewrite",
+    "decontam_strip_rewrite",
+    "epoch_allocation",
+    "cluster_balanced_sample",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
     "training_shard_manifest",

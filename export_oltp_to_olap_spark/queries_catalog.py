@@ -1256,6 +1256,16 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
+    # ROUND-9 CHORE (pre-staged): every registration has a driver row
+    # once CORRECTNESS_r08 lands (zero never-reported names — the
+    # standing rule held all round).  Rotation is therefore pure
+    # hygiene: rotate OUT the 21 round-8 first-row earners that go
+    # multi-round-green, rotate IN any round-9 registrations in the
+    # same commit that registers them, and backfill family probes from
+    # _REPORT_EXEMPT (candidates: tpch_q1-adapted pricing_summary
+    # stays; bring back one of events_gapfill_locf / pack_bins_summary
+    # / chunk_documents so those families re-probe).  Keep the 5 star
+    # sentinels.
     # --- ROUND-8 ROTATION (VERDICT r7 item 1, pre-staged last round) ---
     # In:  the 15 never-reported round-7 tail registrations —
     #      tpch_q{2,8,9,11,13,15,16,17,20,21}, tpch_q9_profit_trend,

@@ -171,6 +171,25 @@ def test_strip_merges_overlapping_removal_windows(spark):
     assert out[2]["clean_text"] == "other unique trailer second"
 
 
+def test_strip_is_idempotent_on_fixture(spark, sf001):
+    """One pass removes every non-canonical duplicated window, so a
+    second pass over the cleaned corpus must remove ZERO tokens (the
+    only surviving repeats are intra-canonical-doc, which strip keeps
+    by definition).  Pinned on the real fixture corpus, not a toy."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet").select("doc_id", "text")
+    once = strip_duplicated_spans(docs)
+    assert once.agg(F.sum("removed_tokens")).first()[0] > 0  # pass 1 bites
+    cleaned = once.select("doc_id", F.col("clean_text").alias("text"))
+    twice = strip_duplicated_spans(cleaned)
+    assert twice.agg(F.sum("removed_tokens")).first()[0] == 0
+    # and the text survives a second pass byte-identically
+    a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+    assert a == b
+
+
 def test_strip_contaminated_spans_cuts_eval_windows(spark):
     """The decontamination rewrite (same tail, different window source):
     benchmark-quoting passages come out of corpus docs, clean docs pass
