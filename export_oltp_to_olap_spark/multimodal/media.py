@@ -439,6 +439,240 @@ FROM media m LEFT JOIN agg a USING (media_id)
 
 
 # ---------------------------------------------------------------------------
+# Media dedup: exact byte dedup + histogram near-dup over binary columns
+# ---------------------------------------------------------------------------
+
+# Raw (unnormalized) byte-histogram L1 threshold for the near-dup
+# verify.  KEY INEQUALITY: Σ|a_i − b_i| ≥ |Σa_i − Σb_i| = |Δsize|, so a
+# pair under the threshold differs by at most MEDIA_NEARDUP_L1 bytes —
+# which makes size-band blocking LOSSLESS (see media_histogram_neardup).
+# Chosen from the measured sf0.01 distance distribution: true dup-family
+# pairs sit ≤ 24 (40 pairs), the cross-document noise floor starts ~32
+# (200) and explodes past 48 (1.8k) — the same selectivity shape as the
+# text near-dup rungs.
+MEDIA_NEARDUP_L1 = 24
+_HIST_BINS = 256  # full byte histogram — coarser bins blur the gap
+
+
+def media_exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact binary dedup over the media ``content`` column: sha-256
+    groups, canonical = min media_id per group (the LWW/dedup keeper
+    convention), one row per item in a duplicated group.
+
+    ``(media_id, content_sha, canonical_id, n_copies)`` for EVERY item
+    (the keeper ledger: ``media_id == canonical_id`` marks survivors;
+    the fixture corpus has no byte-identical pair, so there n_copies is
+    1 throughout and the hash pins the full digest column).  All
+    JVM-side (sha2 + one window); at 100 TB this is one shuffle on the
+    32-byte digest, the cheapest dedup rung for stored blobs and the
+    first pass every media lake runs before any perceptual method.
+    """
+    from pyspark.sql import Window
+
+    media = synthesize_media(documents)
+    hashed = media.select(
+        "media_id", F.sha2(F.col("content"), 256).alias("content_sha")
+    )
+    w = Window.partitionBy("content_sha")
+    return (
+        hashed.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min("media_id").over(w))
+        .select(
+            "media_id",
+            "content_sha",
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MEDIA_EXACT_DEDUP_SQL = """
+WITH hashed AS (
+  SELECT doc_id AS media_id, sha256(text) AS content_sha
+  FROM documents
+)
+SELECT media_id, content_sha,
+       CAST(min(media_id) OVER (PARTITION BY content_sha) AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY content_sha) AS BIGINT) AS n_copies
+FROM hashed
+ORDER BY media_id
+""".strip()
+
+
+def media_byte_histograms(media: DataFrame) -> DataFrame:
+    """Per-item byte histogram: ``(media_id, kind, size_bytes, hist)``
+    with ``hist`` = 256 bigint byte counts — the Arrow-batched
+    bytes→features stage (same mapInPandas shape as `feature_digests`;
+    with real codecs this is where pixel/PCM histograms would come
+    from)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("size_bytes", T.LongType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        def decode(content: bytes) -> "np.ndarray":
+            return np.frombuffer(content, dtype=np.uint8)
+
+        for pdf in it:
+            hists = []
+            sizes = []
+            for content in pdf["content"]:
+                arr = decode(content)
+                sizes.append(len(arr))
+                hists.append(
+                    np.bincount(arr, minlength=_HIST_BINS).astype("int64").tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "size_bytes": sizes,
+                    "hist": hists,
+                }
+            )
+
+    return spread_for_compute(media, "media_id").mapInPandas(batches, schema=schema)
+
+
+def media_histogram_neardup(
+    documents: DataFrame, threshold: int = MEDIA_NEARDUP_L1
+) -> DataFrame:
+    """Near-duplicate media pairs: same ``kind``, raw byte-histogram
+    L1 distance ≤ ``threshold``, excluding histogram-IDENTICAL
+    pairs (exact duplicates and pure byte permutations — the exact
+    rung's and a content hash's job, not a distribution method's).
+
+    Blocking is LOSSLESS: Σ|a−b| ≥ |Δsize|, so qualifying pairs differ
+    in size by ≤ threshold bytes — and any length-≤t interval avoids
+    the boundaries of one of TWO grids of width 2t offset by t
+    (combined boundaries are t apart; an interval of length ≤ t spans
+    at most one, which belongs to only one grid).  Candidate generation
+    by equality join on (kind, grid-cell) therefore misses nothing
+    while never joining across distant sizes.  The verify is exact
+    integer arithmetic (`zip_with` + `aggregate`), so Spark and DuckDB
+    agree bit-for-bit.
+
+    ``(media_id_a, media_id_b, l1_dist)`` with a < b, ordered.
+
+    Scale: histograms are one Arrow sweep; candidates shuffle on
+    (kind, cell) — bounded fan-out per cell by items within a
+    threshold-wide size band; the verify moves only 16 longs per side.
+    """
+    hists = media_byte_histograms(synthesize_media(documents))
+    cells = hists.select(
+        "media_id",
+        "kind",
+        "size_bytes",
+        "hist",
+        F.explode(
+            F.array(
+                F.floor(F.col("size_bytes") / F.lit(2 * threshold)),
+                # second grid offset by t: a pair straddling a grid-1
+                # boundary cannot also straddle a grid-2 boundary
+                F.floor((F.col("size_bytes") + F.lit(threshold)) / F.lit(2 * threshold))
+                + F.lit(1_000_000_000),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("media_id").alias("media_id_a"),
+        "kind",
+        "cell",
+        F.col("hist").alias("hist_a"),
+    )
+    b = cells.select(
+        F.col("media_id").alias("media_id_b"),
+        "kind",
+        "cell",
+        F.col("hist").alias("hist_b"),
+    )
+    l1 = F.aggregate(
+        F.zip_with("hist_a", "hist_b", lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, ["kind", "cell"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .withColumn("l1_dist", l1)
+        .where((F.col("l1_dist") <= threshold) & (F.col("l1_dist") > 0))
+        .select("media_id_a", "media_id_b", "l1_dist")
+        .distinct()  # the two grids can both produce a qualifying pair
+        .orderBy("media_id_a", "media_id_b")
+    )
+
+
+def media_neardup_sql(threshold: int = MEDIA_NEARDUP_L1) -> str:
+    """DuckDB restatement of `media_histogram_neardup` (ASCII fixture
+    text: char codes == bytes, the FEATURE_DIGEST_SQL convention)."""
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text AS content
+  FROM documents
+),
+positions AS (
+  SELECT media_id, kind, content,
+         unnest(range(1, length(content) + 1)) AS pos
+  FROM media
+),
+hist AS (
+  SELECT media_id, kind,
+         ascii(substring(content, CAST(pos AS INTEGER), 1)) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM positions
+  GROUP BY media_id, kind, bin
+),
+sizes AS (
+  -- from media, not hist: a zero-byte item has no hist rows but must
+  -- still block and pair (its L1 vs a tiny item is the other's size)
+  SELECT media_id, kind, CAST(length(content) AS BIGINT) AS size_bytes
+  FROM media
+),
+cells AS (
+  SELECT media_id, kind, size_bytes, size_bytes // {2 * threshold} AS cell FROM sizes
+  UNION ALL
+  SELECT media_id, kind, size_bytes,
+         (size_bytes + {threshold}) // {2 * threshold} + 1000000000 AS cell
+  FROM sizes
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b, a.kind
+  FROM cells a JOIN cells b ON a.kind = b.kind AND a.cell = b.cell
+  WHERE a.media_id < b.media_id
+),
+pair_l1 AS (
+  SELECT c.media_id_a, c.media_id_b,
+         CAST(sum(abs(COALESCE(ha.c, 0) - COALESCE(hb.c, 0))) AS BIGINT) AS l1_dist
+  FROM cand c
+  CROSS JOIN unnest(range(0, {_HIST_BINS})) AS u(bin)
+  LEFT JOIN hist ha ON ha.media_id = c.media_id_a AND ha.bin = u.bin
+  LEFT JOIN hist hb ON hb.media_id = c.media_id_b AND hb.bin = u.bin
+  GROUP BY c.media_id_a, c.media_id_b
+)
+SELECT media_id_a, media_id_b, l1_dist
+FROM pair_l1
+WHERE l1_dist <= {threshold} AND l1_dist > 0
+ORDER BY media_id_a, media_id_b
+""".strip()
+
+
+MEDIA_NEARDUP_SQL = media_neardup_sql()
+
+
+# ---------------------------------------------------------------------------
 # Metadata-only query (oracle-checkable: never touches the bytes)
 # ---------------------------------------------------------------------------
 

@@ -73,10 +73,12 @@ driver-report row, never the check itself.
   oracle forms), and adds span_strip_rewrite (the Lee-et-al
   span-REMOVAL rewrite), epoch_allocation (token-budget epoch/repeat
   planning), cluster_balanced_sample (per-cluster-capped diversity
-  subsample), and decontam_strip_rewrite (surgical eval-window
-  removal — the rewrite face of decontamination) — each windowed IN
-  THE SAME COMMIT that registered it, per the standing rule at the
-  WINDOW_FIRST pin.
+  subsample), decontam_strip_rewrite (surgical eval-window removal —
+  the rewrite face of decontamination), and the media-dedup pair
+  media_exact_dedup + media_neardup (binary-column sha ledger;
+  byte-histogram L1 near-dup with lossless two-grid size blocking) —
+  each windowed IN THE SAME COMMIT that registered it, per the
+  standing rule at the WINDOW_FIRST pin.
 """
 
 from __future__ import annotations
@@ -1240,6 +1242,24 @@ def q_decontam_strip(spark: SparkSession, sf_dir: str):
     return decontam.decontaminated_strip_rewrite(_docs(spark, sf_dir))
 
 
+@register("media_exact_dedup", media.MEDIA_EXACT_DEDUP_SQL)
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str):
+    """Binary-column exact dedup: sha-256 keeper ledger over the media
+    content bytes (canonical = min media_id per digest group) — the
+    first pass every media lake runs; one shuffle on the digest."""
+    return media.media_exact_dedup(_docs(spark, sf_dir))
+
+
+@register("media_neardup", media.MEDIA_NEARDUP_SQL)
+def q_media_neardup(spark: SparkSession, sf_dir: str):
+    """Near-duplicate media pairs by byte-histogram L1 (same kind,
+    distance ≤ 24, histogram-identical pairs excluded) with LOSSLESS
+    two-grid size blocking (L1 ≥ |Δsize|) — the perceptual-dedup
+    plumbing over binary columns, exact integer verify both engines
+    compute bit-identically."""
+    return media.media_histogram_neardup(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1315,18 +1335,18 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ivfpq_cosine_topk",
     # Registered mid-round-8, windowed in the SAME commit (standing
     # rule; displaced stats_moments_lineitem, snapshot_diff_customers,
-    # skew_safe_join_revenue, events_hopping_halfhour — r05+r07 green,
-    # families still probed):
+    # skew_safe_join_revenue, events_hopping_halfhour, dsir_importance,
+    # curation_audit — r05+r07 green, families still probed):
     "span_strip_rewrite",
     "epoch_allocation",
     "cluster_balanced_sample",
     "decontam_strip_rewrite",
+    "media_exact_dedup",
+    "media_neardup",
     # Multi-round-green family probes:
     "quality_scores_saved",
     "training_shard_manifest",
-    "dsir_importance",
     "bpe_token_stats",
-    "curation_audit",
     "incremental_corpus_delta",
     "leakage_safe_splits",
     "source_overlap_matrix",

@@ -116,3 +116,67 @@ def test_metadata_stats_no_python_stage(media_df, docs):
     plan = M.media_metadata_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_media_exact_dedup_groups_planted_duplicates(spark):
+    """Byte-identical items share a sha group with min-id canonical;
+    distinct items are their own group of 1."""
+    rows = [(1, "same bytes here"), (4, "same bytes here"), (7, "different")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["media_id"]: r for r in M.media_exact_dedup(docs).collect()}
+    # 1 and 4 are both kind 'audio'?  kind does not matter for exact:
+    # grouping is on the bytes alone.
+    assert out[1]["content_sha"] == out[4]["content_sha"]
+    assert out[1]["canonical_id"] == out[4]["canonical_id"] == 1
+    assert out[1]["n_copies"] == out[4]["n_copies"] == 2
+    assert out[7]["n_copies"] == 1 and out[7]["canonical_id"] == 7
+
+
+def test_media_neardup_finds_planted_near_pair(spark):
+    """Two same-kind items differing by a few bytes pair up under the
+    L1 threshold; histogram-identical copies are excluded; a distant
+    item pairs with nothing.  doc_id % 3 picks the kind, so ids 3,6,9
+    all land in one kind."""
+    near_a = "shared media payload with many identical bytes inside"
+    near_b = near_a + " x"  # 2 extra bytes -> L1 = 2
+    rows = [(3, near_a), (6, near_b), (9, near_a), (12, "z" * 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["l1_dist"]
+        for r in M.media_histogram_neardup(docs).collect()
+    }
+    assert pairs[(3, 6)] == 2 and pairs[(6, 9)] == 2
+    assert (3, 9) not in pairs  # identical histograms -> exact rung's job
+    assert not any(12 in p for p in pairs)
+
+
+def test_media_neardup_blocking_is_lossless_at_boundaries(spark):
+    """A near pair whose sizes straddle a grid-1 cell boundary must
+    still be found via the offset grid (the two-grid losslessness
+    claim), checked against an unblocked brute-force L1 join."""
+    from export_oltp_to_olap_spark.multimodal.media import MEDIA_NEARDUP_L1
+
+    base = "b" * 40
+    rows = []
+    # sizes around multiples of 2*threshold: 40..56 in steps straddling
+    # the 48 boundary (2*24), all same kind (ids % 3 == 0)
+    for i, size in enumerate((40, 46, 47, 48, 49, 50, 56, 70, 95, 96, 97)):
+        rows.append((3 * (i + 1), "c" * size))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in M.media_histogram_neardup(docs).collect()
+    }
+    # brute force over the same histograms
+    hists = {
+        r["media_id"]: (r["size_bytes"], r["hist"])
+        for r in M.media_byte_histograms(M.synthesize_media(docs)).collect()
+    }
+    want = set()
+    ids = sorted(hists)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            l1 = sum(abs(x - y) for x, y in zip(hists[a][1], hists[b][1]))
+            if 0 < l1 <= MEDIA_NEARDUP_L1:
+                want.add((a, b))
+    assert got == want and want  # non-vacuous: boundary pairs exist

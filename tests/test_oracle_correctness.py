@@ -99,6 +99,8 @@ _REPORT_EXEMPT = {
     "epoch_allocation",
     "cluster_balanced_sample",
     "decontam_strip_rewrite",
+    "media_exact_dedup",
+    "media_neardup",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
