@@ -138,6 +138,8 @@ DEFAULT_HEADLINE = [
     "decontam_strip_rewrite",
     "epoch_allocation",
     "cluster_balanced_sample",
+    "media_exact_dedup",
+    "media_neardup",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
     "training_shard_manifest",
