@@ -339,11 +339,13 @@ ORDER BY s.doc_id
 """
 
 
-def strip_tail_sql(n: int, toks_cte: str = "toks") -> str:
-    """The shared rewrite SQL tail: expects two prior CTEs — ``toks_cte``
-    with ``(doc_id, t)`` token arrays for the docs being rewritten, and
-    ``win(doc_id, pos)`` with the removal-window starts — and emits
-    islands → spans → removal → rebuild → final select, mirroring
+def strip_tail_ctes(n: int, toks_cte: str = "toks") -> str:
+    """The shared rewrite CTE chain (islands → spans → removal →
+    ``rebuilt``), WITHOUT a final select — composable faces (e.g. the
+    curation-with-rewrite chain) append their own select joining extra
+    columns.  Expects two prior CTEs: ``toks_cte`` with ``(doc_id, t)``
+    token arrays for the docs being rewritten, and ``win(doc_id, pos)``
+    with the removal-window starts; mirrors
     :func:`strip_window_positions` exactly."""
     return f"""
 islands AS (
@@ -367,7 +369,9 @@ tok_pos AS (
   SELECT doc_id, i AS pos, t[i] AS tok
   FROM {toks_cte}, unnest(generate_series(1, len(t))) AS u(i)
 ),
-kept AS (
+strip_kept AS (
+  -- named strip_kept, not kept: composing faces (the curation chain)
+  -- already define a `kept` CTE of their own
   SELECT tp.doc_id, tp.pos, tp.tok
   FROM tok_pos tp
   ANTI JOIN removed r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
@@ -375,8 +379,14 @@ kept AS (
 rebuilt AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
          string_agg(tok, ' ' ORDER BY pos) AS clean_text
-  FROM kept GROUP BY doc_id
-)
+  FROM strip_kept GROUP BY doc_id
+)""".strip()
+
+
+def strip_tail_sql(n: int, toks_cte: str = "toks") -> str:
+    """`strip_tail_ctes` plus the standalone faces' final select."""
+    return f"""
+{strip_tail_ctes(n, toks_cte)}
 SELECT k.doc_id,
        CAST(len(k.t) AS BIGINT) AS n_tokens,
        CAST(len(k.t) - COALESCE(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,

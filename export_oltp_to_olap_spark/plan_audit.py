@@ -98,6 +98,10 @@ SMJ_EXPECTED = frozenset(
         "corpus_curation_summary",
         "curation_audit",
         "curated_corpus_decontaminated",  # same staged curation chain
+        # same chain + the rewrite tail: admitted docs join their
+        # rebuilt token streams — both sides derive from the corpus,
+        # large-large on doc_id, SMJ is the correct shape
+        "curated_corpus_rewritten",
         "incremental_corpus_delta",
         "ivf_cosine_topk",
         "ivfpq_cosine_topk",

@@ -182,6 +182,93 @@ def curated_corpus_decontaminated(
     )
 
 
+def curated_corpus_rewritten(docs: DataFrame) -> DataFrame:
+    """The curation chain with SURGICAL decontamination: gates → exact
+    dedup → near-dup drop → split assignment → eval-colliding windows
+    CUT from the text (`decontam.strip_contaminated_spans`) instead of
+    dropping the document — what a pipeline runs when admitted docs are
+    mostly clean but quote benchmark items (Llama-2 §A.6).
+
+    Output per ADMITTED doc: ``(doc_id, quality, split, n_tokens,
+    removed_tokens, clean_text)`` ordered by doc_id — the driver hash
+    pins every admitted document's post-rewrite text alongside its
+    curation verdicts.  Docs the gates/dedup dropped don't appear;
+    contaminated docs now DO, with their quotes removed.
+
+    Scale: the curation stages are the existing chain; the rewrite adds
+    one broadcast probe over the admitted docs' positional grams and
+    the linear-in-removed-text rebuild.
+    """
+    from export_oltp_to_olap_spark.operators.decontam import (
+        FIXTURE_N,
+        strip_contaminated_spans,
+    )
+
+    assigned = assign_splits(_curated_kept(docs), "doc_id")
+    stripped = strip_contaminated_spans(
+        assigned.select("doc_id", "text"), fixture_eval_docs(docs), n=FIXTURE_N
+    )
+    return (
+        assigned.select("doc_id", "quality", "split")
+        .join(stripped, "doc_id")
+        .select(
+            "doc_id", "quality", "split", "n_tokens", "removed_tokens", "clean_text"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _rewritten_sql() -> str:
+    """Oracle for :func:`curated_corpus_rewritten`: the shared pipeline
+    CTEs through ``assigned``, then the decontamination REWRITE — eval
+    md5 grams (raw test split, the decontam fixture convention),
+    positional grams over the admitted docs, and the shared strip tail
+    (`substring.strip_tail_ctes`) with a final select that carries the
+    curation verdicts."""
+    from export_oltp_to_olap_spark.operators.decontam import FIXTURE_N, _VAL_BOUND
+    from export_oltp_to_olap_spark.operators.substring import strip_tail_ctes
+
+    n = FIXTURE_N
+    return f"""
+WITH {_pipeline_ctes()},
+ktoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM assigned
+),
+eval_grams AS (
+  SELECT DISTINCT md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+        WHERE CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) >= {_VAL_BOUND}) e,
+       unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+),
+pos_grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM ktoks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
+),
+win AS (
+  SELECT DISTINCT p.doc_id, p.pos FROM pos_grams p JOIN eval_grams USING (g)
+),
+{strip_tail_ctes(n, toks_cte="ktoks")}
+SELECT a.doc_id, a.quality, a.split,
+       CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(len(k.t) - COALESCE(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM assigned a
+JOIN ktoks k USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY a.doc_id
+""".strip()
+
+
+# NOTE: CURATED_REWRITTEN_SQL is assigned after _pipeline_ctes is
+# defined (bottom of the module) — _rewritten_sql calls it at build time.
+
+
 def standing_state(
     old_docs: DataFrame, mode: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -552,6 +639,7 @@ ORDER BY doc_id
 
 
 CURATED_DECONTAMINATED_SQL = _decontaminated_sql()
+CURATED_REWRITTEN_SQL = _rewritten_sql()
 
 
 def _audit_sql() -> str:

@@ -1250,6 +1250,16 @@ def q_media_exact_dedup(spark: SparkSession, sf_dir: str):
     return media.media_exact_dedup(_docs(spark, sf_dir))
 
 
+@register("curated_corpus_rewritten", curation.CURATED_REWRITTEN_SQL)
+def q_curated_rewritten(spark: SparkSession, sf_dir: str):
+    """The curation chain with SURGICAL decontamination: admitted docs
+    keep their slot and lose only the benchmark-quoting windows — per
+    admitted doc (doc_id, quality, split, n_tokens, removed_tokens,
+    clean_text), the rewrite composed end-to-end with gates/dedup/
+    near-dup/splits and hash-pinned by the driver."""
+    return curation.curated_corpus_rewritten(_docs(spark, sf_dir))
+
+
 @register("media_neardup", media.MEDIA_NEARDUP_SQL)
 def q_media_neardup(spark: SparkSession, sf_dir: str):
     """Near-duplicate media pairs by byte-histogram L1 (same kind,
@@ -1343,9 +1353,11 @@ WINDOW_FIRST: tuple[str, ...] = (
     "decontam_strip_rewrite",
     "media_exact_dedup",
     "media_neardup",
-    # Multi-round-green family probes:
+    "curated_corpus_rewritten",
+    # Multi-round-green family probes (training_shard_manifest rotated
+    # out with the other r05+r07 greens; sampling family stays probed
+    # via capped_corpus + epoch_allocation):
     "quality_scores_saved",
-    "training_shard_manifest",
     "bpe_token_stats",
     "incremental_corpus_delta",
     "leakage_safe_splits",

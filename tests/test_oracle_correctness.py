@@ -101,6 +101,7 @@ _REPORT_EXEMPT = {
     "decontam_strip_rewrite",
     "media_exact_dedup",
     "media_neardup",
+    "curated_corpus_rewritten",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
