@@ -75,7 +75,7 @@ DEFAULT_HEADLINE = [
     "lm_fluency_scores",
     "quality_classifier_scores",
     "quality_scores_saved",
-    "bpe_token_stats",
+    "bpe_tokens_saved",
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "ivf_cosine_topk[kmeans]",
@@ -140,6 +140,12 @@ DEFAULT_HEADLINE = [
     "cluster_balanced_sample",
     "media_exact_dedup",
     "media_neardup",
+    # Round-9 additions: the heaviest composed r8 face finally benched
+    # (VERDICT r8 item 5), the media cell-cap truncation ledger, and
+    # the committed-artifact BPE apply face (replacing the deregistered
+    # per-invocation trainer in this list):
+    "curated_corpus_rewritten",
+    "media_neardup_capped",
     "snapshot_diff_customers",
     "skew_safe_join_revenue",
     "training_shard_manifest",

@@ -301,6 +301,16 @@ def cmd_strip_spans(args: argparse.Namespace, spark: SparkSession) -> int:
     docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
     # per-mode default widths: the faces' own fixture conventions
     if args.mode == "dup":
+        if args.eval_dir:
+            # --eval-dir only means something to decontam mode; a user
+            # who supplied a benchmark set but forgot --mode decontam
+            # would otherwise get a span-dedup rewrite with no warning.
+            print(
+                "strip-spans: --eval-dir requires --mode decontam "
+                "(--mode dup ignores the benchmark set)",
+                file=sys.stderr,
+            )
+            return 2
         n = args.n or substring.FIXTURE_SPAN_N
         df = substring.strip_duplicated_spans(docs, n=n)
     elif args.eval_dir:

@@ -545,57 +545,145 @@ def media_byte_histograms(media: DataFrame) -> DataFrame:
     return spread_for_compute(media, "media_id").mapInPandas(batches, schema=schema)
 
 
+# Second blocking dimension: count of bytes below this value.  For ANY
+# fixed bin subset S, |Σ_{i∈S}(a_i − b_i)| ≤ Σ_i|a_i − b_i| = L1, so a
+# qualifying pair's n_low values differ by ≤ threshold — the same
+# 1-D triangle-inequality shape as size, hence the same lossless
+# two-offset-grid blocking applies per dimension.  110 ('n') rather
+# than 128 so ASCII corpora (letters live in 97-122) discriminate too;
+# for near-uniform compressed media bytes any split is ~equivalent and
+# the binomial fluctuation √(p(1−p)·size) spreads a hot fixed-size
+# band across many n_low cells.
+_NLOW_SPLIT = 110
+
+# Per-(kind, cell) item cap: cells holding MORE items than this are
+# degenerate hot blocks (e.g. a corpus of byte-identical-distribution
+# crops) whose intra-cell all-pairs join would be quadratic on one key
+# — the same blow-up CLONE_SIGNAL_MAX_DF kills in winnow.py.  Capped
+# cells are dropped from candidate generation entirely and surfaced
+# per item by `media_neardup_capped_items` (the ``capped_hashes``
+# pattern).  Fixture occupancy peaks at 194 (sf0.1), so the default
+# changes nothing there.
+MEDIA_CELL_MAX_ITEMS = 1024
+
+
+def _media_cells(stats: DataFrame, threshold: int) -> DataFrame:
+    """4 tagged grid cells per item over the two lossless blocking
+    dimensions (size_bytes, n_low): {A, B} offset grids per dimension,
+    width 2t, offset t.  A qualifying pair (L1 ≤ t ⇒ both deltas ≤ t)
+    co-occupies a cell in at least one grid of EACH dimension, so it
+    shares at least one of the 4 combo cells.  Cells are tagged
+    strings (``sA12|nB5``), keeping the grid namespaces disjoint by
+    construction (no numeric-offset collisions)."""
+    w = F.lit(2 * threshold)
+
+    def grids(col: str, tag_a: str, tag_b: str):
+        return (
+            (tag_a, F.floor(F.col(col) / w)),
+            (tag_b, F.floor((F.col(col) + F.lit(threshold)) / w)),
+        )
+
+    combos = [
+        F.concat(F.lit(st), sg.cast("string"), F.lit("|"), F.lit(nt), ng.cast("string"))
+        for st, sg in grids("size_bytes", "sA", "sB")
+        for nt, ng in grids("n_low", "nA", "nB")
+    ]
+    return stats.select(
+        "media_id", "kind", F.explode(F.array(*combos)).alias("cell")
+    )
+
+
+def _media_stats_and_cells(documents: DataFrame, threshold: int):
+    """Shared head of the near-dup faces: staged histograms (one Arrow
+    sweep feeding cells AND the verify re-attach) + the per-item cell
+    rows.  ``n_low`` is JVM-side arithmetic over the hist array."""
+    from export_oltp_to_olap_spark.operators.staging import stage_fanout
+
+    hists = stage_fanout(media_byte_histograms(synthesize_media(documents)))
+    n_low = F.aggregate(
+        F.slice("hist", 1, _NLOW_SPLIT),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    stats = hists.select("media_id", "kind", "size_bytes", n_low.alias("n_low"))
+    return hists, _media_cells(stats, threshold)
+
+
+def _hot_cells(cells: DataFrame, max_cell_items: int) -> DataFrame:
+    return (
+        cells.groupBy("kind", "cell")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .where(F.col("n_items") > F.lit(max_cell_items))
+        .select("kind", "cell")
+    )
+
+
+def media_neardup_candidates(
+    documents: DataFrame,
+    threshold: int = MEDIA_NEARDUP_L1,
+    max_cell_items: int = MEDIA_CELL_MAX_ITEMS,
+) -> DataFrame:
+    """Distinct candidate pairs ``(media_id_a, media_id_b)`` from the
+    2-D blocked, cell-capped join — the slim pre-verify stage, exposed
+    for the scale-growth tests."""
+    _, cells = _media_stats_and_cells(documents, threshold)
+    ok = cells.join(_hot_cells(cells, max_cell_items), ["kind", "cell"], "left_anti")
+    a = ok.select(F.col("media_id").alias("media_id_a"), "kind", "cell")
+    b = ok.select(F.col("media_id").alias("media_id_b"), "kind", "cell")
+    return (
+        a.join(b, ["kind", "cell"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b")
+        .distinct()  # up to 4 combo cells can produce the same pair
+    )
+
+
 def media_histogram_neardup(
-    documents: DataFrame, threshold: int = MEDIA_NEARDUP_L1
+    documents: DataFrame,
+    threshold: int = MEDIA_NEARDUP_L1,
+    max_cell_items: int = MEDIA_CELL_MAX_ITEMS,
 ) -> DataFrame:
     """Near-duplicate media pairs: same ``kind``, raw byte-histogram
     L1 distance ≤ ``threshold``, excluding histogram-IDENTICAL
     pairs (exact duplicates and pure byte permutations — the exact
     rung's and a content hash's job, not a distribution method's).
 
-    Blocking is LOSSLESS: Σ|a−b| ≥ |Δsize|, so qualifying pairs differ
-    in size by ≤ threshold bytes — and any length-≤t interval avoids
-    the boundaries of one of TWO grids of width 2t offset by t
-    (combined boundaries are t apart; an interval of length ≤ t spans
-    at most one, which belongs to only one grid).  Candidate generation
-    by equality join on (kind, grid-cell) therefore misses nothing
-    while never joining across distant sizes.  The verify is exact
-    integer arithmetic (`zip_with` + `aggregate`), so Spark and DuckDB
-    agree bit-for-bit.
+    Blocking is LOSSLESS on two dimensions: Σ|a−b| ≥ |Δsize| and
+    Σ|a−b| ≥ |Δn_low| (triangle inequality over any bin subset), and
+    per dimension any delta-≤t pair avoids the boundaries of one of
+    two offset grids of width 2t, so every qualifying pair shares one
+    of the 4 tagged combo cells (`_media_cells`).  The second
+    dimension is what splits the hot fixed-size bands real media
+    corpora concentrate in (all 224×224 crops share one byte size but
+    not one byte distribution).  Truly degenerate cells — identical
+    size AND identical distribution beyond ``max_cell_items`` — are
+    dropped from the join and surfaced by
+    `media_neardup_capped_items`.
 
     ``(media_id_a, media_id_b, l1_dist)`` with a < b, ordered.
 
-    Scale: histograms are one Arrow sweep; candidates shuffle on
-    (kind, cell) — bounded fan-out per cell by items within a
-    threshold-wide size band; the verify moves only 16 longs per side.
+    Scale: one Arrow histogram sweep (staged — reused by the verify);
+    candidate generation shuffles only (kind, cell-string, id) — 3
+    narrow columns, NOT the 256-long histograms; the distinct'd
+    candidates then re-attach each side's histogram by id join, so a
+    histogram crosses the wire once per item, not once per candidate
+    pair.  Per-cell fan-out is bounded by ``max_cell_items``².
     """
-    hists = media_byte_histograms(synthesize_media(documents))
-    cells = hists.select(
-        "media_id",
-        "kind",
-        "size_bytes",
-        "hist",
-        F.explode(
-            F.array(
-                F.floor(F.col("size_bytes") / F.lit(2 * threshold)),
-                # second grid offset by t: a pair straddling a grid-1
-                # boundary cannot also straddle a grid-2 boundary
-                F.floor((F.col("size_bytes") + F.lit(threshold)) / F.lit(2 * threshold))
-                + F.lit(1_000_000_000),
-            )
-        ).alias("cell"),
+    hists, cells = _media_stats_and_cells(documents, threshold)
+    ok = cells.join(_hot_cells(cells, max_cell_items), ["kind", "cell"], "left_anti")
+    a = ok.select(F.col("media_id").alias("media_id_a"), "kind", "cell")
+    b = ok.select(F.col("media_id").alias("media_id_b"), "kind", "cell")
+    cand = (
+        a.join(b, ["kind", "cell"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b")
+        .distinct()  # up to 4 combo cells can produce the same pair
     )
-    a = cells.select(
-        F.col("media_id").alias("media_id_a"),
-        "kind",
-        "cell",
-        F.col("hist").alias("hist_a"),
+    ha = hists.select(
+        F.col("media_id").alias("media_id_a"), F.col("hist").alias("hist_a")
     )
-    b = cells.select(
-        F.col("media_id").alias("media_id_b"),
-        "kind",
-        "cell",
-        F.col("hist").alias("hist_b"),
+    hb = hists.select(
+        F.col("media_id").alias("media_id_b"), F.col("hist").alias("hist_b")
     )
     l1 = F.aggregate(
         F.zip_with("hist_a", "hist_b", lambda x, y: F.abs(x - y)),
@@ -603,19 +691,41 @@ def media_histogram_neardup(
         lambda acc, v: acc + v,
     )
     return (
-        a.join(b, ["kind", "cell"])
-        .where(F.col("media_id_a") < F.col("media_id_b"))
+        cand.join(ha, "media_id_a")
+        .join(hb, "media_id_b")
         .withColumn("l1_dist", l1)
         .where((F.col("l1_dist") <= threshold) & (F.col("l1_dist") > 0))
         .select("media_id_a", "media_id_b", "l1_dist")
-        .distinct()  # the two grids can both produce a qualifying pair
         .orderBy("media_id_a", "media_id_b")
     )
 
 
-def media_neardup_sql(threshold: int = MEDIA_NEARDUP_L1) -> str:
-    """DuckDB restatement of `media_histogram_neardup` (ASCII fixture
+def media_neardup_capped_items(
+    documents: DataFrame,
+    threshold: int = MEDIA_NEARDUP_L1,
+    max_cell_items: int = MEDIA_CELL_MAX_ITEMS,
+) -> DataFrame:
+    """The truncation ledger for `media_histogram_neardup`'s cell cap
+    (the winnowing ``capped_hashes`` pattern, winnow.py): one row per
+    item that had ≥ 1 of its 4 blocking cells dropped as degenerate-hot,
+    with the count of dropped cells.  ``(media_id, kind, capped_cells)``
+    ordered by id; empty ⇔ the cap changed nothing (the fixture case at
+    the production default)."""
+    _, cells = _media_stats_and_cells(documents, threshold)
+    return (
+        cells.join(_hot_cells(cells, max_cell_items), ["kind", "cell"], "left_semi")
+        .groupBy("media_id", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("capped_cells"))
+        .orderBy("media_id")
+    )
+
+
+def _media_blocking_ctes(threshold: int, max_cell_items: int) -> str:
+    """Shared CTE prefix for the near-dup oracle faces: media → byte
+    histograms → (size, n_low) stats → 4 tagged combo cells → hot-cell
+    set, mirroring `_media_cells`/`_hot_cells` exactly (ASCII fixture
     text: char codes == bytes, the FEATURE_DIGEST_SQL convention)."""
+    w = 2 * threshold
     return f"""
 WITH media AS (
   SELECT doc_id AS media_id,
@@ -635,22 +745,49 @@ hist AS (
   FROM positions
   GROUP BY media_id, kind, bin
 ),
-sizes AS (
+nlow AS (
+  SELECT media_id, CAST(sum(c) AS BIGINT) AS n_low
+  FROM hist WHERE bin < {_NLOW_SPLIT} GROUP BY media_id
+),
+stats AS (
   -- from media, not hist: a zero-byte item has no hist rows but must
   -- still block and pair (its L1 vs a tiny item is the other's size)
-  SELECT media_id, kind, CAST(length(content) AS BIGINT) AS size_bytes
-  FROM media
+  SELECT m.media_id, m.kind, CAST(length(m.content) AS BIGINT) AS size_bytes,
+         COALESCE(n.n_low, 0) AS n_low
+  FROM media m LEFT JOIN nlow n USING (media_id)
 ),
 cells AS (
-  SELECT media_id, kind, size_bytes, size_bytes // {2 * threshold} AS cell FROM sizes
+  SELECT media_id, kind,
+         'sA' || (size_bytes // {w}) || '|nA' || (n_low // {w}) AS cell FROM stats
   UNION ALL
-  SELECT media_id, kind, size_bytes,
-         (size_bytes + {threshold}) // {2 * threshold} + 1000000000 AS cell
-  FROM sizes
+  SELECT media_id, kind,
+         'sA' || (size_bytes // {w}) || '|nB' || ((n_low + {threshold}) // {w}) FROM stats
+  UNION ALL
+  SELECT media_id, kind,
+         'sB' || ((size_bytes + {threshold}) // {w}) || '|nA' || (n_low // {w}) FROM stats
+  UNION ALL
+  SELECT media_id, kind,
+         'sB' || ((size_bytes + {threshold}) // {w}) || '|nB' || ((n_low + {threshold}) // {w}) FROM stats
+),
+hot AS (
+  SELECT kind, cell FROM cells GROUP BY kind, cell HAVING count(*) > {max_cell_items}
+)""".strip()
+
+
+def media_neardup_sql(
+    threshold: int = MEDIA_NEARDUP_L1, max_cell_items: int = MEDIA_CELL_MAX_ITEMS
+) -> str:
+    """DuckDB restatement of `media_histogram_neardup`: identical 2-D
+    blocking, identical cell cap, exact integer L1 verify."""
+    return f"""
+{_media_blocking_ctes(threshold, max_cell_items)},
+ok AS (
+  SELECT c.media_id, c.kind, c.cell
+  FROM cells c ANTI JOIN hot h ON c.kind = h.kind AND c.cell = h.cell
 ),
 cand AS (
-  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b, a.kind
-  FROM cells a JOIN cells b ON a.kind = b.kind AND a.cell = b.cell
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
+  FROM ok a JOIN ok b ON a.kind = b.kind AND a.cell = b.cell
   WHERE a.media_id < b.media_id
 ),
 pair_l1 AS (
@@ -669,7 +806,29 @@ ORDER BY media_id_a, media_id_b
 """.strip()
 
 
+def media_neardup_capped_sql(
+    threshold: int = MEDIA_NEARDUP_L1, max_cell_items: int = MEDIA_CELL_MAX_ITEMS
+) -> str:
+    """DuckDB restatement of `media_neardup_capped_items`."""
+    return f"""
+{_media_blocking_ctes(threshold, max_cell_items)}
+SELECT c.media_id, c.kind, CAST(count(*) AS BIGINT) AS capped_cells
+FROM cells c SEMI JOIN hot h ON c.kind = h.kind AND c.cell = h.cell
+GROUP BY c.media_id, c.kind
+ORDER BY media_id
+""".strip()
+
+
 MEDIA_NEARDUP_SQL = media_neardup_sql()
+
+# The registered truncation-ledger face runs at a deliberately LOW demo
+# cap so the fixture corpus (max cell occupancy 23-27) actually exercises
+# the cap and the driver oracle checks real rows; production keeps
+# MEDIA_CELL_MAX_ITEMS.
+MEDIA_NEARDUP_CAPPED_DEMO_MAX = 8
+MEDIA_NEARDUP_CAPPED_SQL = media_neardup_capped_sql(
+    max_cell_items=MEDIA_NEARDUP_CAPPED_DEMO_MAX
+)
 
 
 # ---------------------------------------------------------------------------

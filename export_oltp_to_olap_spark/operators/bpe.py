@@ -223,3 +223,132 @@ def bpe_token_stats(
         .orderBy("source")
     )
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Committed tokenizer artifact: train-once / apply-many, SQL-restatable
+# ---------------------------------------------------------------------------
+#
+# The driver face above (`bpe_token_stats`) trains per invocation, so its
+# merge loop keeps it rows-only.  Production tokenizers are trained ONCE
+# and shipped as a file (the GPT-2 `merges.txt` convention); freezing the
+# fixture-trained merge list as a committed JSON artifact — exactly like
+# `artifacts/pq_codebooks_fixture.json` froze the PQ codebooks — yields
+# an apply-only face whose corpus side is pure relational algebra:
+# explode → join the artifact's word → n_subtokens map → aggregate.
+# That restates in ANSI SQL, giving the face a full DuckDB oracle.  The
+# artifact also commits the derived vocabulary map so the oracle checks
+# Spark's LIVE pandas-UDF segmentation against frozen expected values;
+# tests/test_bpe_artifact.py pins (a) merges rebuild bit-for-bit from
+# the fixture, (b) the committed map equals segment_word over the
+# committed merges, (c) the map covers every fixture word at every SF
+# (the synthetic corpus draws from one fixed word pool).
+
+import json
+import os
+
+BPE_ARTIFACT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts",
+    "bpe_merges_fixture.json",
+)
+
+
+def train_bpe_artifact(
+    docs: DataFrame,
+    num_merges: int = FIXTURE_MERGES,
+    max_words: int = MAX_WORDS,
+    extra_words: list[str] | None = None,
+) -> dict:
+    """Train on ``docs`` and emit the committable artifact: the merge
+    list plus the derived ``word → n_subtokens`` map over the training
+    vocabulary (∪ ``extra_words``, so the map can cover apply corpora
+    drawn from the same pool at other scales)."""
+    freqs = capped_word_counts(docs, max_words)
+    merges = learn_merges(freqs, num_merges)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    words = sorted({w for w, _ in freqs} | set(extra_words or ()))
+    return {
+        "trained_on": "sf0.001 documents; merges deterministic "
+        "(count desc, pair asc tie-break)",
+        "num_merges": num_merges,
+        "max_words": max_words,
+        "merges": [list(p) for p in merges],
+        "vocab": {w: len(segment_word(w, ranks)) for w in words},
+    }
+
+
+def load_bpe_artifact(path: str | None = None) -> dict:
+    with open(path or BPE_ARTIFACT_PATH, encoding="utf-8") as fh:
+        art = json.load(fh)
+    art["merges"] = [tuple(p) for p in art["merges"]]
+    return art
+
+
+def bpe_tokens_saved(docs: DataFrame, path: str | None = None) -> DataFrame:
+    """Per-source tokenizer yield under the COMMITTED merges — the
+    apply-only production face (no training job in the plan).
+
+    Same plan shape as `bpe_token_stats` stage 3: one exploded
+    (doc, word) stream, live pandas-UDF segmentation of the DISTINCT
+    words under the frozen merge list, broadcast probe back onto the
+    corpus, per-source aggregate.  ``(source, n_docs, n_words,
+    n_subtokens, n_merges_applied)`` ordered by source.
+    """
+    art = load_bpe_artifact(path)
+    exploded = (
+        spread_for_compute(docs.select("doc_id", "source", "text"), "doc_id")
+        .select("doc_id", "source", F.explode_outer(tokens("text")).alias("word"))
+    )
+    per_word = word_token_map(
+        exploded.where(F.col("word").isNotNull()).select("word").distinct(),
+        art["merges"],
+    )
+    return (
+        exploded.join(F.broadcast(per_word), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("word").alias("n_words"),
+            F.coalesce(F.sum("n_subtokens"), F.lit(0)).cast("long").alias("n_subtokens"),
+        )
+        .withColumn("n_merges_applied", F.lit(len(art["merges"])))
+        .orderBy("source")
+    )
+
+
+def bpe_tokens_saved_sql(path: str | None = None) -> str:
+    """DuckDB restatement of `bpe_tokens_saved`: the committed
+    ``word → n_subtokens`` map inlined as VALUES rows (the fixture pool
+    is ~31 words), corpus side = explode → join → aggregate.  Exact
+    when the map covers the corpus vocabulary (pinned by
+    tests/test_bpe_artifact.py); unseen words fall back to the
+    unmerged ``length + 1`` symbol count, and any live-segmentation
+    drift from the frozen map fails the driver hash — which is the
+    point of the oracle."""
+    from export_oltp_to_olap_spark.functions.text import SQL_TOKENS
+
+    art = load_bpe_artifact(path)
+    values = ",\n    ".join(
+        f"('{w}', {n})" for w, n in sorted(art["vocab"].items())
+    )
+    toks = SQL_TOKENS.format(t="text")
+    return f"""
+WITH vocab(word, n_subtokens) AS (
+  VALUES
+    {values}
+),
+exploded AS (
+  SELECT doc_id, source, unnest({toks}) AS word
+  FROM documents
+)
+SELECT e.source,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(e.word) AS BIGINT) AS n_words,
+       CAST(COALESCE(sum(COALESCE(v.n_subtokens, length(e.word) + 1)), 0) AS BIGINT)
+         AS n_subtokens,
+       {len(art["merges"])} AS n_merges_applied
+FROM exploded e LEFT JOIN vocab v ON e.word = v.word
+GROUP BY e.source
+ORDER BY e.source
+""".strip()

@@ -133,7 +133,6 @@ SMJ_EXPECTED = frozenset(
 # ``plan_only=True`` (CLI: ``explain --all --plan-only``) to skip them.
 BUILD_EXECUTES = frozenset(
     {
-        "bpe_token_stats",
         "quality_classifier_scores",
         "lm_fluency_scores",
         "lm_guided_mixture",

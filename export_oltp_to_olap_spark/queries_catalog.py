@@ -1112,13 +1112,21 @@ def q_events_hopping(spark: SparkSession, sf_dir: str):
     return events_plans.hopping_halfhour_stats(t["events"])
 
 
-@register("bpe_token_stats", None)  # iterative merge learning: no SQL oracle
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str):
-    """Learned BPE tokenizer (Sennrich arXiv:1508.07909): distributed
-    word-count pass -> driver merge loop on the capped frequency table ->
-    broadcast word->subtoken probe; per-source tokenizer yield.  Merge
-    list pinned against an independent reference in tests/test_bpe.py."""
-    return bpe.bpe_token_stats(_docs(spark, sf_dir))
+# `bpe_token_stats` (the train-per-invocation face) was DEREGISTERED in
+# round 9: the production path is the committed-artifact apply face
+# below (full oracle), and a per-invocation trainer can never carry a
+# SQL oracle — its evidence lives in tests/test_bpe.py (independent
+# reference implementation + Sennrich worked example) and
+# tests/test_bpe_artifact.py (saved ≡ inline at fixture settings).
+# The trainer API (`bpe.train_bpe`, `bpe.bpe_token_stats`) remains.
+@register("bpe_tokens_saved", bpe.bpe_tokens_saved_sql())
+def q_bpe_tokens_saved(spark: SparkSession, sf_dir: str):
+    """BPE apply under the COMMITTED merge artifact (the GPT-2
+    merges.txt convention; train-once/apply-many like pq_cosine_topk's
+    saved codebooks): live pandas-UDF segmentation of distinct words
+    under the frozen merges, broadcast probe, per-source yield — full
+    DuckDB oracle against the artifact's frozen word->subtoken map."""
+    return bpe.bpe_tokens_saved(_docs(spark, sf_dir))
 
 
 @register("curation_audit", curation.CURATION_AUDIT_SQL)
@@ -1264,10 +1272,23 @@ def q_curated_rewritten(spark: SparkSession, sf_dir: str):
 def q_media_neardup(spark: SparkSession, sf_dir: str):
     """Near-duplicate media pairs by byte-histogram L1 (same kind,
     distance ≤ 24, histogram-identical pairs excluded) with LOSSLESS
-    two-grid size blocking (L1 ≥ |Δsize|) — the perceptual-dedup
-    plumbing over binary columns, exact integer verify both engines
-    compute bit-identically."""
+    2-D two-grid blocking (L1 ≥ |Δsize| and ≥ |Δn_low|, splitting hot
+    fixed-size bands) and a degenerate-cell cap — the perceptual-dedup
+    plumbing over binary columns; the slim candidate join shuffles ids
+    only and re-attaches histograms per item, exact integer verify both
+    engines compute bit-identically."""
     return media.media_histogram_neardup(_docs(spark, sf_dir))
+
+
+@register("media_neardup_capped", media.MEDIA_NEARDUP_CAPPED_SQL)
+def q_media_neardup_capped(spark: SparkSession, sf_dir: str):
+    """Truncation ledger for the media near-dup cell cap (the winnowing
+    ``capped_hashes`` pattern): items whose blocking cells were dropped
+    as degenerate-hot, at a demo cap of 8 so the fixture corpus
+    exercises the mechanism with real rows."""
+    return media.media_neardup_capped_items(
+        _docs(spark, sf_dir), max_cell_items=media.MEDIA_NEARDUP_CAPPED_DEMO_MAX
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1286,79 +1307,70 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
-    # ROUND-9 CHORE (pre-staged): every registration has a driver row
-    # once CORRECTNESS_r08 lands (zero never-reported names — the
-    # standing rule held all round).  Rotation is therefore pure
-    # hygiene: rotate OUT the 21 round-8 first-row earners that go
-    # multi-round-green, rotate IN any round-9 registrations in the
-    # same commit that registers them, and backfill family probes from
-    # _REPORT_EXEMPT (candidates: tpch_q1-adapted pricing_summary
-    # stays; bring back one of events_gapfill_locf / pack_bins_summary
-    # / chunk_documents so those families re-probe).  Keep the 5 star
-    # sentinels.
-    # --- ROUND-8 ROTATION (VERDICT r7 item 1, pre-staged last round) ---
-    # In:  the 15 never-reported round-7 tail registrations —
-    #      tpch_q{2,8,9,11,13,15,16,17,20,21}, tpch_q9_profit_trend,
-    #      winnowing_fingerprints, fingerprint_delta, decontaminate_bloom,
-    #      semdedup_threshold_curve — plus pq_cosine_topk and
-    #      ivfpq_cosine_topk, whose oracles were retired from rows-only in
-    #      round 7 (committed codebook artifact + ADC SQL) and which need
-    #      their first HASH-green rows (their old rows were rows-only).
-    # Out: 17 multi-round-green probes, every family staying represented:
-    #      quality_calibration_bins + lm_guided_mixture (r07;
-    #      quality_scores_saved/lm_fluency_scores remain),
-    #      tpch_q{4,7,12,14,19,22} (r07) and tpch_q{3,5,6,10,18}
-    #      (r05+r07) — 11 fresh TPC-H registrations replace them,
-    #      leakage_fix_report (r06+r07; leakage_safe_splits remains),
-    #      neardup_threshold_curve (r06+r07; minhash/clusters remain),
-    #      rp_cosine_topk (r06+r07; ann_cosine_topk remains),
-    #      curated_corpus_decontaminated (r07; 3 curation faces remain).
-    #      All 17 were already members of the grows-only _REPORT_EXEMPT
-    #      union (each sat in a past-window tail at least once).
+    # --- ROUND-9 ROTATION (VERDICT r8 item 3, pre-staged in r8) ---
+    # Out (23): the 17 round-8 first-row earners (11 TPC-H + winnowing
+    #      ×2 + decontaminate_bloom + semdedup_threshold_curve +
+    #      pq/ivfpq_cosine_topk) and 6 of the 7 mid-r8 registrations
+    #      (span_strip_rewrite, epoch_allocation,
+    #      cluster_balanced_sample, decontam_strip_rewrite,
+    #      media_exact_dedup, curated_corpus_rewritten) — all r08
+    #      hash-green, all already members of the grows-only
+    #      _REPORT_EXEMPT union.  media_neardup is NOT rotated out:
+    #      its blocking/cap changed this round, so it must re-earn a
+    #      driver row for the new code.
+    # In (23): media_neardup_capped + bpe_tokens_saved (registered
+    #      this round, windowed same commit — standing rule), the 3
+    #      _REPORT_EXEMPT family backfills (events_gapfill_locf,
+    #      pack_bins_summary, chunk_documents — last rows r05), and 18
+    #      returning probes whose latest green rows are the oldest on
+    #      the board: the 6 probes displaced mid-r8 (stats_moments,
+    #      snapshot_diff, skew_safe_join, events_hopping, dsir,
+    #      curation_audit), training_shard_manifest,
+    #      quality_calibration_bins, lm_guided_mixture,
+    #      leakage_fix_report, neardup_threshold_curve, rp_cosine_topk,
+    #      curated_corpus_decontaminated, tpch_q{3,4,5,6,7}.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04 + r07):
+    # probes; hash-green r01-r04 + r07 + r08):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # First driver rows this round (round-8 rotation):
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q9_profit_trend",
-    "tpch_q11_important_flow",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty",
-    "tpch_q20_dominant_share",
-    "tpch_q21_sole_blame",
-    "winnowing_fingerprints",
-    "fingerprint_delta",
-    "decontaminate_bloom",
-    "semdedup_threshold_curve",
-    # First HASH-green rows (oracle retired from rows-only in round 7):
-    "pq_cosine_topk",
-    "ivfpq_cosine_topk",
-    # Registered mid-round-8, windowed in the SAME commit (standing
-    # rule; displaced stats_moments_lineitem, snapshot_diff_customers,
-    # skew_safe_join_revenue, events_hopping_halfhour, dsir_importance,
-    # curation_audit — r05+r07 green, families still probed):
-    "span_strip_rewrite",
-    "epoch_allocation",
-    "cluster_balanced_sample",
-    "decontam_strip_rewrite",
-    "media_exact_dedup",
+    # Code changed in round 9 (2-D blocking + cell cap) — re-verify:
     "media_neardup",
-    "curated_corpus_rewritten",
-    # Multi-round-green family probes (training_shard_manifest rotated
-    # out with the other r05+r07 greens; sampling family stays probed
-    # via capped_corpus + epoch_allocation):
+    # Registered in round 9, windowed in the same commit (standing
+    # rule; bpe_tokens_saved displaced tpch_q10_returned_items from the
+    # returning-probe list — r05+r07 green, already _REPORT_EXEMPT):
+    "media_neardup_capped",
+    "bpe_tokens_saved",
+    # Family backfills (last driver rows r05):
+    "events_gapfill_locf",
+    "pack_bins_summary",
+    "chunk_documents",
+    # Returning probes, oldest-green-first:
+    "stats_moments_lineitem",
+    "snapshot_diff_customers",
+    "skew_safe_join_revenue",
+    "events_hopping_halfhour",
+    "dsir_importance",
+    "curation_audit",
+    "training_shard_manifest",
+    "quality_calibration_bins",
+    "lm_guided_mixture",
+    "leakage_fix_report",
+    "neardup_threshold_curve",
+    "rp_cosine_topk",
+    "curated_corpus_decontaminated",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    # Multi-round-green family probes:
     "quality_scores_saved",
-    "bpe_token_stats",
+    "tpch_q10_returned_items",
     "incremental_corpus_delta",
     "leakage_safe_splits",
     "source_overlap_matrix",

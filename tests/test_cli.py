@@ -366,6 +366,29 @@ def test_cli_strip_spans_both_modes(spark, sf001, tmp_path, capsys):
     assert got == want
 
 
+def test_cli_strip_spans_rejects_eval_dir_in_dup_mode(spark, sf001, tmp_path, capsys):
+    """--eval-dir with --mode dup (the default) follows the CLI
+    convention (stderr + rc 2) instead of silently ignoring the
+    benchmark set (ADVICE r8)."""
+    from export_oltp_to_olap_spark.cli import main
+
+    rc = main(
+        [
+            "strip-spans",
+            "--source-dir",
+            sf001,
+            "--out",
+            str(tmp_path / "dup"),
+            "--eval-dir",
+            f"{sf001}/documents.parquet",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--mode decontam" in err
+
+
 def test_cli_eval_hashes_rejects_non_power_of_two_m_bits(spark, sf001, tmp_path, capsys):
     """Invalid --bloom-m-bits follows the CLI convention (stderr + rc 2),
     not an uncaught ValueError traceback from eval_gram_bloom (ADVICE r7)."""

@@ -102,6 +102,10 @@ _REPORT_EXEMPT = {
     "media_exact_dedup",
     "media_neardup",
     "curated_corpus_rewritten",
+    # Registered new in round 9, windowed same-commit (first driver
+    # rows land in CORRECTNESS_r09):
+    "media_neardup_capped",
+    "bpe_tokens_saved",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
