@@ -183,6 +183,7 @@ def strip_contaminated_spans(
     n: int = FIXTURE_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rewrite_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Surgical decontamination (the REWRITE face): cut every n-token
     window that collides with the eval n-gram set out of the corpus
@@ -190,6 +191,14 @@ def strip_contaminated_spans(
     for documents that are mostly clean but quote a benchmark item.
     Overlapping contaminated windows island-merge into one cut
     (`substring.strip_window_positions`, the span-dedup rewrite tail).
+
+    ``rewrite_docs`` (optional, default = the whole corpus) restricts
+    which docs' windows are PROBED for eval collisions; docs outside it
+    still appear in the output, normalized but never cut.  Callers
+    whose corpus contains the eval split itself (e.g. a curation chain
+    rewriting admitted docs under the fixture convention where the test
+    split IS the eval set) pass the train/val subset here so eval-split
+    docs don't self-annihilate (ADVICE r8).
 
     Output matches `strip_duplicated_spans`: ``(doc_id, n_tokens,
     removed_tokens, kept_tokens, clean_text)`` for EVERY corpus doc,
@@ -201,8 +210,9 @@ def strip_contaminated_spans(
     """
     from export_oltp_to_olap_spark.operators.substring import strip_window_positions
 
+    probe = corpus if rewrite_docs is None else rewrite_docs
     pg = (
-        spread_for_compute(corpus.select(id_col, text_col), id_col)
+        spread_for_compute(probe.select(id_col, text_col), id_col)
         .select(
             F.col(id_col),
             F.posexplode(word_shingles(text_col, n)).alias("p0", "gram"),

@@ -419,6 +419,17 @@ def epoch_allocation(
     the epoch ratios divide two already-pinned numbers — every value
     hashes identically across engines.
 
+    Budget-sum bound (ADVICE r8): per-source flooring undershoots by
+    < 1 token each, but the 6-dp weight rounding can push Σweights up
+    to ``1 + S·5e-7`` (S = source count), so ``Σ target_tokens ∈
+    (budget − S, budget·(1 + S·5e-7)]`` — an overshoot of at most
+    ~0.5 tokens per source per 1M-token budget, material only past
+    ~2e6 tokens/source.  This is a PLANNING table; a consumer that
+    needs a hard ceiling clamps the largest source's target to
+    ``budget − Σ(others)`` at execution time.  The rounding is kept
+    (not re-normalized) because the 6-dp weights are the cross-engine
+    determinism contract shared with `mixture_weights`.
+
     Scale: `mixture_weights`' one corpus aggregate, then arithmetic on
     S source rows.
     """

@@ -193,7 +193,12 @@ def curated_corpus_rewritten(docs: DataFrame) -> DataFrame:
     removed_tokens, clean_text)`` ordered by doc_id — the driver hash
     pins every admitted document's post-rewrite text alongside its
     curation verdicts.  Docs the gates/dedup dropped don't appear;
-    contaminated docs now DO, with their quotes removed.
+    contaminated docs now DO, with their quotes removed.  The rewrite
+    probes only the train/val splits: under the fixture convention the
+    eval set IS the raw test split, so an admitted test-split doc's
+    text is its own "benchmark quote" and an unrestricted rewrite
+    would remove its entire token stream (ADVICE r8) — test-split rows
+    pass through normalized, never cut.
 
     Scale: the curation stages are the existing chain; the rewrite adds
     one broadcast probe over the admitted docs' positional grams and
@@ -206,7 +211,12 @@ def curated_corpus_rewritten(docs: DataFrame) -> DataFrame:
 
     assigned = assign_splits(_curated_kept(docs), "doc_id")
     stripped = strip_contaminated_spans(
-        assigned.select("doc_id", "text"), fixture_eval_docs(docs), n=FIXTURE_N
+        assigned.select("doc_id", "text"),
+        fixture_eval_docs(docs),
+        n=FIXTURE_N,
+        rewrite_docs=assigned.where(F.col("split") != "test").select(
+            "doc_id", "text"
+        ),
     )
     return (
         assigned.select("doc_id", "quality", "split")
@@ -251,7 +261,12 @@ pos_grams AS (
   FROM ktoks, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS u(i)
 ),
 win AS (
-  SELECT DISTINCT p.doc_id, p.pos FROM pos_grams p JOIN eval_grams USING (g)
+  -- probe only train/val docs: test-split rows ARE the fixture eval
+  -- set, so probing them would self-annihilate their token streams
+  SELECT DISTINCT p.doc_id, p.pos
+  FROM pos_grams p
+  JOIN eval_grams USING (g)
+  JOIN assigned a ON a.doc_id = p.doc_id AND a.split <> 'test'
 ),
 {strip_tail_ctes(n, toks_cte="ktoks")}
 SELECT a.doc_id, a.quality, a.split,

@@ -140,9 +140,14 @@ def test_epoch_allocation_arithmetic_and_budget(spark):
     total = sum(r["tokens"] for r in out.values())
     budget = 15 * total // 10
     # floor() per source: the target sum may undershoot the budget by
-    # < n_sources tokens, never overshoot
+    # < n_sources tokens.  It can also OVERSHOOT by up to
+    # S*5e-7*budget because the 6-dp-rounded weights can sum past 1
+    # (the documented epoch_allocation bound, ADVICE r8) — invisible
+    # at this fixture's ~5k-token budget, where the rounding term is
+    # far below one token, hence the tight <= here.
     tgt = sum(r["target_tokens"] for r in out.values())
-    assert budget - len(out) < tgt <= budget
+    assert budget - len(out) < tgt <= budget + len(out) * 5e-7 * budget
+    assert tgt <= budget  # exact at fixture scale (rounding term < 1 token)
     for r in out.values():
         assert r["repeat_factor"] == int(r["target_tokens"] / r["tokens"])
         assert (
