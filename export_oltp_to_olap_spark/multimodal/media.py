@@ -588,8 +588,16 @@ def _media_cells(stats: DataFrame, threshold: int) -> DataFrame:
         for st, sg in grids("size_bytes", "sA", "sB")
         for nt, ng in grids("n_low", "nA", "nB")
     ]
+    # size_bytes/n_low ride along (two longs): the candidate join
+    # applies |Δ| ≤ t on both as EXACT necessary conditions (each is a
+    # 1-D projection of the L1), pruning same-cell-but-too-far pairs
+    # before the expensive histogram verify.
     return stats.select(
-        "media_id", "kind", F.explode(F.array(*combos)).alias("cell")
+        "media_id",
+        "kind",
+        "size_bytes",
+        "n_low",
+        F.explode(F.array(*combos)).alias("cell"),
     )
 
 
@@ -618,6 +626,46 @@ def _hot_cells(cells: DataFrame, max_cell_items: int) -> DataFrame:
     )
 
 
+def _candidate_pairs(
+    cells: DataFrame, threshold: int, max_cell_items: int
+) -> DataFrame:
+    """Distinct ``(media_id_a, media_id_b)`` from the slim blocked
+    join: cap-surviving cells equi-joined on (kind, cell), pruned by
+    the exact 1-D necessary conditions |Δsize| ≤ t and |Δn_low| ≤ t
+    (each bounds the L1 from below), spread to full width BEFORE the
+    distinct — left to AQE, the byte-small pair stream coalesces to a
+    few partitions and serializes the downstream per-pair verify."""
+    ok = cells.join(_hot_cells(cells, max_cell_items), ["kind", "cell"], "left_anti")
+    a = ok.select(
+        F.col("media_id").alias("media_id_a"),
+        "kind",
+        "cell",
+        F.col("size_bytes").alias("size_a"),
+        F.col("n_low").alias("nlow_a"),
+    )
+    b = ok.select(
+        F.col("media_id").alias("media_id_b"),
+        "kind",
+        "cell",
+        F.col("size_bytes").alias("size_b"),
+        F.col("n_low").alias("nlow_b"),
+    )
+    return (
+        spread_for_compute(
+            a.join(b, ["kind", "cell"])
+            .where(
+                (F.col("media_id_a") < F.col("media_id_b"))
+                & (F.abs(F.col("size_a") - F.col("size_b")) <= F.lit(threshold))
+                & (F.abs(F.col("nlow_a") - F.col("nlow_b")) <= F.lit(threshold))
+            )
+            .select("media_id_a", "media_id_b"),
+            "media_id_a",
+            "media_id_b",
+        )
+        .distinct()  # up to 4 combo cells can produce the same pair
+    )
+
+
 def media_neardup_candidates(
     documents: DataFrame,
     threshold: int = MEDIA_NEARDUP_L1,
@@ -627,15 +675,7 @@ def media_neardup_candidates(
     2-D blocked, cell-capped join — the slim pre-verify stage, exposed
     for the scale-growth tests."""
     _, cells = _media_stats_and_cells(documents, threshold)
-    ok = cells.join(_hot_cells(cells, max_cell_items), ["kind", "cell"], "left_anti")
-    a = ok.select(F.col("media_id").alias("media_id_a"), "kind", "cell")
-    b = ok.select(F.col("media_id").alias("media_id_b"), "kind", "cell")
-    return (
-        a.join(b, ["kind", "cell"])
-        .where(F.col("media_id_a") < F.col("media_id_b"))
-        .select("media_id_a", "media_id_b")
-        .distinct()  # up to 4 combo cells can produce the same pair
-    )
+    return _candidate_pairs(cells, threshold, max_cell_items)
 
 
 def media_histogram_neardup(
@@ -670,15 +710,7 @@ def media_histogram_neardup(
     pair.  Per-cell fan-out is bounded by ``max_cell_items``².
     """
     hists, cells = _media_stats_and_cells(documents, threshold)
-    ok = cells.join(_hot_cells(cells, max_cell_items), ["kind", "cell"], "left_anti")
-    a = ok.select(F.col("media_id").alias("media_id_a"), "kind", "cell")
-    b = ok.select(F.col("media_id").alias("media_id_b"), "kind", "cell")
-    cand = (
-        a.join(b, ["kind", "cell"])
-        .where(F.col("media_id_a") < F.col("media_id_b"))
-        .select("media_id_a", "media_id_b")
-        .distinct()  # up to 4 combo cells can produce the same pair
-    )
+    cand = _candidate_pairs(cells, threshold, max_cell_items)
     ha = hists.select(
         F.col("media_id").alias("media_id_a"), F.col("hist").alias("hist_a")
     )
@@ -757,16 +789,16 @@ stats AS (
   FROM media m LEFT JOIN nlow n USING (media_id)
 ),
 cells AS (
-  SELECT media_id, kind,
+  SELECT media_id, kind, size_bytes, n_low,
          'sA' || (size_bytes // {w}) || '|nA' || (n_low // {w}) AS cell FROM stats
   UNION ALL
-  SELECT media_id, kind,
+  SELECT media_id, kind, size_bytes, n_low,
          'sA' || (size_bytes // {w}) || '|nB' || ((n_low + {threshold}) // {w}) FROM stats
   UNION ALL
-  SELECT media_id, kind,
+  SELECT media_id, kind, size_bytes, n_low,
          'sB' || ((size_bytes + {threshold}) // {w}) || '|nA' || (n_low // {w}) FROM stats
   UNION ALL
-  SELECT media_id, kind,
+  SELECT media_id, kind, size_bytes, n_low,
          'sB' || ((size_bytes + {threshold}) // {w}) || '|nB' || ((n_low + {threshold}) // {w}) FROM stats
 ),
 hot AS (
@@ -782,13 +814,17 @@ def media_neardup_sql(
     return f"""
 {_media_blocking_ctes(threshold, max_cell_items)},
 ok AS (
-  SELECT c.media_id, c.kind, c.cell
+  SELECT c.media_id, c.kind, c.cell, c.size_bytes, c.n_low
   FROM cells c ANTI JOIN hot h ON c.kind = h.kind AND c.cell = h.cell
 ),
 cand AS (
+  -- |Δsize| and |Δn_low| ≤ t are exact 1-D lower bounds on the L1:
+  -- prune same-cell-but-too-far pairs before the histogram verify
   SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
   FROM ok a JOIN ok b ON a.kind = b.kind AND a.cell = b.cell
   WHERE a.media_id < b.media_id
+    AND abs(a.size_bytes - b.size_bytes) <= {threshold}
+    AND abs(a.n_low - b.n_low) <= {threshold}
 ),
 pair_l1 AS (
   SELECT c.media_id_a, c.media_id_b,
