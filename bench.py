@@ -91,6 +91,7 @@ DEFAULT_HEADLINE = [
     "incremental_corpus_delta[standing]",
     "source_overlap_matrix",
     "text_quality",
+    "gopher_quality_flags",
     "pii_scan",
     "token_count_bpe",
     "media_feature_extract",
@@ -273,6 +274,12 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # Per-query minima ride along in the driver-captured line
+        # (VERDICT r8 item 1): on this container the min is the best
+        # crowding-free estimate, so "regression or variance?" is
+        # answerable from BENCH_r{N}.json alone — a moved median with
+        # an unmoved min is load, not code.
+        "query_mins": {name: min(s) for name, s in samples.items()},
         "sf": sf_val,
         "n_runs": n_runs,
     }

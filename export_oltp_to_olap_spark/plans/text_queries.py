@@ -710,3 +710,156 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Appendix A1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule flags + the composed keep verdict — the
+    published RULE-set filter (word-count bounds, mean word length,
+    symbol ratio, alpha-word ratio, stop-word floor, bullet/ellipsis
+    line shares, duplicate-line share, top-bigram coverage), distinct
+    from the blended `text_quality` score: production pipelines run
+    BOTH (hard rules gate, the score ranks survivors).
+
+    Every threshold is evaluated by INTEGER cross-multiplication
+    (``10*n_sym <= n_tokens`` instead of ``n_sym/n_tokens <= 0.1``) so
+    the booleans are engine-exact — no float division anywhere.  The
+    top-bigram rule simplifies Gopher's character-coverage fraction to
+    count-coverage over bigrams (documented deviation; same signal).
+
+    Entirely per-row expressions — zero shuffles, no aggregation
+    state; at 100 TB this is a map-only scan like `text_repetition`.
+    """
+    from export_oltp_to_olap_spark.functions.text import tokens
+
+    t = F.col("_t")
+    lines = F.col("_lines")
+    bg = F.col("_bg")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_t) - 1),"
+            " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id", "text", tokens("text").alias("_t"), F.split("text", "\n").alias("_lines")
+    ).withColumn("_bg", bigrams)
+
+    n = F.size(t).cast("long")
+    tot_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    ).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ).cast("long")
+    n_ellipsis = F.regexp_count("text", F.lit(r"\.\.\.")).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast(
+        "long"
+    )
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    n_dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    top_bg = F.when(
+        F.size(bg) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg), lambda d: F.size(F.filter(bg, lambda x: x == d))
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    n_bg = F.size(bg).cast("long")
+
+    flags = {
+        "flag_word_count": (n >= 50) & (n <= 100_000),
+        "flag_mean_word_len": (3 * n <= tot_chars) & (tot_chars <= 10 * n),
+        "flag_symbol_ratio": 10 * (n_hash + n_ellipsis) <= n,
+        "flag_alpha_words": 5 * n_alpha >= 4 * n,
+        "flag_stopwords": n_stop >= 2,
+        "flag_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "flag_ellipsis_lines": 10 * n_ell_lines <= 3 * n_lines,
+        "flag_dup_lines": 10 * n_dup_lines <= 3 * n_lines,
+        "flag_top_bigram": 100 * top_bg <= 18 * F.greatest(n_bg, F.lit(1)),
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {SQL_TOKENS.format(t="text")} AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+bg AS (
+  SELECT *, CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END AS b
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n,
+         CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS BIGINT) AS tot_chars,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(t),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ellipsis,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) AS n_ell_lines,
+         CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+         CAST(CASE WHEN len(b) > 0
+              THEN list_max(list_transform(list_distinct(b),
+                   d -> len(list_filter(b, x -> x = d))))
+              ELSE 0 END AS BIGINT) AS top_bg,
+         CAST(len(b) AS BIGINT) AS n_bg
+  FROM bg
+)
+SELECT doc_id, n AS n_tokens,
+       (n >= 50 AND n <= 100000) AS flag_word_count,
+       (3 * n <= tot_chars AND tot_chars <= 10 * n) AS flag_mean_word_len,
+       (10 * (n_hash + n_ellipsis) <= n) AS flag_symbol_ratio,
+       (5 * n_alpha >= 4 * n) AS flag_alpha_words,
+       (n_stop >= 2) AS flag_stopwords,
+       (10 * n_bullet <= 9 * n_lines) AS flag_bullet_lines,
+       (10 * n_ell_lines <= 3 * n_lines) AS flag_ellipsis_lines,
+       (10 * n_dup_lines <= 3 * n_lines) AS flag_dup_lines,
+       (100 * top_bg <= 18 * greatest(n_bg, 1)) AS flag_top_bigram,
+       ((n >= 50 AND n <= 100000)
+        AND (3 * n <= tot_chars AND tot_chars <= 10 * n)
+        AND (10 * (n_hash + n_ellipsis) <= n)
+        AND (5 * n_alpha >= 4 * n)
+        AND (n_stop >= 2)
+        AND (10 * n_bullet <= 9 * n_lines)
+        AND (10 * n_ell_lines <= 3 * n_lines)
+        AND (10 * n_dup_lines <= 3 * n_lines)
+        AND (100 * top_bg <= 18 * greatest(n_bg, 1))) AS keep
+FROM m
+ORDER BY doc_id
+""".strip()

@@ -79,6 +79,14 @@ driver-report row, never the check itself.
   byte-histogram L1 near-dup with lossless two-grid size blocking) —
   each windowed IN THE SAME COMMIT that registered it, per the
   standing rule at the WINDOW_FIRST pin.
+* Round 9 rebuilds media_neardup (slim id-only candidate join, second
+  lossless blocking dimension, degenerate-cell cap) and registers its
+  truncation ledger media_neardup_capped; retires the BPE rows-only
+  entry by DEREGISTERING the per-invocation trainer bpe_token_stats
+  (evidence stays in tests/test_bpe.py) in favor of bpe_tokens_saved,
+  the apply face under the committed artifacts/bpe_merges_fixture.json
+  with a full VALUES-join oracle.  Both new faces windowed in their
+  registering commits.
 """
 
 from __future__ import annotations
@@ -539,6 +547,18 @@ def q_split_drift(spark: SparkSession, sf_dir: str):
     """Train-vs-test quality-distribution drift per bin (TVD terms —
     log-free, so every value is exact integer-ratio arithmetic)."""
     return text_queries.split_drift_report(_docs(spark, sf_dir))
+
+
+@register("gopher_quality_flags", text_queries.GOPHER_QUALITY_SQL)
+def q_gopher_flags(spark: SparkSession, sf_dir: str):
+    """Gopher rule-set filter (arXiv:2112.11446 A1): per-doc rule
+    booleans + composed keep verdict, every threshold an integer
+    cross-multiplication so the flags are engine-exact; map-only.
+    Fixture honesty: the synthetic corpus is not English (one Gopher
+    stop word in its vocabulary, ~30-token docs), so flag_stopwords is
+    uniformly false and keep rejects everything — faithful paper
+    thresholds, per-doc variety carried by n_tokens/flag_word_count."""
+    return text_queries.gopher_quality_flags(_docs(spark, sf_dir))
 
 
 @register("tfidf_top_terms", text_queries.TFIDF_TOP_TERMS_SQL)
@@ -1341,10 +1361,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     # Code changed in round 9 (2-D blocking + cell cap) — re-verify:
     "media_neardup",
     # Registered in round 9, windowed in the same commit (standing
-    # rule; bpe_tokens_saved displaced tpch_q10_returned_items from the
-    # returning-probe list — r05+r07 green, already _REPORT_EXEMPT):
+    # rule; bpe_tokens_saved and
+    # gopher_quality_flags displaced tpch_q10_returned_items and
+    # tpch_q7_volume_shipping from the returning-probe list — r05/r07
+    # green, already _REPORT_EXEMPT):
     "media_neardup_capped",
     "bpe_tokens_saved",
+    "gopher_quality_flags",
     # Family backfills (last driver rows r05):
     "events_gapfill_locf",
     "pack_bins_summary",
@@ -1367,7 +1390,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
     # Multi-round-green family probes:
     "quality_scores_saved",
     "tpch_q10_returned_items",

@@ -106,6 +106,7 @@ _REPORT_EXEMPT = {
     # rows land in CORRECTNESS_r09):
     "media_neardup_capped",
     "bpe_tokens_saved",
+    "gopher_quality_flags",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
