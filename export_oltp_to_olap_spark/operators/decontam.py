@@ -668,3 +668,115 @@ def decontaminate_docs_bloom(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
     the exact verify makes the prefilter invisible in the result)."""
     train, eval_docs = train_eval_split(docs)
     return contamination_hits_bloom(train, eval_docs, n=n)
+
+
+def eval_contamination_report(docs: DataFrame, n: int = FIXTURE_N) -> DataFrame:
+    """Per-BENCHMARK-doc leakage — the flip side of
+    `decontaminate_docs`: for each eval/benchmark document, how many of
+    its distinct word n-grams appear anywhere in the train split
+    (``leaked_grams``) and how many distinct train docs quote at least
+    one of them (``quoting_train_docs``).  This is the report an eval
+    owner reads to rank WHICH benchmark items are compromised (GPT-3
+    appendix C publishes exactly this per-benchmark "dirty" breakdown),
+    where the corpus-side face answers which TRAINING docs to drop.
+
+    ``(eval_id, n_eval_grams, leaked_grams, quoting_train_docs)``
+    ordered by eval_id; eval docs shorter than ``n`` tokens have no
+    n-grams and (like every gram face) do not appear.
+
+    Scale: the eval side is benchmark-sized and broadcast (the module's
+    standing contract — never shuffle the corpus side); the train gram
+    stream is scanned once map-side, and only the hit rows (bounded by
+    actual leakage) reach the per-eval aggregate.
+    """
+    train, eval_docs = train_eval_split(docs)
+    eg = (
+        spread_for_compute(eval_docs.select("doc_id", "text"), "doc_id")
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(F.array_distinct(word_shingles("text", n))).alias("gram"),
+        )
+        .select("eval_id", F.md5("gram").alias("g"))
+    )
+    tg = (
+        spread_for_compute(train.select("doc_id", "text"), "doc_id")
+        .select(
+            F.col("doc_id").alias("train_id"),
+            F.explode(F.array_distinct(word_shingles("text", n))).alias("gram"),
+        )
+        .select("train_id", F.md5("gram").alias("g"))
+    )
+    per_eval = eg.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_grams")
+    )
+    hits = tg.join(F.broadcast(eg), "g")
+    agg = hits.groupBy("eval_id").agg(
+        F.countDistinct("g").cast("long").alias("leaked_grams"),
+        F.countDistinct("train_id").cast("long").alias("quoting_train_docs"),
+    )
+    # both sides of the final join are eval-sized (one row per
+    # benchmark doc) — broadcast by the same contract as the gram set
+    return (
+        per_eval.join(F.broadcast(agg), "eval_id", "left")
+        .select(
+            "eval_id",
+            "n_eval_grams",
+            F.coalesce("leaked_grams", F.lit(0)).cast("long").alias("leaked_grams"),
+            F.coalesce("quoting_train_docs", F.lit(0))
+            .cast("long")
+            .alias("quoting_train_docs"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+def eval_contamination_sql(n: int = FIXTURE_N) -> str:
+    """DuckDB restatement of `eval_contamination_report`."""
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+           AS bucket
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, bucket,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM assigned
+),
+grams AS (
+  SELECT doc_id, bucket,
+         list_distinct(list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)),
+                                      i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+  FROM toks
+),
+eval_grams AS (
+  SELECT doc_id AS eval_id, md5(u.g) AS g
+  FROM grams, unnest(gs) AS u(g)
+  WHERE bucket >= {_VAL_BOUND}
+),
+train_grams AS (
+  SELECT doc_id AS train_id, md5(u.g) AS g
+  FROM grams, unnest(gs) AS u(g)
+  WHERE bucket < {_TRAIN_BOUND}
+),
+per_eval AS (
+  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+  FROM eval_grams GROUP BY eval_id
+),
+agg AS (
+  SELECT e.eval_id,
+         CAST(count(DISTINCT e.g) AS BIGINT) AS leaked_grams,
+         CAST(count(DISTINCT t.train_id) AS BIGINT) AS quoting_train_docs
+  FROM eval_grams e JOIN train_grams t USING (g)
+  GROUP BY e.eval_id
+)
+SELECT p.eval_id, p.n_eval_grams,
+       CAST(COALESCE(a.leaked_grams, 0) AS BIGINT) AS leaked_grams,
+       CAST(COALESCE(a.quoting_train_docs, 0) AS BIGINT) AS quoting_train_docs
+FROM per_eval p LEFT JOIN agg a USING (eval_id)
+ORDER BY p.eval_id
+""".strip()
+
+
+EVAL_CONTAMINATION_SQL = eval_contamination_sql(FIXTURE_N)

@@ -85,8 +85,11 @@ driver-report row, never the check itself.
   entry by DEREGISTERING the per-invocation trainer bpe_token_stats
   (evidence stays in tests/test_bpe.py) in favor of bpe_tokens_saved,
   the apply face under the committed artifacts/bpe_merges_fixture.json
-  with a full VALUES-join oracle.  Both new faces windowed in their
-  registering commits.
+  with a full VALUES-join oracle.  Also adds gopher_quality_flags
+  (the published Gopher rule-set filter, integer-exact thresholds) and
+  eval_contamination_report (per-benchmark-doc leakage, the GPT-3
+  appendix-C dirty breakdown).  Every new face windowed in its
+  registering commit.
 """
 
 from __future__ import annotations
@@ -349,6 +352,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str):
     with the held-out eval split (GPT-3/Llama-2 n-gram collision recipe;
     broadcast eval-gram set, map-side corpus scan)."""
     return decontam.decontaminate_docs(_docs(spark, sf_dir))
+
+
+@register("eval_contamination_report", decontam.EVAL_CONTAMINATION_SQL)
+def q_eval_contamination(spark: SparkSession, sf_dir: str):
+    """Per-BENCHMARK-doc leakage (the GPT-3 appendix-C "dirty"
+    breakdown): for each eval doc, its leaked distinct n-grams and the
+    count of train docs quoting them — the eval owner's flip side of
+    decontaminate_documents."""
+    return decontam.eval_contamination_report(_docs(spark, sf_dir))
 
 
 @register("decontaminate_bloom", decontam.DECONTAM_SQL)
@@ -1361,13 +1373,14 @@ WINDOW_FIRST: tuple[str, ...] = (
     # Code changed in round 9 (2-D blocking + cell cap) — re-verify:
     "media_neardup",
     # Registered in round 9, windowed in the same commit (standing
-    # rule; bpe_tokens_saved and
-    # gopher_quality_flags displaced tpch_q10_returned_items and
-    # tpch_q7_volume_shipping from the returning-probe list — r05/r07
-    # green, already _REPORT_EXEMPT):
+    # rule; bpe_tokens_saved,
+    # gopher_quality_flags and eval_contamination_report displaced
+    # tpch_q{10,7,6} from the returning-probe list — r05/r07 green,
+    # already _REPORT_EXEMPT):
     "media_neardup_capped",
     "bpe_tokens_saved",
     "gopher_quality_flags",
+    "eval_contamination_report",
     # Family backfills (last driver rows r05):
     "events_gapfill_locf",
     "pack_bins_summary",
@@ -1389,7 +1402,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
     # Multi-round-green family probes:
     "quality_scores_saved",
     "tpch_q10_returned_items",

@@ -107,6 +107,7 @@ _REPORT_EXEMPT = {
     "media_neardup_capped",
     "bpe_tokens_saved",
     "gopher_quality_flags",
+    "eval_contamination_report",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
