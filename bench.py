@@ -69,6 +69,7 @@ DEFAULT_HEADLINE = [
     "decontaminate_documents",
     "duplicated_spans",
     "neardup_clusters",
+    "neardup_quality_keepers",
     "tfidf_top_terms",
     "ngram_diversity_by_source",
     "rp_cosine_topk",

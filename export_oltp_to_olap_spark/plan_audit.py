@@ -109,6 +109,9 @@ SMJ_EXPECTED = frozenset(
         "neardup_threshold_curve",  # the ngram pair verify join at min(t)
         "leakage_safe_splits",  # inherits neardup_clusters' propagation join
         "neardup_clusters",
+        # inherits the propagation chain, plus the per-doc quality
+        # re-attach: both sides corpus-scale on doc_id/canonical_id
+        "neardup_quality_keepers",
         "semantic_dedup",
         # TPC-H completion batch: large-large joins between frames both
         # DERIVED FROM the fact aggregate, where neither side is

@@ -753,3 +753,101 @@ ORDER BY s.doc_id
 
 
 CURATION_AUDIT_SQL = _audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Quality-keeper selection over near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def neardup_quality_keepers(docs: DataFrame) -> DataFrame:
+    """Near-dup cluster canonicalization with the KEEPER chosen by
+    QUALITY, not by min id: per MinHash cluster, keeper = highest
+    6-dp-rounded quality score, ties to the smaller doc_id — the policy
+    real pipelines run (keep the best representative of a template
+    family, not the first-crawled copy; cf. SemDeDup keeping the
+    closest-to-centroid member and FineWeb keeping by heuristic
+    quality).  ``canonical_id`` (min id) stays as the stable CLUSTER
+    LABEL; ``keeper_id`` is the retention decision.
+
+    One row per doc: ``(doc_id, canonical_id, cluster_size, quality,
+    keeper_id, is_keeper)`` ordered by doc_id.  "Keep where is_keeper"
+    is the corpus filter; singletons keep themselves.
+
+    Scale: the cluster pass is `neardup_clusters` unchanged; this adds
+    one per-doc quality projection (map-side) and one
+    (canonical_id)-partitioned row_number window — the same bounded
+    window shape every keeper ledger in the engine uses.  Quality is
+    rounded BEFORE ranking (the tfidf convention) so the emitted keeper
+    set is engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    from export_oltp_to_olap_spark.functions.text import quality_score
+    from export_oltp_to_olap_spark.operators.neardup import minhash_neardup_clusters
+
+    clusters = minhash_neardup_clusters(docs)
+    scored = docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+    joined = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    keepers = ranked.where(F.col("rn") == 1).select(
+        "canonical_id", F.col("doc_id").alias("keeper_id")
+    )
+    return (
+        joined.join(keepers, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "quality",
+            F.col("keeper_id").cast("long").alias("keeper_id"),
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_keepers_sql() -> str:
+    """Oracle for :func:`neardup_quality_keepers`: the shared recursive
+    cluster CTEs (`operators/neardup._CLUSTERS_CTES`) + the shared
+    quality-feature CTE, keeper via the identical rounded-quality
+    window."""
+    from export_oltp_to_olap_spark.operators.neardup import _CLUSTERS_CTES
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        QUALITY_EXPR_SQL,
+        quality_feats_cte,
+    )
+
+    return f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+{quality_feats_cte()},
+scored AS (
+  SELECT doc_id, round({QUALITY_EXPR_SQL}, 6) AS quality FROM feats
+),
+joined AS (
+  SELECT a.doc_id, a.canonical_id, s.cluster_size, q.quality
+  FROM allc a JOIN csizes s USING (canonical_id) JOIN scored q USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY canonical_id
+           ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM joined
+)
+SELECT j.doc_id, j.canonical_id,
+       CAST(j.cluster_size AS BIGINT) AS cluster_size,
+       j.quality,
+       CAST(k.doc_id AS BIGINT) AS keeper_id,
+       (j.doc_id = k.doc_id) AS is_keeper
+FROM joined j
+JOIN (SELECT canonical_id, doc_id FROM ranked WHERE rn = 1) k USING (canonical_id)
+ORDER BY j.doc_id
+""".strip()
+
+
+NEARDUP_QUALITY_KEEPERS_SQL = _quality_keepers_sql()

@@ -438,6 +438,14 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str):
     return neardup.minhash_neardup_clusters(_docs(spark, sf_dir))
 
 
+@register("neardup_quality_keepers", curation.NEARDUP_QUALITY_KEEPERS_SQL)
+def q_neardup_quality_keepers(spark: SparkSession, sf_dir: str):
+    """Near-dup clusters with the keeper chosen by QUALITY (ties to
+    min id) — the keep-the-best-representative retention policy;
+    canonical_id stays the stable cluster label."""
+    return curation.neardup_quality_keepers(_docs(spark, sf_dir))
+
+
 @register("simhash_near_dup", neardup.SIMHASH_NEARDUP_SQL)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str):
     """SimHash pairs with Hamming distance ≤ 8."""
@@ -1374,13 +1382,14 @@ WINDOW_FIRST: tuple[str, ...] = (
     "media_neardup",
     # Registered in round 9, windowed in the same commit (standing
     # rule; bpe_tokens_saved,
-    # gopher_quality_flags and eval_contamination_report displaced
-    # tpch_q{10,7,6} from the returning-probe list — r05/r07 green,
-    # already _REPORT_EXEMPT):
+    # gopher_quality_flags, eval_contamination_report and
+    # neardup_quality_keepers displaced tpch_q{10,7,6,5} from the
+    # returning-probe list — r05/r07 green, already _REPORT_EXEMPT):
     "media_neardup_capped",
     "bpe_tokens_saved",
     "gopher_quality_flags",
     "eval_contamination_report",
+    "neardup_quality_keepers",
     # Family backfills (last driver rows r05):
     "events_gapfill_locf",
     "pack_bins_summary",
@@ -1401,7 +1410,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "curated_corpus_decontaminated",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
     # Multi-round-green family probes:
     "quality_scores_saved",
     "tpch_q10_returned_items",

@@ -108,6 +108,7 @@ _REPORT_EXEMPT = {
     "bpe_tokens_saved",
     "gopher_quality_flags",
     "eval_contamination_report",
+    "neardup_quality_keepers",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
