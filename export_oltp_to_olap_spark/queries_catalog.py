@@ -1347,6 +1347,22 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
+    # ROUND-10 CHORE (pre-staged): once CORRECTNESS_r09 lands, every
+    # registration again has a driver row (the standing rule held all
+    # of round 9 — all 5 new registrations windowed in their
+    # registering commits).  Rotation is then hygiene: rotate OUT the
+    # round-9 first-row earners as they go multi-round-green
+    # (media_neardup_capped, bpe_tokens_saved, gopher_quality_flags,
+    # eval_contamination_report, neardup_quality_keepers, plus
+    # media_neardup's re-verification row), rotate IN any round-10
+    # registrations in the same commit that registers them, and
+    # backfill the oldest-green family probes from _REPORT_EXEMPT
+    # (candidates: tpch_q{18,12,14,19,22}, normalized_dedup_documents,
+    # events_anomaly_zscore, adaptive_quality_gate, mixture_weights,
+    # span_dedup_report).  Keep the 5 star sentinels.  If round 10
+    # touches media.py/bpe.py/curation.py, keep the touched faces IN
+    # the window to re-earn rows for the new code (the media_neardup
+    # precedent this round).
     # --- ROUND-9 ROTATION (VERDICT r8 item 3, pre-staged in r8) ---
     # Out (23): the 17 round-8 first-row earners (11 TPC-H + winnowing
     #      ×2 + decontaminate_bloom + semdedup_threshold_curve +

@@ -1,0 +1,132 @@
+"""Round-9 face contracts beyond the shared oracle diff: crafted-input
+rule checks for the Gopher filter, cross-face invariants for the
+per-benchmark leakage report, and keeper-policy invariants for the
+quality-keeper retention face."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.operators import decontam
+from export_oltp_to_olap_spark.plans import curation, text_queries
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule flags
+# ---------------------------------------------------------------------------
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back to "
+    "town with a friend of his that would have been late "
+) * 3  # ≥50 words, mean length in range, stop words present
+
+
+def _flags(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r.asDict() for r in text_queries.gopher_quality_flags(df).collect()}
+
+
+def test_gopher_rules_fire_on_crafted_violations(spark):
+    rows = [
+        (1, _GOOD),                                   # passes everything
+        (2, "too short to matter"),                   # word-count floor
+        (3, "### " * 40 + _GOOD),                     # symbol ratio (hash-heavy)
+        (4, "\n".join("- bullet line" for _ in range(10))),      # bullet lines
+        (5, "\n".join("trailing thought..." for _ in range(10))),  # ellipsis ends
+        (6, "\n".join(["the same line of and that have"] * 10)),   # dup lines
+        (7, ("of and " * 60).strip()),                # one bigram dominates
+        (8, "aa " * 60),                              # no stop words
+    ]
+    out = _flags(spark, rows)
+    assert out[1]["keep"] is True
+    assert out[2]["flag_word_count"] is False
+    assert out[3]["flag_symbol_ratio"] is False
+    assert out[4]["flag_bullet_lines"] is False
+    assert out[5]["flag_ellipsis_lines"] is False
+    assert out[6]["flag_dup_lines"] is False
+    assert out[7]["flag_top_bigram"] is False
+    assert out[8]["flag_stopwords"] is False
+    # every violation doc is rejected by the composed verdict
+    assert all(out[i]["keep"] is False for i in range(2, 9))
+
+
+def test_gopher_thresholds_match_pure_python_reference(spark):
+    """The integer cross-multiplication flags equal a direct-ratio
+    reference implementation on mixed docs (no float-threshold drift)."""
+    import re
+
+    rows = [(i + 1, t) for i, t in enumerate([
+        _GOOD, "short one", "### noise " * 30, ("of and " * 40).strip(),
+        "the of and way " * 20,
+    ])]
+    out = _flags(spark, rows)
+    stop = set(text_queries.GOPHER_STOPWORDS)
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n = len(toks)
+        got = out[doc_id]
+        assert got["flag_word_count"] == (50 <= n <= 100_000)
+        if n:
+            mean = sum(len(t) for t in toks) / n
+            assert got["flag_mean_word_len"] == (3 <= mean <= 10)
+        n_sym = text.count("#") + len(re.findall(r"\.\.\.", text))
+        assert got["flag_symbol_ratio"] == (n_sym / max(n, 1) <= 0.1 if n else n_sym == 0)
+        assert got["flag_stopwords"] == (len(stop & set(toks)) >= 2)
+
+
+# ---------------------------------------------------------------------------
+# Per-benchmark leakage report
+# ---------------------------------------------------------------------------
+
+def test_eval_contamination_invariants_and_cross_face_consistency(spark, sf001):
+    docs = _docs(spark, sf001)
+    rep = {r.eval_id: r for r in decontam.eval_contamination_report(docs).collect()}
+    assert rep, "fixture eval split produced no gram-bearing docs"
+    for r in rep.values():
+        assert 0 <= r.leaked_grams <= r.n_eval_grams
+        # a leaked gram implies at least one quoting train doc and back
+        assert (r.leaked_grams > 0) == (r.quoting_train_docs > 0)
+    # cross-face: the corpus-side face flags a train doc iff it quotes
+    # SOME eval gram, so both faces see leakage together or not at all
+    corpus_side = decontam.decontaminate_docs(docs).count()
+    eval_side = sum(1 for r in rep.values() if r.leaked_grams > 0)
+    assert (corpus_side > 0) == (eval_side > 0)
+    # same-universe sanity: every eval doc is a test-split doc
+    eval_ids = {
+        r.doc_id for r in decontam.train_eval_split(docs)[1].select("doc_id").collect()
+    }
+    assert set(rep) <= eval_ids
+
+
+# ---------------------------------------------------------------------------
+# Quality-keeper retention
+# ---------------------------------------------------------------------------
+
+def test_quality_keeper_policy_invariants(spark, sf001):
+    docs = _docs(spark, sf001)
+    out = curation.neardup_quality_keepers(docs).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.canonical_id, []).append(r)
+    assert len(out) == docs.count()  # every doc appears exactly once
+    found_divergence = False
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1, f"cluster {cid}: {len(keepers)} keepers"
+        k = keepers[0]
+        assert all(m.keeper_id == k.doc_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+        best = max(members, key=lambda m: (m.quality, -m.doc_id))
+        assert (k.quality, k.doc_id) == (best.quality, best.doc_id)
+        assert cid == min(m.doc_id for m in members)  # label stays min-id
+        if k.doc_id != cid:
+            found_divergence = True
+    assert found_divergence, (
+        "fixture produced no cluster where quality-keeper != min-id — "
+        "the policy face is untested against its distinguishing case"
+    )
