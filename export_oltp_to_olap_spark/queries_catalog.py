@@ -88,8 +88,10 @@ driver-report row, never the check itself.
   with a full VALUES-join oracle.  Also adds gopher_quality_flags
   (the published Gopher rule-set filter, integer-exact thresholds) and
   eval_contamination_report (per-benchmark-doc leakage, the GPT-3
-  appendix-C dirty breakdown).  Every new face windowed in its
-  registering commit.
+  appendix-C dirty breakdown) and neardup_quality_keepers
+  (keep-the-best-representative retention: per-cluster quality argmax
+  keeper over the unchanged closure pass).  Every new face windowed in
+  its registering commit.
 """
 
 from __future__ import annotations
@@ -1374,17 +1376,21 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      _REPORT_EXEMPT union.  media_neardup is NOT rotated out:
     #      its blocking/cap changed this round, so it must re-earn a
     #      driver row for the new code.
-    # In (23): media_neardup_capped + bpe_tokens_saved (registered
-    #      this round, windowed same commit — standing rule), the 3
-    #      _REPORT_EXEMPT family backfills (events_gapfill_locf,
-    #      pack_bins_summary, chunk_documents — last rows r05), and 18
-    #      returning probes whose latest green rows are the oldest on
-    #      the board: the 6 probes displaced mid-r8 (stats_moments,
-    #      snapshot_diff, skew_safe_join, events_hopping, dsir,
-    #      curation_audit), training_shard_manifest,
-    #      quality_calibration_bins, lm_guided_mixture,
-    #      leakage_fix_report, neardup_threshold_curve, rp_cosine_topk,
-    #      curated_corpus_decontaminated, tpch_q{3,4,5,6,7}.
+    # In (23): the 5 round-9 registrations (media_neardup_capped,
+    #      bpe_tokens_saved, gopher_quality_flags,
+    #      eval_contamination_report, neardup_quality_keepers — each
+    #      windowed in its registering commit, standing rule; they
+    #      displaced tpch_q{10,7,6,5} plus one slot of the original
+    #      plan), the 3 _REPORT_EXEMPT family backfills
+    #      (events_gapfill_locf, pack_bins_summary, chunk_documents —
+    #      last rows r05), and 15 returning probes whose latest green
+    #      rows are the oldest on the board: the 6 probes displaced
+    #      mid-r8 (stats_moments, snapshot_diff, skew_safe_join,
+    #      events_hopping, dsir, curation_audit),
+    #      training_shard_manifest, quality_calibration_bins,
+    #      lm_guided_mixture, leakage_fix_report,
+    #      neardup_threshold_curve, rp_cosine_topk,
+    #      curated_corpus_decontaminated, tpch_q{3,4}.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
