@@ -388,6 +388,39 @@ def cmd_quality_model(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_gopher_filter(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Run the Gopher rule-set filter over a corpus and persist the
+    per-doc flag table; the printed summary carries per-rule rejection
+    counts so an operator sees WHICH rule dominates before exporting."""
+    from export_oltp_to_olap_spark.plans.text_queries import gopher_quality_flags
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    flags = gopher_quality_flags(docs)
+    flags.write.mode("overwrite").parquet(args.out)
+    persisted = spark.read.parquet(args.out)
+    flag_cols = [c for c in persisted.columns if c.startswith("flag_")]
+    agg = persisted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(c)
+            for c in flag_cols
+        ],
+    ).first()
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_docs": int(agg["n_docs"]),
+                "n_kept": int(agg["n_kept"] or 0),
+                "rejected_by_rule": {c: int(agg[c] or 0) for c in flag_cols},
+            }
+        )
+    )
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace, spark: SparkSession) -> int:
     """Plan review from the terminal: the scale counters
     (`plan_audit.py::plan_summary`) for one registered query, or the
@@ -610,6 +643,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--score-out", default=None, help="also write (doc_id, quality_prob) parquet"
     )
     qmodel.set_defaults(fn=cmd_quality_model)
+
+    gfilter = sub.add_parser(
+        "gopher-filter",
+        help="persist the Gopher rule-set flag table; summary prints "
+        "per-rule rejection counts",
+    )
+    gfilter.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    gfilter.add_argument("--out", required=True, help="flag-table parquet dir")
+    gfilter.set_defaults(fn=cmd_gopher_filter)
 
     explain = sub.add_parser(
         "explain", help="scale counters for a registered query's physical plan"

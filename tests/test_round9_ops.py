@@ -130,3 +130,27 @@ def test_quality_keeper_policy_invariants(spark, sf001):
         "fixture produced no cluster where quality-keeper != min-id — "
         "the policy face is untested against its distinguishing case"
     )
+
+
+def test_cli_gopher_filter_persists_flags_and_summarizes(spark, sf001, tmp_path, capsys):
+    import json as _json
+
+    from export_oltp_to_olap_spark.cli import main
+
+    out = str(tmp_path / "flags")
+    rc = main(
+        ["gopher-filter", "--source-dir", sf001, "--out", out], spark=spark
+    )
+    assert rc == 0
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    persisted = spark.read.parquet(out)
+    api = text_queries.gopher_quality_flags(_docs(spark, sf001))
+    assert {tuple(r) for r in persisted.collect()} == {tuple(r) for r in api.collect()}
+    assert line["n_docs"] == persisted.count()
+    # the summary's per-rule rejections equal the table's
+    fails = {
+        c: persisted.where(~F.col(c)).count()
+        for c in persisted.columns
+        if c.startswith("flag_")
+    }
+    assert line["rejected_by_rule"] == fails
