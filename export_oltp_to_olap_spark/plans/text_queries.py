@@ -863,3 +863,64 @@ SELECT doc_id, n AS n_tokens,
 FROM m
 ORDER BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Corpus provenance digest (data-card reproducibility artifact)
+# ---------------------------------------------------------------------------
+
+
+def corpus_digest(docs: DataFrame) -> DataFrame:
+    """Per-source + whole-corpus content digest — the reproducibility
+    artifact a pipeline publishes with its data card: two runs over the
+    same corpus produce identical digests, any changed/added/dropped doc
+    changes them.
+
+    The digest is ORDER-INSENSITIVE by construction (commutative
+    aggregates over a per-doc 60-bit content hash: modular sum and
+    bit-XOR), so it needs no global sort and no per-group state beyond
+    two longs — unlike a sorted-concat Merkle digest, it survives a
+    billion-doc source on one aggregation pass.  ``source`` NULL row =
+    the whole-corpus rollup.
+
+    ``(source, n_docs, n_tokens, sum_digest, xor_digest)`` ordered with
+    the rollup row first (NULLS FIRST, stated explicitly both engines).
+    """
+    from export_oltp_to_olap_spark.functions.text import token_count
+
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
+    base = docs.select(
+        "source", token_count("text").alias("n_toks"), h.alias("h")
+    )
+    return (
+        base.rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            # 2**63 exceeds a py4j long literal — ship it as a string
+            F.pmod(F.sum("h"), F.lit(str(2**63)).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sum_digest"),
+            F.expr("bit_xor(cast(h as bigint))").alias("xor_digest"),
+        )
+        .orderBy(F.col("source").asc_nulls_first())
+    )
+
+
+CORPUS_DIGEST_SQL = f"""
+WITH base AS (
+  SELECT source,
+         CAST(len({SQL_TOKENS.format(t="text")}) AS BIGINT) AS n_toks,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(h AS HUGEINT)) % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+         AS sum_digest,
+       bit_xor(h) AS xor_digest
+FROM base
+GROUP BY ROLLUP (source)
+ORDER BY source ASC NULLS FIRST
+""".strip()

@@ -571,6 +571,15 @@ def q_split_drift(spark: SparkSession, sf_dir: str):
     return text_queries.split_drift_report(_docs(spark, sf_dir))
 
 
+@register("corpus_digest", text_queries.CORPUS_DIGEST_SQL)
+def q_corpus_digest(spark: SparkSession, sf_dir: str):
+    """Per-source + rollup corpus provenance digest (data-card
+    artifact): order-insensitive commutative aggregates (modular sum +
+    bit-XOR of a 60-bit content hash) — one aggregation pass, no
+    global sort, reproducible across runs and partitionings."""
+    return text_queries.corpus_digest(_docs(spark, sf_dir))
+
+
 @register("gopher_quality_flags", text_queries.GOPHER_QUALITY_SQL)
 def q_gopher_flags(spark: SparkSession, sf_dir: str):
     """Gopher rule-set filter (arXiv:2112.11446 A1): per-doc rule
@@ -1412,6 +1421,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "gopher_quality_flags",
     "eval_contamination_report",
     "neardup_quality_keepers",
+    "corpus_digest",
     # Family backfills (last driver rows r05):
     "events_gapfill_locf",
     "pack_bins_summary",
@@ -1431,7 +1441,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "rp_cosine_topk",
     "curated_corpus_decontaminated",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
     # Multi-round-green family probes:
     "quality_scores_saved",
     "tpch_q10_returned_items",

@@ -109,6 +109,7 @@ _REPORT_EXEMPT = {
     "gopher_quality_flags",
     "eval_contamination_report",
     "neardup_quality_keepers",
+    "corpus_digest",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",

@@ -154,3 +154,27 @@ def test_cli_gopher_filter_persists_flags_and_summarizes(spark, sf001, tmp_path,
         if c.startswith("flag_")
     }
     assert line["rejected_by_rule"] == fails
+
+
+def test_corpus_digest_is_order_and_partitioning_insensitive(spark, sf001):
+    """The provenance digest must be identical across row orders and
+    partitionings (commutative aggregates), and must CHANGE when any
+    document's content changes."""
+    docs = _docs(spark, sf001)
+    a = text_queries.corpus_digest(docs).collect()
+    b = text_queries.corpus_digest(
+        docs.orderBy(F.col("text").desc()).repartition(13)
+    ).collect()
+    assert a == b
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.concat(F.col("text"), F.lit(" x"))).otherwise(
+            F.col("text")
+        ),
+    )
+    c = {r.source: r for r in text_queries.corpus_digest(mutated).collect()}
+    orig = {r.source: r for r in a}
+    changed = [s for s in orig if (orig[s].sum_digest, orig[s].xor_digest)
+               != (c[s].sum_digest, c[s].xor_digest)]
+    # exactly doc 1's source and the rollup row move
+    assert len(changed) == 2 and None in changed
