@@ -93,6 +93,8 @@ DEFAULT_HEADLINE = [
     "source_overlap_matrix",
     "text_quality",
     "gopher_quality_flags",
+    "corpus_digest",
+    "eval_contamination_report",
     "pii_scan",
     "token_count_bpe",
     "media_feature_extract",

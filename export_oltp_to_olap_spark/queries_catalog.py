@@ -1385,21 +1385,21 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      _REPORT_EXEMPT union.  media_neardup is NOT rotated out:
     #      its blocking/cap changed this round, so it must re-earn a
     #      driver row for the new code.
-    # In (23): the 5 round-9 registrations (media_neardup_capped,
+    # In (23): the 6 round-9 registrations (media_neardup_capped,
     #      bpe_tokens_saved, gopher_quality_flags,
-    #      eval_contamination_report, neardup_quality_keepers — each
-    #      windowed in its registering commit, standing rule; they
-    #      displaced tpch_q{10,7,6,5} plus one slot of the original
-    #      plan), the 3 _REPORT_EXEMPT family backfills
-    #      (events_gapfill_locf, pack_bins_summary, chunk_documents —
-    #      last rows r05), and 15 returning probes whose latest green
-    #      rows are the oldest on the board: the 6 probes displaced
-    #      mid-r8 (stats_moments, snapshot_diff, skew_safe_join,
-    #      events_hopping, dsir, curation_audit),
+    #      eval_contamination_report, neardup_quality_keepers,
+    #      corpus_digest — each windowed in its registering commit,
+    #      standing rule; they displaced tpch_q{10,7,6,5,4} plus one
+    #      slot of the original plan), the 3 _REPORT_EXEMPT family
+    #      backfills (events_gapfill_locf, pack_bins_summary,
+    #      chunk_documents — last rows r05), and 14 returning probes
+    #      whose latest green rows are the oldest on the board: the 6
+    #      probes displaced mid-r8 (stats_moments, snapshot_diff,
+    #      skew_safe_join, events_hopping, dsir, curation_audit),
     #      training_shard_manifest, quality_calibration_bins,
     #      lm_guided_mixture, leakage_fix_report,
     #      neardup_threshold_curve, rp_cosine_topk,
-    #      curated_corpus_decontaminated, tpch_q{3,4}.
+    #      curated_corpus_decontaminated, tpch_q3.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
