@@ -144,6 +144,7 @@ DEFAULT_HEADLINE = [
     "cluster_balanced_sample",
     "media_exact_dedup",
     "media_neardup",
+    "media_neardup_delta",
     # Round-9 additions: the heaviest composed r8 face finally benched
     # (VERDICT r8 item 5), the media cell-cap truncation ledger, and
     # the committed-artifact BPE apply face (replacing the deregistered

@@ -915,3 +915,141 @@ FROM media
 GROUP BY kind
 ORDER BY kind
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Delta-vs-standing near-dup (the daily-ingest face)
+# ---------------------------------------------------------------------------
+
+MEDIA_DELTA_CUT_FRACTION = 0.9  # fixture delta = ids above 90% of max
+
+
+def media_neardup_delta(
+    documents: DataFrame,
+    threshold: int = MEDIA_NEARDUP_L1,
+    max_cell_items: int = MEDIA_CELL_MAX_ITEMS,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING an append-only delta batch — the
+    daily-ingest face of `media_histogram_neardup`, completing the
+    batch/delta symmetry the text rungs have (`fingerprint_delta`,
+    `minhash_delta_neardup`): emitted pairs are exactly the full
+    rebuild's pairs with at least one NEW side ((new,new) and
+    (old,new); (old,old) was reported when the old batch landed).
+
+    Fixture shape: delta = ids above ``MEDIA_DELTA_CUT_FRACTION·max``
+    (the `incremental_corpus_delta` convention); the standing side's
+    histograms are derived in-call here and PERSISTED in production
+    (`media_byte_histograms` output is the standing side table, exactly
+    like the winnowing fingerprint table).  Because blocking is
+    deterministic and lossless and the cell cap is computed over the
+    UNION (standing ∪ new — a cell is degenerate-hot no matter which
+    batch its members arrived in), incremental ≡ rebuild-restricted is
+    exact, and the oracle states precisely that claim.
+
+    Scale: per batch, candidate volume is O(new × cell occupancy), not
+    O(corpus²) — only cells containing a new item join, and the slim
+    join's new side carries just the delta's cell rows.
+    """
+    cut = documents.agg(
+        F.floor(F.lit(MEDIA_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
+    )
+    hists, cells = _media_stats_and_cells(documents, threshold)
+    cells_new = cells.join(
+        F.broadcast(cut), F.col("media_id") > F.col("cut")
+    ).drop("cut")
+    hot = _hot_cells(cells, max_cell_items)
+    ok_all = cells.join(hot, ["kind", "cell"], "left_anti")
+    ok_new = cells_new.join(hot, ["kind", "cell"], "left_anti")
+    a = ok_all.select(
+        F.col("media_id").alias("id_x"),
+        "kind",
+        "cell",
+        F.col("size_bytes").alias("size_x"),
+        F.col("n_low").alias("nlow_x"),
+    )
+    b = ok_new.select(
+        F.col("media_id").alias("id_y"),
+        "kind",
+        "cell",
+        F.col("size_bytes").alias("size_y"),
+        F.col("n_low").alias("nlow_y"),
+    )
+    cand = (
+        spread_for_compute(
+            a.join(b, ["kind", "cell"])
+            .where(
+                (F.col("id_x") != F.col("id_y"))
+                & (F.abs(F.col("size_x") - F.col("size_y")) <= F.lit(threshold))
+                & (F.abs(F.col("nlow_x") - F.col("nlow_y")) <= F.lit(threshold))
+            )
+            .select(
+                F.least("id_x", "id_y").alias("media_id_a"),
+                F.greatest("id_x", "id_y").alias("media_id_b"),
+            ),
+            "media_id_a",
+            "media_id_b",
+        )
+        .distinct()  # both orders + up to 4 combo cells per pair
+    )
+    ha = hists.select(
+        F.col("media_id").alias("media_id_a"), F.col("hist").alias("hist_a")
+    )
+    hb = hists.select(
+        F.col("media_id").alias("media_id_b"), F.col("hist").alias("hist_b")
+    )
+    l1 = F.aggregate(
+        F.zip_with("hist_a", "hist_b", lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(ha, "media_id_a")
+        .join(hb, "media_id_b")
+        .withColumn("l1_dist", l1)
+        .where((F.col("l1_dist") <= threshold) & (F.col("l1_dist") > 0))
+        .select("media_id_a", "media_id_b", "l1_dist")
+        .orderBy("media_id_a", "media_id_b")
+    )
+
+
+def media_neardup_delta_sql(
+    threshold: int = MEDIA_NEARDUP_L1, max_cell_items: int = MEDIA_CELL_MAX_ITEMS
+) -> str:
+    """Oracle for `media_neardup_delta`: the FULL rebuild restricted to
+    pairs with at least one delta-side id — the incremental ≡ rebuild
+    claim stated directly (the `incremental_corpus_delta` convention)."""
+    return f"""
+{_media_blocking_ctes(threshold, max_cell_items)},
+cutv AS (
+  SELECT CAST(floor({MEDIA_DELTA_CUT_FRACTION} * max(media_id)) AS BIGINT) AS cut
+  FROM stats
+),
+ok AS (
+  SELECT c.media_id, c.kind, c.cell, c.size_bytes, c.n_low
+  FROM cells c ANTI JOIN hot h ON c.kind = h.kind AND c.cell = h.cell
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b
+  FROM ok a JOIN ok b ON a.kind = b.kind AND a.cell = b.cell
+  WHERE a.media_id < b.media_id
+    AND abs(a.size_bytes - b.size_bytes) <= {threshold}
+    AND abs(a.n_low - b.n_low) <= {threshold}
+    AND b.media_id > (SELECT cut FROM cutv)
+),
+pair_l1 AS (
+  SELECT c.media_id_a, c.media_id_b,
+         CAST(sum(abs(COALESCE(ha.c, 0) - COALESCE(hb.c, 0))) AS BIGINT) AS l1_dist
+  FROM cand c
+  CROSS JOIN unnest(range(0, {_HIST_BINS})) AS u(bin)
+  LEFT JOIN hist ha ON ha.media_id = c.media_id_a AND ha.bin = u.bin
+  LEFT JOIN hist hb ON hb.media_id = c.media_id_b AND hb.bin = u.bin
+  GROUP BY c.media_id_a, c.media_id_b
+)
+SELECT media_id_a, media_id_b, l1_dist
+FROM pair_l1
+WHERE l1_dist <= {threshold} AND l1_dist > 0
+ORDER BY media_id_a, media_id_b
+""".strip()
+
+
+MEDIA_NEARDUP_DELTA_SQL = media_neardup_delta_sql()

@@ -1331,6 +1331,16 @@ def q_media_neardup(spark: SparkSession, sf_dir: str):
     return media.media_histogram_neardup(_docs(spark, sf_dir))
 
 
+@register("media_neardup_delta", media.MEDIA_NEARDUP_DELTA_SQL)
+def q_media_neardup_delta(spark: SparkSession, sf_dir: str):
+    """Daily-ingest media near-dup: pairs touching the append-only
+    delta batch (ids above 90% of max), candidates O(delta x cell
+    occupancy); oracle = full rebuild restricted to delta-touching
+    pairs (incremental == rebuild, the incremental_corpus_delta
+    convention)."""
+    return media.media_neardup_delta(_docs(spark, sf_dir))
+
+
 @register("media_neardup_capped", media.MEDIA_NEARDUP_CAPPED_SQL)
 def q_media_neardup_capped(spark: SparkSession, sf_dir: str):
     """Truncation ledger for the media near-dup cell cap (the winnowing
@@ -1422,6 +1432,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "eval_contamination_report",
     "neardup_quality_keepers",
     "corpus_digest",
+    "media_neardup_delta",
     # Family backfills (last driver rows r05):
     "events_gapfill_locf",
     "pack_bins_summary",
@@ -1440,7 +1451,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "neardup_threshold_curve",
     "rp_cosine_topk",
     "curated_corpus_decontaminated",
-    "tpch_q3_shipping_priority",
     # Multi-round-green family probes:
     "quality_scores_saved",
     "tpch_q10_returned_items",

@@ -180,3 +180,20 @@ def test_media_neardup_blocking_is_lossless_at_boundaries(spark):
             if 0 < l1 <= MEDIA_NEARDUP_L1:
                 want.add((a, b))
     assert got == want and want  # non-vacuous: boundary pairs exist
+
+
+def test_media_neardup_delta_equals_rebuild_restricted(spark, sf001):
+    """incremental ≡ rebuild: the delta face's pairs are exactly the
+    full rebuild's pairs whose greater side is in the delta batch (ids
+    above the cut — since delta ids are the highest, max(pair) > cut ⇔
+    the pair touches the delta)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    cut = docs.agg(
+        F.floor(F.lit(M.MEDIA_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("c")
+    ).first().c
+    full = M.media_histogram_neardup(docs).where(F.col("media_id_b") > cut).collect()
+    delta = M.media_neardup_delta(docs).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, delta))
+    assert delta, "fixture delta produced no touching pairs — claim untested"

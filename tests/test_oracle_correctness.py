@@ -110,6 +110,7 @@ _REPORT_EXEMPT = {
     "eval_contamination_report",
     "neardup_quality_keepers",
     "corpus_digest",
+    "media_neardup_delta",
     # Rotated OUT of the round-6 window (r05-hash-green; families stay
     # probed — see the WINDOW_FIRST rotation note):
     "events_gapfill_locf",
