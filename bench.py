@@ -145,6 +145,7 @@ DEFAULT_HEADLINE = [
     "media_exact_dedup",
     "media_neardup",
     "media_neardup_delta",
+    "media_neardup_delta[standing]",
     # Round-9 additions: the heaviest composed r8 face finally benched
     # (VERDICT r8 item 5), the media cell-cap truncation ledger, and
     # the committed-artifact BPE apply face (replacing the deregistered
@@ -220,11 +221,42 @@ def _variant_queries():
             .orderBy("doc_id")
         )
 
+    _media_standing_cache: dict[str, object] = {}
+
+    def media_delta_standing(spark, sf_dir):
+        # Steady-state media ingest: the standing histogram table is a
+        # PERSISTED artifact (built once, untimed after the first run —
+        # what production maintains per batch), so the timed plan
+        # histograms only the delta and probes the standing cells.  The
+        # base `media_neardup_delta` entry keeps the self-contained
+        # bootstrap face that matches its driver oracle.
+        from pyspark.sql import functions as F
+
+        from export_oltp_to_olap_spark.multimodal import media
+        from export_oltp_to_olap_spark.operators.staging import stage
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if sf_dir not in _media_standing_cache:
+            cut = docs.agg(
+                F.floor(
+                    F.lit(media.MEDIA_DELTA_CUT_FRACTION) * F.max("doc_id")
+                ).alias("c")
+            ).first()["c"]
+            old = docs.where(F.col("doc_id") <= cut)
+            _media_standing_cache[sf_dir] = stage(
+                media.media_byte_histograms(media.synthesize_media(old)),
+                mode="table",
+            )
+        return media.media_neardup_delta(
+            docs, standing_hists=_media_standing_cache[sf_dir]
+        )
+
     return {
         "ivf_cosine_topk[kmeans]": ivf_kmeans,
         "semantic_dedup[kmeans]": semdedup_kmeans,
         "semantic_dedup[salted]": semdedup_salted,
         "incremental_corpus_delta[standing]": incremental_delta_standing,
+        "media_neardup_delta[standing]": media_delta_standing,
     }
 
 

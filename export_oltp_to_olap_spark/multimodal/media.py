@@ -601,20 +601,26 @@ def _media_cells(stats: DataFrame, threshold: int) -> DataFrame:
     )
 
 
-def _media_stats_and_cells(documents: DataFrame, threshold: int):
-    """Shared head of the near-dup faces: staged histograms (one Arrow
-    sweep feeding cells AND the verify re-attach) + the per-item cell
-    rows.  ``n_low`` is JVM-side arithmetic over the hist array."""
-    from export_oltp_to_olap_spark.operators.staging import stage_fanout
-
-    hists = stage_fanout(media_byte_histograms(synthesize_media(documents)))
+def _cells_from_hists(hists: DataFrame, threshold: int) -> DataFrame:
+    """Per-item cell rows from a histogram frame; ``n_low`` is JVM-side
+    arithmetic over the hist array."""
     n_low = F.aggregate(
         F.slice("hist", 1, _NLOW_SPLIT),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     stats = hists.select("media_id", "kind", "size_bytes", n_low.alias("n_low"))
-    return hists, _media_cells(stats, threshold)
+    return _media_cells(stats, threshold)
+
+
+def _media_stats_and_cells(documents: DataFrame, threshold: int):
+    """Shared head of the near-dup faces: staged histograms (one Arrow
+    sweep feeding cells AND the verify re-attach) + the per-item cell
+    rows."""
+    from export_oltp_to_olap_spark.operators.staging import stage_fanout
+
+    hists = stage_fanout(media_byte_histograms(synthesize_media(documents)))
+    return hists, _cells_from_hists(hists, threshold)
 
 
 def _hot_cells(cells: DataFrame, max_cell_items: int) -> DataFrame:
@@ -928,6 +934,7 @@ def media_neardup_delta(
     documents: DataFrame,
     threshold: int = MEDIA_NEARDUP_L1,
     max_cell_items: int = MEDIA_CELL_MAX_ITEMS,
+    standing_hists: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING an append-only delta batch — the
     daily-ingest face of `media_histogram_neardup`, completing the
@@ -949,11 +956,37 @@ def media_neardup_delta(
     Scale: per batch, candidate volume is O(new × cell occupancy), not
     O(corpus²) — only cells containing a new item join, and the slim
     join's new side carries just the delta's cell rows.
+
+    ``standing_hists`` (optional): the PERSISTED standing histogram
+    table (`media_byte_histograms` output for the pre-cut corpus).
+    When given, only the delta batch is histogrammed in-call — the
+    steady-state production cost; when absent (the registered face),
+    the standing side is bootstrapped in-call so the query stays
+    self-contained and oracle-checkable.  Both modes emit identical
+    rows (pinned by pytest).
     """
+    from export_oltp_to_olap_spark.operators.staging import stage_fanout
+
     cut = documents.agg(
         F.floor(F.lit(MEDIA_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
     )
-    hists, cells = _media_stats_and_cells(documents, threshold)
+    if standing_hists is None:
+        hists, cells = _media_stats_and_cells(documents, threshold)
+    else:
+        new_docs = documents.join(
+            F.broadcast(cut), F.col("doc_id") > F.col("cut")
+        ).drop("cut")
+        hists_new = media_byte_histograms(synthesize_media(new_docs))
+        # spread after the union: both branches are identically
+        # hash-partitioned, and a plain union would double the
+        # partition count into downstream codegen joins (the known
+        # unequal-partitions trap)
+        hists = stage_fanout(
+            spread_for_compute(
+                standing_hists.unionByName(hists_new), "media_id"
+            )
+        )
+        cells = _cells_from_hists(hists, threshold)
     cells_new = cells.join(
         F.broadcast(cut), F.col("media_id") > F.col("cut")
     ).drop("cut")

@@ -197,3 +197,20 @@ def test_media_neardup_delta_equals_rebuild_restricted(spark, sf001):
     delta = M.media_neardup_delta(docs).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, delta))
     assert delta, "fixture delta produced no touching pairs — claim untested"
+
+
+def test_media_neardup_delta_standing_mode_equals_bootstrap(spark, sf001):
+    """The persisted-standing-histograms mode (production steady state)
+    emits exactly the bootstrap face's rows."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    cut = docs.agg(
+        F.floor(F.lit(M.MEDIA_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("c")
+    ).first().c
+    standing = M.media_byte_histograms(
+        M.synthesize_media(docs.where(F.col("doc_id") <= cut))
+    )
+    a = M.media_neardup_delta(docs).collect()
+    b = M.media_neardup_delta(docs, standing_hists=standing).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
