@@ -134,6 +134,7 @@ DEFAULT_HEADLINE = [
     # Round-7 corpus-operator additions (all oracle-green):
     "winnowing_fingerprints",
     "decontaminate_bloom",
+    "decontaminate_bloom[standing]",
     "semdedup_threshold_curve",
     # Round-8 additions: the rewrite faces move the whole token stream
     # (the heaviest text-op shape), epoch/diversity planning round out
@@ -251,12 +252,35 @@ def _variant_queries():
             docs, standing_hists=_media_standing_cache[sf_dir]
         )
 
+    _bloom_cache: dict[str, tuple] = {}
+
+    def bloom_standing(spark, sf_dir):
+        # Steady-state decontamination: the eval bitmap is a PERSISTED
+        # artifact (`cli eval-hashes --bloom`), built once and reused
+        # per batch — the timed plan is the corpus probe + exact verify
+        # only.  The base entry keeps the self-contained build+probe
+        # face that matches its driver oracle.
+        from export_oltp_to_olap_spark.operators import decontam
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        train, eval_docs = decontam.train_eval_split(docs)
+        if sf_dir not in _bloom_cache:
+            _bloom_cache[sf_dir] = (
+                decontam.eval_gram_bloom(eval_docs),
+                decontam.BLOOM_M_BITS,
+                decontam.BLOOM_K,
+            )
+        return decontam.contamination_hits_bloom(
+            train, eval_docs, bloom=_bloom_cache[sf_dir]
+        )
+
     return {
         "ivf_cosine_topk[kmeans]": ivf_kmeans,
         "semantic_dedup[kmeans]": semdedup_kmeans,
         "semantic_dedup[salted]": semdedup_salted,
         "incremental_corpus_delta[standing]": incremental_delta_standing,
         "media_neardup_delta[standing]": media_delta_standing,
+        "decontaminate_bloom[standing]": bloom_standing,
     }
 
 
