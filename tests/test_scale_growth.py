@@ -489,3 +489,61 @@ def test_media_neardup_cell_cap_kills_degenerate_cell_and_is_surfaced(spark):
     ledger = M.media_neardup_capped_items(docs, max_cell_items=16).collect()
     assert len(ledger) == m
     assert all(r.capped_cells == 4 for r in ledger)
+
+
+def test_media_delta_candidates_subquadratic_vs_rebuild(spark):
+    """The delta face's 100 TB claim: per batch, candidate volume is
+    O(delta × cell occupancy) — so with a FIXED delta batch against a
+    growing standing corpus, delta candidates grow ~linearly in the
+    standing size while the full rebuild's candidate set grows
+    ~quadratically.  Crafted on the hot-size-band corpus shape (all
+    docs one byte length, byte-mix families) so cells genuinely fill."""
+    from export_oltp_to_olap_spark.multimodal import media as M
+
+    d = 12  # fixed delta batch
+
+    def corpora(m):
+        # m standing docs + d delta docs (ids above the 0.9 cut), all
+        # the same byte length; every doc's n_low lands in ONE of 8
+        # byte-mix families, so each family's cell occupancy grows
+        # with m (the hot-cell shape) while blocking still splits.
+        L = 1000
+        rows = []
+        for i in range(m):
+            k = (i % 8) * 100  # family byte mix
+            rows.append((i + 1, "a" * k + "z" * (L - k)))
+        base = max((r[0] for r in rows), default=0)
+        delta_start = max(base + 1, int(10 * (base + d)))  # ids far above the cut
+        for j in range(d):
+            k = (j % 8) * 100
+            rows.append((delta_start + j, "a" * (k + 2) + "z" * (L - k - 2)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def volumes(m):
+        docs = corpora(m)
+        delta_cand = M.media_neardup_candidates(docs).count()  # rebuild volume
+        # the delta face's own candidate count: pairs touching delta ids
+        cut_pairs = M.media_neardup_delta(docs).count()  # answer (sanity)
+        from pyspark.sql import functions as F
+
+        cut = docs.agg(
+            F.floor(F.lit(M.MEDIA_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("c")
+        ).first().c
+        rebuild = delta_cand
+        touching = (
+            M.media_neardup_candidates(docs)
+            .where(F.col("media_id_b") > cut)
+            .count()
+        )
+        return touching, rebuild, cut_pairs
+
+    t_small, r_small, _ = volumes(64)
+    t_big, r_big, pairs_big = volumes(256)
+    e_delta = _exponent(max(t_small, 1), max(t_big, 1), 64, 256)
+    e_rebuild = _exponent(max(r_small, 1), max(r_big, 1), 64, 256)
+    assert e_rebuild >= 1.7, (r_small, r_big)  # hot families → ~quadratic rebuild
+    assert e_delta <= 1.2, (
+        f"delta-touching candidates grew with exponent {e_delta:.2f} "
+        f"({t_small} → {t_big}) — the delta face is not O(delta × occupancy)"
+    )
+    assert pairs_big >= d  # every delta doc finds its family partner
