@@ -214,3 +214,62 @@ def test_media_neardup_delta_standing_mode_equals_bootstrap(spark, sf001):
     a = M.media_neardup_delta(docs).collect()
     b = M.media_neardup_delta(docs, standing_hists=standing).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_media_blocking_equals_bruteforce_on_random_corpora(spark):
+    """Losslessness, adversarially: on seeded random corpora (varied
+    lengths, random byte mixes, planted ≤-threshold edit pairs) the
+    blocked+capped+prefiltered pipeline emits EXACTLY the brute-force
+    all-pairs answer — no blocking dimension, grid offset, cap, or 1-D
+    prefilter may lose a qualifying pair."""
+    import random
+    import string
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(1, 31):
+            n = rng.randint(80, 400)
+            rows.append(
+                (3 * i, "".join(rng.choice(string.ascii_lowercase + " 0123456789")
+                                 for _ in range(n)))
+            )
+        # planted near-pairs: copy with k single-char substitutions
+        # (L1 ≤ 2k ≤ threshold) and same length
+        for j, (base_id, text) in enumerate(rows[:5]):
+            k = rng.randint(1, M.MEDIA_NEARDUP_L1 // 2)
+            chars = list(text)
+            for _ in range(k):
+                p = rng.randrange(len(chars))
+                chars[p] = rng.choice(string.ascii_lowercase)
+            rows.append((3 * (100 + j), "".join(chars)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        got = {
+            (r.media_id_a, r.media_id_b, r.l1_dist)
+            for r in M.media_histogram_neardup(docs).collect()
+        }
+        hists = M.media_byte_histograms(M.synthesize_media(docs))
+        a = hists.select(
+            F.col("media_id").alias("ia"), F.col("kind").alias("ka"),
+            F.col("hist").alias("ha"),
+        )
+        b = hists.select(
+            F.col("media_id").alias("ib"), F.col("kind").alias("kb"),
+            F.col("hist").alias("hb"),
+        )
+        l1 = F.aggregate(
+            F.zip_with("ha", "hb", lambda x, y: F.abs(x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        brute = {
+            (r.ia, r.ib, r.l1)
+            for r in a.crossJoin(b)
+            .where((F.col("ia") < F.col("ib")) & (F.col("ka") == F.col("kb")))
+            .withColumn("l1", l1)
+            .where((F.col("l1") <= M.MEDIA_NEARDUP_L1) & (F.col("l1") > 0))
+            .collect()
+        }
+        assert got == brute, f"seed {seed}: blocked != brute force"
+        assert brute, f"seed {seed}: no qualifying pairs — planting failed"
