@@ -729,12 +729,31 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
 
     Every threshold is evaluated by INTEGER cross-multiplication
     (``10*n_sym <= n_tokens`` instead of ``n_sym/n_tokens <= 0.1``) so
-    the booleans are engine-exact — no float division anywhere.  The
-    top-bigram rule simplifies Gopher's character-coverage fraction to
-    count-coverage over bigrams (documented deviation; same signal).
+    the booleans are engine-exact — no float division anywhere.
+
+    Documented deviations from the published A1 rules (all three keep
+    the signal while staying engine-exact):
+
+    * top-bigram: count-coverage over bigrams, not Gopher's
+      character-coverage fraction (same monotone signal, no float
+      character arithmetic).
+    * symbol ratio: ``#`` and ``...`` counts are SUMMED into one
+      0.1-threshold test; Gopher applies 0.1 to each symbol
+      separately, so this filter is strictly tighter (a doc at 6% of
+      each fails here, passes published).
+    * stop-word floor: counts DISTINCT stop words present (≥2 of the
+      8), not total occurrences — stricter on pathological docs that
+      repeat one stop word, identical on normal prose.
 
     Entirely per-row expressions — zero shuffles, no aggregation
     state; at 100 TB this is a map-only scan like `text_repetition`.
+    The top-bigram count is a SORT + single linear pass per row
+    (``sort_array`` + one ``aggregate`` tracking the longest equal
+    run), so per-row work is O(L log L) in the document's token count
+    — the naive distinct×filter form is O(L²), which at the rule's
+    own 100k-token upper bound would be ~10^10 interpreted HOF
+    comparisons on a single row (a straggler-task generator; pinned
+    by tests/test_round9_ops.py::test_gopher_top_bigram_long_doc).
     """
     from export_oltp_to_olap_spark.functions.text import tokens
 
@@ -776,12 +795,28 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     ).cast("long")
     n_dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    # Max bigram multiplicity in O(L log L): sort, then ONE pass whose
+    # accumulator carries (previous element, current equal-run length,
+    # best run seen).  The obvious array_distinct×filter form is
+    # per-row O(L²) — quadratic in a single document's length.
+    _run = lambda acc, x: F.when(  # noqa: E731 — local fold step
+        x == acc["prev"], acc["run"] + F.lit(1).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
     top_bg = F.when(
         F.size(bg) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bg), lambda d: F.size(F.filter(bg, lambda x: x == d))
-            )
+        F.aggregate(
+            F.sort_array(bg),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                _run(acc, x).alias("run"),
+                F.greatest(acc["best"], _run(acc, x)).alias("best"),
+            ),
+            lambda acc: acc["best"],
         ),
     ).otherwise(F.lit(0)).cast("long")
     n_bg = F.size(bg).cast("long")
