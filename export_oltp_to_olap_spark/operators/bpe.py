@@ -294,6 +294,13 @@ def bpe_tokens_saved(docs: DataFrame, path: str | None = None) -> DataFrame:
     words under the frozen merge list, broadcast probe back onto the
     corpus, per-source aggregate.  ``(source, n_docs, n_words,
     n_subtokens, n_merges_applied)`` ordered by source.
+
+    Zero-token docs (empty / punctuation-only text) COUNT in
+    ``n_docs`` and contribute nothing to ``n_words``/``n_subtokens``:
+    ``explode_outer`` keeps them as one NULL-word row, and the oracle
+    mirrors that by unnesting ``[NULL]`` for an empty token list —
+    plain ``unnest`` would silently drop the doc and diverge
+    (ADVICE r9; pinned by tests/test_bpe_artifact.py).
     """
     art = load_bpe_artifact(path)
     exploded = (
@@ -325,7 +332,14 @@ def bpe_tokens_saved_sql(path: str | None = None) -> str:
     tests/test_bpe_artifact.py); unseen words fall back to the
     unmerged ``length + 1`` symbol count, and any live-segmentation
     drift from the frozen map fails the driver hash — which is the
-    point of the oracle."""
+    point of the oracle.
+
+    Token-less docs: ``unnest`` of an empty list emits NO row (the doc
+    would vanish from ``n_docs``), while Spark's ``explode_outer``
+    keeps one NULL-word row — so the empty/NULL token list is replaced
+    by ``[NULL]`` before unnesting.  NULL words then count in
+    ``count(DISTINCT doc_id)`` but not in ``count(word)`` or the
+    subtoken sum, in BOTH engines."""
     from export_oltp_to_olap_spark.functions.text import SQL_TOKENS
 
     art = load_bpe_artifact(path)
@@ -338,9 +352,15 @@ WITH vocab(word, n_subtokens) AS (
   VALUES
     {values}
 ),
-exploded AS (
-  SELECT doc_id, source, unnest({toks}) AS word
+toklists AS (
+  SELECT doc_id, source, {toks} AS toks
   FROM documents
+),
+exploded AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                     THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS word
+  FROM toklists
 )
 SELECT e.source,
        CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_docs,

@@ -69,3 +69,36 @@ def test_saved_face_equals_inline_training_at_fixture_settings(docs001):
         for r in bpe.bpe_token_stats(docs001).collect()
     }
     assert saved == inline
+
+
+def test_tokenless_docs_count_in_n_docs_in_both_engines(spark, tmp_path):
+    """ADVICE r9: a doc whose text tokenizes to nothing (empty or
+    punctuation-only) must land in ``n_docs`` in BOTH engines.  Spark
+    keeps it via ``explode_outer`` (one NULL-word row); the oracle
+    unnests ``[NULL]`` for an empty token list — a plain ``unnest``
+    would drop the doc and hash-diverge on such corpora."""
+    import duckdb
+
+    rows = [
+        (1, "the cat sat", "web"),
+        (2, "", "web"),              # empty text → zero tokens
+        (3, "?!... ---", "web"),     # punctuation-only → zero tokens
+        (4, "cat cat", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_docs, r.n_words)
+        for r in bpe.bpe_tokens_saved(docs).collect()
+    }
+    assert got["web"] == (3, 3)      # all three docs counted, 3 real words
+    assert got["books"] == (1, 2)
+
+    pq = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(bpe.bpe_tokens_saved_sql()).fetchall()
+    }
+    assert oracle == got
