@@ -419,16 +419,16 @@ def epoch_allocation(
     the epoch ratios divide two already-pinned numbers — every value
     hashes identically across engines.
 
-    Budget-sum bound (ADVICE r8): per-source flooring undershoots by
-    < 1 token each, but the 6-dp weight rounding can push Σweights up
-    to ``1 + S·5e-7`` (S = source count), so ``Σ target_tokens ∈
-    (budget − S, budget·(1 + S·5e-7)]`` — an overshoot of at most
-    ~0.5 tokens per source per 1M-token budget, material only past
-    ~2e6 tokens/source.  This is a PLANNING table; a consumer that
-    needs a hard ceiling clamps the largest source's target to
-    ``budget − Σ(others)`` at execution time.  The rounding is kept
-    (not re-normalized) because the 6-dp weights are the cross-engine
-    determinism contract shared with `mixture_weights`.
+    Budget-sum EXACTNESS (closes the r8/r9 advisory): per-source
+    flooring undershoots by < 1 token each, and the 6-dp weight
+    rounding can push Σweights past 1 — so the LARGEST source (token
+    count desc, source name as tie-break) absorbs the remainder:
+    its target is ``budget − Σ(others)``, making ``Σ target_tokens ==
+    budget`` exactly at every scale.  The remainder is < S tokens of
+    flooring slack plus ≤ S·5e-7·budget of rounding slack, assigned
+    where the relative perturbation is smallest.  The 6-dp weights
+    themselves stay as `mixture_weights` publishes them (the
+    cross-engine determinism contract).
 
     Scale: `mixture_weights`' one corpus aggregate, then arithmetic on
     S source rows.
@@ -439,9 +439,16 @@ def epoch_allocation(
         * F.sum("tokens").over(Window.partitionBy())
         / F.lit(10)
     ).cast("long")
+    floored = F.floor(F.col("weight") * budget).cast("long")
+    anchor = (
+        F.row_number().over(Window.orderBy(F.col("tokens").desc(), "source")) == 1
+    )
+    remainder = budget - (
+        F.sum(floored).over(Window.partitionBy()) - floored
+    )
     planned = weights.withColumn(
         "target_tokens",
-        F.floor(F.col("weight") * budget).cast("long"),
+        F.when(anchor, remainder).otherwise(floored).cast("long"),
     )
     epochs = F.col("target_tokens") / F.col("tokens")
     return (
@@ -459,17 +466,28 @@ def epoch_allocation(
 
 
 def epoch_allocation_sql(budget_tenths: int = 15, alpha_tenths: int = 5) -> str:
-    """DuckDB restatement of `epoch_allocation` at the same knobs."""
+    """DuckDB restatement of `epoch_allocation` at the same knobs,
+    including the largest-source remainder clamp (Σ targets ==
+    budget exactly)."""
     inner = mixture_weights_sql(alpha_tenths).strip()
     return f"""
 WITH mw AS (
 {inner}
 ),
+floored AS (
+  SELECT source, tokens, weight,
+         CAST(floor({budget_tenths} * (SUM(tokens) OVER ()) / 10) AS BIGINT)
+           AS budget,
+         CAST(floor(weight * floor({budget_tenths}
+               * (SUM(tokens) OVER ()) / 10)) AS BIGINT) AS target0
+  FROM mw
+),
 planned AS (
   SELECT source, tokens, weight,
-         CAST(floor(weight * floor({budget_tenths}
-               * (SUM(tokens) OVER ()) / 10)) AS BIGINT) AS target_tokens
-  FROM mw
+         CASE WHEN ROW_NUMBER() OVER (ORDER BY tokens DESC, source) = 1
+              THEN budget - (SUM(target0) OVER () - target0)
+              ELSE target0 END AS target_tokens
+  FROM floored
 )
 SELECT source, tokens, weight, target_tokens,
        round(target_tokens / CAST(tokens AS DOUBLE), 6) AS epochs,

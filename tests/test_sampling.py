@@ -139,15 +139,15 @@ def test_epoch_allocation_arithmetic_and_budget(spark):
     }
     total = sum(r["tokens"] for r in out.values())
     budget = 15 * total // 10
-    # floor() per source: the target sum may undershoot the budget by
-    # < n_sources tokens.  It can also OVERSHOOT by up to
-    # S*5e-7*budget because the 6-dp-rounded weights can sum past 1
-    # (the documented epoch_allocation bound, ADVICE r8) — invisible
-    # at this fixture's ~5k-token budget, where the rounding term is
-    # far below one token, hence the tight <= here.
+    # The largest source absorbs the flooring/rounding remainder
+    # (target = budget - sum(others)), so the plan sums to the budget
+    # EXACTLY — no overshoot at any scale (closes the r8/r9 advisory).
     tgt = sum(r["target_tokens"] for r in out.values())
-    assert budget - len(out) < tgt <= budget + len(out) * 5e-7 * budget
-    assert tgt <= budget  # exact at fixture scale (rounding term < 1 token)
+    assert tgt == budget
+    # The anchor is the biggest source; its perturbation is < S tokens
+    # of flooring slack plus the 6-dp rounding term.
+    anchor = out["big"]
+    assert abs(anchor["target_tokens"] - anchor["weight"] * budget) < len(out) + 1
     for r in out.values():
         assert r["repeat_factor"] == int(r["target_tokens"] / r["tokens"])
         assert (
@@ -266,3 +266,34 @@ def test_written_shards_stream_in_shuffled_order(spark, sf001, tmp_path):
                 assert expected[i][0] == shard
             seen_total += len(ids)
     assert seen_total == len(expected)
+
+
+def test_epoch_allocation_never_overshoots_at_any_weight_rounding(spark):
+    """Many-source corpus where the 6-dp-rounded weights sum past 1.0:
+    without the remainder clamp the floored targets would exceed the
+    budget; with it the plan is exact.  19 near-equal sources make
+    each weight round independently, maximizing Σweights drift."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from export_oltp_to_olap_spark.operators.sampling import epoch_allocation
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = []
+    doc = 0
+    for s in range(19):
+        for _ in range(3 + s % 4):
+            rows.append((doc, f"src{s:02d}", "word " * (97 + 13 * s % 29)))
+            doc += 1
+    out = epoch_allocation(
+        spark.createDataFrame(rows, schema), budget_tenths=17
+    ).collect()
+    total = sum(r["tokens"] for r in out)
+    budget = 17 * total // 10
+    assert sum(r["target_tokens"] for r in out) == budget
+    assert all(r["target_tokens"] >= 0 for r in out)
