@@ -1368,110 +1368,94 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
-    # ROUND-10 CHORE (pre-staged): once CORRECTNESS_r09 lands, every
-    # registration again has a driver row (the standing rule held all
-    # of round 9 — all 5 new registrations windowed in their
-    # registering commits).  Rotation is then hygiene: rotate OUT the
-    # round-9 first-row earners as they go multi-round-green
-    # (media_neardup_capped, bpe_tokens_saved, gopher_quality_flags,
-    # eval_contamination_report, neardup_quality_keepers, plus
-    # media_neardup's re-verification row), rotate IN any round-10
-    # registrations in the same commit that registers them, and
-    # backfill the oldest-green family probes from _REPORT_EXEMPT
-    # (candidates: tpch_q{18,12,14,19,22}, normalized_dedup_documents,
-    # events_anomaly_zscore, adaptive_quality_gate, mixture_weights,
-    # span_dedup_report).  Keep the 5 star sentinels.  If round 10
-    # touches media.py/bpe.py/curation.py, keep the touched faces IN
-    # the window to re-earn rows for the new code (the media_neardup
-    # precedent this round).
-    # --- ROUND-9 ROTATION (VERDICT r8 item 3, pre-staged in r8) ---
-    # Out (23): the 17 round-8 first-row earners (11 TPC-H + winnowing
-    #      ×2 + decontaminate_bloom + semdedup_threshold_curve +
-    #      pq/ivfpq_cosine_topk) and 6 of the 7 mid-r8 registrations
-    #      (span_strip_rewrite, epoch_allocation,
-    #      cluster_balanced_sample, decontam_strip_rewrite,
-    #      media_exact_dedup, curated_corpus_rewritten) — all r08
-    #      hash-green, all already members of the grows-only
-    #      _REPORT_EXEMPT union.  media_neardup is NOT rotated out:
-    #      its blocking/cap changed this round, so it must re-earn a
-    #      driver row for the new code.
-    # In (23): the 6 round-9 registrations (media_neardup_capped,
-    #      bpe_tokens_saved, gopher_quality_flags,
+    # --- ROUND-10 ROTATION (VERDICT r9 item 1, the pre-staged chore) ---
+    # Out (43): the round-9 first-row earners, now green
+    #      (media_neardup + media_neardup_capped/delta,
     #      eval_contamination_report, neardup_quality_keepers,
-    #      corpus_digest — each windowed in its registering commit,
-    #      standing rule; they displaced tpch_q{10,7,6,5,4} plus one
-    #      slot of the original plan), the 3 _REPORT_EXEMPT family
-    #      backfills (events_gapfill_locf, pack_bins_summary,
-    #      chunk_documents — last rows r05), and 14 returning probes
-    #      whose latest green rows are the oldest on the board: the 6
-    #      probes displaced mid-r8 (stats_moments, snapshot_diff,
-    #      skew_safe_join, events_hopping, dsir, curation_audit),
-    #      training_shard_manifest, quality_calibration_bins,
-    #      lm_guided_mixture, leakage_fix_report,
-    #      neardup_threshold_curve, rp_cosine_topk,
-    #      curated_corpus_decontaminated, tpch_q3.
+    #      corpus_digest), the r9 returning probes (all re-greened in
+    #      CORRECTNESS_r09), and the r04-green stability probes that
+    #      earned fresh r09 rows.  Every rotated-out name is in the
+    #      grows-only _REPORT_EXEMPT union (3 additions this round:
+    #      ann_cosine_topk, media_feature_extract, minhash_near_dup).
+    # Kept in despite r09 rows (code/oracle TOUCHED in round 10, the
+    #      media_neardup precedent): gopher_quality_flags (top-bigram
+    #      linear fix), bpe_tokens_saved (zero-token oracle
+    #      convention), epoch_allocation (remainder clamp — changes
+    #      target_tokens values).
+    # In: the VERDICT-named oldest-green backfills
+    #      (tpch_q{18,12,14,19,22}, normalized_dedup_documents,
+    #      events_anomaly_zscore, adaptive_quality_gate,
+    #      mixture_weights, span_dedup_report) and 32 of the 42
+    #      r03-green probes (alphabetical; the remaining 10 —
+    #      star_dim_{metodo_pago,producto,tiempo}, star_fact_source,
+    #      text_fingerprints, text_lang_id, text_quality,
+    #      token_count_bpe, token_stats_by_source, topk_orders — plus
+    #      the r04 cohort are the round-11 backfill pool).
+    # ROUND-11 CHORE (pre-staged): rotate the 32 r03 probes and the 10
+    #      named backfills out once CORRECTNESS_r10 lands, rotate in
+    #      the round-11 registrations same-commit (standing rule), and
+    #      backfill the 10 remaining r03 names + the r04 cohort
+    #      (events_cohort_retention, minhash_delta_neardup,
+    #      orders_rolling_7d_revenue, profile_orders,
+    #      reconcile_customers_full_outer, setops_all_orders,
+    #      subquery_suite, weighted_sample_summary, dq_oltp_checks)
+    #      + r05 (scd2_incremental_merge, tfidf_top_terms).  Keep the
+    #      5 star sentinels.  Touched faces stay in the window.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04 + r07 + r08):
+    # probes; hash-green r01-r04 + r07-r09):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # Code changed in round 9 (2-D blocking + cell cap) — re-verify:
-    "media_neardup",
-    # Registered in round 9, windowed in the same commit (standing
-    # rule; bpe_tokens_saved,
-    # gopher_quality_flags, eval_contamination_report and
-    # neardup_quality_keepers displaced tpch_q{10,7,6,5} from the
-    # returning-probe list — r05/r07 green, already _REPORT_EXEMPT):
-    "media_neardup_capped",
-    "bpe_tokens_saved",
+    # Touched in round 10 — must re-earn driver rows for the new code:
     "gopher_quality_flags",
-    "eval_contamination_report",
-    "neardup_quality_keepers",
-    "corpus_digest",
-    "media_neardup_delta",
-    # Family backfills (last driver rows r05):
-    "events_gapfill_locf",
-    "pack_bins_summary",
-    "chunk_documents",
-    # Returning probes, oldest-green-first:
-    "stats_moments_lineitem",
-    "snapshot_diff_customers",
-    "skew_safe_join_revenue",
-    "events_hopping_halfhour",
-    "dsir_importance",
-    "curation_audit",
-    "training_shard_manifest",
-    "quality_calibration_bins",
-    "lm_guided_mixture",
-    "leakage_fix_report",
-    "neardup_threshold_curve",
-    "rp_cosine_topk",
-    "curated_corpus_decontaminated",
-    # Multi-round-green family probes:
-    "quality_scores_saved",
-    "tpch_q10_returned_items",
-    "incremental_corpus_delta",
-    "leakage_safe_splits",
-    "source_overlap_matrix",
-    # Oracle-bearing r04-green stability probes (one per family):
-    "dim_cliente_scd2",
-    "orders_rank_suite",
-    "events_funnel",
-    "decontaminate_documents",
-    "duplicated_spans",
-    "capped_corpus",
-    "minhash_near_dup",
-    "neardup_clusters",
-    "corpus_curation_summary",
-    "embedding_norm_stats",
-    "ann_cosine_topk",
-    "semantic_dedup",
-    "lm_fluency_scores",
-    "pii_scan",
-    "split_drift_report",
-    "media_feature_extract",
+    "bpe_tokens_saved",
+    "epoch_allocation",
+    # VERDICT-named oldest-green backfills:
+    "tpch_q18_large_volume",
+    "tpch_q12_shipping_delay",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity",
+    "normalized_dedup_documents",
+    "events_anomaly_zscore",
+    "adaptive_quality_gate",
+    "mixture_weights",
+    "span_dedup_report",
+    # r03-green probes, oldest rows on the board (alphabetical 32/42):
+    "cdc_decode",
+    "clicks_before_purchase",
+    "corpus_split_summary",
+    "correlated_lookup",
+    "cube_order_stats",
+    "date_range_orders",
+    "distinct_agg_orders",
+    "embedding_cosine_neardup",
+    "events_json_stats",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "events_user_moving_value",
+    "exact_dedup_documents",
+    "grouping_sets_orders",
+    "ivf_cosine_topk",
+    "lsh_cosine_neardup",
+    "media_frame_sample",
+    "media_metadata_stats",
+    "ngram_jaccard_neardup",
+    "orders_price_percentiles",
+    "pivot_priority_status",
+    "point_filter_customer",
+    "purchases_asof_clicks",
+    "rollup_revenue",
+    "scalar_function_suite",
+    "semi_anti_customers",
+    "setops_customers",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "star_dim_categoria",
+    "star_dim_cliente",
+    "star_dim_envio",
 )

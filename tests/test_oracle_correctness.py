@@ -122,6 +122,11 @@ _REPORT_EXEMPT = {
     "events_anomaly_zscore",
     "chunk_documents",
     "adaptive_quality_gate",
+    # Rotated OUT of the round-10 window (multi-round-green probes —
+    # first windowed pre-r05, re-greened in CORRECTNESS_r09):
+    "ann_cosine_topk",
+    "media_feature_extract",
+    "minhash_near_dup",
     # Tail in rounds 1-3, rotated INTO the round-4 window:
     "approx_distinct_parts",
     "neardup_clusters",
