@@ -591,25 +591,32 @@ def _media_cells(stats: DataFrame, threshold: int) -> DataFrame:
     # size_bytes/n_low ride along (two longs): the candidate join
     # applies |Δ| ≤ t on both as EXACT necessary conditions (each is a
     # 1-D projection of the L1), pruning same-cell-but-too-far pairs
-    # before the expensive histogram verify.
-    return stats.select(
-        "media_id",
-        "kind",
-        "size_bytes",
-        "n_low",
-        F.explode(F.array(*combos)).alias("cell"),
-    )
+    # before the expensive histogram verify.  ``stats`` is exactly
+    # (media_id, kind, size_bytes, n_low) for the batch faces;
+    # ``select("*", …)`` (rather than naming those four) lets the
+    # streaming face (`streaming/media_stream.py`) carry ``hist``
+    # through the SAME blocking expressions — identical projection,
+    # identical plan, for every existing caller.
+    return stats.select("*", F.explode(F.array(*combos)).alias("cell"))
 
 
-def _cells_from_hists(hists: DataFrame, threshold: int) -> DataFrame:
+def _cells_from_hists(
+    hists: DataFrame, threshold: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-item cell rows from a histogram frame; ``n_low`` is JVM-side
-    arithmetic over the hist array."""
+    arithmetic over the hist array.  ``keep`` names extra ``hists``
+    columns to carry through the blocking (the streaming face rides
+    ``hist`` along so its stateful verify needs no stream-stream
+    self-join); batch callers pass nothing and get the identical
+    4-column stats frame as before."""
     n_low = F.aggregate(
         F.slice("hist", 1, _NLOW_SPLIT),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    stats = hists.select("media_id", "kind", "size_bytes", n_low.alias("n_low"))
+    stats = hists.select(
+        "media_id", "kind", "size_bytes", n_low.alias("n_low"), *keep
+    )
     return _media_cells(stats, threshold)
 
 

@@ -1390,7 +1390,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      star_dim_{metodo_pago,producto,tiempo}, star_fact_source,
     #      text_fingerprints, text_lang_id, text_quality,
     #      token_count_bpe, token_stats_by_source, topk_orders — plus
-    #      the r04 cohort are the round-11 backfill pool).
+    #      the r04 cohort are the round-11 backfill pool; mid-round
+    #      star_dim_{categoria,cliente,envio} joined that pool when the
+    #      media blocking helpers were touched — see the window tail).
     # ROUND-11 CHORE (pre-staged): rotate the 32 r03 probes and the 10
     #      named backfills out once CORRECTNESS_r10 lands, rotate in
     #      the round-11 registrations same-commit (standing rule), and
@@ -1455,7 +1457,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     "setops_customers",
     "simhash_fingerprints",
     "simhash_near_dup",
-    "star_dim_categoria",
-    "star_dim_cliente",
-    "star_dim_envio",
+    # Touched mid-round-10: the streaming near-dup face rides `hist`
+    # through the shared blocking helpers (_media_cells /
+    # _cells_from_hists grew a passthrough) — plan-identical for the
+    # batch faces, but the touched-file rule says re-earn rows, so the
+    # three blocking-dependent faces displace star_dim_{categoria,
+    # cliente,envio} (r03-green, moved to the round-11 backfill pool):
+    "media_neardup",
+    "media_neardup_capped",
+    "media_neardup_delta",
 )
