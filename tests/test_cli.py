@@ -389,6 +389,32 @@ def test_cli_strip_spans_rejects_eval_dir_in_dup_mode(spark, sf001, tmp_path, ca
     assert "--mode decontam" in err
 
 
+def test_cli_strip_spans_guard_covers_explicit_dup_mode(spark, sf001, tmp_path, capsys):
+    """The guard must fire on the full --source-dir/--eval-dir/--mode dup
+    combination (mode spelled explicitly, not defaulted) and must fail
+    BEFORE writing anything to --out (VERDICT r9 item 5b)."""
+    from export_oltp_to_olap_spark.cli import main
+
+    out = tmp_path / "dup_explicit"
+    rc = main(
+        [
+            "strip-spans",
+            "--source-dir",
+            sf001,
+            "--out",
+            str(out),
+            "--mode",
+            "dup",
+            "--eval-dir",
+            f"{sf001}/documents.parquet",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "--mode decontam" in capsys.readouterr().err
+    assert not out.exists(), "guard must reject before any output write"
+
+
 def test_cli_eval_hashes_rejects_non_power_of_two_m_bits(spark, sf001, tmp_path, capsys):
     """Invalid --bloom-m-bits follows the CLI convention (stderr + rc 2),
     not an uncaught ValueError traceback from eval_gram_bloom (ADVICE r7)."""
