@@ -901,6 +901,169 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# C4 rule-set filter (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+
+# Shared regex atoms — spelled once so the Spark expressions and the
+# DuckDB oracle cannot drift.  Literal chars only (no \uXXXX escapes:
+# DuckDB rejects them).
+_C4_TERMINAL_RE = '[.!?"]\\s*$'
+_C4_WS_RE = "\\s+"
+
+
+def _c4_line_keep(line: Column) -> Column:
+    """C4's line retention predicate: ends in terminal punctuation,
+    holds ≥5 whitespace words, and does not mention javascript."""
+    words = F.filter(F.split(line, _C4_WS_RE), lambda w: w != F.lit(""))
+    return (
+        line.rlike(_C4_TERMINAL_RE)
+        & (F.size(words) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def c4_quality_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc C4 rule flags + the composed keep verdict — the OTHER
+    published rule-set filter (C4, Raffel et al. 2020 §2.2), run
+    alongside `gopher_quality_flags` exactly as production pipelines
+    stack both: line rules (terminal punctuation, ≥5 words, no
+    javascript mention) feed a kept-line count; page rules reject
+    docs with <3 kept lines, any ``lorem ipsum``, or any curly brace.
+
+    Documented deviations from the published pipeline: the
+    "Dirty/Naughty" word-list page rule is omitted (the list itself is
+    an external artifact, not reproduced here), and langdetect-based
+    English filtering is the separate `text_lang_id` face.  All counts
+    are integers; flags are engine-exact.
+
+    Fixture honesty (the `gopher_quality_flags` precedent): the
+    synthetic corpus is single-line prose without terminal punctuation,
+    so ``n_kept_lines`` is 0 and ``keep`` rejects everything there —
+    per-doc hash variety rides on ``n_words``; the rule mechanics are
+    pinned by crafted-input tests (tests/test_round10_ops.py).
+
+    Scale: per-row expressions only — zero shuffles, no aggregation
+    state, every rule a single linear pass over the line/word arrays
+    (the map-only scan shape of `gopher_quality_flags`).
+    """
+    lines = F.split("text", "\n")
+    base = docs.select("doc_id", "text", lines.alias("_lines"))
+    words = F.filter(F.split("text", _C4_WS_RE), lambda w: w != F.lit(""))
+    n_lines = F.size("_lines").cast("long")
+    n_kept = F.size(F.filter(F.col("_lines"), _c4_line_keep)).cast("long")
+    flag_min = n_kept >= C4_MIN_KEPT_LINES
+    flag_no_lorem = ~F.contains(F.lower("text"), F.lit("lorem ipsum"))
+    flag_no_brace = ~F.contains("text", F.lit("{"))
+    return base.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.size(words).cast("long").alias("n_words"),
+        flag_min.alias("flag_min_sentences"),
+        flag_no_lorem.alias("flag_no_lorem"),
+        flag_no_brace.alias("flag_no_brace"),
+        (flag_min & flag_no_lorem & flag_no_brace).alias("keep"),
+    ).orderBy("doc_id")
+
+
+C4_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l ->
+              regexp_matches(l, '{_C4_TERMINAL_RE}')
+              AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> w <> ''))
+                  >= {C4_MIN_WORDS_PER_LINE}
+              AND NOT contains(lower(l), 'javascript'))) AS BIGINT) AS n_kept_lines,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))
+              AS BIGINT) AS n_words,
+         NOT contains(lower(text), 'lorem ipsum') AS flag_no_lorem,
+         NOT contains(text, '{{') AS flag_no_brace
+  FROM base
+)
+SELECT doc_id, n_lines, n_kept_lines, n_words,
+       (n_kept_lines >= {C4_MIN_KEPT_LINES}) AS flag_min_sentences,
+       flag_no_lorem, flag_no_brace,
+       ((n_kept_lines >= {C4_MIN_KEPT_LINES}) AND flag_no_lorem AND flag_no_brace)
+         AS keep
+FROM m
+ORDER BY doc_id
+""".strip()
+
+
+def c4_line_filter(docs: DataFrame) -> DataFrame:
+    """The C4 REWRITE face: pages passing the page rules survive with
+    only their rule-passing lines, newline-rejoined — the actual
+    transformation C4 applies to build the corpus (the flags face
+    reports; this face produces the cleaned text).  ``(doc_id,
+    n_lines, n_kept_lines, removed_chars, cleaned)``; pages failing
+    any page rule are dropped.
+
+    Map-only scan + filter, like the flags face; cross-engine
+    behavior pinned on a crafted corpus in tests/test_round10_ops.py
+    (the fixture corpus keeps zero lines, so this face is exercised on
+    crafted inputs, not registered — the `strip_duplicated_spans`
+    convention for rewrite faces with degenerate fixture output).
+    """
+    lines = F.split("text", "\n")
+    base = docs.select("doc_id", "text", lines.alias("_lines"))
+    kept = F.filter(F.col("_lines"), _c4_line_keep)
+    n_kept = F.size(kept).cast("long")
+    cleaned = F.array_join(kept, "\n")
+    page_ok = (
+        (n_kept >= C4_MIN_KEPT_LINES)
+        & ~F.contains(F.lower("text"), F.lit("lorem ipsum"))
+        & ~F.contains("text", F.lit("{"))
+    )
+    return (
+        base.where(page_ok)
+        .select(
+            "doc_id",
+            F.size("_lines").cast("long").alias("n_lines"),
+            n_kept.alias("n_kept_lines"),
+            (F.length("text") - F.length(cleaned)).cast("long").alias("removed_chars"),
+            cleaned.alias("cleaned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+C4_LINE_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines, l ->
+              regexp_matches(l, '{_C4_TERMINAL_RE}')
+              AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> w <> ''))
+                  >= {C4_MIN_WORDS_PER_LINE}
+              AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(length(text) - length(array_to_string(kept, chr(10))) AS BIGINT)
+         AS removed_chars,
+       array_to_string(kept, chr(10)) AS cleaned
+FROM m
+WHERE len(kept) >= {C4_MIN_KEPT_LINES}
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{{')
+ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Corpus provenance digest (data-card reproducibility artifact)
 # ---------------------------------------------------------------------------
 

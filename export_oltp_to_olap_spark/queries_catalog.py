@@ -592,6 +592,19 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str):
     return text_queries.gopher_quality_flags(_docs(spark, sf_dir))
 
 
+@register("c4_quality_flags", text_queries.C4_QUALITY_SQL)
+def q_c4_flags(spark: SparkSession, sf_dir: str):
+    """C4 rule-set filter (arXiv:1910.10683 §2.2): per-doc line-rule
+    counts (terminal punctuation + ≥5 words + no javascript) and page
+    rules (≥3 kept lines, no lorem ipsum, no curly brace) with the
+    composed keep verdict; map-only scan, integer counts.  Fixture
+    honesty (the gopher precedent): the synthetic corpus is
+    single-line and punctuation-free, so n_kept_lines is 0 and keep
+    rejects everything — per-doc hash variety rides on n_words; rule
+    mechanics pinned by crafted-input tests (test_round10_ops.py)."""
+    return text_queries.c4_quality_flags(_docs(spark, sf_dir))
+
+
 @register("tfidf_top_terms", text_queries.TFIDF_TOP_TERMS_SQL)
 def q_tfidf(spark: SparkSession, sf_dir: str):
     """Top-5 characteristic terms per source by tf-idf (two partial-agg
@@ -1456,7 +1469,10 @@ WINDOW_FIRST: tuple[str, ...] = (
     "semi_anti_customers",
     "setops_customers",
     "simhash_fingerprints",
-    "simhash_near_dup",
+    # Registered mid-round-10, windowed same-commit (standing rule;
+    # displaces simhash_near_dup — r03-green, family still probed via
+    # simhash_fingerprints — to the round-11 backfill pool):
+    "c4_quality_flags",
     # Touched mid-round-10: the streaming near-dup face rides `hist`
     # through the shared blocking helpers (_media_cells /
     # _cells_from_hists grew a passthrough) — plan-identical for the

@@ -122,6 +122,9 @@ _REPORT_EXEMPT = {
     "events_anomaly_zscore",
     "chunk_documents",
     "adaptive_quality_gate",
+    # Registered new in round 10, windowed same-commit (first driver
+    # rows land in CORRECTNESS_r10):
+    "c4_quality_flags",
     # Rotated OUT of the round-10 window (multi-round-green probes —
     # first windowed pre-r05, re-greened in CORRECTNESS_r09):
     "ann_cosine_topk",

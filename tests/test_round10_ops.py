@@ -1,0 +1,79 @@
+"""Round-10 face contracts beyond the shared oracle diff: crafted-input
+rule checks for the C4 filter (both faces), cross-engine pins on a
+corpus that actually exercises the line rules (the fixture corpus is
+single-line and punctuation-free, so the registered oracle's variety
+rides on counts — these tests carry the rule mechanics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.plans import text_queries
+
+
+NL = "\n"
+_GOOD_LINES = NL.join(
+    [
+        "Good line with five words here.",
+        "Another fine sentence sits right here!",
+        "Third one also has enough words.",
+    ]
+)
+
+_CRAFTED = [
+    (1, _GOOD_LINES, "en", "web", 100),                      # passes everything
+    (2, "short." + NL + "no terminal punct many words here", "en", "web", 40),
+    (3, "lorem ipsum dolor sit amet everywhere." + NL + _GOOD_LINES, "en", "web", 150),
+    (4, "This javascript line has enough words today." + NL + _GOOD_LINES, "en", "web", 160),
+    (5, "Brace { in the page body." + NL + _GOOD_LINES, "en", "web", 130),
+    (6, "Only two good lines survive here." + NL + "Second survivor line is right here.", "en", "web", 70),
+    (7, "", "en", "books", 0),                               # empty page
+]
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _duck_view(rows, tmp_path, spark):
+    import duckdb
+
+    pq = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, _SCHEMA).toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    return con
+
+
+def test_c4_rules_fire_on_crafted_violations(spark):
+    df = spark.createDataFrame(_CRAFTED, _SCHEMA)
+    out = {r.doc_id: r.asDict() for r in text_queries.c4_quality_flags(df).collect()}
+    assert out[1]["keep"] is True and out[1]["n_kept_lines"] == 3
+    assert out[2]["flag_min_sentences"] is False  # 0 rule-passing lines
+    assert out[3]["flag_no_lorem"] is False
+    assert out[4]["keep"] is True  # javascript drops the LINE, not the page
+    assert out[4]["n_kept_lines"] == 3 and out[4]["n_lines"] == 4
+    assert out[5]["flag_no_brace"] is False
+    assert out[6]["flag_min_sentences"] is False  # 2 < 3 kept lines
+    assert out[7]["n_words"] == 0 and out[7]["keep"] is False
+    assert all(out[i]["keep"] is False for i in (2, 3, 5, 6, 7))
+
+
+def test_c4_flags_match_duckdb_on_crafted_corpus(spark, tmp_path):
+    con = _duck_view(_CRAFTED, tmp_path, spark)
+    df = spark.createDataFrame(_CRAFTED, _SCHEMA)
+    got = sorted(tuple(r) for r in text_queries.c4_quality_flags(df).collect())
+    want = sorted(tuple(r) for r in con.execute(text_queries.C4_QUALITY_SQL).fetchall())
+    assert got == want
+
+
+def test_c4_line_filter_rewrite_matches_duckdb(spark, tmp_path):
+    con = _duck_view(_CRAFTED, tmp_path, spark)
+    df = spark.createDataFrame(_CRAFTED, _SCHEMA)
+    got = sorted(tuple(r) for r in text_queries.c4_line_filter(df).collect())
+    want = sorted(
+        tuple(r) for r in con.execute(text_queries.C4_LINE_FILTER_SQL).fetchall()
+    )
+    assert got == want
+    # Only the surviving pages, and only their rule-passing lines.
+    kept = {r[0]: r for r in got}
+    assert set(kept) == {1, 4}
+    assert "javascript" not in kept[4][4]
+    assert kept[4][3] > 0  # removed_chars counts the dropped line
