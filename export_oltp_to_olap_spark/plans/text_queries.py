@@ -384,19 +384,18 @@ def text_repetition(docs: DataFrame) -> DataFrame:
 
     Entirely per-row higher-order-function arithmetic — zero shuffles,
     whole-stage-codegen friendly, and the counts are integers so the
-    ratios are engine-exact.  The per-row cost is O(distinct × n) over
-    arrays of ~30 tokens; at corpus scale this stays embarrassingly
-    parallel (no aggregation state at all).
+    ratios are engine-exact.  Both multiplicity maxima use the shared
+    O(L log L) run-length fold (`max_multiplicity`), not the
+    O(distinct × n) double scan, so per-row work stays near-linear on
+    arbitrarily long documents (the VERDICT r9 Gopher finding applied
+    here too); no aggregation state at all.
     """
-    from export_oltp_to_olap_spark.functions.text import tokens
+    from export_oltp_to_olap_spark.functions.text import max_multiplicity, tokens
 
     toks = tokens("text")
     t = F.col("_t")
-    top_tok = F.array_max(
-        F.transform(
-            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
-        )
-    )
+    # Empty-token docs keep the NULL the oracle's list_max([]) yields.
+    top_tok = F.when(F.size(t) > 0, max_multiplicity(t))
     bigrams = F.when(
         F.size(t) >= 2,
         F.expr(
@@ -405,14 +404,7 @@ def text_repetition(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     bg = F.col("_bg")
-    top_bg = F.when(
-        F.size(bg) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bg), lambda d: F.size(F.filter(bg, lambda x: x == d))
-            )
-        ),
-    ).otherwise(F.lit(0))
+    top_bg = F.when(F.size(bg) > 0, max_multiplicity(bg)).otherwise(F.lit(0))
     return (
         docs.select("doc_id", toks.alias("_t"))
         .withColumn("_bg", bigrams)
@@ -748,14 +740,14 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     Entirely per-row expressions — zero shuffles, no aggregation
     state; at 100 TB this is a map-only scan like `text_repetition`.
     The top-bigram count is a SORT + single linear pass per row
-    (``sort_array`` + one ``aggregate`` tracking the longest equal
-    run), so per-row work is O(L log L) in the document's token count
+    (`max_multiplicity`'s run-length fold), so per-row work is
+    O(L log L) in the document's token count
     — the naive distinct×filter form is O(L²), which at the rule's
     own 100k-token upper bound would be ~10^10 interpreted HOF
     comparisons on a single row (a straggler-task generator; pinned
     by tests/test_round9_ops.py::test_gopher_top_bigram_long_doc).
     """
-    from export_oltp_to_olap_spark.functions.text import tokens
+    from export_oltp_to_olap_spark.functions.text import max_multiplicity, tokens
 
     t = F.col("_t")
     lines = F.col("_lines")
@@ -795,30 +787,12 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     ).cast("long")
     n_dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
-    # Max bigram multiplicity in O(L log L): sort, then ONE pass whose
-    # accumulator carries (previous element, current equal-run length,
-    # best run seen).  The obvious array_distinct×filter form is
-    # per-row O(L²) — quadratic in a single document's length.
-    _run = lambda acc, x: F.when(  # noqa: E731 — local fold step
-        x == acc["prev"], acc["run"] + F.lit(1).cast("long")
-    ).otherwise(F.lit(1).cast("long"))
-    top_bg = F.when(
-        F.size(bg) > 0,
-        F.aggregate(
-            F.sort_array(bg),
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).cast("long").alias("run"),
-                F.lit(0).cast("long").alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                _run(acc, x).alias("run"),
-                F.greatest(acc["best"], _run(acc, x)).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        ),
-    ).otherwise(F.lit(0)).cast("long")
+    # Max bigram multiplicity via the shared O(L log L) run-length fold
+    # (functions/text.py::max_multiplicity) — the distinct×filter form
+    # is per-row O(L²), quadratic in a single document's length.
+    top_bg = F.when(F.size(bg) > 0, max_multiplicity(bg)).otherwise(
+        F.lit(0)
+    ).cast("long")
     n_bg = F.size(bg).cast("long")
 
     flags = {

@@ -1458,7 +1458,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ivf_cosine_topk",
     "lsh_cosine_neardup",
     "media_frame_sample",
-    "media_metadata_stats",
     "ngram_jaccard_neardup",
     "orders_price_percentiles",
     "pivot_priority_status",
@@ -1473,6 +1472,10 @@ WINDOW_FIRST: tuple[str, ...] = (
     # displaces simhash_near_dup — r03-green, family still probed via
     # simhash_fingerprints — to the round-11 backfill pool):
     "c4_quality_flags",
+    # Touched mid-round-10 (shared max_multiplicity run-length fold
+    # replaced its O(distinct×n) scans; displaces media_metadata_stats
+    # — r03-green, media family probed by four other window rows):
+    "text_repetition",
     # Touched mid-round-10: the streaming near-dup face rides `hist`
     # through the shared blocking helpers (_media_cells /
     # _cells_from_hists grew a passthrough) — plan-identical for the

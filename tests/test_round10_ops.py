@@ -77,3 +77,43 @@ def test_c4_line_filter_rewrite_matches_duckdb(spark, tmp_path):
     assert set(kept) == {1, 4}
     assert "javascript" not in kept[4][4]
     assert kept[4][3] > 0  # removed_chars counts the dropped line
+
+
+def test_text_repetition_long_doc_stays_linear(spark):
+    """`text_repetition` shares `max_multiplicity`'s run-length fold —
+    the same 40k-token all-distinct worst case that pinned the Gopher
+    fix must stay fast here too (the old distinct×filter form was
+    per-row O(L²) in this face as well)."""
+    import time
+
+    n_tok = 40_000
+    text = " ".join(f"w{i}" for i in range(n_tok))
+    df = spark.createDataFrame(
+        [(1, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    t0 = time.monotonic()
+    (row,) = text_queries.text_repetition(df).collect()
+    elapsed = time.monotonic() - t0
+    assert row.n_tokens == n_tok
+    assert row.top_token_count == 1 and row.top_bigram_count == 1
+    assert elapsed < 60, f"repetition pass took {elapsed:.1f}s on a 40k-token row"
+
+
+def test_max_multiplicity_matches_python_on_mixed_shapes(spark):
+    from export_oltp_to_olap_spark.functions.text import max_multiplicity
+
+    cases = [
+        ([], 0),
+        (["a"], 1),
+        (["a", "b", "a", "a", "b"], 3),
+        (["x"] * 7, 7),
+        (["", "", "a"], 2),  # empty strings are ordinary elements
+    ]
+    df = spark.createDataFrame(
+        [(i, arr) for i, (arr, _) in enumerate(cases)],
+        "i long, arr array<string>",
+    )
+    got = {r.i: r.m for r in df.select("i", max_multiplicity(F.col("arr")).alias("m")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
