@@ -94,7 +94,10 @@ def text_lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "lang", *cols, lang_predict("text").alias("pred_lang"))
 
 
-def _lang_sql() -> str:
+def _lang_pred_sql_parts() -> tuple[str, str]:
+    """(score-column SQL, argmax CASE over those columns) — shared by
+    the per-doc lang-ID oracle and the mismatch-report oracle so the
+    prediction rule is spelled once."""
     langs = list(LANG_MARKERS)
     score_cols = ",\n       ".join(
         f"{sql_lang_count(lang)} AS score_{lang}" for lang in langs
@@ -106,6 +109,12 @@ def _lang_sql() -> str:
     for lang in langs:
         pred += f"         WHEN score_{lang} = {best} THEN '{lang}'\n"
     pred += "         ELSE 'und' END"
+    return score_cols, pred
+
+
+def _lang_sql() -> str:
+    langs = list(LANG_MARKERS)
+    score_cols, pred = _lang_pred_sql_parts()
     return f"""
 WITH scored AS (
   SELECT doc_id, lang,
@@ -119,6 +128,65 @@ FROM scored
 
 
 TEXT_LANG_ID_SQL = _lang_sql()
+
+
+def lang_mismatch_report(docs: DataFrame) -> DataFrame:
+    """Per-(source, labeled-lang) mislabeling audit: how often the
+    marker-stopword predictor disagrees with the upstream ``lang``
+    label — the data-quality check a pipeline runs before trusting
+    provider language tags for mixture weighting or per-lang filters
+    (mislabeled pockets silently skew both).
+
+    ``(source, lang, n_docs, n_mismatch, mismatch_ratio)`` ordered by
+    (source, lang); the predictor is byte-identical to `text_lang_id`
+    (shared `lang_predict` / shared SQL argmax), so the report and the
+    per-doc face can never disagree.
+
+    Scale: map-side prediction (per-row marker counts, no shuffle),
+    then ONE partial-aggregated groupBy on (source, lang) — output is
+    sources × languages rows, trivially small at any corpus size.
+    """
+    per = docs.select("source", "lang", lang_predict("text").alias("_pred"))
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_pred") != F.col("lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .withColumn(
+            "mismatch_ratio", F.round(F.col("n_mismatch") / F.col("n_docs"), 6)
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _lang_mismatch_sql() -> str:
+    score_cols, pred = _lang_pred_sql_parts()
+    return f"""
+WITH scored AS (
+  SELECT source, lang,
+       {score_cols}
+  FROM documents
+),
+labeled AS (
+  SELECT source, lang, {pred} AS pred_lang
+  FROM scored
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       round(sum(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END)
+             / count(*), 6) AS mismatch_ratio
+FROM labeled
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+LANG_MISMATCH_SQL = _lang_mismatch_sql()
 
 
 def text_fingerprints(docs: DataFrame) -> DataFrame:
@@ -288,6 +356,94 @@ ORDER BY source, n
 
 
 NGRAM_DIVERSITY_SQL = _ngram_diversity_sql(3)
+
+
+BOILERPLATE_TOP_K = 10
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = 2, top_k: int = BOILERPLATE_TOP_K) -> DataFrame:
+    """Per-source boilerplate candidates: the ``top_k`` n-grams by
+    DOCUMENT frequency within each source — the template/banner
+    detection pass a web-corpus pipeline runs before training
+    (navigation bars, license footers, and cookie banners repeat
+    across a source's pages; content n-grams don't).  The dual of
+    `tfidf_top_terms` (which surfaces what makes a source DIFFERENT,
+    this surfaces what a source repeats) and of `ngram_diversity_by_
+    source` (corpus-level ratio, no named grams).
+
+    ``(source, gram, doc_count, n_docs, df_ratio, is_boilerplate)``;
+    ``is_boilerplate`` applies the scale-free majority rule
+    ``2·doc_count ≥ n_docs`` by integer cross-multiplication (the
+    synthetic fixture peaks near df 0.25, so the flag is honestly
+    false there — variety rides on doc_count, and the flag mechanics
+    are pinned on a crafted templated corpus in test_round10_ops.py).
+    Ties rank deterministically by gram text.
+
+    Scale: per-doc DISTINCT grams fan out map-side (`spread_for_
+    compute` first — single-file parquet inputs otherwise explode
+    one-threaded), then ONE partial-aggregated groupBy on
+    (source, gram), a broadcast of per-source totals (one row per
+    source), and a per-source top-k window whose input is already
+    collapsed to distinct grams.  No per-row quadratic work anywhere.
+    """
+    per_doc = spread_for_compute(
+        docs.select("source", "doc_id", "text"), "doc_id"
+    ).select(
+        "source",
+        F.explode(F.array_distinct(word_shingles("text", n))).alias("gram"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = per_doc.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("doc_count"), "gram")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .select(
+            "source",
+            "gram",
+            "doc_count",
+            "n_docs",
+            F.round(F.col("doc_count") / F.col("n_docs"), 6).alias("df_ratio"),
+            (2 * F.col("doc_count") >= F.col("n_docs")).alias("is_boilerplate"),
+        )
+        .orderBy("source", F.desc("doc_count"), "gram")
+    )
+
+
+BOILERPLATE_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {SQL_TOKENS.format(t="text")} AS t FROM documents
+),
+grams AS (
+  SELECT source, doc_id,
+         unnest(list_distinct(CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END)) AS gram
+  FROM toks
+),
+nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+df AS (
+  SELECT source, gram, CAST(count(*) AS BIGINT) AS doc_count
+  FROM grams GROUP BY source, gram
+),
+ranked AS (
+  SELECT d.source, gram, doc_count, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY doc_count DESC, gram) AS rk
+  FROM df d JOIN nd USING (source)
+)
+SELECT source, gram, doc_count, n_docs,
+       round(doc_count / n_docs, 6) AS df_ratio,
+       (2 * doc_count >= n_docs) AS is_boilerplate
+FROM ranked
+WHERE rk <= {BOILERPLATE_TOP_K}
+ORDER BY source, doc_count DESC, gram
+""".strip()
 
 
 def token_count_bpe(docs: DataFrame) -> DataFrame:

@@ -605,6 +605,24 @@ def q_c4_flags(spark: SparkSession, sf_dir: str):
     return text_queries.c4_quality_flags(_docs(spark, sf_dir))
 
 
+@register("boilerplate_ngrams", text_queries.BOILERPLATE_NGRAMS_SQL)
+def q_boilerplate(spark: SparkSession, sf_dir: str):
+    """Per-source boilerplate candidates: top-10 bigrams by document
+    frequency (template/banner detection — the dual of tfidf's
+    characteristic terms), majority-rule flag by integer
+    cross-multiplication.  Map-side distinct-gram fan-out, one
+    partial-agg shuffle, broadcast totals, per-source top-k window."""
+    return text_queries.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+@register("lang_mismatch_report", text_queries.LANG_MISMATCH_SQL)
+def q_lang_mismatch(spark: SparkSession, sf_dir: str):
+    """Per-(source, labeled-lang) mislabeling audit: the shared
+    marker-stopword predictor vs the upstream lang tag — map-side
+    prediction, one tiny groupBy; output is sources × languages."""
+    return text_queries.lang_mismatch_report(_docs(spark, sf_dir))
+
+
 @register("tfidf_top_terms", text_queries.TFIDF_TOP_TERMS_SQL)
 def q_tfidf(spark: SparkSession, sf_dir: str):
     """Top-5 characteristic terms per source by tf-idf (two partial-agg
@@ -1446,7 +1464,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "corpus_split_summary",
     "correlated_lookup",
     "cube_order_stats",
-    "date_range_orders",
     "distinct_agg_orders",
     "embedding_cosine_neardup",
     "events_json_stats",
@@ -1461,7 +1478,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ngram_jaccard_neardup",
     "orders_price_percentiles",
     "pivot_priority_status",
-    "point_filter_customer",
     "purchases_asof_clicks",
     "rollup_revenue",
     "scalar_function_suite",
@@ -1472,6 +1488,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     # displaces simhash_near_dup — r03-green, family still probed via
     # simhash_fingerprints — to the round-11 backfill pool):
     "c4_quality_flags",
+    # Registered mid-round-10, windowed same-commit (standing rule;
+    # displace date_range_orders + point_filter_customer — r03-green
+    # basic-predicate probes whose families the TPC-H suite also
+    # covers — to the round-11 backfill pool):
+    "boilerplate_ngrams",
+    "lang_mismatch_report",
     # Touched mid-round-10 (shared max_multiplicity run-length fold
     # replaced its O(distinct×n) scans; displaces media_metadata_stats
     # — r03-green, media family probed by four other window rows):

@@ -125,6 +125,8 @@ _REPORT_EXEMPT = {
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",
+    "boilerplate_ngrams",
+    "lang_mismatch_report",
     # Rotated OUT of the round-10 window (multi-round-green probes —
     # first windowed pre-r05, re-greened in CORRECTNESS_r09):
     "ann_cosine_topk",

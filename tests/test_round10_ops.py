@@ -117,3 +117,60 @@ def test_max_multiplicity_matches_python_on_mixed_shapes(spark):
     got = {r.i: r.m for r in df.select("i", max_multiplicity(F.col("arr")).alias("m")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_boilerplate_flag_fires_on_templated_corpus(spark):
+    """A source whose pages share a footer must surface the footer
+    bigrams with is_boilerplate=True under the majority rule; the
+    varied-content source must not flag anything."""
+    footer = "copyright acme corp all rights reserved"
+    rows = [
+        (i, f"unique words number {i} alpha beta. {footer}", "en", "templated", 60)
+        for i in range(10)
+    ] + [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(12)), "en", "varied", 60)
+        for i in range(10)
+    ]
+    out = text_queries.boilerplate_ngrams(
+        spark.createDataFrame(rows, _SCHEMA)
+    ).collect()
+    t = [r for r in out if r.source == "templated"]
+    v = [r for r in out if r.source == "varied"]
+    assert any(r.is_boilerplate and "copyright acme" == r.gram for r in t)
+    # every footer bigram is in all 10 docs
+    footer_bgs = {
+        f"{a} {b}" for a, b in zip(footer.split(), footer.split()[1:])
+    }
+    flagged = {r.gram for r in t if r.is_boilerplate}
+    assert footer_bgs <= flagged
+    assert not any(r.is_boilerplate for r in v)
+    assert all(r.doc_count == 1 for r in v)  # all-distinct content
+    # rank determinism: ties broken by gram text
+    grams_t = [r.gram for r in t]
+    assert grams_t == sorted(grams_t, key=lambda g: (-[r.doc_count for r in t if r.gram == g][0], g))
+
+
+def test_boilerplate_and_lang_mismatch_match_duckdb_on_crafted(spark, tmp_path):
+    rows = [
+        (1, "the cat and the dog sat. the cat and the dog ran.", "en", "a", 50),
+        (2, "the cat and the dog sat. something else here too.", "en", "a", 50),
+        (3, "le chat et la mer et le vin", "en", "a", 30),     # mislabeled fr
+        (4, "der hund und die katze ist da", "de", "b", 30),   # correct de
+        (5, "zz yy xx ww vv uu", "zh", "b", 20),               # no markers -> und
+    ]
+    con = _duck_view(rows, tmp_path, spark)
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = sorted(tuple(r) for r in text_queries.boilerplate_ngrams(df).collect())
+    want = sorted(
+        tuple(r) for r in con.execute(text_queries.BOILERPLATE_NGRAMS_SQL).fetchall()
+    )
+    assert got == want
+    got_l = sorted(tuple(r) for r in text_queries.lang_mismatch_report(df).collect())
+    want_l = sorted(
+        tuple(r) for r in con.execute(text_queries.LANG_MISMATCH_SQL).fetchall()
+    )
+    assert got_l == want_l
+    by_key = {(r[0], r[1]): r for r in got_l}
+    assert by_key[("a", "en")][3] == 1  # the planted fr doc mismatches
+    assert by_key[("b", "de")][3] == 0
+    assert by_key[("b", "zh")][3] == 1  # markerless -> 'und' != 'zh'
