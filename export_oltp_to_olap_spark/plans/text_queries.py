@@ -867,7 +867,7 @@ ORDER BY source
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+def gopher_quality_flags(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Per-doc Gopher rule flags + the composed keep verdict — the
     published RULE-set filter (word-count bounds, mean word length,
     symbol ratio, alpha-word ratio, stop-word floor, bullet/ellipsis
@@ -965,12 +965,16 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     keep = None
     for c in flags.values():
         keep = c if keep is None else (keep & c)
-    return base.select(
+    out = base.select(
         "doc_id",
         n.alias("n_tokens"),
         *[v.alias(k) for k, v in flags.items()],
         keep.alias("keep"),
-    ).orderBy("doc_id")
+    )
+    # ordered=False: the streaming-gate form — global sort is illegal
+    # on an unbounded stream and meaningless at ingest (pure map plan
+    # otherwise; tests/test_stateless_ops_streaming.py).
+    return out.orderBy("doc_id") if ordered else out
 
 
 GOPHER_QUALITY_SQL = f"""
@@ -1055,7 +1059,7 @@ def _c4_line_keep(line: Column) -> Column:
     )
 
 
-def c4_quality_flags(docs: DataFrame) -> DataFrame:
+def c4_quality_flags(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Per-doc C4 rule flags + the composed keep verdict — the OTHER
     published rule-set filter (C4, Raffel et al. 2020 §2.2), run
     alongside `gopher_quality_flags` exactly as production pipelines
@@ -1087,7 +1091,7 @@ def c4_quality_flags(docs: DataFrame) -> DataFrame:
     flag_min = n_kept >= C4_MIN_KEPT_LINES
     flag_no_lorem = ~F.contains(F.lower("text"), F.lit("lorem ipsum"))
     flag_no_brace = ~F.contains("text", F.lit("{"))
-    return base.select(
+    out = base.select(
         "doc_id",
         n_lines.alias("n_lines"),
         n_kept.alias("n_kept_lines"),
@@ -1096,7 +1100,9 @@ def c4_quality_flags(docs: DataFrame) -> DataFrame:
         flag_no_lorem.alias("flag_no_lorem"),
         flag_no_brace.alias("flag_no_brace"),
         (flag_min & flag_no_lorem & flag_no_brace).alias("keep"),
-    ).orderBy("doc_id")
+    )
+    # ordered=False: the streaming-gate form (see gopher_quality_flags).
+    return out.orderBy("doc_id") if ordered else out
 
 
 C4_QUALITY_SQL = f"""

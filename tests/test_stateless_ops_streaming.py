@@ -68,3 +68,31 @@ def test_chunking_and_pii_stream_equals_batch(spark, sf001, tmp_path):
     got_pii = {r["doc_id"]: tuple(r) for r in _drain(pii_scan(stream), tmp_path / "ck2")}
     want_pii = {r["doc_id"]: tuple(r) for r in pii_scan(docs).collect()}
     assert got_pii == want_pii
+
+
+def test_rule_filters_stream_equals_batch(spark, sf001, tmp_path):
+    """The Gopher and C4 rule gates are pure map plans (ordered=False
+    drops the presentation sort, illegal on a stream): run at ingest
+    they emit exactly the batch flags for any micro-batch slicing —
+    the quality-gate-at-ingest claim."""
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        c4_quality_flags,
+        gopher_quality_flags,
+    )
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    feed = _feed(tmp_path, rows)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    got_g = {tuple(r) for r in _drain(gopher_quality_flags(stream, ordered=False), tmp_path / "ckg")}
+    want_g = {tuple(r) for r in gopher_quality_flags(docs).collect()}
+    assert got_g == want_g
+    got_c = {tuple(r) for r in _drain(c4_quality_flags(stream, ordered=False), tmp_path / "ckc")}
+    want_c = {tuple(r) for r in c4_quality_flags(docs).collect()}
+    assert got_c == want_c
