@@ -606,3 +606,74 @@ ORDER BY shard
 
 
 TRAINING_SHARD_MANIFEST_SQL = training_shard_manifest_sql()
+
+
+N_QUALITY_BANDS = 10
+
+
+def curriculum_manifest(
+    documents: DataFrame, n_shards: int = N_SHARDS, n_bands: int = N_QUALITY_BANDS
+) -> DataFrame:
+    """Shard × quality-band balance manifest — the check a curriculum
+    or mixture scheduler runs after sharding: hash-sharding promises
+    each trainer an unbiased quality profile, and this table is the
+    evidence (``(shard, band, n_docs, total_tokens)``; a shard whose
+    band histogram deviates signals a broken shard key).
+
+    Bands are FIXED-WIDTH quality intervals (``floor(quality·n)``
+    clamped to [0, n)), not ntile deciles: deciles need a global sort
+    / global window — a single-partition scale killer — while fixed
+    bands are map-side arithmetic on the same bit-identical doubles
+    both engines already agree on (`quality_score` ≡
+    `QUALITY_EXPR_SQL`, r03-green).  Scale: `assign_shards`' map-side
+    hash + per-row band + ONE partial-aggregated groupBy on
+    (shard, band) — output is shards × bands rows.
+    """
+    from export_oltp_to_olap_spark.functions.text import quality_score, token_count
+
+    s = assign_shards(documents, "doc_id", n_shards)
+    band = (
+        F.least(
+            F.greatest(F.floor(quality_score("text") * n_bands), F.lit(0)),
+            F.lit(n_bands - 1),
+        )
+    ).cast("int")
+    return (
+        s.select("shard", band.alias("band"), token_count("text").alias("_nt"))
+        .groupBy("shard", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard", "band")
+    )
+
+
+def curriculum_manifest_sql(
+    n_shards: int = N_SHARDS, n_bands: int = N_QUALITY_BANDS
+) -> str:
+    """DuckDB restatement: the shared quality CTE + the same md5 shard
+    hash as `training_shard_manifest_sql`."""
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        QUALITY_EXPR_SQL,
+        quality_feats_cte,
+    )
+
+    return f"""
+WITH {quality_feats_cte()},
+s AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {n_shards} AS INT) AS shard,
+         CAST(least(greatest(floor(({QUALITY_EXPR_SQL}) * {n_bands}), 0),
+              {n_bands - 1}) AS INT) AS band,
+         n_tokens
+  FROM feats
+)
+SELECT shard, band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s
+GROUP BY shard, band
+ORDER BY shard, band
+""".strip()

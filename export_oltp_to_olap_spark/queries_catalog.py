@@ -987,6 +987,15 @@ def q_training_shards(spark: SparkSession, sf_dir: str):
     return sampling.training_shard_manifest(_docs(spark, sf_dir))
 
 
+@register("curriculum_manifest", sampling.curriculum_manifest_sql())
+def q_curriculum_manifest(spark: SparkSession, sf_dir: str):
+    """Shard × quality-band balance manifest: map-side md5 shard hash
+    + fixed-width quality bands (NOT ntile — deciles would need a
+    global sort), one partial-agg groupBy; the post-sharding evidence
+    that every trainer sees an unbiased quality profile."""
+    return sampling.curriculum_manifest(_docs(spark, sf_dir))
+
+
 @register("skew_safe_join_revenue", skew.SKEW_SAFE_JOIN_SQL)
 def q_skew_safe_join(spark: SparkSession, sf_dir: str):
     """Hot-key split join: keys above the row threshold route around the
@@ -1466,7 +1475,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "cube_order_stats",
     "distinct_agg_orders",
     "embedding_cosine_neardup",
-    "events_json_stats",
     "events_sessionize",
     "events_tumbling_hourly",
     "events_user_moving_value",
@@ -1494,6 +1502,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     # covers — to the round-11 backfill pool):
     "boilerplate_ngrams",
     "lang_mismatch_report",
+    # (and a second displacement wave for curriculum_manifest:
+    # events_json_stats — events family keeps 3 other window rows):
+    "curriculum_manifest",
     # Touched mid-round-10 (shared max_multiplicity run-length fold
     # replaced its O(distinct×n) scans; displaces media_metadata_stats
     # — r03-green, media family probed by four other window rows):

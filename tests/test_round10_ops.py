@@ -174,3 +174,20 @@ def test_boilerplate_and_lang_mismatch_match_duckdb_on_crafted(spark, tmp_path):
     assert by_key[("a", "en")][3] == 1  # the planted fr doc mismatches
     assert by_key[("b", "de")][3] == 0
     assert by_key[("b", "zh")][3] == 1  # markerless -> 'und' != 'zh'
+
+
+def test_curriculum_manifest_partitions_corpus_and_is_stable(spark, sf001):
+    """The manifest partitions the corpus exactly (Σ n_docs = corpus
+    size), bands stay in range, and the table is a pure function of
+    doc ids + text (stable under repartition)."""
+    from export_oltp_to_olap_spark.operators.sampling import curriculum_manifest
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    out = curriculum_manifest(docs).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert all(0 <= r.band < 10 and 0 <= r.shard < 8 for r in out)
+    again = curriculum_manifest(docs.repartition(13)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # hash-sharding balance: every shard non-empty at 500 docs
+    shards = {r.shard for r in out}
+    assert shards == set(range(8))
