@@ -97,6 +97,10 @@ DEFAULT_HEADLINE = [
     "source_overlap_matrix",
     "text_quality",
     "gopher_quality_flags",
+    "c4_quality_flags",
+    "boilerplate_ngrams",
+    "lang_mismatch_report",
+    "curriculum_manifest",
     "corpus_digest",
     "eval_contamination_report",
     "pii_scan",
