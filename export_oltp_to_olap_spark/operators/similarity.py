@@ -278,6 +278,154 @@ JOIN norms nb ON nb.vec_id = vec_b
 WHERE round(dot / (na.norm * nb.norm), 6) >= 0.4
 """
 
+LABEL_KNN_K = 5
+
+
+def label_knn_noise(embeddings: DataFrame, k: int = LABEL_KNN_K) -> DataFrame:
+    """Per-vector label-noise audit: does each vector's label agree
+    with the majority label of its ``k`` exact cosine neighbors?  The
+    embedding-space mislabel detector (confident-learning style) a
+    dataset-cleaning pipeline runs over labeled corpora: a vector whose
+    neighborhood votes differently is a labeling-error candidate.
+
+    ``(vec_id, label, majority_label, n_agree, flagged)`` ordered by
+    vec_id — INTEGER/boolean output only (the cosine scores are
+    internal), so the oracle hash has no float surface at all; ties in
+    cosine break on neighbor id and ties in the vote break on the
+    smaller label, both total orders shared with the SQL.
+
+    Plan: the `cosine_topk` two-phase shape with EVERY vector as a
+    query — directed all-pairs vectorized prescore, per-query 2k
+    shortlist, exact-decimal rescore of the shortlist, then two tiny
+    equi-joins (labels) and a vote aggregate.  Like
+    `embedding_cosine_neardup`, this is the O(N²) EXACTNESS BASELINE —
+    run it on the labeled evaluation slice (thousands of vectors), not
+    the full corpus; the scale path routes the same vote through the
+    IVF/LSH shortlist instead of the brute pair join.
+    """
+    from pyspark.sql import Window
+
+    pair_dot = _pair_dot_udf()
+    base = with_norm(embeddings).select("vec_id", "label", "embedding", "norm")
+    labels = base.select("vec_id", "label")
+    a = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    pre = (
+        a.join(b, F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cos_pre",
+            pair_dot(F.col("q_emb"), F.col("n_emb"))
+            / (F.col("q_norm") * F.col("n_norm")),
+        )
+    )
+    w_pre = Window.partitionBy("qid").orderBy(F.col("cos_pre").desc(), F.col("nid"))
+    shortlist = pre.withColumn("_prerank", F.row_number().over(w_pre)).where(
+        F.col("_prerank") <= 2 * k
+    )
+    scored = shortlist.withColumn(
+        "cos",
+        F.round(
+            _exact_dot(F.col("q_emb"), F.col("n_emb"))
+            / (F.col("q_norm") * F.col("n_norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    topk = (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .select("qid", "nid")
+    )
+    votes = (
+        topk.join(labels.select(F.col("vec_id").alias("qid"), "label"), "qid")
+        .join(
+            labels.select(
+                F.col("vec_id").alias("nid"), F.col("label").alias("n_label")
+            ),
+            "nid",
+        )
+        .groupBy("qid", "label", "n_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_vote = Window.partitionBy("qid").orderBy(F.col("cnt").desc(), F.col("n_label"))
+    agree = F.sum(
+        F.when(F.col("n_label") == F.col("label"), F.col("cnt")).otherwise(0)
+    ).over(Window.partitionBy("qid"))
+    return (
+        votes.withColumn("_rk", F.row_number().over(w_vote))
+        .withColumn("n_agree", agree.cast("long"))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "label",
+            F.col("n_label").alias("majority_label"),
+            "n_agree",
+            (F.col("n_label") != F.col("label")).alias("flagged"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def label_knn_noise_sql(k: int = LABEL_KNN_K) -> str:
+    """DuckDB restatement: full exact ranking (no shortlist needed at
+    oracle scale), same (cos DESC, nid) and (cnt DESC, label) total
+    orders."""
+    return f"""
+WITH {_NORMS_CTE},
+dots AS (
+  SELECT q.vec_id AS qid, d.vec_id AS nid,
+         CAST(round(SUM(CAST(q.e * d.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, nid, round(dot / (nq.norm * nd.norm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = qid
+  JOIN norms nd ON nd.vec_id = nid
+),
+topk AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+    FROM scored
+  ) WHERE rk <= {k}
+),
+votes AS (
+  SELECT t.qid, lq.label AS label, ln.label AS n_label,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM topk t
+  JOIN embeddings lq ON lq.vec_id = t.qid
+  JOIN embeddings ln ON ln.vec_id = t.nid
+  GROUP BY 1, 2, 3
+),
+major AS (
+  SELECT qid, label, n_label,
+         row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, n_label) AS rk,
+         SUM(CASE WHEN n_label = label THEN cnt ELSE 0 END)
+             OVER (PARTITION BY qid) AS n_agree
+  FROM votes
+)
+SELECT qid AS vec_id, label, n_label AS majority_label,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       (n_label <> label) AS flagged
+FROM major
+WHERE rk = 1
+ORDER BY vec_id
+""".strip()
+
+
+LABEL_KNN_NOISE_SQL = label_knn_noise_sql()
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane-LSH bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------

@@ -85,7 +85,9 @@ def plan_summary(df: DataFrame, execute: bool = False) -> dict[str, Any]:
 # Queries that are cross joins BY DEFINITION (brute-force ANN baselines
 # with the small side broadcast) — the same allowlist
 # tests/test_plan_quality.py::test_no_cartesian_products_anywhere pins.
-CARTESIAN_ALLOWED = frozenset({"ann_cosine_topk", "embedding_cosine_neardup"})
+CARTESIAN_ALLOWED = frozenset(
+    {"ann_cosine_topk", "embedding_cosine_neardup", "label_knn_noise"}
+)
 
 # Queries whose SortMergeJoins are the AUDITED baseline: pair joins over
 # candidate sets, postings-list probes, and iterative label propagation
@@ -123,6 +125,10 @@ SMJ_EXPECTED = frozenset(
         "winnowing_fingerprints",  # clone signal = fingerprint set ⋈ itself on fp_hash
         "fingerprint_delta",  # delta fingerprints ⋈ the standing side table on fp_hash
         "semdedup_threshold_curve",  # inherits semantic_dedup's within-cluster pair join
+        # top-k neighbor list ⋈ the labels frame (both derive from the
+        # embeddings table; neither side is broadcastable at corpus
+        # scale) — the vote re-attach of the brute-force baseline:
+        "label_knn_noise",
     }
 )
 

@@ -480,6 +480,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str):
     return similarity.cosine_topk(_embeddings(spark, sf_dir))
 
 
+@register("label_knn_noise", similarity.LABEL_KNN_NOISE_SQL)
+def q_label_knn_noise(spark: SparkSession, sf_dir: str):
+    """Embedding label-noise audit: per-vector k-NN majority vote vs
+    the stored label (confident-learning style mislabel detection).
+    Integer/boolean output only; exactness baseline like its sibling
+    embedding_cosine_neardup — the scale path routes the vote through
+    the IVF/LSH shortlist."""
+    return similarity.label_knn_noise(_embeddings(spark, sf_dir))
+
+
 @register("embedding_cosine_neardup", similarity.COSINE_NEARDUP_SQL)
 def q_cosine_neardup(spark: SparkSession, sf_dir: str):
     """All-pairs cosine ≥ 0.4 (embedding near-dup)."""
@@ -1469,7 +1479,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "span_dedup_report",
     # r03-green probes, oldest rows on the board (alphabetical 32/42):
     "cdc_decode",
-    "clicks_before_purchase",
     "corpus_split_summary",
     "correlated_lookup",
     "cube_order_stats",
@@ -1505,6 +1514,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     # (and a second displacement wave for curriculum_manifest:
     # events_json_stats — events family keeps 3 other window rows):
     "curriculum_manifest",
+    # (third displacement wave, for label_knn_noise:
+    # clicks_before_purchase — as-of family keeps purchases_asof_clicks):
+    "label_knn_noise",
     # Touched mid-round-10 (shared max_multiplicity run-length fold
     # replaced its O(distinct×n) scans; displaces media_metadata_stats
     # — r03-green, media family probed by four other window rows):

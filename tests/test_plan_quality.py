@@ -110,7 +110,7 @@ def test_hot_paths_in_wholestage_codegen(spark, sf001):
 def test_no_cartesian_products_anywhere(spark, sf001):
     """Only the brute-force ANN baseline is allowed a cross join (it is
     one by definition, with the small side broadcast)."""
-    allowed = {"ann_cosine_topk", "embedding_cosine_neardup"}
+    allowed = {"ann_cosine_topk", "embedding_cosine_neardup", "label_knn_noise"}
     for name, reg in sorted(registry.REGISTRY.items()):
         if name in allowed:
             continue

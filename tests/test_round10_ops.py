@@ -191,3 +191,36 @@ def test_curriculum_manifest_partitions_corpus_and_is_stable(spark, sf001):
     # hash-sharding balance: every shard non-empty at 500 docs
     shards = {r.shard for r in out}
     assert shards == set(range(8))
+
+
+def test_label_knn_noise_flags_planted_mislabels(spark):
+    """Two tight, well-separated clusters; one vector in each carries
+    the other cluster's label.  Exactly those two must flag, and every
+    clean vector's majority must equal its own label."""
+    import random
+
+    from export_oltp_to_olap_spark.operators.similarity import label_knn_noise
+
+    rng = random.Random(7)
+
+    def vec(center, jitter=0.02):
+        return [c + rng.uniform(-jitter, jitter) for c in center]
+
+    c0 = [1.0] + [0.0] * 7
+    c1 = [0.0] * 7 + [1.0]
+    rows = []
+    for i in range(12):
+        rows.append((i, vec(c0), 0))
+        rows.append((100 + i, vec(c1), 1))
+    rows.append((200, vec(c0), 1))  # planted: cluster-0 vector labeled 1
+    rows.append((201, vec(c1), 0))  # planted: cluster-1 vector labeled 0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in label_knn_noise(emb).collect()}
+    assert out[200].flagged and out[200].majority_label == 0
+    assert out[201].flagged and out[201].majority_label == 1
+    clean = [r for i, r in out.items() if i not in (200, 201)]
+    assert all(not r.flagged for r in clean)
+    assert all(r.n_agree >= 4 for r in clean)  # k=5, tight clusters
