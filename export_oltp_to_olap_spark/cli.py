@@ -388,17 +388,12 @@ def cmd_quality_model(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
-def cmd_gopher_filter(args: argparse.Namespace, spark: SparkSession) -> int:
-    """Run the Gopher rule-set filter over a corpus and persist the
-    per-doc flag table; the printed summary carries per-rule rejection
-    counts so an operator sees WHICH rule dominates before exporting."""
-    from export_oltp_to_olap_spark.plans.text_queries import gopher_quality_flags
-    from export_oltp_to_olap_spark.sources.parquet import load_tables
-
-    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
-    flags = gopher_quality_flags(docs)
-    flags.write.mode("overwrite").parquet(args.out)
-    persisted = spark.read.parquet(args.out)
+def _persist_rule_flags(flags, out: str, spark: SparkSession) -> int:
+    """Shared tail of the rule-filter commands: persist the per-doc
+    flag table and print per-rule rejection counts so an operator sees
+    WHICH rule dominates before exporting."""
+    flags.write.mode("overwrite").parquet(out)
+    persisted = spark.read.parquet(out)
     flag_cols = [c for c in persisted.columns if c.startswith("flag_")]
     agg = persisted.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -411,10 +406,53 @@ def cmd_gopher_filter(args: argparse.Namespace, spark: SparkSession) -> int:
     print(
         json.dumps(
             {
-                "out": args.out,
+                "out": out,
                 "n_docs": int(agg["n_docs"]),
                 "n_kept": int(agg["n_kept"] or 0),
                 "rejected_by_rule": {c: int(agg[c] or 0) for c in flag_cols},
+            }
+        )
+    )
+    return 0
+
+
+def cmd_gopher_filter(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Run the Gopher rule-set filter over a corpus and persist the
+    per-doc flag table."""
+    from export_oltp_to_olap_spark.plans.text_queries import gopher_quality_flags
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    return _persist_rule_flags(gopher_quality_flags(docs), args.out, spark)
+
+
+def cmd_c4_filter(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Run the C4 rule-set over a corpus: default persists the per-doc
+    flag table (same summary shape as gopher-filter); ``--rewrite``
+    instead persists the TRANSFORMED corpus (surviving pages, only
+    their rule-passing lines) and prints the removal totals."""
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        c4_line_filter,
+        c4_quality_flags,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    if not args.rewrite:
+        return _persist_rule_flags(c4_quality_flags(docs), args.out, spark)
+    c4_line_filter(docs).write.mode("overwrite").parquet(args.out)
+    agg = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum("removed_chars"), F.lit(0)).alias("removed"),
+        F.coalesce(F.sum(F.length("cleaned")), F.lit(0)).alias("kept_chars"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "surviving_pages": int(agg["rows"]),
+                "removed_chars": int(agg["removed"]),
+                "kept_chars": int(agg["kept_chars"]),
             }
         )
     )
@@ -652,6 +690,20 @@ def build_parser() -> argparse.ArgumentParser:
     gfilter.add_argument("--source-dir", required=True, help="fixture parquet dir")
     gfilter.add_argument("--out", required=True, help="flag-table parquet dir")
     gfilter.set_defaults(fn=cmd_gopher_filter)
+
+    c4filter = sub.add_parser(
+        "c4-filter",
+        help="persist the C4 rule-set flag table (default) or, with "
+        "--rewrite, the line-filtered corpus itself",
+    )
+    c4filter.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    c4filter.add_argument("--out", required=True, help="output parquet dir")
+    c4filter.add_argument(
+        "--rewrite",
+        action="store_true",
+        help="persist surviving pages with only rule-passing lines",
+    )
+    c4filter.set_defaults(fn=cmd_c4_filter)
 
     explain = sub.add_parser(
         "explain", help="scale counters for a registered query's physical plan"

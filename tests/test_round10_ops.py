@@ -224,3 +224,33 @@ def test_label_knn_noise_flags_planted_mislabels(spark):
     clean = [r for i, r in out.items() if i not in (200, 201)]
     assert all(not r.flagged for r in clean)
     assert all(r.n_agree >= 4 for r in clean)  # k=5, tight clusters
+
+
+def test_cli_c4_filter_flags_and_rewrite(spark, sf001, tmp_path, capsys):
+    """`c4-filter` persists the flag table (summary shape shared with
+    gopher-filter) and, with --rewrite, the transformed corpus; on the
+    punctuation-free fixture the rewrite survives zero pages — honest,
+    and asserted rather than hidden."""
+    import json
+
+    from export_oltp_to_olap_spark.cli import main
+
+    out = str(tmp_path / "flags")
+    rc = main(["c4-filter", "--source-dir", sf001, "--out", out], spark=spark)
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_docs"] == 500 and s["n_kept"] == 0
+    assert s["rejected_by_rule"]["flag_min_sentences"] == 500
+    api = {r.doc_id: r.keep for r in text_queries.c4_quality_flags(
+        spark.read.parquet(f"{sf001}/documents.parquet")).collect()}
+    persisted = {r.doc_id: r.keep for r in spark.read.parquet(out).collect()}
+    assert persisted == api
+
+    out2 = str(tmp_path / "rewrite")
+    rc = main(
+        ["c4-filter", "--source-dir", sf001, "--out", out2, "--rewrite"],
+        spark=spark,
+    )
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["surviving_pages"] == 0 and s2["kept_chars"] == 0
