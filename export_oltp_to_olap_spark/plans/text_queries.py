@@ -361,6 +361,43 @@ NGRAM_DIVERSITY_SQL = _ngram_diversity_sql(3)
 BOILERPLATE_TOP_K = 10
 
 
+def _boilerplate_counts(docs: DataFrame, n: int = 2):
+    """(per-(source, gram) doc_count, per-source n_docs) — the
+    additive-monoid halves of the boilerplate scan.  Both frames are
+    PERSISTABLE standing tables: counts merge across batches by SUM,
+    which is what makes the delta face exact."""
+    per_doc = spread_for_compute(
+        docs.select("source", "doc_id", "text"), "doc_id"
+    ).select(
+        "source",
+        F.explode(F.array_distinct(word_shingles("text", n))).alias("gram"),
+    )
+    counts = per_doc.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts, totals
+
+
+def _boilerplate_rank(counts: DataFrame, totals: DataFrame, top_k: int) -> DataFrame:
+    """Shared tail: broadcast totals, per-source top-k, majority flag."""
+    w = Window.partitionBy("source").orderBy(F.desc("doc_count"), "gram")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .select(
+            "source",
+            "gram",
+            "doc_count",
+            "n_docs",
+            F.round(F.col("doc_count") / F.col("n_docs"), 6).alias("df_ratio"),
+            (2 * F.col("doc_count") >= F.col("n_docs")).alias("is_boilerplate"),
+        )
+        .orderBy("source", F.desc("doc_count"), "gram")
+    )
+
+
 def boilerplate_ngrams(docs: DataFrame, n: int = 2, top_k: int = BOILERPLATE_TOP_K) -> DataFrame:
     """Per-source boilerplate candidates: the ``top_k`` n-grams by
     DOCUMENT frequency within each source — the template/banner
@@ -386,31 +423,8 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 2, top_k: int = BOILERPLATE_TOP
     source), and a per-source top-k window whose input is already
     collapsed to distinct grams.  No per-row quadratic work anywhere.
     """
-    per_doc = spread_for_compute(
-        docs.select("source", "doc_id", "text"), "doc_id"
-    ).select(
-        "source",
-        F.explode(F.array_distinct(word_shingles("text", n))).alias("gram"),
-    )
-    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    counts = per_doc.groupBy("source", "gram").agg(
-        F.count(F.lit(1)).alias("doc_count")
-    )
-    w = Window.partitionBy("source").orderBy(F.desc("doc_count"), "gram")
-    return (
-        counts.join(F.broadcast(totals), "source")
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= top_k)
-        .select(
-            "source",
-            "gram",
-            "doc_count",
-            "n_docs",
-            F.round(F.col("doc_count") / F.col("n_docs"), 6).alias("df_ratio"),
-            (2 * F.col("doc_count") >= F.col("n_docs")).alias("is_boilerplate"),
-        )
-        .orderBy("source", F.desc("doc_count"), "gram")
-    )
+    counts, totals = _boilerplate_counts(docs, n)
+    return _boilerplate_rank(counts, totals, top_k)
 
 
 BOILERPLATE_NGRAMS_SQL = f"""
@@ -444,6 +458,53 @@ FROM ranked
 WHERE rk <= {BOILERPLATE_TOP_K}
 ORDER BY source, doc_count DESC, gram
 """.strip()
+
+
+BOILERPLATE_DELTA_CUT_FRACTION = 0.9  # fixture delta convention
+
+
+def boilerplate_ngrams_delta(
+    new_docs: DataFrame,
+    standing_counts: DataFrame,
+    standing_totals: DataFrame,
+    n: int = 2,
+    top_k: int = BOILERPLATE_TOP_K,
+) -> DataFrame:
+    """`boilerplate_ngrams` for an append-only delta batch against the
+    PERSISTED standing count tables (`_boilerplate_counts` output) —
+    incremental ≡ full rebuild EXACTLY, because per-(source, gram)
+    document counts and per-source totals are commutative monoids: the
+    merged table is standing + delta by SUM, nothing re-tokenizes the
+    standing corpus.  Steady-state cost is O(|delta|) gram fan-out +
+    one count merge keyed like the standing table.
+    """
+    d_counts, d_totals = _boilerplate_counts(new_docs, n)
+    counts = (
+        standing_counts.unionByName(d_counts)
+        .groupBy("source", "gram")
+        .agg(F.sum("doc_count").alias("doc_count"))
+    )
+    totals = (
+        standing_totals.unionByName(d_totals)
+        .groupBy("source")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return _boilerplate_rank(counts, totals, top_k)
+
+
+def boilerplate_delta_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: delta = ids above 90 % of max (the
+    `incremental_corpus_delta` convention); the standing tables are
+    derived in-call here and persisted in production.  Because the
+    count merge is exact, the ORACLE is the full-rebuild SQL itself —
+    the incremental ≡ rebuild claim stated directly."""
+    cut = docs.agg(
+        F.floor(F.lit(BOILERPLATE_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
+    )
+    standing = docs.join(F.broadcast(cut), F.col("doc_id") <= F.col("cut")).drop("cut")
+    new_docs = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("cut")).drop("cut")
+    sc, st = _boilerplate_counts(standing)
+    return boilerplate_ngrams_delta(new_docs, sc, st)
 
 
 def token_count_bpe(docs: DataFrame) -> DataFrame:

@@ -625,6 +625,15 @@ def q_boilerplate(spark: SparkSession, sf_dir: str):
     return text_queries.boilerplate_ngrams(_docs(spark, sf_dir))
 
 
+@register("boilerplate_ngrams_delta", text_queries.BOILERPLATE_NGRAMS_SQL)
+def q_boilerplate_delta(spark: SparkSession, sf_dir: str):
+    """Delta face of the boilerplate scan: merge the delta batch's gram
+    counts into the persisted standing tables by SUM (counts are a
+    commutative monoid, so incremental == rebuild EXACTLY — the oracle
+    is the full-rebuild SQL itself)."""
+    return text_queries.boilerplate_delta_fixture(_docs(spark, sf_dir))
+
+
 @register("lang_mismatch_report", text_queries.LANG_MISMATCH_SQL)
 def q_lang_mismatch(spark: SparkSession, sf_dir: str):
     """Per-(source, labeled-lang) mislabeling audit: the shared
@@ -1481,7 +1490,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "cdc_decode",
     "corpus_split_summary",
     "correlated_lookup",
-    "cube_order_stats",
     "distinct_agg_orders",
     "embedding_cosine_neardup",
     "events_sessionize",
@@ -1510,6 +1518,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     # basic-predicate probes whose families the TPC-H suite also
     # covers — to the round-11 backfill pool):
     "boilerplate_ngrams",
+    "boilerplate_ngrams_delta",
     "lang_mismatch_report",
     # (and a second displacement wave for curriculum_manifest:
     # events_json_stats — events family keeps 3 other window rows):

@@ -129,6 +129,7 @@ _REPORT_EXEMPT = {
     "lang_mismatch_report",
     "curriculum_manifest",
     "label_knn_noise",
+    "boilerplate_ngrams_delta",
     # Rotated OUT of the round-10 window (multi-round-green probes —
     # first windowed pre-r05, re-greened in CORRECTNESS_r09):
     "ann_cosine_topk",

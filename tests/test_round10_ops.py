@@ -254,3 +254,25 @@ def test_cli_c4_filter_flags_and_rewrite(spark, sf001, tmp_path, capsys):
     assert rc == 0
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["surviving_pages"] == 0 and s2["kept_chars"] == 0
+
+
+def test_boilerplate_delta_equals_rebuild_on_any_slicing(spark, sf001):
+    """The count-merge delta face equals a full rebuild for ANY
+    standing/delta split, not just the fixture's 90% cut — the
+    commutative-monoid claim, tested at three cut points."""
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        _boilerplate_counts,
+        boilerplate_ngrams,
+        boilerplate_ngrams_delta,
+    )
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    full = sorted(map(tuple, boilerplate_ngrams(docs).collect()))
+    for cut in (50, 250, 499):
+        standing = docs.where(F.col("doc_id") <= cut)
+        delta = docs.where(F.col("doc_id") > cut)
+        sc, st = _boilerplate_counts(standing)
+        got = sorted(
+            map(tuple, boilerplate_ngrams_delta(delta, sc, st).collect())
+        )
+        assert got == full, f"cut={cut}"
