@@ -96,3 +96,34 @@ def test_rule_filters_stream_equals_batch(spark, sf001, tmp_path):
     got_c = {tuple(r) for r in _drain(c4_quality_flags(stream, ordered=False), tmp_path / "ckc")}
     want_c = {tuple(r) for r in c4_quality_flags(docs).collect()}
     assert got_c == want_c
+
+
+def test_shard_assignment_streams_equals_batch(spark, sf001, tmp_path):
+    """`assign_shards` is a pure map-side hash of the row key, so
+    routing arriving docs to training shards ONLINE (writeStream
+    partitionBy(shard) is the sink form) assigns exactly the batch
+    shard and position for any micro-batch slicing."""
+    from export_oltp_to_olap_spark.operators.sampling import assign_shards
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    feed = _feed(tmp_path, rows)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in _drain(
+            assign_shards(stream, "doc_id").select("doc_id", "shard", "pos"),
+            tmp_path / "cks",
+        )
+    }
+    want = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in assign_shards(docs, "doc_id").select("doc_id", "shard", "pos").collect()
+    }
+    assert got == want
