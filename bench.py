@@ -99,6 +99,7 @@ DEFAULT_HEADLINE = [
     "gopher_quality_flags",
     "c4_quality_flags",
     "boilerplate_ngrams",
+    "boilerplate_ngrams_delta",
     "lang_mismatch_report",
     "curriculum_manifest",
     "corpus_digest",
