@@ -234,3 +234,43 @@ def test_quality_scores_saved_is_one_mapside_sweep(spark, sf001):
         assert names <= {"doc_id", "text"}, names
     assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_c4_and_gopher_gates_are_map_only(spark, sf001):
+    """Both rule-set filters claim zero-shuffle map scans — the shape
+    that lets them run unchanged at streaming ingest.  The only
+    permitted exchange is the presentation sort's range partitioning
+    (absent in the ordered=False streaming form)."""
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        c4_quality_flags,
+        gopher_quality_flags,
+    )
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    for fn in (c4_quality_flags, gopher_quality_flags):
+        df = fn(docs, ordered=False)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (fn.__name__, plan)
+
+
+def test_boilerplate_joins_totals_by_broadcast(spark, sf001):
+    """The per-source totals side is one row per source — it must
+    broadcast; an SMJ here means the corpus-scale gram counts are
+    being sorted against a 20-row frame."""
+    for name in ("boilerplate_ngrams", "boilerplate_ngrams_delta"):
+        df = registry.REGISTRY[name].fn(spark, sf001)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_curriculum_manifest_has_no_join_no_smj(spark, sf001):
+    """Shard + band are map-side arithmetic; the only shuffles are the
+    (shard, band) aggregation and the presentation sort."""
+    df = registry.REGISTRY["curriculum_manifest"].fn(spark, sf001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan
