@@ -406,18 +406,31 @@ def epoch_allocation(
     (LLaMA Table 1's "Epochs" column): given ``budget = budget_tenths/10
     × total corpus tokens`` and the `mixture_weights` targets,
 
-    * ``target_tokens`` — the budget share this source must supply,
-    * ``epochs``        — target/available: >1 means the source repeats,
-    * ``repeat_factor`` — whole passes over the source (⌊epochs⌋),
-    * ``residual_rate`` — sampling rate of the final partial pass.
+    * ``target_tokens``       — the budget share this source must supply,
+    * ``repeat_factor``       — whole passes over the source
+                                (``target_tokens div tokens``),
+    * ``residual_tokens``     — tokens of the final partial pass
+                                (``target_tokens % tokens``),
+    * ``residual_millionths`` — that partial pass's sampling rate in
+                                millionths (exact integer floor-div),
+    * ``epochs_millionths``   — ``repeat_factor·10⁶ + residual_millionths``
+                                (epochs = this / 10⁶).
 
     The budget is SCALE-FREE (a multiple of the corpus, not an absolute
     count) so the plan is meaningful at every sf — fixed absolute
     budgets degenerate at 100 TB exactly like fixed share-of-total
-    thresholds do.  Determinism: weights come 6-dp rounded from
-    `mixture_weights`; target_tokens floors weight×budget on BIGINTs;
-    the epoch ratios divide two already-pinned numbers — every value
-    hashes identically across engines.
+    thresholds do.
+
+    ZERO-FLOAT HASH SURFACE (round-11 fix for the one red driver row in
+    CORRECTNESS_r10): the original face published ``round(double, 6)``
+    ratios (``epochs``, ``residual_rate``, inherited ``weight``), and
+    round-at-a-tie semantics on doubles differ across DuckDB builds —
+    the local strict re-check passed while the driver hash failed.
+    Every published column is now a STRING/BIGINT computed by integer
+    arithmetic (``div``/``%``; the millionths products run in
+    DECIMAL(38,0) / HUGEINT so they cannot overflow at 100 TB), the
+    discipline `label_knn_noise` established.  Readers wanting the 6-dp
+    ``weight`` doubles join `mixture_weights` on ``source``.
 
     Budget-sum EXACTNESS (closes the r8/r9 advisory): per-source
     flooring undershoots by < 1 token each, and the 6-dp weight
@@ -450,16 +463,24 @@ def epoch_allocation(
         "target_tokens",
         F.when(anchor, remainder).otherwise(floored).cast("long"),
     )
-    epochs = F.col("target_tokens") / F.col("tokens")
     return (
         planned.select(
             "source",
             "tokens",
-            "weight",
             "target_tokens",
-            F.round(epochs, 6).alias("epochs"),
-            F.floor(epochs).cast("long").alias("repeat_factor"),
-            F.round(epochs - F.floor(epochs), 6).alias("residual_rate"),
+            F.expr("target_tokens div tokens").alias("repeat_factor"),
+            (F.col("target_tokens") % F.col("tokens")).alias("residual_tokens"),
+        )
+        .withColumn(
+            "residual_millionths",
+            F.expr(
+                "(CAST(residual_tokens AS DECIMAL(38,0)) * 1000000) div tokens"
+            ),
+        )
+        .withColumn(
+            "epochs_millionths",
+            F.col("repeat_factor") * F.lit(1000000)
+            + F.col("residual_millionths"),
         )
         .orderBy("source")
     )
@@ -468,7 +489,8 @@ def epoch_allocation(
 def epoch_allocation_sql(budget_tenths: int = 15, alpha_tenths: int = 5) -> str:
     """DuckDB restatement of `epoch_allocation` at the same knobs,
     including the largest-source remainder clamp (Σ targets ==
-    budget exactly)."""
+    budget exactly).  Integer-only published face (``//``/``%`` with
+    HUGEINT products) — no float column survives to the hash."""
     inner = mixture_weights_sql(alpha_tenths).strip()
     return f"""
 WITH mw AS (
@@ -489,11 +511,14 @@ planned AS (
               ELSE target0 END AS target_tokens
   FROM floored
 )
-SELECT source, tokens, weight, target_tokens,
-       round(target_tokens / CAST(tokens AS DOUBLE), 6) AS epochs,
-       CAST(floor(target_tokens / CAST(tokens AS DOUBLE)) AS BIGINT) AS repeat_factor,
-       round(target_tokens / CAST(tokens AS DOUBLE)
-             - floor(target_tokens / CAST(tokens AS DOUBLE)), 6) AS residual_rate
+SELECT source, tokens, target_tokens,
+       CAST(target_tokens // tokens AS BIGINT) AS repeat_factor,
+       CAST(target_tokens % tokens AS BIGINT) AS residual_tokens,
+       CAST((CAST(target_tokens % tokens AS HUGEINT) * 1000000) // tokens
+            AS BIGINT) AS residual_millionths,
+       CAST((target_tokens // tokens) * 1000000
+            + (CAST(target_tokens % tokens AS HUGEINT) * 1000000) // tokens
+            AS BIGINT) AS epochs_millionths
 FROM planned
 ORDER BY source
 """.strip()

@@ -145,22 +145,35 @@ def test_epoch_allocation_arithmetic_and_budget(spark):
     tgt = sum(r["target_tokens"] for r in out.values())
     assert tgt == budget
     # The anchor is the biggest source; its perturbation is < S tokens
-    # of flooring slack plus the 6-dp rounding term.
+    # of flooring slack plus the 6-dp rounding term (weights live on the
+    # mixture_weights face now — join there for the published doubles).
+    from export_oltp_to_olap_spark.operators.sampling import mixture_weights
+
+    w = {
+        r["source"]: r["weight"]
+        for r in mixture_weights(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
     anchor = out["big"]
-    assert abs(anchor["target_tokens"] - anchor["weight"] * budget) < len(out) + 1
+    assert abs(anchor["target_tokens"] - w["big"] * budget) < len(out) + 1
     for r in out.values():
-        assert r["repeat_factor"] == int(r["target_tokens"] / r["tokens"])
+        # Integer-only published face: epochs/residual are exact
+        # floor-div millionths, never round(double) (the r10 fix).
+        assert r["repeat_factor"] == r["target_tokens"] // r["tokens"]
+        assert r["residual_tokens"] == r["target_tokens"] % r["tokens"]
         assert (
-            abs(
-                r["epochs"]
-                - round(r["target_tokens"] / r["tokens"], 6)
-            )
-            < 1e-12
+            r["residual_millionths"]
+            == r["residual_tokens"] * 1_000_000 // r["tokens"]
         )
-        assert 0 <= r["residual_rate"] < 1
+        assert (
+            r["epochs_millionths"]
+            == r["repeat_factor"] * 1_000_000 + r["residual_millionths"]
+        )
+        assert 0 <= r["residual_millionths"] < 1_000_000
     # α=0.5 at a 1.5x budget: the small source must repeat (>1 epoch),
     # the big one must subsample (<1.5 epochs, pulled under its share)
-    assert out["small"]["epochs"] > 1.5 > out["big"]["epochs"]
+    assert out["small"]["epochs_millionths"] > 1_500_000 > out["big"]["epochs_millionths"]
 
 
 def test_cluster_balanced_sample_caps_and_is_deterministic(spark, sf001):
