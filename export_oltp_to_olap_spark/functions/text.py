@@ -63,7 +63,15 @@ def max_multiplicity(arr: Column) -> Column:
     ``array_distinct``×``filter`` double scan is per-row O(L²), the
     straggler-task shape VERDICT r9 flagged on long documents; every
     repetition metric (Gopher top-bigram, `text_repetition`) goes
-    through this helper instead."""
+    through this helper instead.
+
+    PRECONDITION — elements must be non-NULL: ``sort_array`` places
+    NULLs first and ``x == prev`` is NULL for them, so each NULL resets
+    the run and a NULL-heavy array would report multiplicity 1, not the
+    NULL count.  Every current caller feeds token/bigram arrays built
+    by ``split``/``transform`` (never NULL elements); callers with
+    nullable elements must pre-filter with
+    ``F.filter(arr, lambda x: x.isNotNull())``."""
     _run = lambda acc, x: F.when(  # noqa: E731 — local fold step
         x == acc["prev"], acc["run"] + F.lit(1).cast("long")
     ).otherwise(F.lit(1).cast("long"))

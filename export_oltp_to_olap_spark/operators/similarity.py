@@ -327,6 +327,13 @@ def label_knn_noise(embeddings: DataFrame, k: int = LABEL_KNN_K) -> DataFrame:
         )
     )
     w_pre = Window.partitionBy("qid").orderBy(F.col("cos_pre").desc(), F.col("nid"))
+    # Tie-density assumption (the cosine_topk precedent, accepted there
+    # too): the 2k shortlist ranks by the UNROUNDED float prescore while
+    # the oracle ranks the full exact set — a true top-k member can fall
+    # outside the cut only if > 2k-k neighbors sit within prescore noise
+    # (~1e-13) of the boundary, which real embedding sets don't produce.
+    # If the boundary were ever contested, break prescore ties on the
+    # rounded exact score before cutting.
     shortlist = pre.withColumn("_prerank", F.row_number().over(w_pre)).where(
         F.col("_prerank") <= 2 * k
     )

@@ -130,11 +130,19 @@ def _make_probe_cell(threshold: int, max_members: int | None = None):
             ids, sizes, nlows, members = [], [], [], []
         known = set(ids)  # O(1) replay membership
         out_a, out_b, out_l = [], [], []
-        for pdf in pdfs:
-            # Deterministic intra-batch order (the groupBy shuffle does
-            # not preserve source order within a key).
-            if len(pdf):
-                pdf = pdf.sort_values("media_id", kind="mergesort")
+        # Deterministic intra-batch order (the groupBy shuffle does not
+        # preserve source order within a key, and the state-group
+        # iterator may yield MULTIPLE Arrow chunks): accumulate every
+        # chunk, concat, and sort ONCE by media_id — a per-chunk sort
+        # would leave insertion order (and therefore which members the
+        # FIFO cap evicts) dependent on chunk slicing (ADVICE r10).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("media_id", kind="mergesort")
             for mid, size, nlow, hist in zip(
                 pdf["media_id"], pdf["size_bytes"], pdf["n_low"], pdf["hist"]
             ):
