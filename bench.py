@@ -166,6 +166,9 @@ DEFAULT_HEADLINE = [
     "skew_safe_join_revenue",
     "training_shard_manifest",
     "events_hopping_halfhour",
+    # Round-11 addition: the schema-evolution drift audit (mergeSchema
+    # read + one agg pass over the two-table lake):
+    "schema_drift_audit",
 ]
 
 

@@ -126,6 +126,7 @@ from export_oltp_to_olap_spark.plans.fact import fact_source
 from export_oltp_to_olap_spark.plans.fixtures_adapter import oltp_tables_from_fixtures
 from export_oltp_to_olap_spark.plans.star import build_star
 from export_oltp_to_olap_spark.registry import register
+from export_oltp_to_olap_spark.sources import evolution
 from export_oltp_to_olap_spark.sources.parquet import load_tables
 
 # ---------------------------------------------------------------------------
@@ -1411,6 +1412,19 @@ def q_media_neardup_capped(spark: SparkSession, sf_dir: str):
     )
 
 
+@register("schema_drift_audit", evolution.SCHEMA_DRIFT_AUDIT_SQL)
+def q_schema_drift_audit(spark: SparkSession, sf_dir: str):
+    """Schema-evolution drift audit (round-11 face for
+    sources/evolution.py, VERDICT r10 item 4): read two REAL
+    differently-schema'd parquet files (orders + customer — zero shared
+    columns, the extreme drift case) as ONE evolved lake via
+    mergeSchema, and report per-column presence.  Integer-only hash
+    surface (present_millionths via exact floor-div); the DuckDB oracle
+    mirrors the merged read with UNION ALL BY NAME over the same
+    views."""
+    return evolution.schema_drift_audit(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1427,116 +1441,93 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
-    # --- ROUND-10 ROTATION (VERDICT r9 item 1, the pre-staged chore) ---
-    # Out (43): the round-9 first-row earners, now green
-    #      (media_neardup + media_neardup_capped/delta,
-    #      eval_contamination_report, neardup_quality_keepers,
-    #      corpus_digest), the r9 returning probes (all re-greened in
-    #      CORRECTNESS_r09), and the r04-green stability probes that
-    #      earned fresh r09 rows.  Every rotated-out name is in the
-    #      grows-only _REPORT_EXEMPT union (3 additions this round:
-    #      ann_cosine_topk, media_feature_extract, minhash_near_dup).
-    # Kept in despite r09 rows (code/oracle TOUCHED in round 10, the
-    #      media_neardup precedent): gopher_quality_flags (top-bigram
-    #      linear fix), bpe_tokens_saved (zero-token oracle
-    #      convention), epoch_allocation (remainder clamp — changes
-    #      target_tokens values).
-    # In: the VERDICT-named oldest-green backfills
-    #      (tpch_q{18,12,14,19,22}, normalized_dedup_documents,
-    #      events_anomaly_zscore, adaptive_quality_gate,
-    #      mixture_weights, span_dedup_report) and 32 of the 42
-    #      r03-green probes (alphabetical; the remaining 10 —
-    #      star_dim_{metodo_pago,producto,tiempo}, star_fact_source,
-    #      text_fingerprints, text_lang_id, text_quality,
-    #      token_count_bpe, token_stats_by_source, topk_orders — plus
-    #      the r04 cohort are the round-11 backfill pool; mid-round
-    #      star_dim_{categoria,cliente,envio} joined that pool when the
-    #      media blocking helpers were touched — see the window tail).
-    # ROUND-11 CHORE (pre-staged): rotate the 32 r03 probes and the 10
-    #      named backfills out once CORRECTNESS_r10 lands, rotate in
-    #      the round-11 registrations same-commit (standing rule), and
-    #      backfill the 10 remaining r03 names + the r04 cohort
-    #      (events_cohort_retention, minhash_delta_neardup,
-    #      orders_rolling_7d_revenue, profile_orders,
-    #      reconcile_customers_full_outer, setops_all_orders,
-    #      subquery_suite, weighted_sample_summary, dq_oltp_checks)
-    #      + r05 (scd2_incremental_merge, tfidf_top_terms).  Keep the
-    #      5 star sentinels.  Touched faces stay in the window.
+    # --- ROUND-11 ROTATION (VERDICT r10 item 2, the pre-staged chore) ---
+    # Out (42): the 22 r03-green probes and the 10 VERDICT-named
+    #      backfills that re-earned hash-green rows in CORRECTNESS_r10,
+    #      plus the 10 round-10 first-row earners (c4_quality_flags,
+    #      boilerplate_ngrams{,_delta}, lang_mismatch_report,
+    #      curriculum_manifest, label_knn_noise, text_repetition,
+    #      media_neardup{,_capped,_delta}) and the two r10-re-earned
+    #      touched faces (gopher_quality_flags, bpe_tokens_saved).
+    #      Every rotated-out name has a green r10 row; all are in the
+    #      grows-only _REPORT_EXEMPT union.
+    # Kept in despite its r10 row (code + oracle TOUCHED in round 11 —
+    #      the integer-only face that closes the one red row):
+    #      epoch_allocation.
+    # In: the new round-11 registration (schema_drift_audit, windowed
+    #      same-commit per the standing rule), the 20 remaining
+    #      r03-green names (incl. the mid-r10 displacement pool:
+    #      star_dim_{categoria,cliente,envio}, simhash_near_dup,
+    #      date_range_orders, point_filter_customer, events_json_stats,
+    #      clicks_before_purchase, media_metadata_stats,
+    #      cube_order_stats), the r04 cohort (9), r05 (2), r06 (3),
+    #      the five oldest r07 TPC-H rows, and four r08 names — the
+    #      oldest-green rows on the board, so after CORRECTNESS_r11
+    #      every non-rows-only registration has a row from r08+.
+    # ROUND-11 registrations landing later this round displace the r08
+    #      fillers first (decontaminate_bloom, decontam_strip_rewrite,
+    #      curated_corpus_rewritten, cluster_balanced_sample), then the
+    #      r07 TPC-H block.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04 + r07-r09):
+    # probes; hash-green r01-r04 + r07-r10):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # Touched in round 10 — must re-earn driver rows for the new code:
-    "gopher_quality_flags",
-    "bpe_tokens_saved",
+    # Touched in round 11 (integer-only published face) — must re-earn:
     "epoch_allocation",
-    # VERDICT-named oldest-green backfills:
-    "tpch_q18_large_volume",
-    "tpch_q12_shipping_delay",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_sales_opportunity",
-    "normalized_dedup_documents",
-    "events_anomaly_zscore",
-    "adaptive_quality_gate",
-    "mixture_weights",
-    "span_dedup_report",
-    # r03-green probes, oldest rows on the board (alphabetical 32/42):
-    "cdc_decode",
-    "corpus_split_summary",
-    "correlated_lookup",
-    "distinct_agg_orders",
-    "embedding_cosine_neardup",
-    "events_sessionize",
-    "events_tumbling_hourly",
-    "events_user_moving_value",
-    "exact_dedup_documents",
-    "grouping_sets_orders",
-    "ivf_cosine_topk",
-    "lsh_cosine_neardup",
-    "media_frame_sample",
-    "ngram_jaccard_neardup",
-    "orders_price_percentiles",
-    "pivot_priority_status",
-    "purchases_asof_clicks",
-    "rollup_revenue",
-    "scalar_function_suite",
-    "semi_anti_customers",
-    "setops_customers",
-    "simhash_fingerprints",
-    # Registered mid-round-10, windowed same-commit (standing rule;
-    # displaces simhash_near_dup — r03-green, family still probed via
-    # simhash_fingerprints — to the round-11 backfill pool):
-    "c4_quality_flags",
-    # Registered mid-round-10, windowed same-commit (standing rule;
-    # displace date_range_orders + point_filter_customer — r03-green
-    # basic-predicate probes whose families the TPC-H suite also
-    # covers — to the round-11 backfill pool):
-    "boilerplate_ngrams",
-    "boilerplate_ngrams_delta",
-    "lang_mismatch_report",
-    # (and a second displacement wave for curriculum_manifest:
-    # events_json_stats — events family keeps 3 other window rows):
-    "curriculum_manifest",
-    # (third displacement wave, for label_knn_noise:
-    # clicks_before_purchase — as-of family keeps purchases_asof_clicks):
-    "label_knn_noise",
-    # Touched mid-round-10 (shared max_multiplicity run-length fold
-    # replaced its O(distinct×n) scans; displaces media_metadata_stats
-    # — r03-green, media family probed by four other window rows):
-    "text_repetition",
-    # Touched mid-round-10: the streaming near-dup face rides `hist`
-    # through the shared blocking helpers (_media_cells /
-    # _cells_from_hists grew a passthrough) — plan-identical for the
-    # batch faces, but the touched-file rule says re-earn rows, so the
-    # three blocking-dependent faces displace star_dim_{categoria,
-    # cliente,envio} (r03-green, moved to the round-11 backfill pool):
-    "media_neardup",
-    "media_neardup_capped",
-    "media_neardup_delta",
+    # Registered in round 11, windowed same-commit (standing rule):
+    "schema_drift_audit",
+    # The 20 remaining r03-green names (oldest rows on the board):
+    "clicks_before_purchase",
+    "cube_order_stats",
+    "date_range_orders",
+    "events_json_stats",
+    "media_metadata_stats",
+    "point_filter_customer",
+    "simhash_near_dup",
+    "star_dim_categoria",
+    "star_dim_cliente",
+    "star_dim_envio",
+    "star_dim_metodo_pago",
+    "star_dim_producto",
+    "star_dim_tiempo",
+    "star_fact_source",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "token_count_bpe",
+    "token_stats_by_source",
+    "topk_orders",
+    # r04 cohort:
+    "dq_oltp_checks",
+    "events_cohort_retention",
+    "minhash_delta_neardup",
+    "orders_rolling_7d_revenue",
+    "profile_orders",
+    "reconcile_customers_full_outer",
+    "setops_all_orders",
+    "subquery_suite",
+    "weighted_sample_summary",
+    # r05:
+    "scd2_incremental_merge",
+    "tfidf_top_terms",
+    # r06:
+    "ngram_diversity_by_source",
+    "split_leakage_report",
+    "stratified_sample_summary",
+    # r07 (oldest TPC-H rows):
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    # r08 fillers (displaced first by later round-11 registrations):
+    "cluster_balanced_sample",
+    "curated_corpus_rewritten",
+    "decontam_strip_rewrite",
+    "decontaminate_bloom",
 )

@@ -122,6 +122,9 @@ _REPORT_EXEMPT = {
     "events_anomaly_zscore",
     "chunk_documents",
     "adaptive_quality_gate",
+    # Registered new in round 11, windowed same-commit (first driver
+    # rows land in CORRECTNESS_r11):
+    "schema_drift_audit",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

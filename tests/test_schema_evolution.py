@@ -39,7 +39,7 @@ def test_union_schema_with_null_backfill(spark, tmp_path):
 def test_drift_report_flags_partial_columns(spark, tmp_path):
     p1, p2 = _write_batches(spark, tmp_path)
     rep = {r.column: r for r in schema_drift_report(spark, p1, p2).collect()}
-    assert rep["doc_id"].present_ratio == 1.0
+    assert rep["doc_id"].present_millionths == 1_000_000
     assert rep["quality"].n_present == 2 and rep["quality"].n_rows == 4
-    assert rep["quality"].present_ratio == 0.5
+    assert rep["quality"].present_millionths == 500_000
     assert rep["quality"].dtype == "double"
