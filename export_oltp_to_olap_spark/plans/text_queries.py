@@ -1195,7 +1195,7 @@ ORDER BY doc_id
 """.strip()
 
 
-def c4_line_filter(docs: DataFrame) -> DataFrame:
+def c4_line_filter(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """The C4 REWRITE face: pages passing the page rules survive with
     only their rule-passing lines, newline-rejoined — the actual
     transformation C4 applies to build the corpus (the flags face
@@ -1208,6 +1208,12 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     (the fixture corpus keeps zero lines, so this face is exercised on
     crafted inputs, not registered — the `strip_duplicated_spans`
     convention for rewrite faces with degenerate fixture output).
+
+    ``ordered=False`` drops the presentation sort so the SAME plan runs
+    at ingest on a readStream source (global sort is illegal in append
+    mode) — rewrite-at-ingest parity pinned in
+    tests/test_stateless_ops_streaming.py, closing the last streaming
+    asymmetry in the curation surface (VERDICT r10 item 5).
     """
     lines = F.split("text", "\n")
     base = docs.select("doc_id", "text", lines.alias("_lines"))
@@ -1219,17 +1225,14 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
         & ~F.contains(F.lower("text"), F.lit("lorem ipsum"))
         & ~F.contains("text", F.lit("{"))
     )
-    return (
-        base.where(page_ok)
-        .select(
-            "doc_id",
-            F.size("_lines").cast("long").alias("n_lines"),
-            n_kept.alias("n_kept_lines"),
-            (F.length("text") - F.length(cleaned)).cast("long").alias("removed_chars"),
-            cleaned.alias("cleaned"),
-        )
-        .orderBy("doc_id")
+    out = base.where(page_ok).select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("removed_chars"),
+        cleaned.alias("cleaned"),
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 C4_LINE_FILTER_SQL = f"""

@@ -127,3 +127,35 @@ def test_shard_assignment_streams_equals_batch(spark, sf001, tmp_path):
         for r in assign_shards(docs, "doc_id").select("doc_id", "shard", "pos").collect()
     }
     assert got == want
+
+
+def test_c4_line_rewrite_streams_equals_batch(spark, tmp_path):
+    """The C4 line-REWRITE face is the same pure map plan as the flags
+    gate (ordered=False drops the presentation sort), so rewrite-at-
+    ingest emits exactly the batch cleaned text for any micro-batch
+    slicing — the last streaming asymmetry in the curation surface
+    (VERDICT r10 item 5).  The fixture corpus keeps zero lines, so the
+    feed is the crafted multi-line corpus the batch face is pinned on."""
+    from tests.test_round10_ops import _CRAFTED
+
+    from export_oltp_to_olap_spark.plans.text_queries import c4_line_filter
+
+    rows = [{"doc_id": d, "text": t} for d, t, *_ in _CRAFTED]
+    feed = tmp_path / "feed_c4"
+    feed.mkdir()
+    for i, chunk in enumerate((rows[:3], rows[3:5], rows[5:])):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], DOC_SCHEMA
+    )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    got = {tuple(r) for r in _drain(c4_line_filter(stream, ordered=False), tmp_path / "ckc4")}
+    want = {tuple(r) for r in c4_line_filter(docs).collect()}
+    assert got == want and len(want) == 2
