@@ -166,9 +166,12 @@ DEFAULT_HEADLINE = [
     "skew_safe_join_revenue",
     "training_shard_manifest",
     "events_hopping_halfhour",
-    # Round-11 addition: the schema-evolution drift audit (mergeSchema
-    # read + one agg pass over the two-table lake):
+    # Round-11 additions: the schema-evolution drift audit (mergeSchema
+    # read + one agg pass over the two-table lake) and the corpus-stats
+    # pair (token explode + partial aggs; broadcast pair join):
     "schema_drift_audit",
+    "token_zipf_spectrum",
+    "source_vocab_overlap",
 ]
 
 

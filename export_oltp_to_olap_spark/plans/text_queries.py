@@ -1322,3 +1322,139 @@ FROM base
 GROUP BY ROLLUP (source)
 ORDER BY source ASC NULLS FIRST
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: Zipf frequency spectrum & cross-source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+
+def token_zipf_spectrum(docs: DataFrame) -> DataFrame:
+    """Per-source token frequency-of-frequencies on power-of-two
+    buckets — the Zipf/Heaps health artifact a corpus data card
+    publishes: how many distinct terms occur [2^b, 2^(b+1)) times and
+    how much of the corpus mass they carry.  A source whose spectrum
+    collapses into the top buckets is template spam; one that is all
+    hapaxes (bucket 0) is noise or OCR garbage.
+
+    ``(source, freq_bucket, bucket_low, n_terms, n_occurrences)``
+    ordered by (source, freq_bucket).  Integer-only hash surface; the
+    bucket is ``length(bin(cnt)) - 1`` = floor(log2) computed on the
+    binary STRING in both engines — never float ``log2`` whose
+    exact-power boundaries are not cross-engine safe.
+
+    Scale: one corpus token explode (spread first — the single-file
+    parquet scan would explode one-threaded), one partial-agg shuffle
+    on (source, token), then a second tiny aggregate on (source,
+    bucket) — the same two-pass shape as `ngram_diversity_by_source`.
+    No collect, no window, no skew pivot (token counts partial-combine
+    map-side).
+    """
+    toks = spread_for_compute(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    ).select("source", F.explode(tokens("text")).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    bucketed = counts.withColumn(
+        "freq_bucket", (F.length(F.bin("cnt")) - 1).cast("int")
+    )
+    return (
+        bucketed.groupBy("source", "freq_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+        )
+        .withColumn(
+            "bucket_low",
+            F.expr("shiftleft(CAST(1 AS BIGINT), freq_bucket)"),
+        )
+        .select("source", "freq_bucket", "bucket_low", "n_terms", "n_occurrences")
+        .orderBy("source", "freq_bucket")
+    )
+
+
+TOKEN_ZIPF_SPECTRUM_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS.format(t="text")}) AS tok FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok
+)
+SELECT source,
+       CAST(length(bin(cnt)) - 1 AS INT) AS freq_bucket,
+       CAST(CAST(1 AS BIGINT) << (length(bin(cnt)) - 1) AS BIGINT) AS bucket_low,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM counts
+GROUP BY source, freq_bucket, bucket_low
+ORDER BY source, freq_bucket
+""".strip()
+
+
+VOCAB_OVERLAP_TOP_K = 50
+
+
+def source_vocab_overlap(docs: DataFrame, k: int = VOCAB_OVERLAP_TOP_K) -> DataFrame:
+    """Pairwise source-similarity by top-k vocabulary intersection —
+    the cheap integer cousin of a token-distribution divergence, and
+    the artifact mixture design consumes (two sources sharing 45/50
+    head terms are near-duplicates of each other's domain; upweighting
+    both double-counts the domain).
+
+    ``(source_a, source_b, n_common)`` for source_a < source_b, inner
+    (zero-overlap pairs are absent by construction in BOTH engines),
+    ordered by the pair.  Determinism: counts are exact integers and
+    the per-source top-k cut breaks count ties on token ASC (a total
+    order shared with the SQL).
+
+    Scale: the (source, token) aggregate partial-combines map-side;
+    the per-source top-k window runs over collapsed counts (S
+    partitions); the pair join joins two ≤ S·k-row frames — the probe
+    side is BROADCAST (S·k is bounded by design: sources are a
+    catalog, not data), so no shuffle reaches the join regardless of
+    corpus size.
+    """
+    counts = (
+        spread_for_compute(docs.select("doc_id", "source", "text"), "doc_id")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "tok")
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("source", "tok")
+    )
+    a = top.select(F.col("source").alias("source_a"), "tok")
+    b = top.select(F.col("source").alias("source_b"), "tok")
+    return (
+        a.join(F.broadcast(b), "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS.format(t="text")}) AS tok FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok ASC) AS rk
+  FROM counts
+),
+top AS (
+  SELECT source, tok FROM ranked WHERE rk <= {VOCAB_OVERLAP_TOP_K}
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""".strip()

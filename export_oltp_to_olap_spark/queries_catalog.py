@@ -1425,6 +1425,24 @@ def q_schema_drift_audit(spark: SparkSession, sf_dir: str):
     return evolution.schema_drift_audit(spark, sf_dir)
 
 
+@register("token_zipf_spectrum", text_queries.TOKEN_ZIPF_SPECTRUM_SQL)
+def q_token_zipf_spectrum(spark: SparkSession, sf_dir: str):
+    """Per-source Zipf frequency-of-frequencies on power-of-two buckets
+    (floor-log2 via the binary-string length, never float log2) — the
+    corpus-health spectrum a data card publishes.  Integer-only hash
+    surface; two partial-agg passes."""
+    return text_queries.token_zipf_spectrum(_docs(spark, sf_dir))
+
+
+@register("source_vocab_overlap", text_queries.SOURCE_VOCAB_OVERLAP_SQL)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str):
+    """Pairwise top-50-vocabulary intersection between sources — the
+    integer domain-similarity artifact mixture design consumes.  Count
+    ties break on token ASC (total order shared with the SQL); the
+    S·k-row probe side broadcasts."""
+    return text_queries.source_vocab_overlap(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1479,8 +1497,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     "top_customers_per_region",
     # Touched in round 11 (integer-only published face) — must re-earn:
     "epoch_allocation",
-    # Registered in round 11, windowed same-commit (standing rule):
+    # Registered in round 11, windowed same-commit (standing rule; the
+    # corpus-stats pair displaces the decontaminate_bloom +
+    # decontam_strip_rewrite r08 fillers per the rotation note below):
     "schema_drift_audit",
+    "token_zipf_spectrum",
+    "source_vocab_overlap",
     # The 20 remaining r03-green names (oldest rows on the board):
     "clicks_before_purchase",
     "cube_order_stats",
@@ -1525,9 +1547,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    # r08 fillers (displaced first by later round-11 registrations):
+    # r08 fillers (displaced first by later round-11 registrations —
+    # decontam_strip_rewrite + decontaminate_bloom already displaced by
+    # token_zipf_spectrum + source_vocab_overlap):
     "cluster_balanced_sample",
     "curated_corpus_rewritten",
-    "decontam_strip_rewrite",
-    "decontaminate_bloom",
 )

@@ -125,6 +125,8 @@ _REPORT_EXEMPT = {
     # Registered new in round 11, windowed same-commit (first driver
     # rows land in CORRECTNESS_r11):
     "schema_drift_audit",
+    "token_zipf_spectrum",
+    "source_vocab_overlap",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",
