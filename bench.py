@@ -172,6 +172,8 @@ DEFAULT_HEADLINE = [
     "schema_drift_audit",
     "token_zipf_spectrum",
     "source_vocab_overlap",
+    # and the lexical-recall x semantic-confirm hybrid dedup audit:
+    "hybrid_neardup_confirm",
 ]
 
 

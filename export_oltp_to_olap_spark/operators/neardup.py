@@ -1190,3 +1190,120 @@ SELECT doc_a, doc_b, jaccard FROM pairs
 WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid near-dup: lexical recall × semantic confirm
+# ---------------------------------------------------------------------------
+
+HYBRID_JACCARD_T = 0.5
+# The confirm line is a deployment knob (production near-dup confirms
+# around 0.8-0.9).  The fixture embeddings are isotropic random vectors
+# (uncorrelated with text), so the face pins the knob at 0.0 — the
+# better-than-chance-agreement line — which exercises BOTH branches of
+# the boolean on the fixture corpus instead of emitting a constant
+# column the driver hash could not distinguish from a stuck predicate.
+HYBRID_COS_T = 0.0
+
+
+def hybrid_neardup_confirm(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n: int = 3,
+    jaccard_t: float = HYBRID_JACCARD_T,
+    cos_t: float = HYBRID_COS_T,
+) -> DataFrame:
+    """Two-signal near-dup audit — the production dedup pattern that
+    stacks a cheap LEXICAL recall stage with a SEMANTIC precision
+    filter: shingle-Jaccard proposes (prefix-filtered, subquadratic),
+    embedding cosine confirms or vetoes each proposed pair.  A pair
+    high on Jaccard but low on cosine is template/boilerplate overlap
+    (same scaffold, different payload — exactly the pairs a pure
+    lexical dedup wrongly removes); high on both is a true near-dup.
+
+    ``(doc_a, doc_b, cos_confirmed)`` ordered by the pair.  Integer/
+    boolean hash surface only: the Jaccard and cosine doubles stay
+    internal (the epoch_allocation r10 lesson); the boolean inherits
+    `cosine_neardup`'s exact-decimal dot + round(·, 6) ≥ t convention,
+    which has hashed green since r03.
+
+    Scale: the pair list is the prefix-filtered
+    :func:`ngram_jaccard_pairs` (never N²); the confirm stage is two
+    hash joins of that small pair set against the norm'd embeddings
+    and an exact-decimal dot per SURVIVING pair only.  The lexical
+    threshold here (0.5) is deliberately looser than the registered
+    0.7 face — recall-stage candidates are meant to over-propose.
+    """
+    from export_oltp_to_olap_spark.operators.similarity import (
+        _exact_dot,
+        with_norm,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, n, jaccard_t).select("doc_a", "doc_b")
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    ea = base.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = base.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                )
+                >= F.lit(cos_t)
+            ).alias("cos_confirmed"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _hybrid_neardup_sql() -> str:
+    from export_oltp_to_olap_spark.operators.similarity import _NORMS_CTE
+
+    return f"""
+WITH {shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {HYBRID_JACCARD_T}
+),
+{_NORMS_CTE},
+dots AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(round(SUM(CAST(a.e * b.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN elems a ON a.vec_id = p.doc_a
+  JOIN elems b ON b.vec_id = p.doc_b AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (na.norm * nb.norm), 6) >= {HYBRID_COS_T} AS cos_confirmed
+FROM dots d
+JOIN norms na ON na.vec_id = d.doc_a
+JOIN norms nb ON nb.vec_id = d.doc_b
+ORDER BY d.doc_a, d.doc_b
+""".strip()
+
+
+HYBRID_NEARDUP_SQL = _hybrid_neardup_sql()

@@ -1425,6 +1425,19 @@ def q_schema_drift_audit(spark: SparkSession, sf_dir: str):
     return evolution.schema_drift_audit(spark, sf_dir)
 
 
+@register("hybrid_neardup_confirm", neardup.HYBRID_NEARDUP_SQL)
+def q_hybrid_neardup_confirm(spark: SparkSession, sf_dir: str):
+    """Lexical-recall × semantic-confirm near-dup audit: prefix-filtered
+    shingle-Jaccard proposes pairs (loose 0.5 threshold — recall stage),
+    exact-decimal embedding cosine confirms or vetoes each (template
+    overlap vs true near-dup).  Integer/boolean hash surface; the
+    doc_id↔vec_id identity is the fixture contract."""
+    tables = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    return neardup.hybrid_neardup_confirm(
+        tables["documents"], tables["embeddings"]
+    )
+
+
 @register("token_zipf_spectrum", text_queries.TOKEN_ZIPF_SPECTRUM_SQL)
 def q_token_zipf_spectrum(spark: SparkSession, sf_dir: str):
     """Per-source Zipf frequency-of-frequencies on power-of-two buckets
@@ -1503,6 +1516,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "schema_drift_audit",
     "token_zipf_spectrum",
     "source_vocab_overlap",
+    "hybrid_neardup_confirm",
     # The 20 remaining r03-green names (oldest rows on the board):
     "clicks_before_purchase",
     "cube_order_stats",
@@ -1547,9 +1561,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    # r08 fillers (displaced first by later round-11 registrations —
-    # decontam_strip_rewrite + decontaminate_bloom already displaced by
-    # token_zipf_spectrum + source_vocab_overlap):
-    "cluster_balanced_sample",
+    # r08 filler (displaced first by later round-11 registrations —
+    # decontam_strip_rewrite, decontaminate_bloom, cluster_balanced_sample
+    # already displaced by token_zipf_spectrum, source_vocab_overlap and
+    # hybrid_neardup_confirm):
     "curated_corpus_rewritten",
 )

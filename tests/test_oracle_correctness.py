@@ -127,6 +127,7 @@ _REPORT_EXEMPT = {
     "schema_drift_audit",
     "token_zipf_spectrum",
     "source_vocab_overlap",
+    "hybrid_neardup_confirm",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",
