@@ -150,3 +150,32 @@ ORDER BY "column"
 
 
 SCHEMA_DRIFT_AUDIT_SQL = schema_drift_audit_sql()
+
+
+def compact_to_union_schema(
+    spark: SparkSession,
+    out_path: str,
+    *paths: str,
+    target_files: int | None = None,
+) -> int:
+    """Lake maintenance: rewrite drifted batches into ONE directory
+    whose every file carries the union schema (columns absent from old
+    batches materialize as NULL).  After compaction, readers no longer
+    need ``mergeSchema`` (a per-file footer union that costs a driver
+    pass over ALL footers at planning time — real money on a
+    100 TB / million-file lake); the schema is uniform on disk.
+
+    Copy-on-write: the source batches are untouched; callers swap the
+    blessed path atomically afterwards (the `operators/merge.py`
+    publish discipline).  ``target_files`` optionally repartitions to
+    bound the output file count (small-files control, the
+    `sources/layout.py` concern); default preserves input parallelism.
+    Returns the row count written (one action — the write itself).
+    """
+    df = read_evolved_parquet(spark, *paths)
+    if target_files is not None:
+        df = df.repartition(target_files)
+    df.write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    assert out.columns == df.columns
+    return out.count()

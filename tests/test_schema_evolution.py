@@ -43,3 +43,27 @@ def test_drift_report_flags_partial_columns(spark, tmp_path):
     assert rep["quality"].n_present == 2 and rep["quality"].n_rows == 4
     assert rep["quality"].present_millionths == 500_000
     assert rep["quality"].dtype == "double"
+
+
+def test_compaction_unifies_file_schemas(spark, tmp_path):
+    """After compact_to_union_schema the lake reads the SAME rows with
+    the union schema WITHOUT mergeSchema — the per-file footers are
+    uniform, so plain reads (and engines without schema merging) see
+    every column."""
+    import pyarrow.parquet as pq
+    from export_oltp_to_olap_spark.sources.evolution import (
+        compact_to_union_schema,
+    )
+
+    p1, p2 = _write_batches(spark, tmp_path)
+    out = str(tmp_path / "compacted")
+    n = compact_to_union_schema(spark, out, p1, p2, target_files=2)
+    assert n == 4
+    plain = spark.read.parquet(out)  # NO mergeSchema
+    assert set(plain.columns) == {"doc_id", "text", "quality"}
+    rows = {r.doc_id: r for r in plain.collect()}
+    assert rows[1].quality is None and rows[3].quality == 0.9
+    # every physical file carries the full union schema
+    import glob
+    for f in glob.glob(f"{out}/*.parquet"):
+        assert set(pq.read_schema(f).names) == {"doc_id", "text", "quality"}
