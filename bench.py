@@ -174,6 +174,7 @@ DEFAULT_HEADLINE = [
     "source_vocab_overlap",
     # and the lexical-recall x semantic-confirm hybrid dedup audit:
     "hybrid_neardup_confirm",
+    "doc_length_spectrum",
 ]
 
 

@@ -1458,3 +1458,71 @@ FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
 GROUP BY source_a, source_b
 ORDER BY source_a, source_b
 """.strip()
+
+
+def doc_length_spectrum(docs: DataFrame) -> DataFrame:
+    """Per-source document-length distribution on power-of-two token
+    buckets — the data-card companion of `token_zipf_spectrum` (that
+    face buckets TERM frequencies; this one buckets DOCUMENT lengths).
+    Truncation/padding policy, curriculum banding, and packing
+    efficiency all read off this table; a source spiking in the short
+    buckets is fragments, one spiking far right needs chunking.
+
+    ``(source, len_bucket, bucket_low, n_docs, n_tokens)`` ordered by
+    (source, len_bucket); zero-token docs land in bucket -1 with
+    bucket_low 0 (kept distinguishable — they are a data-quality
+    signal, not 1-token docs).  Integer-only hash surface; floor-log2
+    via the binary-string length, the `token_zipf_spectrum`
+    convention.
+
+    Scale: pure map-side bucketing + ONE partial-agg groupBy on
+    (source, bucket) — no explode, no window, no join.
+    """
+    n_tok = F.size(tokens("text")).cast("long")
+    per_doc = docs.select("source", n_tok.alias("n_tokens"))
+    bucketed = per_doc.withColumn(
+        "len_bucket",
+        F.when(F.col("n_tokens") == 0, F.lit(-1).cast("int")).otherwise(
+            (F.length(F.bin("n_tokens")) - 1).cast("int")
+        ),
+    )
+    return (
+        bucketed.groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "bucket_low",
+            F.when(F.col("len_bucket") < 0, F.lit(0).cast("long")).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), len_bucket)")
+            ),
+        )
+        .select("source", "len_bucket", "bucket_low", "n_docs", "n_tokens")
+        .orderBy("source", "len_bucket")
+    )
+
+
+DOC_LENGTH_SPECTRUM_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len({SQL_TOKENS.format(t="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT source, n_tokens,
+         CASE WHEN n_tokens = 0 THEN -1
+              ELSE length(bin(n_tokens)) - 1 END AS len_bucket
+  FROM per_doc
+)
+SELECT source,
+       CAST(len_bucket AS INT) AS len_bucket,
+       CAST(CASE WHEN len_bucket < 0 THEN 0
+                 ELSE CAST(1 AS BIGINT) << len_bucket END AS BIGINT)
+         AS bucket_low,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM bucketed
+GROUP BY source, len_bucket
+ORDER BY source, len_bucket
+""".strip()

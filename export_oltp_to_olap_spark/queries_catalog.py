@@ -1447,6 +1447,15 @@ def q_token_zipf_spectrum(spark: SparkSession, sf_dir: str):
     return text_queries.token_zipf_spectrum(_docs(spark, sf_dir))
 
 
+@register("doc_length_spectrum", text_queries.DOC_LENGTH_SPECTRUM_SQL)
+def q_doc_length_spectrum(spark: SparkSession, sf_dir: str):
+    """Per-source document-length distribution on power-of-two token
+    buckets (zero-token docs in bucket -1) — the data-card companion of
+    the Zipf spectrum.  Map-side bucketing + one partial-agg groupBy;
+    integer-only hash surface."""
+    return text_queries.doc_length_spectrum(_docs(spark, sf_dir))
+
+
 @register("source_vocab_overlap", text_queries.SOURCE_VOCAB_OVERLAP_SQL)
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str):
     """Pairwise top-50-vocabulary intersection between sources — the
@@ -1517,6 +1526,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "token_zipf_spectrum",
     "source_vocab_overlap",
     "hybrid_neardup_confirm",
+    "doc_length_spectrum",
     # The 20 remaining r03-green names (oldest rows on the board):
     "clicks_before_purchase",
     "cube_order_stats",
@@ -1561,9 +1571,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    # r08 filler (displaced first by later round-11 registrations —
-    # decontam_strip_rewrite, decontaminate_bloom, cluster_balanced_sample
-    # already displaced by token_zipf_spectrum, source_vocab_overlap and
-    # hybrid_neardup_confirm):
-    "curated_corpus_rewritten",
+    # (all four r08 fillers — decontam_strip_rewrite, decontaminate_bloom,
+    # cluster_balanced_sample, curated_corpus_rewritten — were displaced
+    # by the four round-11 corpus-stats/hybrid registrations; the next
+    # displacement wave would draw from the r07 TPC-H block)
 )

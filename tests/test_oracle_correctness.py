@@ -128,6 +128,7 @@ _REPORT_EXEMPT = {
     "token_zipf_spectrum",
     "source_vocab_overlap",
     "hybrid_neardup_confirm",
+    "doc_length_spectrum",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",
