@@ -274,3 +274,46 @@ def test_curriculum_manifest_has_no_join_no_smj(spark, sf001):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_round11_spectra_are_two_agg_plans(spark, sf001):
+    """The two spectrum faces claim pure agg pipelines: no join of any
+    kind, and for doc_length_spectrum no explode either (bucketing is
+    per-row arithmetic before ONE groupBy)."""
+    for name in ("token_zipf_spectrum", "doc_length_spectrum"):
+        df = registry.REGISTRY[name].fn(spark, sf001)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, (name, plan)
+    df = registry.REGISTRY["doc_length_spectrum"].fn(spark, sf001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan  # no explode: size() is per-row
+
+
+def test_vocab_overlap_pair_join_broadcasts(spark, sf001):
+    """The pair join's probe side is S·k rows (bounded by the source
+    catalog) — it must broadcast; an SMJ would sort the top-k frame
+    twice for nothing."""
+    df = registry.REGISTRY["source_vocab_overlap"].fn(spark, sf001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_schema_drift_audit_is_one_agg_pass(spark, sf001):
+    """The drift report's heavy work is ONE aggregate over the merged
+    read (count + per-column non-null counts together); the published
+    frame is local arithmetic on that single row."""
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.sources import evolution
+
+    df = evolution.read_evolved_parquet(
+        spark, f"{sf001}/orders.parquet", f"{sf001}/customer.parquet"
+    )
+    agg = df.agg(*[F.count(c) for c in df.columns])
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan, plan

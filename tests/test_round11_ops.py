@@ -1,0 +1,139 @@
+"""Round-11 face contracts beyond the shared oracle diff: conservation
+laws for the spectra, boundedness for the vocabulary overlap, and the
+recall⊇confirm containment of the hybrid near-dup audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.plans import text_queries
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+
+def _docs(spark, sf001):
+    return load_tables(spark, sf001, ("documents",))["documents"]
+
+
+def test_zipf_spectrum_conserves_tokens_and_terms(spark, sf001):
+    """Σ n_occurrences over buckets = total corpus tokens per source
+    (every token lands in exactly one (term, bucket)); Σ n_terms =
+    per-source distinct-term count; bucket_low = 2^bucket."""
+    docs = _docs(spark, sf001)
+    spec = text_queries.token_zipf_spectrum(docs).collect()
+    from export_oltp_to_olap_spark.functions.text import tokens
+
+    want = {
+        (r["source"]): (r["n_tok"], r["n_terms"])
+        for r in docs.select(
+            "source", F.explode(tokens("text")).alias("tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.countDistinct("tok").alias("n_terms"),
+        )
+        .collect()
+    }
+    by_src = {}
+    for r in spec:
+        assert r["bucket_low"] == 2 ** r["freq_bucket"]
+        assert r["bucket_low"] <= r["n_occurrences"]  # cnt >= bucket_low each term
+        occ, terms = by_src.get(r["source"], (0, 0))
+        by_src[r["source"]] = (occ + r["n_occurrences"], terms + r["n_terms"])
+    assert by_src == want
+
+
+def test_doc_length_spectrum_conserves_docs_and_tokens(spark, sf001):
+    docs = _docs(spark, sf001)
+    spec = text_queries.doc_length_spectrum(docs).collect()
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in spec) == n_docs
+    # every doc's tokens land in its bucket: totals must match the
+    # independent per-source sum
+    from export_oltp_to_olap_spark.functions.text import tokens
+
+    want = {
+        r["source"]: r["t"]
+        for r in docs.select("source", F.size(tokens("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    got = {}
+    for r in spec:
+        got[r["source"]] = got.get(r["source"], 0) + r["n_tokens"]
+        if r["len_bucket"] >= 0:
+            assert r["bucket_low"] == 2 ** r["len_bucket"]
+            assert r["n_tokens"] >= r["n_docs"] * r["bucket_low"]
+        else:
+            assert r["bucket_low"] == 0 and r["n_tokens"] == 0
+    assert got == want
+
+
+def test_doc_length_spectrum_buckets_zero_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "...", "a"), (2, "one two", "a"), (3, "", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source"], r["len_bucket"]): r
+        for r in text_queries.doc_length_spectrum(df).collect()
+    }
+    assert rows[("a", -1)]["n_docs"] == 1  # punctuation-only doc
+    assert rows[("a", 1)]["n_docs"] == 1  # 2 tokens -> bucket 1
+    assert rows[("b", -1)]["n_docs"] == 1  # empty doc
+
+
+def test_vocab_overlap_bounded_and_symmetric_input_order(spark, sf001):
+    """n_common ≤ k; pairs are canonically ordered; and the overlap of a
+    source with itself never appears."""
+    docs = _docs(spark, sf001)
+    k = 10
+    rows = text_queries.source_vocab_overlap(docs, k=k).collect()
+    assert rows, "fixture sources share head vocabulary"
+    for r in rows:
+        assert 1 <= r["n_common"] <= k
+        assert r["source_a"] < r["source_b"]
+
+
+def test_vocab_overlap_detects_planted_disjoint_source(spark):
+    """A source with a disjoint vocabulary overlaps nobody; two sources
+    sharing their full head vocabulary overlap at k."""
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(f"w{j}" for j in range(20)), "s_a"))
+        rows.append((100 + i, " ".join(f"w{j}" for j in range(20)), "s_b"))
+        rows.append((200 + i, " ".join(f"z{j}" for j in range(20)), "s_z"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_common"]
+        for r in text_queries.source_vocab_overlap(df, k=15).collect()
+    }
+    assert got == {("s_a", "s_b"): 15}
+
+
+def test_hybrid_confirm_pairs_are_exactly_the_lexical_candidates(spark, sf001):
+    """The hybrid face never invents or drops a pair: its pair set IS
+    ngram_jaccard_pairs at the recall threshold (the cosine only sets
+    the boolean), and confirmed rows are the pairs whose exact cosine
+    clears the knob."""
+    from export_oltp_to_olap_spark.operators import neardup, similarity
+
+    docs = _docs(spark, sf001)
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    out = neardup.hybrid_neardup_confirm(docs, emb).collect()
+    lex = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup.ngram_jaccard_pairs(
+            docs, 3, neardup.HYBRID_JACCARD_T
+        ).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == lex
+    confirmed = {(r["doc_a"], r["doc_b"]) for r in out if r["cos_confirmed"]}
+    cos = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_neardup(
+            emb, threshold=neardup.HYBRID_COS_T
+        ).collect()
+    }
+    assert confirmed == lex & cos
