@@ -459,6 +459,32 @@ def cmd_c4_filter(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_corpus_stats(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Persist the corpus data-card statistics in one pass over the
+    corpus directory: the token Zipf spectrum, the document-length
+    spectrum, and the cross-source head-vocabulary overlap — the three
+    tables a data card plots.  Prints a one-line JSON summary."""
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        doc_length_spectrum,
+        source_vocab_overlap,
+        token_zipf_spectrum,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    summary = {}
+    for name, df in (
+        ("token_zipf_spectrum", token_zipf_spectrum(docs)),
+        ("doc_length_spectrum", doc_length_spectrum(docs)),
+        ("source_vocab_overlap", source_vocab_overlap(docs)),
+    ):
+        out = f"{args.out}/{name}"
+        df.write.mode("overwrite").parquet(out)
+        summary[name] = spark.read.parquet(out).count()
+    print(json.dumps({"out": args.out, "rows": summary}))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace, spark: SparkSession) -> int:
     """Plan review from the terminal: the scale counters
     (`plan_audit.py::plan_summary`) for one registered query, or the
@@ -704,6 +730,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="persist surviving pages with only rule-passing lines",
     )
     c4filter.set_defaults(fn=cmd_c4_filter)
+
+    cstats = sub.add_parser(
+        "corpus-stats",
+        help="persist the data-card statistics tables (Zipf spectrum, "
+        "doc-length spectrum, source vocabulary overlap)",
+    )
+    cstats.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    cstats.add_argument("--out", required=True, help="output parquet root")
+    cstats.set_defaults(fn=cmd_corpus_stats)
 
     explain = sub.add_parser(
         "explain", help="scale counters for a registered query's physical plan"

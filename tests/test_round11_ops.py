@@ -137,3 +137,28 @@ def test_hybrid_confirm_pairs_are_exactly_the_lexical_candidates(spark, sf001):
         ).collect()
     }
     assert confirmed == lex & cos
+
+
+def test_cli_corpus_stats_persists_all_three_tables(spark, sf001, tmp_path, capsys):
+    """`corpus-stats` persists the three data-card tables and each
+    matches the registered face's output byte-for-row."""
+    import json
+
+    from export_oltp_to_olap_spark.cli import main
+
+    out = str(tmp_path / "stats")
+    rc = main(["corpus-stats", "--source-dir", sf001, "--out", out], spark=spark)
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = _docs(spark, sf001)
+    for name, fn in (
+        ("token_zipf_spectrum", text_queries.token_zipf_spectrum),
+        ("doc_length_spectrum", text_queries.doc_length_spectrum),
+        ("source_vocab_overlap", text_queries.source_vocab_overlap),
+    ):
+        persisted = sorted(
+            tuple(r) for r in spark.read.parquet(f"{out}/{name}").collect()
+        )
+        live = sorted(tuple(r) for r in fn(docs).collect())
+        assert persisted == live, name
+        assert s["rows"][name] == len(live)
