@@ -1,0 +1,58 @@
+"""In-flight pipeline metrics via Spark's Observation API.
+
+A 100 TB export cannot afford a second full scan just to report "how
+many rows / tokens / gate-rejects did this run write?" — yet every
+production pipeline must publish exactly those counters.  Spark's
+``DataFrame.observe`` attaches named aggregate expressions to a plan
+node; the metrics are computed BY THE SAME TASKS that execute the job
+(map-side, merged on the driver) and read back after the action, so the
+data-card counters cost zero extra passes.
+
+Cite: reference `sync_oltp_to_olap.py` prints per-table row counts by
+re-querying after each sync — an O(rows) second pass per table; this
+module is the engine-surface replacement (counters ride the write
+itself).
+
+Constraints worth knowing (and pinned in tests/test_observe.py):
+
+* Observation metrics are ONLY defined after an ACTION runs the plan
+  containing the observe node; reading earlier raises.
+* Only aggregate expressions are allowed, and DISTINCT aggregates are
+  REJECTED at analysis (`INVALID_OBSERVED_METRICS.AGGREGATE_EXPRESSION_
+  WITH_DISTINCT_UNSUPPORTED`) — map-side metric merging cannot dedup.
+  Use `approx_count_distinct` (a mergeable sketch) for cardinalities.
+* Each Observation instance is single-use per action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+
+
+def observed_write(
+    df: DataFrame,
+    out_path: str,
+    metrics: dict[str, Column],
+    fmt: str = "parquet",
+) -> dict[str, object]:
+    """Write ``df`` while computing ``metrics`` (name → aggregate
+    Column) inside the SAME job, and return the metric values.
+
+    One pass: the write is the action; the observe node rides it.  Use
+    for data-card counters at export time (row counts, token sums, gate
+    rejects) instead of a post-hoc re-aggregation of the written lake.
+    """
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode("overwrite").format(fmt).save(out_path)
+    return dict(obs.get)
+
+
+def observed_count(df: DataFrame, metrics: dict[str, Column]) -> dict[str, object]:
+    """Metrics without a sink: runs ``count()`` as the action and
+    returns the observed values — the cheapest way to compute several
+    unrelated aggregates in one pass when no write is wanted."""
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.count()
+    return dict(obs.get)

@@ -1,0 +1,62 @@
+"""Observation-API metrics: counters ride the write job itself (no
+second scan) and equal the independently aggregated values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from export_oltp_to_olap_spark.functions.text import tokens
+from export_oltp_to_olap_spark.operators.observe import (
+    observed_count,
+    observed_write,
+)
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+
+def test_observed_write_metrics_match_independent_aggregates(spark, sf001, tmp_path):
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    out = str(tmp_path / "export")
+    got = observed_write(
+        docs,
+        out,
+        {
+            "n_docs": F.count(F.lit(1)),
+            "n_tokens": F.sum(F.size(tokens("text"))),
+            # DISTINCT aggregates are rejected at the observe node
+            # (map-side metric merge cannot dedup) — the mergeable
+            # HLL sketch is the sanctioned cardinality counter:
+            "n_sources": F.approx_count_distinct("source"),
+            "n_short": F.count(F.when(F.col("n_chars") < 50, 1)),
+        },
+    )
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+        F.approx_count_distinct("source").alias("n_sources"),
+        F.count(F.when(F.col("n_chars") < 50, 1)).alias("n_short"),
+    ).first()
+    assert got == {k: want[k] for k in got}
+    # and the write actually landed, row-complete
+    assert spark.read.parquet(out).count() == got["n_docs"]
+
+
+def test_observed_metrics_reject_distinct_aggregates(spark, sf001):
+    """The constraint the module docstring states: DISTINCT aggregates
+    fail analysis at the observe node — pinned so a Spark upgrade that
+    lifts it shows up as a test failure, not a stale docstring."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    with pytest.raises(AnalysisException, match="DISTINCT"):
+        observed_count(docs, {"n_sources": F.count_distinct("source")})
+
+
+def test_observed_count_single_pass_metrics(spark, sf001):
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    got = observed_count(
+        docs,
+        {"n": F.count(F.lit(1)), "chars": F.sum("n_chars")},
+    )
+    assert got["n"] == docs.count()
+    assert got["chars"] == docs.agg(F.sum("n_chars")).first()[0]
