@@ -1494,6 +1494,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     # Kept in despite its r10 row (code + oracle TOUCHED in round 11 —
     #      the integer-only face that closes the one red row):
     #      epoch_allocation.
+    # NOT re-windowed (round-11 touches with zero behavioral surface on
+    #      their riders): functions/text.py gained a docstring-only NULL
+    #      precondition (gopher_quality_flags / text_repetition plans
+    #      unchanged), similarity.py a comment-only tie-density note
+    #      (label_knn_noise unchanged), streaming/media_stream.py a
+    #      chunk-order fix on the pytest-only streaming face (the
+    #      registered media_neardup* batch faces share no code with it).
     # In: the new round-11 registration (schema_drift_audit, windowed
     #      same-commit per the standing rule), the 20 remaining
     #      r03-green names (incl. the mid-r10 displacement pool:
