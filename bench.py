@@ -175,6 +175,7 @@ DEFAULT_HEADLINE = [
     # and the lexical-recall x semantic-confirm hybrid dedup audit:
     "hybrid_neardup_confirm",
     "doc_length_spectrum",
+    "doc_length_spectrum_delta",
 ]
 
 

@@ -1456,6 +1456,16 @@ def q_doc_length_spectrum(spark: SparkSession, sf_dir: str):
     return text_queries.doc_length_spectrum(_docs(spark, sf_dir))
 
 
+@register("doc_length_spectrum_delta", text_queries.DOC_LENGTH_SPECTRUM_SQL)
+def q_doc_length_spectrum_delta(spark: SparkSession, sf_dir: str):
+    """Append-only delta maintenance of the doc-length spectrum: the
+    standing (source, bucket) counts merge with the delta batch by SUM
+    (commutative monoids), so the oracle is the FULL-REBUILD SQL —
+    incremental ≡ rebuild hash-checked directly (the
+    `boilerplate_ngrams_delta` convention)."""
+    return text_queries.doc_length_delta_fixture(_docs(spark, sf_dir))
+
+
 @register("source_vocab_overlap", text_queries.SOURCE_VOCAB_OVERLAP_SQL)
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str):
     """Pairwise top-50-vocabulary intersection between sources — the
@@ -1534,6 +1544,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "source_vocab_overlap",
     "hybrid_neardup_confirm",
     "doc_length_spectrum",
+    "doc_length_spectrum_delta",
     # The 20 remaining r03-green names (oldest rows on the board):
     "clicks_before_purchase",
     "cube_order_stats",
@@ -1572,8 +1583,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ngram_diversity_by_source",
     "split_leakage_report",
     "stratified_sample_summary",
-    # r07 (oldest TPC-H rows):
-    "tpch_q3_shipping_priority",
+    # r07 (oldest TPC-H rows; tpch_q3_shipping_priority displaced by
+    # doc_length_spectrum_delta — first of the announced next wave):
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",

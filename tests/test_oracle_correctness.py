@@ -129,6 +129,7 @@ _REPORT_EXEMPT = {
     "source_vocab_overlap",
     "hybrid_neardup_confirm",
     "doc_length_spectrum",
+    "doc_length_spectrum_delta",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

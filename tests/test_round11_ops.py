@@ -162,3 +162,24 @@ def test_cli_corpus_stats_persists_all_three_tables(spark, sf001, tmp_path, caps
         live = sorted(tuple(r) for r in fn(docs).collect())
         assert persisted == live, name
         assert s["rows"][name] == len(live)
+
+
+def test_doc_length_delta_equals_rebuild_on_any_slicing(spark, sf001):
+    """The monoid merge equals a full rebuild for ANY standing/delta
+    split, not just the fixture's 90% cut."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf001)
+    want = sorted(tuple(r) for r in text_queries.doc_length_spectrum(docs).collect())
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    for frac in (0.0, 0.5, 0.97):
+        cut = int(frac * max_id)
+        standing = docs.where(F.col("doc_id") <= cut)
+        delta = docs.where(F.col("doc_id") > cut)
+        got = sorted(
+            tuple(r)
+            for r in text_queries.doc_length_spectrum_delta(
+                delta, text_queries._doc_length_counts(standing)
+            ).collect()
+        )
+        assert got == want, frac
