@@ -22,11 +22,39 @@ Constraints worth knowing (and pinned in tests/test_observe.py):
   WITH_DISTINCT_UNSUPPORTED`) — map-side metric merging cannot dedup.
   Use `approx_count_distinct` (a mergeable sketch) for cardinalities.
 * Each Observation instance is single-use per action.
+* **Session-poisoning bug in this Spark build (worked around here)**:
+  the session's `observationManager` is a lazily-initialized,
+  NON-transient field of a serializable `SparkSession`, and
+  `ObservationManager` itself is not `Serializable` — so after the
+  FIRST observation initializes it, any later task closure that
+  serializes the session (MLlib prediction UDFs do) dies with
+  ``NotSerializableException: ObservationManager``.  Reproduced
+  pure-Spark: `Observation` + `count()` then
+  ``LogisticRegressionModel.transform(...).collect()`` fails; clearing
+  the manager's (already empty) observations map does not help — the
+  reachability is the field itself.  The helpers below therefore run
+  every observed action on a THROWAWAY CHILD SESSION (`newSession()`
+  shares the SparkContext and SharedState; the analyzed plan is
+  rebound via `Dataset.ofRows`), leaving the caller's session's
+  manager uninitialized.  Pinned in tests/test_observe.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Observation
+
+
+def _on_child_session(df: DataFrame) -> DataFrame:
+    """Rebind ``df``'s analyzed plan onto a throwaway child session
+    (same SparkContext, same SharedState/cache, fresh session state) so
+    the observation initializes the CHILD's observation manager, not
+    the caller's — the module-docstring bug's containment."""
+    spark = df.sparkSession
+    child = spark.newSession()
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        child._jsparkSession, df._jdf.queryExecution().analyzed()
+    )
+    return DataFrame(jdf, child)
 
 
 def observed_write(
@@ -43,7 +71,9 @@ def observed_write(
     rejects) instead of a post-hoc re-aggregation of the written lake.
     """
     obs = Observation()
-    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed = _on_child_session(df).observe(
+        obs, *[c.alias(n) for n, c in metrics.items()]
+    )
     observed.write.mode("overwrite").format(fmt).save(out_path)
     return dict(obs.get)
 
@@ -53,6 +83,8 @@ def observed_count(df: DataFrame, metrics: dict[str, Column]) -> dict[str, objec
     returns the observed values — the cheapest way to compute several
     unrelated aggregates in one pass when no write is wanted."""
     obs = Observation()
-    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed = _on_child_session(df).observe(
+        obs, *[c.alias(n) for n, c in metrics.items()]
+    )
     observed.count()
     return dict(obs.get)

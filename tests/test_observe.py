@@ -60,3 +60,25 @@ def test_observed_count_single_pass_metrics(spark, sf001):
     )
     assert got["n"] == docs.count()
     assert got["chars"] == docs.agg(F.sum("n_chars")).first()[0]
+
+
+def test_observation_does_not_poison_mllib_in_callers_session(spark, sf001):
+    """The module-docstring Spark bug, pinned: after an observed action,
+    an MLlib model.transform(...).collect() in the CALLER's session must
+    still work (the helpers isolate the observation on a child session;
+    without that isolation this dies with NotSerializableException:
+    ObservationManager)."""
+    import export_oltp_to_olap_spark.operators.quality_model as qm
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    observed_count(docs, {"n": F.count(F.lit(1))})
+    rows = [(i, "good clean sentence with many plain words here " * 2) for i in range(20)] + [
+        (100 + i, "!!! 111 ### 222 $$$") for i in range(20)
+    ]
+    feat = qm.quality_feature_frame(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    labeled = feat.withColumn("label", (F.col("doc_id") < 100).cast("double"))
+    model = qm.train_quality_classifier(labeled)
+    scored = qm.score_quality(model, labeled).collect()
+    assert len(scored) == 40
