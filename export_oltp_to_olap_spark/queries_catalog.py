@@ -1525,6 +1525,20 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      fillers first (decontaminate_bloom, decontam_strip_rewrite,
     #      curated_corpus_rewritten, cluster_balanced_sample), then the
     #      r07 TPC-H block.
+    # ROUND-12 CHORE (pre-staged): once CORRECTNESS_r11 lands, rotate out
+    #      the 44 r11-earners (keep the 5 star sentinels and any face
+    #      touched in round 12), rotate round-12 registrations in
+    #      same-commit (standing rule), and backfill the oldest-green
+    #      pool — post-r11 it is exactly: tpch_q3_shipping_priority (r07,
+    #      displaced mid-r11) and the 22 r08-green names
+    #      (cluster_balanced_sample, curated_corpus_rewritten,
+    #      decontam_strip_rewrite, decontaminate_bloom,
+    #      fingerprint_delta, ivfpq_cosine_topk, media_exact_dedup,
+    #      pq_cosine_topk, semdedup_threshold_curve, span_strip_rewrite,
+    #      winnowing_fingerprints, and the twelve r08 TPC-H:
+    #      q2 q8 q9_product q9_trend q11 q13 q15 q16 q17 q20 q21) —
+    #      23 backfills + 5 sentinels leaves ~22 slots for round-12
+    #      registrations and r09-green backfills.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
