@@ -88,3 +88,44 @@ def observed_count(df: DataFrame, metrics: dict[str, Column]) -> dict[str, objec
     )
     observed.count()
     return dict(obs.get)
+
+
+def with_stream_metrics(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> DataFrame:
+    """STREAMING form: attach named observed metrics to a streaming
+    DataFrame — each micro-batch's values arrive in that batch's
+    progress event (``query.recentProgress[i]["observedMetrics"]
+    [name]``), so ingest gates publish per-batch counters (rows seen,
+    gate rejects, tokens admitted) with zero extra passes and zero
+    state.
+
+    Uses the STRING-NAMED ``observe`` form, which never creates an
+    `Observation` — and therefore never initializes the session's
+    observation manager, so it is free of the module-docstring
+    serialization bug (pinned in tests/test_observe.py); no child
+    session needed.
+    """
+    return df.observe(name, *[c.alias(n) for n, c in metrics.items()])
+
+
+def stream_metric_totals(progresses, name: str) -> dict[str, int]:
+    """Sum a named metric set across micro-batch progress events
+    (``query.recentProgress``) — the whole-run totals for SUM/COUNT
+    style counters.  Accepts `StreamingQueryProgress` objects (whose
+    ``observedMetrics`` values are Rows) or already-dict progress
+    payloads; batches where the metric set is absent (empty
+    micro-batches may skip the node) are ignored."""
+    totals: dict[str, int] = {}
+    for p in progresses:
+        if p is None:
+            continue
+        om_map = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        om = (om_map or {}).get(name)
+        if om is None:
+            continue
+        if not isinstance(om, dict):
+            om = om.asDict()  # pyspark Row
+        for k, v in om.items():
+            totals[k] = totals.get(k, 0) + v
+    return totals

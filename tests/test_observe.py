@@ -82,3 +82,61 @@ def test_observation_does_not_poison_mllib_in_callers_session(spark, sf001):
     model = qm.train_quality_classifier(labeled)
     scored = qm.score_quality(model, labeled).collect()
     assert len(scored) == 40
+
+
+def test_stream_metrics_per_batch_sum_to_batch_totals(spark, sf001, tmp_path):
+    """Counters attached at ingest via the string-named observe form:
+    per-micro-batch observedMetrics land in progress events and their
+    SUM equals the batch aggregates — and the caller's session stays
+    ML-safe (the named form never initializes the observation
+    manager)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from export_oltp_to_olap_spark.operators.observe import (
+        stream_metric_totals,
+        with_stream_metrics,
+    )
+
+    docs = load_tables(spark, sf001, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    feed = tmp_path / "feed_obs"
+    feed.mkdir()
+    for i, chunk in enumerate((rows[:100], rows[100:300], rows[300:])):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        _os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    observed = with_stream_metrics(
+        stream,
+        "ingest",
+        {
+            "n_docs": F.count(F.lit(1)),
+            "n_tokens": F.sum(F.size(tokens("text"))),
+        },
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = stream_metric_totals([p for p in q.recentProgress], "ingest")
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    ).first()
+    assert totals == {"n_docs": want["n_docs"], "n_tokens": want["n_tokens"]}
