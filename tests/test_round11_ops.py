@@ -183,3 +183,59 @@ def test_doc_length_delta_equals_rebuild_on_any_slicing(spark, sf001):
             ).collect()
         )
         assert got == want, frac
+
+
+def test_spectra_match_python_reference_on_random_corpora(spark):
+    """Hypothesis: both spectra equal a pure-Python recount for random
+    corpora — including empty docs, repeated tokens, punctuation-only
+    text, and multi-source mixes."""
+    import math
+    import re
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab1", min_size=1, max_size=3)
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(
+        st.tuples(doc, st.sampled_from(["s1", "s2"])), min_size=1, max_size=15
+    ))
+    def check(docs):
+        rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+        # doc-length spectrum
+        want_len = Counter()
+        want_len_tokens = Counter()
+        for _, t, s in rows:
+            n = len(toks(t))
+            b = -1 if n == 0 else int(math.floor(math.log2(n)))
+            want_len[(s, b)] += 1
+            want_len_tokens[(s, b)] += n
+        got = text_queries.doc_length_spectrum(df).collect()
+        assert {(r["source"], r["len_bucket"]): r["n_docs"] for r in got} == dict(want_len)
+        assert {(r["source"], r["len_bucket"]): r["n_tokens"] for r in got} == dict(want_len_tokens)
+
+        # zipf spectrum
+        per_source = {}
+        for _, t, s in rows:
+            per_source.setdefault(s, Counter()).update(toks(t))
+        want_terms = Counter()
+        want_occ = Counter()
+        for s, counts in per_source.items():
+            for _, c in counts.items():
+                b = int(math.floor(math.log2(c)))
+                want_terms[(s, b)] += 1
+                want_occ[(s, b)] += c
+        gz = text_queries.token_zipf_spectrum(df).collect()
+        assert {(r["source"], r["freq_bucket"]): r["n_terms"] for r in gz} == dict(want_terms)
+        assert {(r["source"], r["freq_bucket"]): r["n_occurrences"] for r in gz} == dict(want_occ)
+
+    check()
