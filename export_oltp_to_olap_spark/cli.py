@@ -208,9 +208,15 @@ def cmd_export_corpus(args: argparse.Namespace, spark: SparkSession) -> int:
         .partitionBy("split", "shard")
         .parquet(args.out_dir)
     )
+    # Manifest from the WRITTEN lake, not from re-executing `sharded`:
+    # the second execution used to re-run the whole curation chain
+    # (gates -> dedup -> near-dup -> split) just to count; counting the
+    # output is a zero-column scan over the partitioned files and
+    # reports what actually landed on disk.
     manifest = [
-        {"split": r["split"], "shard": r["shard"], "n_docs": r["n_docs"]}
-        for r in sharded.groupBy("split", "shard")
+        {"split": r["split"], "shard": int(r["shard"]), "n_docs": r["n_docs"]}
+        for r in spark.read.parquet(args.out_dir)
+        .groupBy("split", "shard")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "shard")
         .collect()
