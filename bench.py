@@ -176,6 +176,7 @@ DEFAULT_HEADLINE = [
     "hybrid_neardup_confirm",
     "doc_length_spectrum",
     "doc_length_spectrum_delta",
+    "capped_epoch_allocation",
 ]
 
 

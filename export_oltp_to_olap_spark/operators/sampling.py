@@ -702,3 +702,241 @@ FROM s
 GROUP BY shard, band
 ORDER BY shard, band
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Capped epoch allocation: waterfilling under per-source max-epoch caps
+# ---------------------------------------------------------------------------
+
+CAPPED_BUDGET_TENTHS = 30
+CAPPED_MAX_EPOCHS_TENTHS = 31
+
+
+def capped_epoch_allocation(
+    documents: DataFrame,
+    budget_tenths: int = CAPPED_BUDGET_TENTHS,
+    alpha_tenths: int = 5,
+    max_epochs_tenths: int = CAPPED_MAX_EPOCHS_TENTHS,
+) -> DataFrame:
+    """`epoch_allocation` under the REAL-WORLD constraint every
+    published mix applies: no source may repeat more than ``max_epochs
+    = max_epochs_tenths/10`` times (LLaMA caps Wikipedia/Books around
+    2.4 epochs while CommonCrawl runs <1).  Sources whose α-weight
+    demands more than their cap saturate at it; the freed budget
+    redistributes over the uncapped sources in proportion to their
+    weights — the waterfilling optimum, computed in ONE PASS with
+    window prefix-sums over the S source rows (no iteration: sorted by
+    the cap/weight ratio, the capped set is a prefix, and the boundary
+    is the unique p where the implied water level λ_p sits between the
+    p-th and p+1-th ratios).
+
+    Output (integer/boolean only — the zero-float-hash discipline):
+    ``(source, tokens, cap_tokens, capped, target_tokens,
+    epochs_millionths)`` ordered by source, with
+    ``Σ target_tokens == min(budget, Σ cap_tokens)`` EXACTLY (flooring
+    slack goes to the largest uncapped source — which may exceed its
+    cap by < S tokens, the same character as `epoch_allocation`'s
+    clamp; when every source is capped the targets are exactly the
+    caps and the leftover budget is unallocatable by construction).
+
+    Engine-exactness: weights enter as ``round(weight·10⁶)`` BIGINTs
+    (the 6-dp doubles are bit-identical cross-engine, so the integer
+    is too); every comparison is a cross-multiplied DECIMAL(38,0) /
+    HUGEINT product — no division decides anything.  The sort key is
+    the integer proxy ``(cap·10¹²) div weight_millionths`` with source
+    as tie-break: a total order both engines compute identically (two
+    ratios within 10⁻¹² of each other may order by source rather than
+    true ratio — both engines then make the SAME choice, and the
+    allocation perturbs by at most a token).
+
+    Scale: `mixture_weights`' one corpus aggregate; everything after is
+    windows and joins over S source rows — driver-scale arithmetic,
+    like `epoch_allocation`.
+    """
+    w = Window.orderBy("proxy", "source")
+    whole = Window.partitionBy()
+    base = (
+        mixture_weights(documents, alpha_tenths)
+        .select(
+            "source",
+            "tokens",
+            F.expr(
+                "greatest(CAST(round(weight * 1000000) AS BIGINT), 1)"
+            ).alias("wu"),
+            F.expr(
+                f"(CAST({max_epochs_tenths} AS BIGINT) * tokens) div 10"
+            ).alias("cap"),
+        )
+        .withColumn(
+            "proxy",
+            F.expr("(CAST(cap AS DECIMAL(38,0)) * 1000000000000) div wu"),
+        )
+        .withColumn("budget", F.expr(
+            f"(CAST({budget_tenths} AS BIGINT) * (SUM(tokens) OVER ())) div 10"
+        ))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("pre_cap", F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pre_wu", F.sum("wu").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot_cap", F.sum("cap").over(whole))
+        .withColumn("tot_wu", F.sum("wu").over(whole))
+        .withColumn("n_src", F.count(F.lit(1)).over(whole))
+    )
+    # Boundary candidates p = 0..S: row rn=k describes boundary p=k-1
+    # (prefix-EXCLUSIVE sums; "own" row = lag, "next" row = the row
+    # itself); the p=S boundary is the one extra row derived from rn=S.
+    from_rows = base.select(
+        (F.col("rn") - 1).alias("p"),
+        (F.col("budget") - F.col("pre_cap") + F.col("cap")).alias("np"),
+        (F.col("tot_wu") - F.col("pre_wu") + F.col("wu")).alias("dp"),
+        F.lag("cap").over(w).alias("own_cap"),
+        F.lag("wu").over(w).alias("own_wu"),
+        F.col("cap").alias("next_cap"),
+        F.col("wu").alias("next_wu"),
+    )
+    last = base.where(F.col("rn") == F.col("n_src")).select(
+        F.col("rn").alias("p"),
+        (F.col("budget") - F.col("tot_cap")).alias("np"),
+        F.lit(0).cast("long").alias("dp"),
+        F.col("cap").alias("own_cap"),
+        F.col("wu").alias("own_wu"),
+        F.lit(None).cast("long").alias("next_cap"),
+        F.lit(None).cast("long").alias("next_wu"),
+    )
+    valid = (
+        from_rows.unionByName(last)
+        .where(
+            F.expr(
+                "np >= 0"
+                " AND (own_cap IS NULL OR CAST(own_wu AS DECIMAL(38,0)) * np"
+                "      >= CAST(own_cap AS DECIMAL(38,0)) * dp)"
+                " AND (next_cap IS NULL OR CAST(next_wu AS DECIMAL(38,0)) * np"
+                "      < CAST(next_cap AS DECIMAL(38,0)) * dp)"
+            )
+        )
+        .orderBy("p")
+        .limit(1)
+        .select("p", "np", "dp")
+    )
+    alloc = (
+        base.join(F.broadcast(valid))
+        .withColumn("capped", F.col("rn") <= F.col("p"))
+        .withColumn(
+            "target0",
+            F.expr(
+                "CASE WHEN capped THEN cap"
+                " ELSE (CAST(wu AS DECIMAL(38,0)) * np) div dp END"
+            ),
+        )
+        .withColumn(
+            "anchor",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("capped").cast("int"), F.col("tokens").desc(), "source"
+                )
+            )
+            == 1,
+        )
+        .withColumn(
+            "remainder",
+            F.expr("least(budget, tot_cap)") - F.sum("target0").over(whole),
+        )
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                "CAST(target0 + CASE WHEN anchor AND NOT capped"
+                " THEN remainder ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        alloc.select(
+            "source",
+            "tokens",
+            F.col("cap").alias("cap_tokens"),
+            "capped",
+            "target_tokens",
+            F.expr(
+                "(CAST(target_tokens AS DECIMAL(38,0)) * 1000000) div tokens"
+            ).alias("epochs_millionths"),
+        )
+        .orderBy("source")
+    )
+
+
+def capped_epoch_allocation_sql(
+    budget_tenths: int = CAPPED_BUDGET_TENTHS,
+    alpha_tenths: int = 5,
+    max_epochs_tenths: int = CAPPED_MAX_EPOCHS_TENTHS,
+) -> str:
+    """DuckDB restatement of the one-pass waterfilling (HUGEINT
+    cross-multiplications; same proxy order, same boundary predicate,
+    same anchor clamp)."""
+    inner = mixture_weights_sql(alpha_tenths).strip()
+    return f"""
+WITH mw AS (
+{inner}
+),
+base AS (
+  SELECT source, tokens,
+         greatest(CAST(round(weight * 1000000) AS BIGINT), 1) AS wu,
+         CAST((CAST({max_epochs_tenths} AS HUGEINT) * tokens) // 10 AS BIGINT) AS cap,
+         CAST((CAST({budget_tenths} AS HUGEINT) * (SUM(tokens) OVER ())) // 10 AS BIGINT) AS budget
+  FROM mw
+),
+ordered AS (
+  SELECT *,
+         CAST((CAST(cap AS HUGEINT) * 1000000000000) // wu AS HUGEINT) AS proxy,
+         row_number() OVER (ORDER BY (CAST(cap AS HUGEINT) * 1000000000000) // wu, source) AS rn,
+         SUM(cap) OVER (ORDER BY (CAST(cap AS HUGEINT) * 1000000000000) // wu, source) AS pre_cap,
+         SUM(wu) OVER (ORDER BY (CAST(cap AS HUGEINT) * 1000000000000) // wu, source) AS pre_wu,
+         SUM(cap) OVER () AS tot_cap,
+         SUM(wu) OVER () AS tot_wu,
+         COUNT(*) OVER () AS n_src
+  FROM base
+),
+bounds AS (
+  SELECT rn - 1 AS p,
+         budget - pre_cap + cap AS np,
+         tot_wu - pre_wu + wu AS dp,
+         lag(cap) OVER (ORDER BY rn) AS own_cap,
+         lag(wu) OVER (ORDER BY rn) AS own_wu,
+         cap AS next_cap, wu AS next_wu
+  FROM ordered
+  UNION ALL
+  SELECT rn AS p, budget - tot_cap AS np, 0 AS dp,
+         cap AS own_cap, wu AS own_wu, NULL AS next_cap, NULL AS next_wu
+  FROM ordered WHERE rn = n_src
+),
+chosen AS (
+  SELECT p, np, dp FROM bounds
+  WHERE np >= 0
+    AND (own_cap IS NULL OR CAST(own_wu AS HUGEINT) * np >= CAST(own_cap AS HUGEINT) * dp)
+    AND (next_cap IS NULL OR CAST(next_wu AS HUGEINT) * np < CAST(next_cap AS HUGEINT) * dp)
+  ORDER BY p LIMIT 1
+),
+alloc AS (
+  SELECT o.*, c.p, c.np, c.dp,
+         o.rn <= c.p AS capped,
+         CASE WHEN o.rn <= c.p THEN CAST(o.cap AS HUGEINT)
+              ELSE (CAST(o.wu AS HUGEINT) * c.np) // c.dp END AS target0,
+         row_number() OVER (ORDER BY CAST(o.rn <= c.p AS INT),
+                            o.tokens DESC, o.source) = 1 AS anchor
+  FROM ordered o CROSS JOIN chosen c
+),
+final AS (
+  SELECT *,
+         least(budget, tot_cap) - SUM(target0) OVER () AS remainder
+  FROM alloc
+)
+SELECT source, tokens, cap AS cap_tokens, capped,
+       CAST(target0 + CASE WHEN anchor AND NOT capped THEN remainder
+                           ELSE 0 END AS BIGINT) AS target_tokens,
+       CAST((CAST(target0 + CASE WHEN anchor AND NOT capped THEN remainder
+                                 ELSE 0 END AS HUGEINT) * 1000000) // tokens
+            AS BIGINT) AS epochs_millionths
+FROM final
+ORDER BY source
+""".strip()
+
+
+CAPPED_EPOCH_ALLOCATION_SQL = capped_epoch_allocation_sql()

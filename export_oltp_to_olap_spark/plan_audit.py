@@ -86,7 +86,15 @@ def plan_summary(df: DataFrame, execute: bool = False) -> dict[str, Any]:
 # with the small side broadcast) — the same allowlist
 # tests/test_plan_quality.py::test_no_cartesian_products_anywhere pins.
 CARTESIAN_ALLOWED = frozenset(
-    {"ann_cosine_topk", "embedding_cosine_neardup", "label_knn_noise"}
+    {
+        "ann_cosine_topk",
+        "embedding_cosine_neardup",
+        "label_knn_noise",
+        # S×1 broadcast of the chosen waterfilling boundary row onto the
+        # S source rows (S = source catalog, not data) — a degenerate
+        # cross join by construction, not a pair blow-up:
+        "capped_epoch_allocation",
+    }
 )
 
 # Queries whose SortMergeJoins are the AUDITED baseline: pair joins over

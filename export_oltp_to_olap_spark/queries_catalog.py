@@ -1412,6 +1412,18 @@ def q_media_neardup_capped(spark: SparkSession, sf_dir: str):
     )
 
 
+@register("capped_epoch_allocation", sampling.CAPPED_EPOCH_ALLOCATION_SQL)
+def q_capped_epoch_allocation(spark: SparkSession, sf_dir: str):
+    """Waterfilling epoch plan under per-source max-epoch caps (the
+    LLaMA-style repeat ceiling `epoch_allocation` lacks): capped
+    sources saturate, the freed budget redistributes over uncapped
+    weights — one pass of window prefix-sums over S source rows, every
+    decision a cross-multiplied integer product, Σ targets ==
+    min(budget, Σ caps) exactly.  Knobs (3.0× budget, 3.1-epoch cap)
+    chosen so the fixture exercises BOTH branches of `capped`."""
+    return sampling.capped_epoch_allocation(_docs(spark, sf_dir))
+
+
 @register("schema_drift_audit", evolution.SCHEMA_DRIFT_AUDIT_SQL)
 def q_schema_drift_audit(spark: SparkSession, sf_dir: str):
     """Schema-evolution drift audit (round-11 face for
@@ -1559,6 +1571,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "hybrid_neardup_confirm",
     "doc_length_spectrum",
     "doc_length_spectrum_delta",
+    "capped_epoch_allocation",
     # The 20 remaining r03-green names (oldest rows on the board):
     "clicks_before_purchase",
     "cube_order_stats",
@@ -1598,8 +1611,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     "split_leakage_report",
     "stratified_sample_summary",
     # r07 (oldest TPC-H rows; tpch_q3_shipping_priority displaced by
-    # doc_length_spectrum_delta — first of the announced next wave):
-    "tpch_q4_order_priority",
+    # doc_length_spectrum_delta, tpch_q4_order_priority by
+    # capped_epoch_allocation — the announced next wave):
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",

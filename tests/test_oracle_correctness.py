@@ -130,6 +130,7 @@ _REPORT_EXEMPT = {
     "hybrid_neardup_confirm",
     "doc_length_spectrum",
     "doc_length_spectrum_delta",
+    "capped_epoch_allocation",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -239,3 +239,98 @@ def test_spectra_match_python_reference_on_random_corpora(spark):
         assert {(r["source"], r["freq_bucket"]): r["n_occurrences"] for r in gz} == dict(want_occ)
 
     check()
+
+
+def _python_waterfill(rows, budget_tenths, max_epochs_tenths):
+    """Pure-Python restatement of capped_epoch_allocation's one-pass
+    waterfilling (same proxy order, same boundary predicate, same
+    anchor clamp) — integer arithmetic throughout."""
+    total = sum(t for _, t, _ in rows)
+    B = budget_tenths * total // 10
+    base = []
+    for s, t, wu in rows:
+        cap = max_epochs_tenths * t // 10
+        wu = max(wu, 1)
+        base.append((cap * 10**12 // wu, s, t, wu, cap))
+    base.sort()
+    S = len(base)
+    tot_cap = sum(b[4] for b in base)
+    tot_wu = sum(b[3] for b in base)
+    chosen = None
+    for p in range(0, S + 1):
+        np_ = B - sum(b[4] for b in base[:p])
+        dp = tot_wu - sum(b[3] for b in base[:p])
+        if np_ < 0:
+            continue
+        if p >= 1 and not (base[p - 1][3] * np_ >= base[p - 1][4] * dp):
+            continue
+        if p < S and not (base[p][3] * np_ < base[p][4] * dp):
+            continue
+        chosen = (p, np_, dp)
+        break
+    assert chosen is not None, "waterfilling boundary must exist"
+    p, np_, dp = chosen
+    out = {}
+    for i, (_, s, t, wu, cap) in enumerate(base):
+        capped = i < p
+        target = cap if capped else wu * np_ // dp
+        out[s] = [t, cap, capped, target]
+    # anchor = largest uncapped source
+    uncapped = [(b[2], b[1]) for i, b in enumerate(base) if i >= p]
+    if uncapped:
+        anchor = sorted(uncapped, key=lambda x: (-x[0], x[1]))[0][1]
+        out[anchor][3] += min(B, tot_cap) - sum(v[3] for v in out.values())
+    return B, tot_cap, out
+
+
+def test_capped_allocation_matches_python_waterfiller(spark):
+    """Hypothesis: the Spark face equals the pure-Python waterfiller for
+    random source mixes and knobs, and Σ targets == min(B, Σ caps)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from export_oltp_to_olap_spark.operators.sampling import (
+        capped_epoch_allocation,
+    )
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        sizes=st.lists(st.integers(1, 60), min_size=2, max_size=10),
+        budget_tenths=st.integers(5, 40),
+        cap_tenths=st.integers(5, 40),
+    )
+    def check(sizes, budget_tenths, cap_tenths):
+        rows = []
+        doc = 0
+        for s, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((doc, f"s{s:02d}", "w " * (3 + doc % 5)))
+                doc += 1
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            r["source"]: (
+                r["tokens"], r["cap_tokens"], r["capped"], r["target_tokens"]
+            )
+            for r in capped_epoch_allocation(
+                df, budget_tenths=budget_tenths, max_epochs_tenths=cap_tenths
+            ).collect()
+        }
+        # feed the reference the SAME integer weights the face derives
+        from export_oltp_to_olap_spark.operators.sampling import mixture_weights
+
+        w = {
+            r["source"]: (r["tokens"], int(round(r["weight"] * 1_000_000)))
+            for r in mixture_weights(df).collect()
+        }
+        B, tot_cap, want = _python_waterfill(
+            [(s, t, wu) for s, (t, wu) in sorted(w.items())],
+            budget_tenths,
+            cap_tenths,
+        )
+        assert {s: tuple(v) for s, v in want.items()} == {
+            s: (v[0], v[1], v[2], v[3]) for s, v in got.items()
+        }
+        assert sum(v[3] for v in got.values()) == min(B, tot_cap)
+
+    check()
