@@ -491,6 +491,57 @@ def cmd_corpus_stats(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_plan_mixture(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Persist the sampling-plan tables a pretraining run publishes:
+    α-mixture weights, the epoch/repeat plan for the token budget, and
+    the capped (waterfilled) plan under the max-epoch ceiling.  One
+    JSON summary line with the corpus totals and how many sources the
+    cap binds."""
+    from export_oltp_to_olap_spark.operators.sampling import (
+        capped_epoch_allocation,
+        epoch_allocation,
+        mixture_weights,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    tables = {
+        "mixture_weights": mixture_weights(docs, args.alpha_tenths),
+        "epoch_allocation": epoch_allocation(
+            docs, args.budget_tenths, args.alpha_tenths
+        ),
+        "capped_epoch_allocation": capped_epoch_allocation(
+            docs,
+            args.budget_tenths,
+            args.alpha_tenths,
+            args.max_epochs_tenths,
+        ),
+    }
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+    capped = spark.read.parquet(f"{args.out}/capped_epoch_allocation")
+    agg = capped.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("tokens").alias("corpus_tokens"),
+        F.sum("target_tokens").alias("planned_tokens"),
+        F.sum(F.col("capped").cast("long")).alias("n_capped"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_sources": agg["n_sources"],
+                "corpus_tokens": int(agg["corpus_tokens"]),
+                "planned_tokens": int(agg["planned_tokens"]),
+                "n_capped": int(agg["n_capped"]),
+                "budget_tenths": args.budget_tenths,
+                "max_epochs_tenths": args.max_epochs_tenths,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace, spark: SparkSession) -> int:
     """Plan review from the terminal: the scale counters
     (`plan_audit.py::plan_summary`) for one registered query, or the
@@ -745,6 +796,18 @@ def build_parser() -> argparse.ArgumentParser:
     cstats.add_argument("--source-dir", required=True, help="fixture parquet dir")
     cstats.add_argument("--out", required=True, help="output parquet root")
     cstats.set_defaults(fn=cmd_corpus_stats)
+
+    pmix = sub.add_parser(
+        "plan-mixture",
+        help="persist the sampling-plan tables (mixture weights, epoch "
+        "allocation, capped waterfilled allocation)",
+    )
+    pmix.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    pmix.add_argument("--out", required=True, help="output parquet root")
+    pmix.add_argument("--budget-tenths", type=int, default=30)
+    pmix.add_argument("--alpha-tenths", type=int, default=5)
+    pmix.add_argument("--max-epochs-tenths", type=int, default=31)
+    pmix.set_defaults(fn=cmd_plan_mixture)
 
     explain = sub.add_parser(
         "explain", help="scale counters for a registered query's physical plan"

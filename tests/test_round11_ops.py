@@ -334,3 +334,27 @@ def test_capped_allocation_matches_python_waterfiller(spark):
         assert sum(v[3] for v in got.values()) == min(B, tot_cap)
 
     check()
+
+
+def test_cli_plan_mixture_persists_and_summarizes(spark, sf001, tmp_path, capsys):
+    import json
+
+    from export_oltp_to_olap_spark.cli import main
+    from export_oltp_to_olap_spark.operators.sampling import (
+        capped_epoch_allocation,
+    )
+
+    out = str(tmp_path / "plan")
+    rc = main(["plan-mixture", "--source-dir", sf001, "--out", out], spark=spark)
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    live = capped_epoch_allocation(_docs(spark, sf001)).collect()
+    assert s["n_sources"] == len(live)
+    assert s["planned_tokens"] == sum(r["target_tokens"] for r in live)
+    assert s["n_capped"] == sum(1 for r in live if r["capped"])
+    assert 0 < s["n_capped"] < s["n_sources"]  # both branches on fixture
+    persisted = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/capped_epoch_allocation").collect()
+    )
+    assert persisted == sorted(tuple(r) for r in live)
