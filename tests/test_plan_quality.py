@@ -317,3 +317,16 @@ def test_schema_drift_audit_is_one_agg_pass(spark, sf001):
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_capped_allocation_boundary_broadcasts(spark, sf001):
+    """The chosen waterfilling boundary is ONE row joined onto S source
+    rows — it must arrive as a broadcast nested loop (the allowlisted
+    degenerate cross join), never an SMJ, and the plan carries no
+    corpus-scale join at all (mixture_weights' aggregate is the only
+    data-scale stage)."""
+    df = registry.REGISTRY["capped_epoch_allocation"].fn(spark, sf001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
