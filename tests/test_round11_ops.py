@@ -293,12 +293,12 @@ def test_capped_allocation_matches_python_waterfiller(spark):
         capped_epoch_allocation,
     )
 
-    @settings(max_examples=6, deadline=None,
+    @settings(max_examples=8, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(
-        sizes=st.lists(st.integers(1, 60), min_size=2, max_size=10),
-        budget_tenths=st.integers(5, 40),
-        cap_tenths=st.integers(5, 40),
+        sizes=st.lists(st.integers(1, 60), min_size=1, max_size=10),
+        budget_tenths=st.integers(1, 80),
+        cap_tenths=st.integers(1, 80),
     )
     def check(sizes, budget_tenths, cap_tenths):
         rows = []
