@@ -358,3 +358,26 @@ def test_cli_plan_mixture_persists_and_summarizes(spark, sf001, tmp_path, capsys
         for r in spark.read.parquet(f"{out}/capped_epoch_allocation").collect()
     )
     assert persisted == sorted(tuple(r) for r in live)
+
+
+def test_hybrid_recall_threshold_candidates_stay_subquadratic(spark, sf001):
+    """The hybrid face's loose 0.5 recall threshold doubles the prefix
+    length vs the 0.7 face — candidate volume must still be a small
+    fraction of N²/2 (the prefix filter's whole point), or the
+    'lexical recall is the cheap stage' claim is false."""
+    from export_oltp_to_olap_spark.operators.neardup import (
+        HYBRID_JACCARD_T,
+        _ngram_prefix_candidates,
+        doc_shingle_sets,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf001)
+    n = docs.count()
+    sets = doc_shingle_sets(docs, 3).where(F.size("shs") > 0)
+    sets = sets.withColumn("n_sh", F.size("shs"))
+    cands = _ngram_prefix_candidates(sets, HYBRID_JACCARD_T).count()
+    # measured 4559 of 124,750 possible pairs (3.7%) on the sf0.001
+    # word-salad fixture — a dense-vocabulary WORST case for prefix
+    # collisions; 5% is the regression ceiling, ~27x under brute force
+    assert cands < 0.05 * n * (n - 1) / 2, (cands, n)
