@@ -177,6 +177,13 @@ DEFAULT_HEADLINE = [
     "doc_length_spectrum",
     "doc_length_spectrum_delta",
     "capped_epoch_allocation",
+    # `hard_negative_mining` is NOT here for the same reason as
+    # `embedding_cosine_neardup` and `label_knn_noise`: a declared
+    # O(N²) exactness baseline for the labeled slice, not a scale path
+    # (measured 8.1 s at sf0.1, and its 4M-pair shuffle evicts the
+    # cached shingle sets other faces reuse — run it by name).
+    "lsh_recall_audit",
+    "vocab_prune_rewrite",
 ]
 
 

@@ -710,6 +710,15 @@ _MINHASH_BANDS = MINHASH_N_HASHES // MINHASH_BAND_R
 
 # CTE chain reused by MINHASH_LSH_SQL (pair output) and
 # NEARDUP_CLUSTERS_SQL (transitive closure over the same pairs).
+#
+# `h // R`, not `CAST(h / R ...)`: DuckDB `/` on integers is FLOAT
+# division and CAST rounds-half-away, so `CAST(7/2 AS INTEGER)` = 4 —
+# the oracle's bands silently misaligned against Spark's (mh2 paired
+# with mh1, band 0 and band H/R degenerate with a NULL key).  Invisible
+# to every ≥0.8-verified face (both bandings recall all fixture pairs
+# at that threshold; the verify stage makes precision exact), exposed
+# the moment `lsh_recall_audit` compared raw CANDIDATE sets.  `//` is
+# floor division, matching Spark's stack() band assignment exactly.
 _MINHASH_PAIRS_CTES = f"""
 {_SHINGLE_CTE},
 ab AS (
@@ -725,7 +734,7 @@ sig AS (
   GROUP BY doc_id, h
 ),
 bands AS (
-  SELECT doc_id, CAST(h / {MINHASH_BAND_R} AS INTEGER) AS band,
+  SELECT doc_id, CAST(h // {MINHASH_BAND_R} AS INTEGER) AS band,
          min(CASE WHEN h % {MINHASH_BAND_R} = 0 THEN mh END) AS k0,
          min(CASE WHEN h % {MINHASH_BAND_R} = 1 THEN mh END) AS k1
   FROM sig
@@ -760,6 +769,153 @@ MINHASH_LSH_SQL = f"""
 WITH {_MINHASH_PAIRS_CTES}
 SELECT doc_a, doc_b, jaccard FROM pairs
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit — measure the sketch, don't guess
+# ---------------------------------------------------------------------------
+
+LSH_RECALL_TRUTH_THRESHOLD = 0.5
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    n_hashes: int = MINHASH_N_HASHES,
+    band_r: int = MINHASH_BAND_R,
+) -> DataFrame:
+    """Empirical recall curve of the banded-MinHash candidate stage
+    against EXACT Jaccard ground truth, per Jaccard decile — the
+    measured answer to "what does the H=16/R=2 sketch actually miss?",
+    published the way RECALL.json answers it for the ANN family.
+
+    Ground truth = every pair with Jaccard ≥ 0.5, computed by the
+    LOSSLESS prefix-filtered verify (`ngram_jaccard_pairs` machinery,
+    same `doc_shingle_sets` shingle definition the signatures hash, so
+    truth and sketch measure the same sets).  The integer predicate
+    ``2·n_common ≥ union`` states the 0.5 threshold exactly; the decile
+    is the pure-integer ``(10·n_common) div union`` — no float reaches
+    the output.
+
+    One row per occupied decile band 5..10: ``(band, n_pairs,
+    n_recalled)`` — truth pairs in the band and how many the LSH
+    candidate join surfaced.  The extra ``band = -1`` row counts
+    candidate pairs BELOW the 0.5 truth line: verification work the
+    sketch wastes (its n_recalled repeats n_pairs — they are all
+    candidates by construction).  Expected recall at H=16/R=2:
+    1−(1−s²)^8 ≈ 0.90 at s=0.5, 0.9997 at s=0.9 — the test pins the
+    measured curve against these bounds.
+
+    Scale shape: the union of the two candidate stages the standing
+    dedup faces already run (prefix-filtered verify + banded self-join)
+    plus two pair-keyed joins and a 12-row aggregate; the compact
+    per-doc set rows are persisted once and feed all consumers.
+    """
+    sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
+    sets = sets.withColumn("n_sh", F.size("shs")).persist()
+    cand_truth = _ngram_prefix_candidates(sets, LSH_RECALL_TRUTH_THRESHOLD)
+    hashed = sets.select(
+        "doc_id", F.transform("shs", lambda s: F.xxhash64(s)).alias("hshs")
+    )
+    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hshs").alias("shs_a"))
+    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hshs").alias("shs_b"))
+    truth = (
+        cand_truth.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "un", F.size("shs_a") + F.size("shs_b") - F.col("n_common")
+        )
+        .where(F.col("n_common") * 2 >= F.col("un"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((10 * n_common) DIV un AS BIGINT)").alias("band"),
+        )
+    )
+    lsh = _minhash_band_candidates(sets, n_hashes, band_r).withColumn(
+        "is_cand", F.lit(1).cast("long")
+    )
+    per_band = (
+        truth.join(lsh, ["doc_a", "doc_b"], "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long").alias("n_recalled"),
+        )
+    )
+    wasted = (
+        lsh.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(-1).cast("long").alias("band"),
+            F.col("n").alias("n_pairs"),
+            F.col("n").alias("n_recalled"),
+        )
+    )
+    return per_band.unionByName(wasted).orderBy("band")
+
+
+LSH_RECALL_AUDIT_SQL = f"""
+WITH {_SHINGLE_CTE},
+ab AS (
+  SELECT doc_id, sh,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(sh), 16, 15) AS BIGINT) AS b
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id, h,
+         min((a % {_MH_MOD} + h * (b % {_MH_MOD})) % {_MH_MOD}) AS mh
+  FROM ab, generate_series(0, {MINHASH_N_HASHES - 1}) AS g(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, CAST(h // {MINHASH_BAND_R} AS INTEGER) AS band,
+         min(CASE WHEN h % {MINHASH_BAND_R} = 0 THEN mh END) AS k0,
+         min(CASE WHEN h % {MINHASH_BAND_R} = 1 THEN mh END) AS k1
+  FROM sig
+  GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles ia JOIN shingles ib ON ib.sh = ia.sh AND ia.doc_id < ib.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b,
+         CAST((10 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
+             AS band
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 2 * n_common >= sa.n_sh + sb.n_sh - n_common
+),
+per_band AS (
+  SELECT t.band, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(c.doc_a) AS BIGINT) AS n_recalled
+  FROM truth t
+  LEFT JOIN candidates c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+  GROUP BY 1
+),
+wasted AS (
+  SELECT CAST(-1 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(*) AS BIGINT) AS n_recalled
+  FROM candidates c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  WHERE t.doc_a IS NULL
+)
+SELECT * FROM per_band UNION ALL SELECT * FROM wasted ORDER BY band
+"""
+
 
 # ---------------------------------------------------------------------------
 # SimHash

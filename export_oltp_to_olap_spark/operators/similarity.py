@@ -433,6 +433,120 @@ ORDER BY vec_id
 LABEL_KNN_NOISE_SQL = label_knn_noise_sql()
 
 
+HARD_NEG_K = 5
+
+
+def hard_negative_mining(embeddings: DataFrame, k: int = HARD_NEG_K) -> DataFrame:
+    """Per-anchor hard negatives: the ``k`` most-similar vectors whose
+    label DIFFERS from the anchor's — the mining step that builds
+    contrastive / metric-learning training pairs (a "hard" negative is a
+    different-class vector the encoder currently confuses with the
+    anchor, so training against it moves the boundary most).
+
+    ``(vec_id, rank, neg_id, label, neg_label)`` ordered by
+    (vec_id, rank) — INTEGER output only (the cosine scores stay
+    internal, the `label_knn_noise` zero-float-hash discipline); cosine
+    ties break on neg_id, both total orders shared with the SQL.
+
+    Plan: the `label_knn_noise` two-phase shape with the label-
+    inequality predicate applied BEFORE the shortlist — vectorized
+    prescore over cross-label pairs only, per-anchor 2k shortlist on
+    the unrounded prescore, exact-decimal rescore of the shortlist,
+    rank, cut at k.  Same declared O(N²) EXACTNESS BASELINE as the
+    other brute faces (allowlisted cartesian): run it on the labeled
+    contrastive slice; the scale path routes the same different-label
+    filter + vote through the IVF/LSH shortlist.
+    """
+    from pyspark.sql import Window
+
+    pair_dot = _pair_dot_udf()
+    base = with_norm(embeddings).select("vec_id", "label", "embedding", "norm")
+    a = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    pre = a.join(b, F.col("label") != F.col("neg_label")).withColumn(
+        "cos_pre",
+        pair_dot(F.col("q_emb"), F.col("n_emb"))
+        / (F.col("q_norm") * F.col("n_norm")),
+    )
+    w_pre = Window.partitionBy("qid").orderBy(F.col("cos_pre").desc(), F.col("nid"))
+    # Same tie-density assumption as label_knn_noise (documented there):
+    # the 2k shortlist ranks by the unrounded float prescore; a true
+    # top-k member can only fall outside the cut if > k neighbors sit
+    # within prescore noise (~1e-13) of the boundary.
+    shortlist = pre.withColumn("_prerank", F.row_number().over(w_pre)).where(
+        F.col("_prerank") <= 2 * k
+    )
+    scored = shortlist.withColumn(
+        "cos",
+        F.round(
+            _exact_dot(F.col("q_emb"), F.col("n_emb"))
+            / (F.col("q_norm") * F.col("n_norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("nid").alias("neg_id"),
+            "label",
+            "neg_label",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def hard_negative_mining_sql(k: int = HARD_NEG_K) -> str:
+    """DuckDB restatement: full exact ranking over cross-label pairs
+    (no shortlist needed at oracle scale), same (cos DESC, nid) order."""
+    return f"""
+WITH {_NORMS_CTE},
+dots AS (
+  SELECT q.vec_id AS qid, d.vec_id AS nid,
+         CAST(round(SUM(CAST(q.e * d.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM elems q JOIN elems d ON q.i = d.i AND q.vec_id <> d.vec_id
+  GROUP BY 1, 2
+),
+labeled AS (
+  SELECT dots.qid, dots.nid,
+         lq.label AS label, ln.label AS neg_label,
+         round(dot / (nq.norm * nd.norm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = qid
+  JOIN norms nd ON nd.vec_id = nid
+  JOIN embeddings lq ON lq.vec_id = dots.qid
+  JOIN embeddings ln ON ln.vec_id = dots.nid
+  WHERE lq.label <> ln.label
+),
+ranked AS (
+  SELECT qid, nid, label, neg_label,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+  FROM labeled
+)
+SELECT qid AS vec_id, CAST(rk AS INTEGER) AS rank, nid AS neg_id,
+       label, neg_label
+FROM ranked
+WHERE rk <= {k}
+ORDER BY vec_id, rank
+""".strip()
+
+
+HARD_NEGATIVE_MINING_SQL = hard_negative_mining_sql()
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane-LSH bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------

@@ -90,6 +90,9 @@ CARTESIAN_ALLOWED = frozenset(
         "ann_cosine_topk",
         "embedding_cosine_neardup",
         "label_knn_noise",
+        # same brute exactness-baseline shape as label_knn_noise, with
+        # the label-inequality predicate as the join condition:
+        "hard_negative_mining",
         # S×1 broadcast of the chosen waterfilling boundary row onto the
         # S source rows (S = source catalog, not data) — a degenerate
         # cross join by construction, not a pair blow-up:
@@ -137,6 +140,11 @@ SMJ_EXPECTED = frozenset(
         # embeddings table; neither side is broadcastable at corpus
         # scale) — the vote re-attach of the brute-force baseline:
         "label_knn_noise",
+        # truth-pair set ⋈ LSH candidate-pair set (left outer for the
+        # recall join, left anti for the wasted-verification row) —
+        # both sides are corpus-derived pair sets keyed on
+        # (doc_a, doc_b), neither broadcastable at scale:
+        "lsh_recall_audit",
     }
 )
 

@@ -1577,3 +1577,153 @@ FROM bucketed
 GROUP BY source, len_bucket
 ORDER BY source, len_bucket
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary pruning (df band-pass) — gensim filter_extremes semantics
+# ---------------------------------------------------------------------------
+
+VOCAB_PRUNE_LO_PCT = 10
+VOCAB_PRUNE_HI_PCT = 78
+
+
+def vocab_prune_rewrite(
+    docs: DataFrame,
+    lo_pct: int = VOCAB_PRUNE_LO_PCT,
+    hi_pct: int = VOCAB_PRUNE_HI_PCT,
+) -> DataFrame:
+    """Document-frequency band-pass vocabulary pruning: a token survives
+    iff its corpus df lies in ``[lo_pct%, hi_pct%]`` of documents — the
+    ``Dictionary.filter_extremes(no_below, no_above)`` convention every
+    bag-of-words / topic-model pipeline applies before training (too
+    rare = noise/typos, too common = corpus-wide stopwords).
+
+    Per-doc audit row ``(doc_id, n_tokens, n_kept, n_pruned_low,
+    n_pruned_high, kept_fp)`` where ``kept_fp`` is the md5 of the
+    surviving tokens joined by one space IN ORIGINAL ORDER — the
+    fingerprint-of-the-rewrite convention ``pii_scan`` uses, so the
+    face stays narrow while pinning the full rewritten token stream.
+    Zero-token docs (and docs whose every token is pruned) publish
+    ``md5('')``.  Both band predicates are pure-integer cross
+    multiplications (``df·100 < lo_pct·n_docs``) — no float surface.
+
+    Scale shape: posexplode → distinct (doc, token) → df aggregate,
+    then ONE key-partitioned join of the token stream against the df
+    table (vocab-sized — AQE broadcasts it at fixture scale; at corpus
+    scale it stays a hash join keyed by token, never a driver
+    collect), then one per-doc re-aggregate whose in-order rebuild is
+    an ``array_sort`` over (pos, tok) structs — no window, no global
+    sort except the final presentation ORDER BY.
+    """
+    base = spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+    tok = base.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    df_ = (
+        tok.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cls = (
+        tok.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "cls",
+            F.when(
+                F.col("df") * 100 < F.lit(lo_pct) * F.col("n_docs"), F.lit(-1)
+            )
+            .when(F.col("df") * 100 > F.lit(hi_pct) * F.col("n_docs"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )
+    per_doc = cls.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("cls") == 0).cast("long")).alias("n_kept"),
+        F.sum((F.col("cls") == -1).cast("long")).alias("n_pruned_low"),
+        F.sum((F.col("cls") == 1).cast("long")).alias("n_pruned_high"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("cls") == 0,
+                                F.struct(
+                                    F.col("pos").alias("pos"),
+                                    F.col("tok").alias("tok"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("kept_fp"),
+    )
+    empty_fp = F.md5(F.lit(""))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("n_pruned_low", F.lit(0).cast("long")).alias(
+                "n_pruned_low"
+            ),
+            F.coalesce("n_pruned_high", F.lit(0).cast("long")).alias(
+                "n_pruned_high"
+            ),
+            F.coalesce("kept_fp", empty_fp).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _vocab_prune_sql(
+    lo_pct: int = VOCAB_PRUNE_LO_PCT, hi_pct: int = VOCAB_PRUNE_HI_PCT
+) -> str:
+    toks = SQL_TOKENS.format(t="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+flat AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+  FROM toks
+),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+cls AS (
+  SELECT f.doc_id, f.pos, f.tok,
+         CASE WHEN df.df * 100 < {lo_pct} * nd.n_docs THEN -1
+              WHEN df.df * 100 > {hi_pct} * nd.n_docs THEN 1
+              ELSE 0 END AS cls
+  FROM flat f JOIN df USING (tok) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE cls = 0) AS BIGINT) AS n_kept,
+         CAST(count(*) FILTER (WHERE cls = -1) AS BIGINT) AS n_pruned_low,
+         CAST(count(*) FILTER (WHERE cls = 1) AS BIGINT) AS n_pruned_high,
+         md5(coalesce(
+           string_agg(CASE WHEN cls = 0 THEN tok END, ' ' ORDER BY pos),
+           '')) AS kept_fp
+  FROM cls GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.n_pruned_low, 0) AS n_pruned_low,
+       coalesce(p.n_pruned_high, 0) AS n_pruned_high,
+       coalesce(p.kept_fp, md5('')) AS kept_fp
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+""".strip()
+
+
+VOCAB_PRUNE_SQL = _vocab_prune_sql()

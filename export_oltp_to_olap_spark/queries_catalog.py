@@ -1487,6 +1487,36 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str):
     return text_queries.source_vocab_overlap(_docs(spark, sf_dir))
 
 
+@register("hard_negative_mining", similarity.HARD_NEGATIVE_MINING_SQL)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str):
+    """Contrastive-training pair mining: per anchor, the k most-similar
+    vectors whose LABEL DIFFERS — the hard negatives a metric-learning
+    run trains against.  Integer-only output (cosines stay internal,
+    the label_knn_noise discipline); exactness baseline on the labeled
+    slice, scale path = same filter over the IVF/LSH shortlist."""
+    return similarity.hard_negative_mining(_embeddings(spark, sf_dir))
+
+
+@register("lsh_recall_audit", neardup.LSH_RECALL_AUDIT_SQL)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str):
+    """Measured recall curve of the banded-MinHash candidate stage vs
+    EXACT ≥0.5-Jaccard ground truth, per Jaccard decile, plus the
+    wasted-verification row (band −1).  Pure-integer face; finding a
+    latent oracle banding bug on landing is its origin story (see
+    neardup._MINHASH_PAIRS_CTES)."""
+    return neardup.lsh_recall_audit(_docs(spark, sf_dir))
+
+
+@register("vocab_prune_rewrite", text_queries.VOCAB_PRUNE_SQL)
+def q_vocab_prune_rewrite(spark: SparkSession, sf_dir: str):
+    """Document-frequency band-pass vocabulary pruning (gensim
+    filter_extremes semantics): per-doc kept/pruned-low/pruned-high
+    counts + md5 fingerprint of the surviving in-order token stream.
+    Integer band predicates (df·100 vs pct·n_docs) — zero float
+    surface; one key-partitioned token⋈df join, no window."""
+    return text_queries.vocab_prune_rewrite(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1537,19 +1567,46 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      fillers first (decontaminate_bloom, decontam_strip_rewrite,
     #      curated_corpus_rewritten, cluster_balanced_sample), then the
     #      r07 TPC-H block.
+    # --- MID-ROUND-11 SECOND WAVE ---
+    # In (8): three new registrations windowed same-commit
+    #      (hard_negative_mining, lsh_recall_audit, vocab_prune_rewrite)
+    #      per the standing rule, plus the five ORACLE-TOUCHED faces of
+    #      the minhash banding fix: lsh_recall_audit's candidate-set
+    #      comparison exposed that the DuckDB CTE's
+    #      `CAST(h / R AS INTEGER)` rounds (float division) instead of
+    #      flooring, silently misaligning the oracle's LSH bands
+    #      against Spark's — invisible to every ≥0.8-verified output
+    #      (re-verified: all seven embedding faces byte-identical at
+    #      sf0.01 before AND after the fix), but the oracle text
+    #      changed, so minhash_near_dup, neardup_clusters,
+    #      leakage_safe_splits, leakage_fix_report, and
+    #      neardup_quality_keepers re-earn; the other two touched
+    #      faces (minhash_delta_neardup, split_leakage_report) were
+    #      already in this window.
+    # Out (8): the r07 TPC-H block (tpch_q5_local_supplier,
+    #      tpch_q6_forecast_revenue, tpch_q7_volume_shipping — the
+    #      announced next displacement wave) and five r03-green text
+    #      probes (text_fingerprints, text_lang_id, text_quality,
+    #      token_count_bpe, token_stats_by_source — the text family
+    #      keeps earning fresh rows via its round-10/11 faces).  All
+    #      eight keep prior green rows and are in _REPORT_EXEMPT.
     # ROUND-12 CHORE (pre-staged): once CORRECTNESS_r11 lands, rotate out
-    #      the 44 r11-earners (keep the 5 star sentinels and any face
+    #      the r11-earners (keep the 5 star sentinels and any face
     #      touched in round 12), rotate round-12 registrations in
     #      same-commit (standing rule), and backfill the oldest-green
-    #      pool — post-r11 it is exactly: tpch_q3_shipping_priority (r07,
-    #      displaced mid-r11) and the 22 r08-green names
+    #      pool — post-r11 it is exactly: the four r07 TPC-H
+    #      (tpch_q3_shipping_priority, tpch_q5_local_supplier,
+    #      tpch_q6_forecast_revenue, tpch_q7_volume_shipping), the five
+    #      r03-green text probes displaced mid-r11 (text_fingerprints,
+    #      text_lang_id, text_quality, token_count_bpe,
+    #      token_stats_by_source), and the 22 r08-green names
     #      (cluster_balanced_sample, curated_corpus_rewritten,
     #      decontam_strip_rewrite, decontaminate_bloom,
     #      fingerprint_delta, ivfpq_cosine_topk, media_exact_dedup,
     #      pq_cosine_topk, semdedup_threshold_curve, span_strip_rewrite,
     #      winnowing_fingerprints, and the twelve r08 TPC-H:
     #      q2 q8 q9_product q9_trend q11 q13 q15 q16 q17 q20 q21) —
-    #      23 backfills + 5 sentinels leaves ~22 slots for round-12
+    #      31 backfills + 5 sentinels leaves ~14 slots for round-12
     #      registrations and r09-green backfills.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
@@ -1572,6 +1629,17 @@ WINDOW_FIRST: tuple[str, ...] = (
     "doc_length_spectrum",
     "doc_length_spectrum_delta",
     "capped_epoch_allocation",
+    # Mid-round-11 second wave: new registrations (standing rule) ...
+    "hard_negative_mining",
+    "lsh_recall_audit",
+    "vocab_prune_rewrite",
+    # ... and the five oracle-touched faces of the minhash banding fix
+    # (must re-earn; see the rotation note above):
+    "minhash_near_dup",
+    "neardup_clusters",
+    "leakage_safe_splits",
+    "leakage_fix_report",
+    "neardup_quality_keepers",
     # The 20 remaining r03-green names (oldest rows on the board):
     "clicks_before_purchase",
     "cube_order_stats",
@@ -1587,11 +1655,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "star_dim_producto",
     "star_dim_tiempo",
     "star_fact_source",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality",
-    "token_count_bpe",
-    "token_stats_by_source",
     "topk_orders",
     # r04 cohort:
     "dq_oltp_checks",
@@ -1610,14 +1673,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     "ngram_diversity_by_source",
     "split_leakage_report",
     "stratified_sample_summary",
-    # r07 (oldest TPC-H rows; tpch_q3_shipping_priority displaced by
-    # doc_length_spectrum_delta, tpch_q4_order_priority by
-    # capped_epoch_allocation — the announced next wave):
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    # (all four r08 fillers — decontam_strip_rewrite, decontaminate_bloom,
+    # (the whole r07 TPC-H block — q3 q4 q5 q6 q7 — and five r03 text
+    # probes are now displaced; all in the round-12 backfill pool.  The
+    # four r08 fillers — decontam_strip_rewrite, decontaminate_bloom,
     # cluster_balanced_sample, curated_corpus_rewritten — were displaced
-    # by the four round-11 corpus-stats/hybrid registrations; the next
-    # displacement wave would draw from the r07 TPC-H block)
+    # by the four round-11 corpus-stats/hybrid registrations.)
 )

@@ -131,6 +131,9 @@ _REPORT_EXEMPT = {
     "doc_length_spectrum",
     "doc_length_spectrum_delta",
     "capped_epoch_allocation",
+    "hard_negative_mining",
+    "lsh_recall_audit",
+    "vocab_prune_rewrite",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

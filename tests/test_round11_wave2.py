@@ -1,0 +1,169 @@
+"""Mid-round-11 second-wave contracts: the minhash banding-parity pin
+(the bug `lsh_recall_audit` exposed), recall-audit invariants on a
+planted corpus, hard-negative structural laws, and a pure-Python
+recount for the vocabulary band-pass."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+
+from export_oltp_to_olap_spark.operators import neardup, similarity
+from export_oltp_to_olap_spark.plans import text_queries
+from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+
+def _docs(spark, sf001):
+    return load_tables(spark, sf001, ("documents",))["documents"]
+
+
+def test_minhash_banding_candidate_parity(spark, sf001):
+    """REGRESSION PIN for the DuckDB banding fix: the oracle's LSH
+    CANDIDATE set must equal Spark's exactly, not just the ≥0.8-verified
+    output.  Before the `h // R` fix, DuckDB's `CAST(h / R AS INTEGER)`
+    ROUNDED (float division), pairing mh2 with mh1 and leaving bands 0
+    and H/R with a NULL key — a silent recall change no verified face
+    could see."""
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    spark_pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in neardup.minhash_candidate_pairs(docs).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents_arrow", docs.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_arrow")
+    # everything up to (not including) the candidates CTE, then the
+    # candidate join alone — no sizes/verify stages
+    prefix = neardup._MINHASH_PAIRS_CTES.split("candidates AS")[0].rstrip().rstrip(",")
+    sql = (
+        "WITH "
+        + prefix
+        + """,
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM candidates
+"""
+    )
+    duck_pairs = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert spark_pairs == duck_pairs
+
+
+def test_lsh_recall_audit_planted(spark):
+    """Planted corpus: identical twins (Jaccard 1.0 → identical
+    signatures → candidate with certainty) land in band 10 with recall
+    1; the unrelated doc produces no truth pair; the wasted row's two
+    counts agree by construction."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # identical twin: jaccard 1.0
+        (3, base.replace("kappa", "zzz")),  # near twin
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["band"]: r for r in neardup.lsh_recall_audit(docs).collect()}
+    assert 10 in out, out
+    assert out[10]["n_pairs"] == out[10]["n_recalled"] == 1
+    for band, r in out.items():
+        assert r["n_recalled"] <= r["n_pairs"]
+        if band >= 0:
+            assert 5 <= band <= 10
+        else:
+            assert r["n_pairs"] == r["n_recalled"]  # all candidates
+
+
+def test_hard_negative_structure(spark, sf001):
+    """Every mined negative has a different label; each anchor emits
+    exactly k rows ranked 1..k (the fixture has ≥k cross-label vectors
+    for every anchor); no anchor pairs with itself."""
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    rows = similarity.hard_negative_mining(emb).collect()
+    k = similarity.HARD_NEG_K
+    per_anchor: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["label"] != r["neg_label"]
+        assert r["vec_id"] != r["neg_id"]
+        per_anchor.setdefault(r["vec_id"], []).append(r["rank"])
+    n_vec = emb.count()
+    assert len(per_anchor) == n_vec
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, k + 1))
+
+
+def test_vocab_prune_pure_python_recount(spark, sf001):
+    """Full-row recount of the df band-pass in pure Python: tokenize,
+    df over distinct docs, integer band predicates, in-order kept
+    fingerprint — byte-identical to the Spark face."""
+    docs = _docs(spark, sf001)
+    pdf = docs.select("doc_id", "text").toPandas()
+    tok_re = re.compile(r"[^a-z0-9]+")
+    toks = {
+        int(r.doc_id): [t for t in tok_re.split(r.text.lower()) if t]
+        for r in pdf.itertuples()
+    }
+    n_docs = len(toks)
+    df_counts: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df_counts[t] = df_counts.get(t, 0) + 1
+    lo, hi = text_queries.VOCAB_PRUNE_LO_PCT, text_queries.VOCAB_PRUNE_HI_PCT
+
+    def cls(t: str) -> int:
+        d = df_counts[t]
+        if d * 100 < lo * n_docs:
+            return -1
+        if d * 100 > hi * n_docs:
+            return 1
+        return 0
+
+    want = {}
+    for doc_id, ts in toks.items():
+        kept = [t for t in ts if cls(t) == 0]
+        want[doc_id] = (
+            len(ts),
+            len(kept),
+            sum(1 for t in ts if cls(t) == -1),
+            sum(1 for t in ts if cls(t) == 1),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_kept"],
+            r["n_pruned_low"],
+            r["n_pruned_high"],
+            r["kept_fp"],
+        )
+        for r in text_queries.vocab_prune_rewrite(docs).collect()
+    }
+    assert got == want
+    # the fixture must exercise all three classes or the face proves
+    # nothing — pin non-degeneracy, not just agreement
+    assert any(v[2] > 0 for v in want.values()), "no pruned-low tokens"
+    assert any(v[3] > 0 for v in want.values()), "no pruned-high tokens"
+    assert any(v[1] > 0 for v in want.values()), "no kept tokens"
+
+
+def test_wave2_plans_clean(spark, sf001):
+    """Plan-shape pin: the three new faces sweep clean through the
+    full plan audit (cartesian allowlist + SMJ review encoded in
+    plan_audit.py, not ad-hoc)."""
+    from export_oltp_to_olap_spark import plan_audit
+
+    rows = plan_audit.audit_plans(
+        spark,
+        sf001,
+        names=["hard_negative_mining", "lsh_recall_audit", "vocab_prune_rewrite"],
+    )
+    flagged = {r["query"]: r["flags"] for r in rows if r["flags"]}
+    assert not flagged, flagged
