@@ -181,7 +181,9 @@ DEFAULT_HEADLINE = [
     # `embedding_cosine_neardup` and `label_knn_noise`: a declared
     # O(N²) exactness baseline for the labeled slice, not a scale path
     # (measured 8.1 s at sf0.1, and its 4M-pair shuffle evicts the
-    # cached shingle sets other faces reuse — run it by name).
+    # cached shingle sets other faces reuse — run it by name).  Its
+    # IVF-shortlisted scale path IS headline:
+    "hard_negative_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
 ]

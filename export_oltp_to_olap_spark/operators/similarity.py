@@ -547,6 +547,158 @@ ORDER BY vec_id, rank
 HARD_NEGATIVE_MINING_SQL = hard_negative_mining_sql()
 
 
+def hard_negative_ivf(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    k: int = HARD_NEG_K,
+) -> DataFrame:
+    """THE SCALE PATH the brute `hard_negative_mining` face declares:
+    the same different-label filter + exact-decimal rescore routed
+    through the IVF probe shortlist instead of the all-pairs join —
+    per-query cost drops from N to ~(nprobe/C)·N probed candidates.
+
+    Recall < 1 by construction (a hard negative can live in an
+    unprobed list — the `ivf_cosine_topk` trade, measured there); the
+    oracle restates this exact pipeline, so the face is deterministic.
+    Output mirrors the brute face: ``(query_id, rank, neg_id, label,
+    neg_label)``, integer-only, cosine ties on neg_id.  The label
+    filter applies BEFORE the shortlist cut, exactly as in the brute
+    face, so the k survivors are the k best cross-label candidates of
+    the probed lists.
+    """
+    from pyspark.sql import Window
+
+    pair_dot = _pair_dot_udf()
+    base = with_norm(embeddings).select("vec_id", "label", "embedding", "norm")
+    ranked = rank_centroids(
+        base.select("vec_id", "embedding", "norm"),
+        centroid_table(base, n_centroids, "first"),
+    )
+    labels = base.select("vec_id", "label")
+    assigned = (
+        ranked.where(F.col("cen_rank") == 1)
+        .select("vec_id", "embedding", "norm", "cen_id")
+        .join(labels, "vec_id")
+    )
+    probes = (
+        ranked.where((F.col("vec_id") < n_queries) & (F.col("cen_rank") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), "cen_id")
+    )
+    queries = (
+        base.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    pre = (
+        probes.join(assigned, "cen_id")
+        .join(F.broadcast(queries), "query_id")
+        .where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .withColumn(
+            "cos_pre",
+            pair_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+        )
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("cos_pre").desc(), F.col("vec_id")
+    )
+    shortlist = pre.withColumn("prerank", F.row_number().over(w_pre)).where(
+        F.col("prerank") <= 2 * k
+    )
+    scored = shortlist.withColumn(
+        "cos",
+        F.round(
+            _exact_dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+            6,
+        ),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_k))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("q_label").alias("label"),
+            F.col("label").alias("neg_label"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negative_ivf_sql(
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    k: int = HARD_NEG_K,
+) -> str:
+    """DuckDB restatement of the IVF probe + cross-label rescore."""
+    return f"""
+WITH {_NORMS_CTE},
+cen_sims AS (
+  SELECT v.vec_id, c.vec_id AS cen_id,
+         SUM(v.e * c.e) / (nv.norm * nc.norm) AS sim
+  FROM elems v
+  JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY v.vec_id, c.vec_id, nv.norm, nc.norm
+),
+ranked AS (
+  SELECT vec_id, cen_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS cen_rank
+  FROM cen_sims
+),
+assigned AS (SELECT vec_id, cen_id FROM ranked WHERE cen_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cen_id FROM ranked
+  WHERE vec_id < {n_queries} AND cen_rank <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neg_id, lq.label AS label, ln.label AS neg_label
+  FROM probes p
+  JOIN assigned a ON a.cen_id = p.cen_id
+  JOIN embeddings lq ON lq.vec_id = p.query_id
+  JOIN embeddings ln ON ln.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id AND lq.label <> ln.label
+),
+scored AS (
+  SELECT c.query_id, c.neg_id, c.label, c.neg_label,
+         round(CAST(round(SUM(CAST(eq.e * en.e AS DECIMAL(38,16))), 12) AS DOUBLE)
+               / (nq.norm * nn.norm), 6) AS cos
+  FROM cand c
+  JOIN elems eq ON eq.vec_id = c.query_id
+  JOIN elems en ON en.vec_id = c.neg_id AND en.i = eq.i
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nn ON nn.vec_id = c.neg_id
+  GROUP BY c.query_id, c.neg_id, c.label, c.neg_label, nq.norm, nn.norm
+),
+topk AS (
+  SELECT query_id, neg_id, label, neg_label,
+         CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neg_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neg_id, label, neg_label
+FROM topk WHERE rank <= {k}
+ORDER BY query_id, rank
+""".strip()
+
+
+HARD_NEGATIVE_IVF_SQL = hard_negative_ivf_sql()
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane-LSH bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------

@@ -1497,6 +1497,16 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str):
     return similarity.hard_negative_mining(_embeddings(spark, sf_dir))
 
 
+@register("hard_negative_ivf", similarity.HARD_NEGATIVE_IVF_SQL)
+def q_hard_negative_ivf(spark: SparkSession, sf_dir: str):
+    """The brute hard-negative face's DECLARED SCALE PATH, coded: the
+    same different-label filter + exact-decimal rescore routed through
+    the IVF probe shortlist (first-N centroids, nprobe=4).  Integer-only
+    output; recall < 1 by construction, the measured ivf_cosine_topk
+    trade."""
+    return similarity.hard_negative_ivf(_embeddings(spark, sf_dir))
+
+
 @register("lsh_recall_audit", neardup.LSH_RECALL_AUDIT_SQL)
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str):
     """Measured recall curve of the banded-MinHash candidate stage vs
@@ -1631,6 +1641,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "capped_epoch_allocation",
     # Mid-round-11 second wave: new registrations (standing rule) ...
     "hard_negative_mining",
+    "hard_negative_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
     # ... and the five oracle-touched faces of the minhash banding fix
@@ -1655,7 +1666,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     "star_dim_producto",
     "star_dim_tiempo",
     "star_fact_source",
-    "topk_orders",
+    # (topk_orders — r03-green — displaced by hard_negative_ivf; the
+    # top-k family stays probed by flagship_revenue and
+    # top_customers_per_region, both sentinels)
     # r04 cohort:
     "dq_oltp_checks",
     "events_cohort_retention",

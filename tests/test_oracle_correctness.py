@@ -132,6 +132,7 @@ _REPORT_EXEMPT = {
     "doc_length_spectrum_delta",
     "capped_epoch_allocation",
     "hard_negative_mining",
+    "hard_negative_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
     # Registered new in round 10, windowed same-commit (first driver
