@@ -182,8 +182,10 @@ DEFAULT_HEADLINE = [
     # O(N²) exactness baseline for the labeled slice, not a scale path
     # (measured 8.1 s at sf0.1, and its 4M-pair shuffle evicts the
     # cached shingle sets other faces reuse — run it by name).  Its
-    # IVF-shortlisted scale path IS headline:
+    # IVF-shortlisted scale path IS headline, as is the label-noise
+    # audit's (every vector audited through the per-cell GEMM scan):
     "hard_negative_ivf",
+    "label_knn_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
 ]

@@ -140,6 +140,11 @@ SMJ_EXPECTED = frozenset(
         # embeddings table; neither side is broadcastable at corpus
         # scale) — the vote re-attach of the brute-force baseline:
         "label_knn_noise",
+        # the same re-attach joins on the IVF scale paths: shortlist ⋈
+        # vectors (rescore) and top-k ⋈ labels (vote) — every side
+        # derives from the embeddings table, keyed on vec_id:
+        "label_knn_ivf",
+        "hard_negative_ivf",
         # truth-pair set ⋈ LSH candidate-pair set (left outer for the
         # recall join, left anti for the wasted-verification row) —
         # both sides are corpus-derived pair sets keyed on

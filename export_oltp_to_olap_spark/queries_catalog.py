@@ -1507,6 +1507,17 @@ def q_hard_negative_ivf(spark: SparkSession, sf_dir: str):
     return similarity.hard_negative_ivf(_embeddings(spark, sf_dir))
 
 
+@register("label_knn_ivf", similarity.LABEL_KNN_IVF_SQL)
+def q_label_knn_ivf(spark: SparkSession, sf_dir: str):
+    """The label-noise audit's DECLARED SCALE PATH, coded: the same
+    k-NN majority vote with every vector as a query, neighbors drawn
+    from the nprobe=4 probed IVF lists — ~(nprobe/C)·N² pair cost
+    instead of N², all stages key-partitioned.  Same schema as
+    label_knn_noise; flag-verdict agreement with the brute face is
+    0.87-0.88 on the isotropic fixture (pinned ≥ 0.8)."""
+    return similarity.label_knn_ivf(_embeddings(spark, sf_dir))
+
+
 @register("lsh_recall_audit", neardup.LSH_RECALL_AUDIT_SQL)
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str):
     """Measured recall curve of the banded-MinHash candidate stage vs
@@ -1642,6 +1653,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     # Mid-round-11 second wave: new registrations (standing rule) ...
     "hard_negative_mining",
     "hard_negative_ivf",
+    "label_knn_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
     # ... and the five oracle-touched faces of the minhash banding fix
@@ -1655,7 +1667,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     "clicks_before_purchase",
     "cube_order_stats",
     "date_range_orders",
-    "events_json_stats",
+    # (events_json_stats — r03-green — displaced by label_knn_ivf; the
+    # events-JSON decode family stays probed by cdc_decode)
     "media_metadata_stats",
     "point_filter_customer",
     "simhash_near_dup",

@@ -133,6 +133,7 @@ _REPORT_EXEMPT = {
     "capped_epoch_allocation",
     "hard_negative_mining",
     "hard_negative_ivf",
+    "label_knn_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
     # Registered new in round 10, windowed same-commit (first driver
