@@ -188,6 +188,7 @@ DEFAULT_HEADLINE = [
     "label_knn_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
+    "vocab_df_delta",
 ]
 
 

@@ -491,6 +491,39 @@ def cmd_corpus_stats(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_vocab_classes(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Persist the frozen vocabulary-pruning artifact (tok → class):
+    compute corpus df once, classify every token against the df
+    band-pass, write the (tok, cls) parquet any later
+    `vocab_prune_at_ingest` stream or batch applies without a corpus
+    pass — the `eval-hashes` compute-once contract for the vocabulary."""
+    from export_oltp_to_olap_spark.plans.text_queries import (
+        save_vocab_classes,
+        vocab_class_table,
+    )
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+    classes = vocab_class_table(docs, args.lo_pct, args.hi_pct)
+    save_vocab_classes(classes, args.out)
+    by_cls = {
+        int(r["cls"]): int(r["n"])
+        for r in classes.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "vocab": sum(by_cls.values()),
+                "pruned_low": by_cls.get(-1, 0),
+                "kept": by_cls.get(0, 0),
+                "pruned_high": by_cls.get(1, 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_plan_mixture(args: argparse.Namespace, spark: SparkSession) -> int:
     """Persist the sampling-plan tables a pretraining run publishes:
     α-mixture weights, the epoch/repeat plan for the token budget, and
@@ -796,6 +829,17 @@ def build_parser() -> argparse.ArgumentParser:
     cstats.add_argument("--source-dir", required=True, help="fixture parquet dir")
     cstats.add_argument("--out", required=True, help="output parquet root")
     cstats.set_defaults(fn=cmd_corpus_stats)
+
+    vclasses = sub.add_parser(
+        "vocab-classes",
+        help="persist the frozen vocabulary-pruning artifact (tok, cls) "
+        "that vocab_prune_at_ingest applies per batch/stream",
+    )
+    vclasses.add_argument("--source-dir", required=True, help="fixture parquet dir")
+    vclasses.add_argument("--out", required=True, help="output parquet file")
+    vclasses.add_argument("--lo-pct", type=int, default=10)
+    vclasses.add_argument("--hi-pct", type=int, default=78)
+    vclasses.set_defaults(fn=cmd_vocab_classes)
 
     pmix = sub.add_parser(
         "plan-mixture",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from export_oltp_to_olap_spark.functions.text import (
     LANG_MARKERS,
     SQL_TOKENS,
+    TOKEN_SPLIT_RE,
     doc_fingerprint,
     lang_predict,
     lang_scores,
@@ -1727,3 +1728,183 @@ ORDER BY doc_id
 
 
 VOCAB_PRUNE_SQL = _vocab_prune_sql()
+
+
+# ---------------------------------------------------------------------------
+# The vocabulary table as STANDING STATE: monoid delta maintenance +
+# a frozen classification artifact for at-ingest pruning
+# ---------------------------------------------------------------------------
+
+
+def vocab_df_counts(docs: DataFrame) -> DataFrame:
+    """Corpus vocabulary table ``(tok, df)`` — distinct-document counts,
+    the standing state `vocab_prune_rewrite` classifies against."""
+    base = spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+    return (
+        base.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def vocab_df_delta(new_docs: DataFrame, standing_df: DataFrame) -> DataFrame:
+    """`vocab_df_counts` for an append-only delta batch against the
+    PERSISTED standing table — incremental ≡ full rebuild EXACTLY:
+    per-token distinct-doc counts are commutative monoids under
+    append-only ingest (a doc contributes to each of its tokens once,
+    ever), so the merged table is standing + delta by SUM and nothing
+    re-tokenizes the standing corpus.  The `boilerplate_ngrams_delta` /
+    `doc_length_spectrum_delta` discipline applied to the vocabulary
+    table, closing the loop on the pruning artifact: the df table the
+    at-ingest gate freezes is itself maintainable per batch at
+    O(|delta|)."""
+    merged = (
+        standing_df.unionByName(vocab_df_counts(new_docs))
+        .groupBy("tok")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    return merged.orderBy("tok")
+
+
+VOCAB_DF_DELTA_CUT_FRACTION = 0.9
+
+
+def vocab_df_delta_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: delta = ids above 90% of max; standing derives
+    in-call (persists in production).  The merge is exact, so the
+    ORACLE is the full-rebuild SQL — incremental ≡ rebuild stated
+    directly, hash-checked by the driver."""
+    cut = docs.agg(
+        F.floor(F.lit(VOCAB_DF_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
+    )
+    standing = docs.join(F.broadcast(cut), F.col("doc_id") <= F.col("cut")).drop("cut")
+    new_docs = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("cut")).drop("cut")
+    return vocab_df_delta(new_docs, vocab_df_counts(standing))
+
+
+VOCAB_DF_DELTA_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(t="text")}) AS tok
+  FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df
+FROM toks
+GROUP BY tok
+ORDER BY tok
+""".strip()
+
+
+def vocab_class_table(
+    docs: DataFrame,
+    lo_pct: int = VOCAB_PRUNE_LO_PCT,
+    hi_pct: int = VOCAB_PRUNE_HI_PCT,
+) -> DataFrame:
+    """``(tok, cls)`` — the FROZEN pruning decision per vocabulary
+    token (-1 prune-rare, 0 keep, 1 prune-common), the artifact an
+    ingest gate applies without recomputing corpus df.  Unseen tokens
+    are rare by definition and classify -1 at apply time."""
+    df_tbl = vocab_df_counts(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_tbl.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.when(F.col("df") * 100 < F.lit(lo_pct) * F.col("n_docs"), F.lit(-1))
+            .when(F.col("df") * 100 > F.lit(hi_pct) * F.col("n_docs"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("cls"),
+        )
+    )
+
+
+def save_vocab_classes(vocab_classes: DataFrame, path: str) -> None:
+    """Persist the frozen (tok, cls) pruning artifact as parquet — the
+    compute-once half of the compute-once / apply-per-batch contract
+    (the `save_eval_hashes` convention; parquet so any engine can audit
+    it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rows = sorted((r["tok"], int(r["cls"])) for r in vocab_classes.collect())
+    papq.write_table(
+        pa.table(
+            {
+                "tok": pa.array([t for t, _ in rows], type=pa.string()),
+                "cls": pa.array([c for _, c in rows], type=pa.int32()),
+            }
+        ),
+        path,
+    )
+
+
+def load_vocab_classes(path: str) -> dict:
+    """Read a :func:`save_vocab_classes` artifact into the tok→cls dict
+    :func:`vocab_prune_at_ingest` closes over."""
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(path)
+    return dict(zip(t["tok"].to_pylist(), t["cls"].to_pylist()))
+
+
+def vocab_prune_at_ingest(docs: DataFrame, vocab: dict) -> DataFrame:
+    """`vocab_prune_rewrite` as a STREAMING-SAFE pure map: the frozen
+    (tok → cls) artifact rides the UDF closure, so classification,
+    counts, and the in-order kept fingerprint are all per-row — no
+    corpus df pass, no explode/re-aggregate, no shuffle.  Append-mode
+    legal; batch ≡ the full face when the artifact derives from the
+    same corpus (pinned in tests).  Unseen tokens classify -1
+    (rare-by-definition).
+
+    Scale note: the closure ships the KEPT-band decision for the whole
+    vocabulary — bounded by the vocab, not the corpus.  At vocabularies
+    too large to broadcast, swap the dict for the Bloom-gated form the
+    decontamination family uses (`decontaminate_bloom`), trading exact
+    low/high attribution for a one-sided error the verify pass
+    removes."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = _re.compile(TOKEN_SPLIT_RE)
+
+    @pandas_udf(
+        "struct<n_tokens:bigint,n_kept:bigint,n_pruned_low:bigint,"
+        "n_pruned_high:bigint,kept_fp:string>"
+    )
+    def prune(texts):
+        import pandas as pd
+
+        out = []
+        for text in texts:
+            ts = [t for t in tok_re.split(text.lower()) if t]
+            kept, lo, hi = [], 0, 0
+            for t in ts:
+                c = vocab.get(t, -1)
+                if c == 0:
+                    kept.append(t)
+                elif c == -1:
+                    lo += 1
+                else:
+                    hi += 1
+            out.append(
+                {
+                    "n_tokens": len(ts),
+                    "n_kept": len(kept),
+                    "n_pruned_low": lo,
+                    "n_pruned_high": hi,
+                    "kept_fp": hashlib.md5(" ".join(kept).encode()).hexdigest(),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return docs.select("doc_id", prune(F.col("text")).alias("p")).select(
+        "doc_id",
+        "p.n_tokens",
+        "p.n_kept",
+        "p.n_pruned_low",
+        "p.n_pruned_high",
+        "p.kept_fp",
+    )

@@ -1497,6 +1497,17 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str):
     return similarity.hard_negative_mining(_embeddings(spark, sf_dir))
 
 
+@register("vocab_df_delta", text_queries.VOCAB_DF_DELTA_SQL)
+def q_vocab_df_delta(spark: SparkSession, sf_dir: str):
+    """Append-only delta maintenance of the vocabulary df table:
+    per-token distinct-doc counts are commutative monoids, so standing
+    + delta merge by SUM and the oracle is the FULL-REBUILD SQL —
+    incremental ≡ rebuild hash-checked directly (the
+    boilerplate_ngrams_delta convention, applied to the table the
+    vocab-pruning artifact freezes)."""
+    return text_queries.vocab_df_delta_fixture(_docs(spark, sf_dir))
+
+
 @register("hard_negative_ivf", similarity.HARD_NEGATIVE_IVF_SQL)
 def q_hard_negative_ivf(spark: SparkSession, sf_dir: str):
     """The brute hard-negative face's DECLARED SCALE PATH, coded: the
@@ -1656,6 +1667,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "label_knn_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
+    "vocab_df_delta",
     # ... and the five oracle-touched faces of the minhash banding fix
     # (must re-earn; see the rotation note above):
     "minhash_near_dup",
@@ -1663,8 +1675,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     "leakage_safe_splits",
     "leakage_fix_report",
     "neardup_quality_keepers",
-    # The 20 remaining r03-green names (oldest rows on the board):
-    "clicks_before_purchase",
+    # The remaining r03-green names (oldest rows on the board):
+    # (clicks_before_purchase — r03-green — displaced by vocab_df_delta)
     "cube_order_stats",
     "date_range_orders",
     # (events_json_stats — r03-green — displaced by label_knn_ivf; the

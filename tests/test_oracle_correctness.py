@@ -136,6 +136,7 @@ _REPORT_EXEMPT = {
     "label_knn_ivf",
     "lsh_recall_audit",
     "vocab_prune_rewrite",
+    "vocab_df_delta",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

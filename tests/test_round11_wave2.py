@@ -216,3 +216,114 @@ def test_label_knn_ivf_flag_agreement(spark, sf001):
     assert set(ivf) == set(brute)  # every vector audited in both
     agree = sum(1 for v in ivf if ivf[v] == brute[v])
     assert agree / len(ivf) >= 0.8, agree / len(ivf)
+
+
+def test_vocab_artifact_roundtrip_and_ingest_equivalence(spark, sf001, tmp_path):
+    """The frozen (tok, cls) artifact round-trips through parquet, and
+    the at-ingest pure-map pruner under that artifact reproduces the
+    full batch face byte-identically when the artifact derives from
+    the same corpus."""
+    docs = _docs(spark, sf001)
+    art = tmp_path / "vocab_classes.parquet"
+    text_queries.save_vocab_classes(text_queries.vocab_class_table(docs), str(art))
+    vocab = text_queries.load_vocab_classes(str(art))
+    assert set(vocab.values()) <= {-1, 0, 1} and len(vocab) > 0
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_at_ingest(docs, vocab).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_rewrite(docs).collect()
+    }
+    assert got == want
+
+
+def test_vocab_prune_streams_at_ingest(spark, sf001, tmp_path):
+    """Stream ≡ batch for the artifact-gated pruner: a pure map plan,
+    append-mode legal, fed through the shared file-feed fixture."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    docs = _docs(spark, sf001)
+    vocab = {
+        r["tok"]: r["cls"] for r in text_queries.vocab_class_table(docs).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    chunks = [rows[:77], rows[77:200], rows[200:]]
+    for i, chunk in enumerate(chunks):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        _os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(feed))
+    out = []
+    q = (
+        text_queries.vocab_prune_at_ingest(stream, vocab)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: tuple(r) for r in out}
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_at_ingest(docs, vocab).collect()
+    }
+    assert got == want
+
+
+def test_vocab_df_delta_monoid_merge(spark, sf001):
+    """Incremental ≡ rebuild for the vocabulary df table at several cut
+    points (the doc_length_spectrum_delta sweep convention)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf001)
+    full = {
+        (r["tok"], r["df"]) for r in text_queries.vocab_df_counts(docs).collect()
+    }
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    for frac in (0.0, 0.5, 0.97):
+        cut = int(frac * max_id)
+        standing = docs.where(F.col("doc_id") <= cut)
+        delta = docs.where(F.col("doc_id") > cut)
+        merged = {
+            (r["tok"], r["df"])
+            for r in text_queries.vocab_df_delta(
+                delta, text_queries.vocab_df_counts(standing)
+            ).collect()
+        }
+        assert merged == full, frac
+
+
+def test_vocab_classes_cli_roundtrip(spark, sf001, tmp_path):
+    """`cli vocab-classes` persists the artifact the at-ingest pruner
+    consumes; applying the CLI-written artifact reproduces the full
+    batch face (the eval-hashes compute-once contract)."""
+    from export_oltp_to_olap_spark import cli
+
+    art = tmp_path / "vocab_classes.parquet"
+    rc = cli.main(
+        ["vocab-classes", "--source-dir", sf001, "--out", str(art)], spark=spark
+    )
+    assert rc == 0
+    vocab = text_queries.load_vocab_classes(str(art))
+    docs = _docs(spark, sf001)
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_at_ingest(docs, vocab).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_rewrite(docs).collect()
+    }
+    assert got == want
