@@ -189,6 +189,7 @@ DEFAULT_HEADLINE = [
     "lsh_recall_audit",
     "vocab_prune_rewrite",
     "vocab_df_delta",
+    "length_outlier_report",
 ]
 
 

@@ -1908,3 +1908,91 @@ def vocab_prune_at_ingest(docs: DataFrame, vocab: dict) -> DataFrame:
         "p.n_pruned_high",
         "p.kept_fp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-outlier report — exact rank-based robust statistics
+# ---------------------------------------------------------------------------
+
+
+def length_outlier_report(docs: DataFrame) -> DataFrame:
+    """Per-source robust length statistics + cap-cut counts — the
+    truncation-policy data card: what would a p99 cap cut, how much
+    sits below the p01 floor, and where the quartiles lie.
+
+    Exact rank-based percentiles, never interpolated: the value at rank
+    ``ceil(p·n)`` of the sorted token-count multiset, with the rank
+    computed by integer ceil-division (``(p·n + 99) div 100``) and the
+    pick by 1-based array indexing — identical in both engines, unlike
+    `percentile()`'s engine-specific interpolation.  The cap-cut
+    columns count docs STRICTLY beyond the p10/p90 picks — tail
+    fractions that stay non-zero even at small per-source n, where
+    p99's rank collapses to the max (25 docs → ceil(0.99·25) = 25) and
+    a p99 count would publish a dead-zero column; the Tukey 1.5·IQR
+    fence has the same defect on the uniform fixture (never binds).
+
+    Scale shape: ONE map pass for per-doc lengths and ONE
+    groupBy(source) — the cap counts come from the same sorted array
+    as the picks (`size(filter(lens, < p10))`), so nothing re-reads or
+    re-tokenizes the corpus.  The per-source array is bounded by that
+    source's doc count; at corpus scale swap `collect_list` for the
+    two-pass rank-window form — the published contract (exact ranks,
+    integer comparisons) is representation-independent.  Integer-only
+    face.
+    """
+    per_doc = spread_for_compute(docs.select("doc_id", "text", "source"), "doc_id").select(
+        "source", F.size(tokens("text")).cast("long").alias("len")
+    )
+    ranked = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list("len")).alias("lens"),
+    )
+
+    def pick(p: int):
+        rank = F.expr(f"CAST(({p} * n_docs + 99) DIV 100 AS INT)")
+        return F.element_at("lens", rank)
+
+    def count_lt(bound):
+        return F.size(F.filter("lens", lambda v: v < bound)).cast("long")
+
+    def count_gt(bound):
+        return F.size(F.filter("lens", lambda v: v > bound)).cast("long")
+
+    return ranked.select(
+        "source",
+        "n_docs",
+        pick(1).alias("p01"),
+        pick(50).alias("p50"),
+        pick(99).alias("p99"),
+        pick(25).alias("q1"),
+        pick(75).alias("q3"),
+        count_lt(pick(10)).alias("n_below_p10"),
+        count_gt(pick(90)).alias("n_above_p90"),
+    ).orderBy("source")
+
+
+LENGTH_OUTLIER_SQL = f"""
+WITH per_doc AS (
+  SELECT source, CAST(len({SQL_TOKENS.format(t="text")}) AS BIGINT) AS len
+  FROM documents
+),
+ranked AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         list_sort(list(len)) AS lens
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs,
+       lens[CAST((1 * n_docs + 99) // 100 AS INT)] AS p01,
+       lens[CAST((50 * n_docs + 99) // 100 AS INT)] AS p50,
+       lens[CAST((99 * n_docs + 99) // 100 AS INT)] AS p99,
+       lens[CAST((25 * n_docs + 99) // 100 AS INT)] AS q1,
+       lens[CAST((75 * n_docs + 99) // 100 AS INT)] AS q3,
+       CAST(len(list_filter(lens,
+            v -> v < lens[CAST((10 * n_docs + 99) // 100 AS INT)]))
+          AS BIGINT) AS n_below_p10,
+       CAST(len(list_filter(lens,
+            v -> v > lens[CAST((90 * n_docs + 99) // 100 AS INT)]))
+          AS BIGINT) AS n_above_p90
+FROM ranked
+ORDER BY source
+""".strip()

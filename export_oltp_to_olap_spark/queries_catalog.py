@@ -1497,6 +1497,16 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str):
     return similarity.hard_negative_mining(_embeddings(spark, sf_dir))
 
 
+@register("length_outlier_report", text_queries.LENGTH_OUTLIER_SQL)
+def q_length_outlier_report(spark: SparkSession, sf_dir: str):
+    """Per-source robust length statistics: exact rank-based
+    percentiles (value at ceil(p·n), integer ceil-division ranks,
+    1-based array pick — no engine interpolation) plus strict p10/p90
+    cap-cut counts.  The truncation-policy data card; integer-only
+    face."""
+    return text_queries.length_outlier_report(_docs(spark, sf_dir))
+
+
 @register("vocab_df_delta", text_queries.VOCAB_DF_DELTA_SQL)
 def q_vocab_df_delta(spark: SparkSession, sf_dir: str):
     """Append-only delta maintenance of the vocabulary df table:
@@ -1668,6 +1678,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "lsh_recall_audit",
     "vocab_prune_rewrite",
     "vocab_df_delta",
+    "length_outlier_report",
     # ... and the five oracle-touched faces of the minhash banding fix
     # (must re-earn; see the rotation note above):
     "minhash_near_dup",
@@ -1676,8 +1687,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     "leakage_fix_report",
     "neardup_quality_keepers",
     # The remaining r03-green names (oldest rows on the board):
-    # (clicks_before_purchase — r03-green — displaced by vocab_df_delta)
-    "cube_order_stats",
+    # (clicks_before_purchase — r03-green — displaced by vocab_df_delta;
+    # cube_order_stats — r03-green — displaced by length_outlier_report)
     "date_range_orders",
     # (events_json_stats — r03-green — displaced by label_knn_ivf; the
     # events-JSON decode family stays probed by cdc_decode)

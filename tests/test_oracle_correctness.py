@@ -137,6 +137,7 @@ _REPORT_EXEMPT = {
     "lsh_recall_audit",
     "vocab_prune_rewrite",
     "vocab_df_delta",
+    "length_outlier_report",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -327,3 +327,51 @@ def test_vocab_classes_cli_roundtrip(spark, sf001, tmp_path):
         for r in text_queries.vocab_prune_rewrite(docs).collect()
     }
     assert got == want
+
+
+def test_length_outlier_pure_python_recount(spark, sf001):
+    """Full-row recount of the rank-based length report in pure
+    Python: same tokenizer, explicit sorted-list indexing at
+    ceil(p·n), strict cap-count comparisons."""
+    import math
+
+    docs = _docs(spark, sf001)
+    pdf = docs.select("source", "text").toPandas()
+    tok_re = re.compile(r"[^a-z0-9]+")
+    by_src: dict[str, list[int]] = {}
+    for r in pdf.itertuples():
+        n = len([t for t in tok_re.split(r.text.lower()) if t])
+        by_src.setdefault(r.source, []).append(n)
+    want = {}
+    for src, lens in by_src.items():
+        lens.sort()
+        n = len(lens)
+        pick = lambda p: lens[math.ceil(p * n / 100) - 1]  # noqa: E731
+        p10, p90 = pick(10), pick(90)
+        want[src] = (
+            n,
+            pick(1),
+            pick(50),
+            pick(99),
+            pick(25),
+            pick(75),
+            sum(1 for v in lens if v < p10),
+            sum(1 for v in lens if v > p90),
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["p01"],
+            r["p50"],
+            r["p99"],
+            r["q1"],
+            r["q3"],
+            r["n_below_p10"],
+            r["n_above_p90"],
+        )
+        for r in text_queries.length_outlier_report(docs).collect()
+    }
+    assert got == want
+    # non-degeneracy: the cap counts must fire somewhere
+    assert any(v[6] > 0 for v in want.values())
+    assert any(v[7] > 0 for v in want.values())
