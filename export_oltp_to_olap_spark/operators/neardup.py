@@ -778,6 +778,59 @@ SELECT doc_a, doc_b, jaccard FROM pairs
 LSH_RECALL_TRUTH_THRESHOLD = 0.5
 
 
+def _jaccard_truth_bands(sets: DataFrame) -> DataFrame:
+    """Exact ≥0.5-Jaccard ground-truth pairs with their pure-integer
+    decile band ``(10·n_common) div union`` — the shared truth stage of
+    the family recall audits (lossless prefix-filtered verify over the
+    compact per-doc shingle sets; ``2·n_common ≥ union`` states the 0.5
+    line exactly)."""
+    cand_truth = _ngram_prefix_candidates(sets, LSH_RECALL_TRUTH_THRESHOLD)
+    hashed = sets.select(
+        "doc_id", F.transform("shs", lambda s: F.xxhash64(s)).alias("hshs")
+    )
+    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hshs").alias("shs_a"))
+    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hshs").alias("shs_b"))
+    return (
+        cand_truth.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn("un", F.size("shs_a") + F.size("shs_b") - F.col("n_common"))
+        .where(F.col("n_common") * 2 >= F.col("un"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((10 * n_common) DIV un AS BIGINT)").alias("band"),
+        )
+    )
+
+
+def _recall_audit_frame(truth: DataFrame, found: DataFrame) -> DataFrame:
+    """Per-band ``(band, n_pairs, n_recalled)`` of ``truth`` against a
+    ``found`` (doc_a, doc_b) pair set, plus the ``band = -1`` row
+    counting found pairs BELOW the truth line (wasted work / false
+    positives, depending on the family; its n_recalled repeats n_pairs
+    — they are all found by construction)."""
+    found = found.withColumn("is_cand", F.lit(1).cast("long"))
+    per_band = (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long").alias("n_recalled"),
+        )
+    )
+    wasted = (
+        found.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(-1).cast("long").alias("band"),
+            F.col("n").alias("n_pairs"),
+            F.col("n").alias("n_recalled"),
+        )
+    )
+    return per_band.unionByName(wasted).orderBy("band")
+
+
 def lsh_recall_audit(
     docs: DataFrame,
     n_hashes: int = MINHASH_N_HASHES,
@@ -812,48 +865,50 @@ def lsh_recall_audit(
     """
     sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
     sets = sets.withColumn("n_sh", F.size("shs")).persist()
-    cand_truth = _ngram_prefix_candidates(sets, LSH_RECALL_TRUTH_THRESHOLD)
-    hashed = sets.select(
-        "doc_id", F.transform("shs", lambda s: F.xxhash64(s)).alias("hshs")
-    )
-    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hshs").alias("shs_a"))
-    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hshs").alias("shs_b"))
-    truth = (
-        cand_truth.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
-        .withColumn(
-            "un", F.size("shs_a") + F.size("shs_b") - F.col("n_common")
-        )
-        .where(F.col("n_common") * 2 >= F.col("un"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("CAST((10 * n_common) DIV un AS BIGINT)").alias("band"),
-        )
-    )
-    lsh = _minhash_band_candidates(sets, n_hashes, band_r).withColumn(
-        "is_cand", F.lit(1).cast("long")
-    )
-    per_band = (
-        truth.join(lsh, ["doc_a", "doc_b"], "left")
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long").alias("n_recalled"),
-        )
-    )
-    wasted = (
-        lsh.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit(-1).cast("long").alias("band"),
-            F.col("n").alias("n_pairs"),
-            F.col("n").alias("n_recalled"),
-        )
-    )
-    return per_band.unionByName(wasted).orderBy("band")
+    truth = _jaccard_truth_bands(sets)
+    lsh = _minhash_band_candidates(sets, n_hashes, band_r)
+    return _recall_audit_frame(truth, lsh)
 
+
+# Shared SQL fragments of the family recall audits: exact-Jaccard truth
+# (brute shingle self-join — complete at oracle scale) and the
+# per-band/wasted tail over a `candidates` (doc_a, doc_b) CTE.
+_JACCARD_TRUTH_CTES = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles ia JOIN shingles ib ON ib.sh = ia.sh AND ia.doc_id < ib.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b,
+         CAST((10 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
+             AS band
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 2 * n_common >= sa.n_sh + sb.n_sh - n_common
+)
+""".strip()
+
+_RECALL_TAIL_SQL = """
+per_band AS (
+  SELECT t.band, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(c.doc_a) AS BIGINT) AS n_recalled
+  FROM truth t
+  LEFT JOIN candidates c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+  GROUP BY 1
+),
+wasted AS (
+  SELECT CAST(-1 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(*) AS BIGINT) AS n_recalled
+  FROM candidates c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  WHERE t.doc_a IS NULL
+)
+SELECT * FROM per_band UNION ALL SELECT * FROM wasted ORDER BY band
+""".strip()
 
 LSH_RECALL_AUDIT_SQL = f"""
 WITH {_SHINGLE_CTE},
@@ -883,37 +938,8 @@ candidates AS (
     ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
    AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-common AS (
-  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS n_common
-  FROM shingles ia JOIN shingles ib ON ib.sh = ia.sh AND ia.doc_id < ib.doc_id
-  GROUP BY 1, 2
-),
-truth AS (
-  SELECT doc_a, doc_b,
-         CAST((10 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
-             AS band
-  FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE 2 * n_common >= sa.n_sh + sb.n_sh - n_common
-),
-per_band AS (
-  SELECT t.band, CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(count(c.doc_a) AS BIGINT) AS n_recalled
-  FROM truth t
-  LEFT JOIN candidates c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
-  GROUP BY 1
-),
-wasted AS (
-  SELECT CAST(-1 AS BIGINT) AS band,
-         CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(count(*) AS BIGINT) AS n_recalled
-  FROM candidates c
-  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
-  WHERE t.doc_a IS NULL
-)
-SELECT * FROM per_band UNION ALL SELECT * FROM wasted ORDER BY band
+{_JACCARD_TRUTH_CTES},
+{_RECALL_TAIL_SQL}
 """
 
 
@@ -1088,6 +1114,43 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+def simhash_recall_audit(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """`lsh_recall_audit`'s sibling for the SimHash family: the
+    DECISION set (Hamming ≤ 2 pairs — SimHash has no verify stage to
+    restore precision) measured against the same exact ≥0.5-Jaccard
+    ground truth, per Jaccard decile.
+
+    The two audits together are the family-selection data card:
+    MinHash-LSH loses only candidate-stage recall (verification makes
+    its precision exact), so its band −1 row is WASTED WORK; SimHash's
+    band −1 row is FALSE POSITIVES (token-set Hamming proximity without
+    3-gram Jaccard similarity — e.g. same bag of words, different
+    order), and its per-band recall shows what a bit-proximity
+    threshold misses of true shingle overlap.
+
+    Scale shape: the SimHash pipeline the registered dedup face already
+    runs + the shared truth verify + two pair-keyed joins.
+    """
+    sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
+    sets = sets.withColumn("n_sh", F.size("shs")).persist()
+    truth = _jaccard_truth_bands(sets)
+    found = simhash_neardup(docs, max_hamming).select("doc_a", "doc_b")
+    return _recall_audit_frame(truth, found)
+
+
+SIMHASH_RECALL_AUDIT_SQL = f"""
+WITH {_SHINGLE_CTE},
+{SIMHASH_FP_CTE},
+candidates AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+{_JACCARD_TRUTH_CTES},
+{_RECALL_TAIL_SQL}
 """
 
 # ---------------------------------------------------------------------------

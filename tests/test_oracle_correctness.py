@@ -135,6 +135,7 @@ _REPORT_EXEMPT = {
     "hard_negative_ivf",
     "label_knn_ivf",
     "lsh_recall_audit",
+    "simhash_recall_audit",
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",

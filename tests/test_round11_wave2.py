@@ -375,3 +375,25 @@ def test_length_outlier_pure_python_recount(spark, sf001):
     # non-degeneracy: the cap counts must fire somewhere
     assert any(v[6] > 0 for v in want.values())
     assert any(v[7] > 0 for v in want.values())
+
+
+def test_simhash_recall_audit_planted(spark):
+    """Identical twins have Hamming 0 → found with certainty → band 10
+    recall 1; the SimHash false-positive row (band −1) keeps its two
+    counts equal by construction."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["band"]: r for r in neardup.simhash_recall_audit(docs).collect()}
+    assert out[10]["n_pairs"] == out[10]["n_recalled"] == 1
+    for band, r in out.items():
+        assert r["n_recalled"] <= r["n_pairs"]
+        if band < 0:
+            assert r["n_pairs"] == r["n_recalled"]
