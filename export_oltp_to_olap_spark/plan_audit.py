@@ -150,6 +150,7 @@ SMJ_EXPECTED = frozenset(
         # both sides are corpus-derived pair sets keyed on
         # (doc_a, doc_b), neither broadcastable at scale:
         "lsh_recall_audit",
+        "simhash_recall_audit",  # same shared recall-audit tail
     }
 )
 

@@ -1647,20 +1647,23 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      the r11-earners (keep the 5 star sentinels and any face
     #      touched in round 12), rotate round-12 registrations in
     #      same-commit (standing rule), and backfill the oldest-green
-    #      pool — post-r11 it is exactly: the four r07 TPC-H
+    #      pool — post-r11 it is exactly: the TEN r03-green probes
+    #      displaced mid-r11 by the second-wave registrations
+    #      (text_fingerprints, text_lang_id, text_quality,
+    #      token_count_bpe, token_stats_by_source, topk_orders,
+    #      events_json_stats, clicks_before_purchase, cube_order_stats,
+    #      date_range_orders), the four r07 TPC-H
     #      (tpch_q3_shipping_priority, tpch_q5_local_supplier,
-    #      tpch_q6_forecast_revenue, tpch_q7_volume_shipping), the five
-    #      r03-green text probes displaced mid-r11 (text_fingerprints,
-    #      text_lang_id, text_quality, token_count_bpe,
-    #      token_stats_by_source), and the 22 r08-green names
-    #      (cluster_balanced_sample, curated_corpus_rewritten,
-    #      decontam_strip_rewrite, decontaminate_bloom,
-    #      fingerprint_delta, ivfpq_cosine_topk, media_exact_dedup,
-    #      pq_cosine_topk, semdedup_threshold_curve, span_strip_rewrite,
-    #      winnowing_fingerprints, and the twelve r08 TPC-H:
-    #      q2 q8 q9_product q9_trend q11 q13 q15 q16 q17 q20 q21) —
-    #      31 backfills + 5 sentinels leaves ~14 slots for round-12
-    #      registrations and r09-green backfills.
+    #      tpch_q6_forecast_revenue, tpch_q7_volume_shipping), and the
+    #      22 r08-green names (cluster_balanced_sample,
+    #      curated_corpus_rewritten, decontam_strip_rewrite,
+    #      decontaminate_bloom, fingerprint_delta, ivfpq_cosine_topk,
+    #      media_exact_dedup, pq_cosine_topk, semdedup_threshold_curve,
+    #      span_strip_rewrite, winnowing_fingerprints, and the twelve
+    #      r08 TPC-H: q2 q8 q9_product q9_trend q11 q13 q15 q16 q17
+    #      q20 q21) — 36 backfills won't all fit beside the 5 sentinels
+    #      in one window; take the ten r03 probes + the four r07 TPC-H
+    #      first (oldest rows), r08 names next round.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability

@@ -168,7 +168,10 @@ def test_wave2_plans_clean(spark, sf001):
             "hard_negative_ivf",
             "label_knn_ivf",
             "lsh_recall_audit",
+            "simhash_recall_audit",
             "vocab_prune_rewrite",
+            "vocab_df_delta",
+            "length_outlier_report",
         ],
     )
     flagged = {r["query"]: r["flags"] for r in rows if r["flags"]}
