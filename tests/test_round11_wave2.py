@@ -400,3 +400,132 @@ def test_simhash_recall_audit_planted(spark):
         assert r["n_recalled"] <= r["n_pairs"]
         if band < 0:
             assert r["n_pairs"] == r["n_recalled"]
+
+
+def test_vocab_prune_matches_python_reference_on_random_corpora(spark):
+    """Hypothesis: the df band-pass equals a pure-Python recount on
+    random corpora — empty docs, punctuation-only text, repeated
+    tokens, tiny vocabularies where the bands collapse."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    word = st.text(alphabet="ab1", min_size=1, max_size=2)
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=st.lists(doc, min_size=1, max_size=12))
+    def check(docs):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        toks = {i: [t for t in tok_re.split(t_.lower()) if t] for i, t_ in rows}
+        n_docs = len(rows)
+        dfc: dict[str, int] = {}
+        for ts in toks.values():
+            for t in set(ts):
+                dfc[t] = dfc.get(t, 0) + 1
+        lo, hi = (
+            text_queries.VOCAB_PRUNE_LO_PCT,
+            text_queries.VOCAB_PRUNE_HI_PCT,
+        )
+
+        def cls(t):
+            d = dfc[t]
+            if d * 100 < lo * n_docs:
+                return -1
+            if d * 100 > hi * n_docs:
+                return 1
+            return 0
+
+        want = {}
+        for i, ts in toks.items():
+            kept = [t for t in ts if cls(t) == 0]
+            want[i] = (
+                len(ts),
+                len(kept),
+                sum(1 for t in ts if cls(t) == -1),
+                sum(1 for t in ts if cls(t) == 1),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_kept"],
+                r["n_pruned_low"],
+                r["n_pruned_high"],
+                r["kept_fp"],
+            )
+            for r in text_queries.vocab_prune_rewrite(df).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_length_report_matches_python_reference_on_random_corpora(spark):
+    """Hypothesis: exact rank picks + strict cap counts equal the
+    pure-Python reference on random corpora (single-doc sources, ties,
+    all-equal lengths, empty docs)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    word = st.text(alphabet="ab1", min_size=1, max_size=2)
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.tuples(doc, st.sampled_from(["s1", "s2"])), min_size=1, max_size=12
+        )
+    )
+    def check(docs):
+        rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        by_src: dict[str, list[int]] = {}
+        for _, t, s in rows:
+            by_src.setdefault(s, []).append(
+                len([x for x in tok_re.split(t.lower()) if x])
+            )
+        want = {}
+        for s, lens in by_src.items():
+            lens.sort()
+            n = len(lens)
+            pick = lambda p: lens[math.ceil(p * n / 100) - 1]  # noqa: E731
+            p10, p90 = pick(10), pick(90)
+            want[s] = (
+                n,
+                pick(1),
+                pick(50),
+                pick(99),
+                pick(25),
+                pick(75),
+                sum(1 for v in lens if v < p10),
+                sum(1 for v in lens if v > p90),
+            )
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["p01"],
+                r["p50"],
+                r["p99"],
+                r["q1"],
+                r["q3"],
+                r["n_below_p10"],
+                r["n_above_p90"],
+            )
+            for r in text_queries.length_outlier_report(df).collect()
+        }
+        assert got == want
+
+    check()
