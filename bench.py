@@ -195,6 +195,9 @@ DEFAULT_HEADLINE = [
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
+    # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
+    # inherently |ns| x the single-point face (2.98 s at sf0.1):
+    "decontam_threshold_curve",
 ]
 
 

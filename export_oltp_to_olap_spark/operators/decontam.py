@@ -780,3 +780,112 @@ ORDER BY p.eval_id
 
 
 EVAL_CONTAMINATION_SQL = eval_contamination_sql(FIXTURE_N)
+
+
+# ---------------------------------------------------------------------------
+# n-gram window calibration curve
+# ---------------------------------------------------------------------------
+
+DECONTAM_CURVE_NS = (3, 4, 5, 6, 8)
+
+
+def decontam_threshold_curve(
+    docs: DataFrame, ns: tuple[int, ...] = DECONTAM_CURVE_NS
+) -> DataFrame:
+    """Contamination volume as a function of the n-gram WINDOW SIZE —
+    the calibration card behind "which n do we decontaminate at?"
+    (GPT-3 used 13-grams, Llama 2 reports token-level 10-grams; too
+    small over-flags common phrases, too large misses paraphrase-length
+    quotes).  For each ``n``: how many train docs share at least one
+    word n-gram with the eval split, and how many distinct eval grams
+    leak.  ``(n, n_train_docs_flagged, n_leaked_grams)`` — integers
+    only, same split convention as every decontamination face
+    (`train_eval_split`).
+
+    Scale shape: the token arrays are computed ONCE (persisted splits
+    frame); each curve point is a map-side distinct-gram fan-out + one
+    gram-keyed join + a 1-row aggregate — the registered
+    `decontaminate_documents` shape repeated |ns| times with the
+    smaller output.  Points are independent, so Spark runs the unioned
+    plan's branches concurrently.
+    """
+    assigned = spread_for_compute(
+        assign_splits(docs.select("doc_id", "text"), "doc_id"), "doc_id"
+    ).persist()
+    parts = []
+    for n in ns:
+        grams = assigned.select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(word_shingles("text", n))).alias("gram"),
+        ).select("doc_id", "split", F.md5("gram").alias("g"))
+        ev = grams.where(F.col("split") == "test").select("g").distinct()
+        tr = grams.where(F.col("split") == "train")
+        hits = tr.join(ev, "g")
+        parts.append(
+            hits.agg(
+                F.countDistinct("doc_id").cast("long").alias("n_train_docs_flagged"),
+                F.countDistinct("g").cast("long").alias("n_leaked_grams"),
+            ).select(
+                F.lit(n).cast("int").alias("n"),
+                "n_train_docs_flagged",
+                "n_leaked_grams",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n")
+
+
+def _decontam_curve_point_sql(n: int) -> str:
+    return f"""
+  SELECT CAST({n} AS INT) AS n,
+         CAST(count(DISTINCT tg.doc_id) AS BIGINT) AS n_train_docs_flagged,
+         CAST(count(DISTINCT tg.g) AS BIGINT) AS n_leaked_grams
+  FROM (
+    SELECT doc_id, md5(u.g) AS g
+    FROM (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {n - 1}, 0)),
+               i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+      FROM toks
+    ), unnest(gs) AS u(g)
+    WHERE bucket < {_TRAIN_BOUND}
+  ) tg
+  JOIN (
+    SELECT DISTINCT md5(u.g) AS g
+    FROM (
+      SELECT doc_id, bucket,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {n - 1}, 0)),
+               i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+      FROM toks
+    ), unnest(gs) AS u(g)
+    WHERE bucket >= {_VAL_BOUND}
+  ) eg USING (g)
+""".strip()
+
+
+def decontam_curve_sql(ns: tuple[int, ...] = DECONTAM_CURVE_NS) -> str:
+    points = "\n  UNION ALL\n".join(_decontam_curve_point_sql(n) for n in ns)
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+           AS bucket
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, bucket,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM assigned
+)
+SELECT * FROM (
+{points}
+) ORDER BY n
+""".strip()
+
+
+DECONTAM_CURVE_SQL = decontam_curve_sql()

@@ -1507,6 +1507,17 @@ def q_length_outlier_report(spark: SparkSession, sf_dir: str):
     return text_queries.length_outlier_report(_docs(spark, sf_dir))
 
 
+@register("decontam_threshold_curve", decontam.DECONTAM_CURVE_SQL)
+def q_decontam_threshold_curve(spark: SparkSession, sf_dir: str):
+    """Contamination volume vs n-gram window size (n = 3,4,5,6,8) —
+    the "which n do we decontaminate at?" calibration card.  At sf0.01
+    the curve is textbook: n=3 flags 374 train docs (common-phrase
+    over-flagging), n=4 flags 52, n≥5 converges to the 3 true leaks.
+    Integer-only; same split convention as every decontamination
+    face."""
+    return decontam.decontam_threshold_curve(_docs(spark, sf_dir))
+
+
 @register("simhash_recall_audit", neardup.SIMHASH_RECALL_AUDIT_SQL)
 def q_simhash_recall_audit(spark: SparkSession, sf_dir: str):
     """SimHash family recall audit against the shared exact-Jaccard
@@ -1691,6 +1702,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "label_knn_ivf",
     "lsh_recall_audit",
     "simhash_recall_audit",
+    "decontam_threshold_curve",
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
@@ -1706,8 +1718,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     # cube_order_stats — r03-green — displaced by length_outlier_report)
     # (date_range_orders — r03-green — displaced by simhash_recall_audit;
     # events_json_stats — r03-green — displaced by label_knn_ivf, the
-    # events-JSON decode family stays probed by cdc_decode)
-    "media_metadata_stats",
+    # events-JSON decode family stays probed by cdc_decode;
+    # media_metadata_stats — r03-green — displaced by
+    # decontam_threshold_curve)
     "point_filter_customer",
     "simhash_near_dup",
     "star_dim_categoria",

@@ -136,6 +136,7 @@ _REPORT_EXEMPT = {
     "label_knn_ivf",
     "lsh_recall_audit",
     "simhash_recall_audit",
+    "decontam_threshold_curve",
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",

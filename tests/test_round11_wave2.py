@@ -529,3 +529,25 @@ def test_length_report_matches_python_reference_on_random_corpora(spark):
         assert got == want
 
     check()
+
+
+def test_decontam_curve_monotone_and_consistent(spark, sf001):
+    """An (n+1)-gram collision implies its two n-gram sub-windows
+    collide, so flagged-train-doc counts are NON-INCREASING in n (a
+    theorem, pinned); the FIXTURE_N point must agree with the
+    registered decontaminate_documents face's flagged count."""
+    from export_oltp_to_olap_spark.operators import decontam
+
+    docs = _docs(spark, sf001)
+    curve = {
+        r["n"]: (r["n_train_docs_flagged"], r["n_leaked_grams"])
+        for r in decontam.decontam_threshold_curve(docs).collect()
+    }
+    ns = sorted(curve)
+    assert ns == sorted(decontam.DECONTAM_CURVE_NS)
+    for lo, hi in zip(ns, ns[1:]):
+        assert curve[hi][0] <= curve[lo][0], (lo, hi, curve)
+    flagged_at_fixture_n = decontam.decontaminate_docs(docs).count()
+    assert curve[decontam.FIXTURE_N][0] == flagged_at_fixture_n
+    # non-degenerate: the curve must actually bend on the fixture
+    assert curve[ns[0]][0] > curve[ns[-1]][0]
