@@ -198,6 +198,7 @@ DEFAULT_HEADLINE = [
     # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
     # inherently |ns| x the single-point face (2.98 s at sf0.1):
     "decontam_threshold_curve",
+    "pack_bins_delta",
 ]
 
 

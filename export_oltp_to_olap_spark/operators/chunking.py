@@ -168,3 +168,93 @@ ORDER BY source, bin
 
 
 PACK_BINS_SQL = pack_bins_summary_sql()
+
+
+# ---------------------------------------------------------------------------
+# Delta maintenance of the packing summary
+# ---------------------------------------------------------------------------
+
+
+def pack_source_totals(docs: DataFrame) -> DataFrame:
+    """Per-source total token counts — the CARRY the packing delta
+    needs: under append-only ingest (every new doc_id greater than
+    every standing one, the engine's standing delta invariant) a new
+    doc's global offset is the standing per-source total plus the
+    delta-internal prefix sum."""
+    return (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("total_tokens"))
+    )
+
+
+def pack_bins_delta(
+    new_docs: DataFrame,
+    standing_bins: DataFrame,
+    standing_totals: DataFrame,
+    window: int = PACK_WINDOW,
+) -> DataFrame:
+    """`pack_bins_summary` for an append-only delta batch against the
+    PERSISTED (source, bin) summary — incremental ≡ full rebuild
+    EXACTLY: prior docs' offsets (hence bins) are immutable under
+    append, a delta doc's offset is carry + delta prefix sum, and the
+    per-(source, bin) doc/token counts are additive, so the boundary
+    bin that receives docs from both batches merges by SUM.  Steady
+    state is O(|delta|): one window over the delta batch, one
+    broadcast of the S-row carry, one merge keyed like the standing
+    table — nothing re-tokenizes or re-places the standing corpus.
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens("text")).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    delta = (
+        new_docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("rel", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .join(F.broadcast(standing_totals), "source", "left")
+        .withColumn(
+            "start",
+            (F.col("rel") + F.coalesce(F.col("total_tokens"), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn("bin", F.floor(F.col("start") / window).cast("long"))
+    )
+    delta_summary = delta.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return (
+        standing_bins.unionByName(delta_summary)
+        .groupBy("source", "bin")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+PACK_DELTA_CUT_FRACTION = 0.9
+
+
+def pack_bins_delta_fixture(docs: DataFrame, window: int = PACK_WINDOW) -> DataFrame:
+    """Fixture face: delta = ids above 90% of max (the established
+    delta convention); standing summary and carry derive in-call
+    (persist in production).  The merge is exact, so the ORACLE is the
+    full-rebuild SQL — incremental ≡ rebuild hash-checked directly."""
+    cut = docs.agg(
+        F.floor(F.lit(PACK_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
+    )
+    standing = docs.join(F.broadcast(cut), F.col("doc_id") <= F.col("cut")).drop("cut")
+    new_docs = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("cut")).drop("cut")
+    return pack_bins_delta(
+        new_docs,
+        pack_bins_summary(standing, window),
+        pack_source_totals(standing),
+        window,
+    )

@@ -1507,6 +1507,17 @@ def q_length_outlier_report(spark: SparkSession, sf_dir: str):
     return text_queries.length_outlier_report(_docs(spark, sf_dir))
 
 
+@register("pack_bins_delta", chunking.PACK_BINS_SQL)
+def q_pack_bins_delta(spark: SparkSession, sf_dir: str):
+    """Append-only delta maintenance of the GPT-style packing summary:
+    prior docs' bins are immutable under append, the delta batch's
+    offsets are carry + prefix sum, and the (source, bin) counts merge
+    by SUM — so the oracle is the FULL-REBUILD SQL, incremental ≡
+    rebuild hash-checked directly (the boilerplate_ngrams_delta
+    convention applied to sequence packing)."""
+    return chunking.pack_bins_delta_fixture(_docs(spark, sf_dir))
+
+
 @register("decontam_threshold_curve", decontam.DECONTAM_CURVE_SQL)
 def q_decontam_threshold_curve(spark: SparkSession, sf_dir: str):
     """Contamination volume vs n-gram window size (n = 3,4,5,6,8) —
@@ -1703,6 +1714,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "lsh_recall_audit",
     "simhash_recall_audit",
     "decontam_threshold_curve",
+    "pack_bins_delta",
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
@@ -1720,8 +1732,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     # events_json_stats — r03-green — displaced by label_knn_ivf, the
     # events-JSON decode family stays probed by cdc_decode;
     # media_metadata_stats — r03-green — displaced by
-    # decontam_threshold_curve)
-    "point_filter_customer",
+    # decontam_threshold_curve;
+    # point_filter_customer — r03-green — displaced by pack_bins_delta)
     "simhash_near_dup",
     "star_dim_categoria",
     "star_dim_cliente",

@@ -137,6 +137,7 @@ _REPORT_EXEMPT = {
     "lsh_recall_audit",
     "simhash_recall_audit",
     "decontam_threshold_curve",
+    "pack_bins_delta",
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",

@@ -551,3 +551,31 @@ def test_decontam_curve_monotone_and_consistent(spark, sf001):
     assert curve[decontam.FIXTURE_N][0] == flagged_at_fixture_n
     # non-degenerate: the curve must actually bend on the fixture
     assert curve[ns[0]][0] > curve[ns[-1]][0]
+
+
+def test_pack_bins_delta_cut_sweep(spark, sf001):
+    """Incremental ≡ rebuild for the packing summary at several cut
+    points, including the degenerate all-standing / all-delta edges."""
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.operators import chunking
+
+    docs = _docs(spark, sf001)
+    full = {
+        (r["source"], r["bin"]): (r["n_docs"], r["n_tokens"])
+        for r in chunking.pack_bins_summary(docs).collect()
+    }
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    for frac in (0.0, 0.5, 0.97):
+        cut = int(frac * max_id)
+        standing = docs.where(F.col("doc_id") <= cut)
+        delta = docs.where(F.col("doc_id") > cut)
+        merged = {
+            (r["source"], r["bin"]): (r["n_docs"], r["n_tokens"])
+            for r in chunking.pack_bins_delta(
+                delta,
+                chunking.pack_bins_summary(standing),
+                chunking.pack_source_totals(standing),
+            ).collect()
+        }
+        assert merged == full, frac
