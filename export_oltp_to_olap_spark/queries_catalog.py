@@ -1669,12 +1669,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      the r11-earners (keep the 5 star sentinels and any face
     #      touched in round 12), rotate round-12 registrations in
     #      same-commit (standing rule), and backfill the oldest-green
-    #      pool — post-r11 it is exactly: the TEN r03-green probes
+    #      pool — post-r11 it is exactly: the TWELVE r03-green probes
     #      displaced mid-r11 by the second-wave registrations
     #      (text_fingerprints, text_lang_id, text_quality,
     #      token_count_bpe, token_stats_by_source, topk_orders,
     #      events_json_stats, clicks_before_purchase, cube_order_stats,
-    #      date_range_orders), the four r07 TPC-H
+    #      date_range_orders, media_metadata_stats,
+    #      point_filter_customer), the four r07 TPC-H
     #      (tpch_q3_shipping_priority, tpch_q5_local_supplier,
     #      tpch_q6_forecast_revenue, tpch_q7_volume_shipping), and the
     #      22 r08-green names (cluster_balanced_sample,
@@ -1683,9 +1684,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      media_exact_dedup, pq_cosine_topk, semdedup_threshold_curve,
     #      span_strip_rewrite, winnowing_fingerprints, and the twelve
     #      r08 TPC-H: q2 q8 q9_product q9_trend q11 q13 q15 q16 q17
-    #      q20 q21) — 36 backfills won't all fit beside the 5 sentinels
-    #      in one window; take the ten r03 probes + the four r07 TPC-H
-    #      first (oldest rows), r08 names next round.
+    #      q20 q21) — 38 backfills won't all fit beside the 5 sentinels
+    #      in one window; take the twelve r03 probes + the four r07
+    #      TPC-H first (oldest rows), r08 names next round.
     # Prior rotation notes kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
