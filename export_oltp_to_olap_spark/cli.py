@@ -176,6 +176,32 @@ def cmd_optimize(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_table_versions(args: argparse.Namespace, spark: SparkSession) -> int:
+    """List a versioned table's committed snapshots (and optionally
+    vacuum to the newest N) — the lake-maintenance face of
+    `operators/timetravel.py`, on the same cadence as `optimize`."""
+    from export_oltp_to_olap_spark.operators import timetravel as tt
+
+    removed = []
+    if args.vacuum_keep is not None:
+        removed = tt.vacuum_versions(args.root, keep_last=args.vacuum_keep)
+    versions = tt.committed_versions(args.root)
+    rows = None
+    if args.count and versions:
+        rows = tt.read_table_version(spark, args.root).count()
+    print(
+        json.dumps(
+            {
+                "root": args.root,
+                "committed_versions": versions,
+                "vacuumed": removed,
+                "latest_rows": rows,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_export_corpus(args: argparse.Namespace, spark: SparkSession) -> int:
     """The end-to-end corpus build a training run consumes: curation
     chain (lang/quality gates -> exact dedup -> near-dup drop -> split
@@ -829,6 +855,18 @@ def build_parser() -> argparse.ArgumentParser:
     cstats.add_argument("--source-dir", required=True, help="fixture parquet dir")
     cstats.add_argument("--out", required=True, help="output parquet root")
     cstats.set_defaults(fn=cmd_corpus_stats)
+
+    tvers = sub.add_parser(
+        "table-versions",
+        help="list a versioned table's committed snapshots; --vacuum-keep N "
+        "drops older versions and crashed partial publishes",
+    )
+    tvers.add_argument("--root", required=True, help="versioned table root")
+    tvers.add_argument("--vacuum-keep", type=int, default=None)
+    tvers.add_argument(
+        "--count", action="store_true", help="also count the latest snapshot's rows"
+    )
+    tvers.set_defaults(fn=cmd_table_versions)
 
     vclasses = sub.add_parser(
         "vocab-classes",

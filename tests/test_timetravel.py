@@ -95,3 +95,31 @@ def test_diff_versions_matches_independent_recompute(spark, sf001, tmp_path):
     assert got == want and len(got) > 0
     statuses = {r[1] for r in got}
     assert statuses == {"added", "changed"}  # %5-removed rows come BACK in v2
+
+
+def test_table_versions_cli(spark, sf001, tmp_path):
+    """`cli table-versions` lists committed snapshots and vacuums on
+    request, reporting what it removed."""
+    import json as _json
+
+    from export_oltp_to_olap_spark import cli
+    from export_oltp_to_olap_spark.operators import timetravel as tt
+
+    root = str(tmp_path / "tbl")
+    base = _orders(spark, sf001)
+    for k in (3, 5, 9):
+        tt.versioned_publish(base.limit(k), root)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(
+            ["table-versions", "--root", root, "--vacuum-keep", "2", "--count"],
+            spark=spark,
+        )
+    assert rc == 0
+    out = _json.loads(buf.getvalue())
+    assert out["vacuumed"] == [1]
+    assert out["committed_versions"] == [2, 3]
+    assert out["latest_rows"] == 9
