@@ -421,16 +421,25 @@ def epoch_allocation(
     budgets degenerate at 100 TB exactly like fixed share-of-total
     thresholds do.
 
-    ZERO-FLOAT HASH SURFACE (round-11 fix for the one red driver row in
-    CORRECTNESS_r10): the original face published ``round(double, 6)``
-    ratios (``epochs``, ``residual_rate``, inherited ``weight``), and
-    round-at-a-tie semantics on doubles differ across DuckDB builds —
-    the local strict re-check passed while the driver hash failed.
-    Every published column is now a STRING/BIGINT computed by integer
-    arithmetic (``div``/``%``; the millionths products run in
-    DECIMAL(38,0) / HUGEINT so they cannot overflow at 100 TB), the
-    discipline `label_knn_noise` established.  Readers wanting the 6-dp
-    ``weight`` doubles join `mixture_weights` on ``source``.
+    ZERO-FLOAT HASH SURFACE — output AND computation (the r11/r12
+    two-step fix for the one red driver row): r11 made every published
+    column a BIGINT, but still derived ``target_tokens`` through
+    ``floor(weight_double × budget)`` — and on the sf0.01 fixture one
+    source's product sits 0.017 above its floor boundary, so a
+    ≥ 4e-7 cross-build divergence in ``round(double, 6)`` flips one
+    floor by a token and the remainder clamp cascades it into a second
+    row (rows/schema match, hash fails — exactly what CORRECTNESS_r10
+    AND _r11 recorded while local strict equality stayed green).  r12
+    adopts the pattern its sibling `capped_epoch_allocation` proved
+    green on the same driver build: quantize the weight ONCE to
+    ``wu = round(weight·10⁶)`` BIGINT, then compute every decision by
+    integer cross-multiplication — ``target0 = (wu · budget) div 10⁶``
+    in DECIMAL(38,0) / HUGEINT (no overflow at 100 TB).  Semantics
+    shift by < 1 token per source vs the float product, the oracle
+    shifts identically, and no float survives anywhere between the
+    6-dp ``weight`` contract and the published integers.  Readers
+    wanting the 6-dp ``weight`` doubles join `mixture_weights` on
+    ``source``.
 
     Budget-sum EXACTNESS (closes the r8/r9 advisory): per-source
     flooring undershoots by < 1 token each, and the 6-dp weight
@@ -446,22 +455,33 @@ def epoch_allocation(
     Scale: `mixture_weights`' one corpus aggregate, then arithmetic on
     S source rows.
     """
-    weights = mixture_weights(documents, alpha_tenths)
-    budget = F.floor(
-        F.lit(budget_tenths)
-        * F.sum("tokens").over(Window.partitionBy())
-        / F.lit(10)
-    ).cast("long")
-    floored = F.floor(F.col("weight") * budget).cast("long")
+    base = (
+        mixture_weights(documents, alpha_tenths)
+        .withColumn(
+            "budget",
+            F.expr(
+                f"(CAST({budget_tenths} AS BIGINT) * (SUM(tokens) OVER ())) div 10"
+            ),
+        )
+        .withColumn(
+            "wu", F.expr("greatest(CAST(round(weight * 1000000) AS BIGINT), 1)")
+        )
+        .withColumn(
+            "target0",
+            F.expr("(CAST(wu AS DECIMAL(38,0)) * budget) div 1000000").cast(
+                "long"
+            ),
+        )
+    )
     anchor = (
         F.row_number().over(Window.orderBy(F.col("tokens").desc(), "source")) == 1
     )
-    remainder = budget - (
-        F.sum(floored).over(Window.partitionBy()) - floored
+    remainder = F.col("budget") - (
+        F.sum("target0").over(Window.partitionBy()) - F.col("target0")
     )
-    planned = weights.withColumn(
+    planned = base.withColumn(
         "target_tokens",
-        F.when(anchor, remainder).otherwise(floored).cast("long"),
+        F.when(anchor, remainder).otherwise(F.col("target0")).cast("long"),
     )
     return (
         planned.select(
@@ -489,8 +509,9 @@ def epoch_allocation(
 def epoch_allocation_sql(budget_tenths: int = 15, alpha_tenths: int = 5) -> str:
     """DuckDB restatement of `epoch_allocation` at the same knobs,
     including the largest-source remainder clamp (Σ targets ==
-    budget exactly).  Integer-only published face (``//``/``%`` with
-    HUGEINT products) — no float column survives to the hash."""
+    budget exactly).  Integer-only face AND computation (``//``/``%``
+    with HUGEINT products over the once-quantized ``wu`` weight) — no
+    float reaches any published integer."""
     inner = mixture_weights_sql(alpha_tenths).strip()
     return f"""
 WITH mw AS (
@@ -498,18 +519,26 @@ WITH mw AS (
 ),
 floored AS (
   SELECT source, tokens, weight,
-         CAST(floor({budget_tenths} * (SUM(tokens) OVER ()) / 10) AS BIGINT)
-           AS budget,
-         CAST(floor(weight * floor({budget_tenths}
-               * (SUM(tokens) OVER ()) / 10)) AS BIGINT) AS target0
+         CAST((CAST({budget_tenths} AS HUGEINT) * (SUM(tokens) OVER ())) // 10
+              AS BIGINT) AS budget,
+         greatest(CAST(round(weight * 1000000) AS BIGINT), 1) AS wu
   FROM mw
 ),
-planned AS (
-  SELECT source, tokens, weight,
-         CASE WHEN ROW_NUMBER() OVER (ORDER BY tokens DESC, source) = 1
-              THEN budget - (SUM(target0) OVER () - target0)
-              ELSE target0 END AS target_tokens
+targeted AS (
+  SELECT source, tokens, budget,
+         CAST((CAST(wu AS HUGEINT) * budget) // 1000000 AS BIGINT) AS target0
   FROM floored
+),
+planned AS (
+  -- SUM() OVER promotes to HUGEINT in DuckDB, and HUGEINT reaches
+  -- pandas as float64 — the CASE must come back to BIGINT here or the
+  -- published target_tokens hashes as `2171.0` against Spark's `2171`
+  -- (the green sibling capped_epoch_allocation always had this cast).
+  SELECT source, tokens,
+         CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY tokens DESC, source) = 1
+                   THEN budget - (SUM(target0) OVER () - target0)
+                   ELSE target0 END AS BIGINT) AS target_tokens
+  FROM targeted
 )
 SELECT source, tokens, target_tokens,
        CAST(target_tokens // tokens AS BIGINT) AS repeat_factor,

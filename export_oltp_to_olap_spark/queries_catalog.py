@@ -1608,164 +1608,97 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
-    # --- ROUND-11 ROTATION (VERDICT r10 item 2, the pre-staged chore) ---
-    # Out (42): the 22 r03-green probes and the 10 VERDICT-named
-    #      backfills that re-earned hash-green rows in CORRECTNESS_r10,
-    #      plus the 10 round-10 first-row earners (c4_quality_flags,
-    #      boilerplate_ngrams{,_delta}, lang_mismatch_report,
-    #      curriculum_manifest, label_knn_noise, text_repetition,
-    #      media_neardup{,_capped,_delta}) and the two r10-re-earned
-    #      touched faces (gopher_quality_flags, bpe_tokens_saved).
-    #      Every rotated-out name has a green r10 row; all are in the
-    #      grows-only _REPORT_EXEMPT union.
-    # Kept in despite its r10 row (code + oracle TOUCHED in round 11 —
-    #      the integer-only face that closes the one red row):
-    #      epoch_allocation.
-    # NOT re-windowed (round-11 touches with zero behavioral surface on
-    #      their riders): functions/text.py gained a docstring-only NULL
-    #      precondition (gopher_quality_flags / text_repetition plans
-    #      unchanged), similarity.py a comment-only tie-density note
-    #      (label_knn_noise unchanged), streaming/media_stream.py a
-    #      chunk-order fix on the pytest-only streaming face (the
-    #      registered media_neardup* batch faces share no code with it).
-    # In: the new round-11 registration (schema_drift_audit, windowed
-    #      same-commit per the standing rule), the 20 remaining
-    #      r03-green names (incl. the mid-r10 displacement pool:
-    #      star_dim_{categoria,cliente,envio}, simhash_near_dup,
-    #      date_range_orders, point_filter_customer, events_json_stats,
-    #      clicks_before_purchase, media_metadata_stats,
-    #      cube_order_stats), the r04 cohort (9), r05 (2), r06 (3),
-    #      the five oldest r07 TPC-H rows, and four r08 names — the
-    #      oldest-green rows on the board, so after CORRECTNESS_r11
-    #      every non-rows-only registration has a row from r08+.
-    # ROUND-11 registrations landing later this round displace the r08
-    #      fillers first (decontaminate_bloom, decontam_strip_rewrite,
-    #      curated_corpus_rewritten, cluster_balanced_sample), then the
-    #      r07 TPC-H block.
-    # --- MID-ROUND-11 SECOND WAVE ---
-    # In (8): three new registrations windowed same-commit
-    #      (hard_negative_mining, lsh_recall_audit, vocab_prune_rewrite)
-    #      per the standing rule, plus the five ORACLE-TOUCHED faces of
-    #      the minhash banding fix: lsh_recall_audit's candidate-set
-    #      comparison exposed that the DuckDB CTE's
-    #      `CAST(h / R AS INTEGER)` rounds (float division) instead of
-    #      flooring, silently misaligning the oracle's LSH bands
-    #      against Spark's — invisible to every ≥0.8-verified output
-    #      (re-verified: all seven embedding faces byte-identical at
-    #      sf0.01 before AND after the fix), but the oracle text
-    #      changed, so minhash_near_dup, neardup_clusters,
-    #      leakage_safe_splits, leakage_fix_report, and
-    #      neardup_quality_keepers re-earn; the other two touched
-    #      faces (minhash_delta_neardup, split_leakage_report) were
-    #      already in this window.
-    # Out (8): the r07 TPC-H block (tpch_q5_local_supplier,
-    #      tpch_q6_forecast_revenue, tpch_q7_volume_shipping — the
-    #      announced next displacement wave) and five r03-green text
-    #      probes (text_fingerprints, text_lang_id, text_quality,
-    #      token_count_bpe, token_stats_by_source — the text family
-    #      keeps earning fresh rows via its round-10/11 faces).  All
-    #      eight keep prior green rows and are in _REPORT_EXEMPT.
-    # ROUND-12 CHORE (pre-staged): once CORRECTNESS_r11 lands, rotate out
-    #      the r11-earners (keep the 5 star sentinels and any face
-    #      touched in round 12), rotate round-12 registrations in
-    #      same-commit (standing rule), and backfill the oldest-green
-    #      pool — post-r11 it is exactly: the TWELVE r03-green probes
-    #      displaced mid-r11 by the second-wave registrations
-    #      (text_fingerprints, text_lang_id, text_quality,
-    #      token_count_bpe, token_stats_by_source, topk_orders,
-    #      events_json_stats, clicks_before_purchase, cube_order_stats,
-    #      date_range_orders, media_metadata_stats,
-    #      point_filter_customer), the four r07 TPC-H
-    #      (tpch_q3_shipping_priority, tpch_q5_local_supplier,
-    #      tpch_q6_forecast_revenue, tpch_q7_volume_shipping), and the
-    #      22 r08-green names (cluster_balanced_sample,
-    #      curated_corpus_rewritten, decontam_strip_rewrite,
-    #      decontaminate_bloom, fingerprint_delta, ivfpq_cosine_topk,
-    #      media_exact_dedup, pq_cosine_topk, semdedup_threshold_curve,
-    #      span_strip_rewrite, winnowing_fingerprints, and the twelve
-    #      r08 TPC-H: q2 q8 q9_product q9_trend q11 q13 q15 q16 q17
-    #      q20 q21) — 38 backfills won't all fit beside the 5 sentinels
-    #      in one window; take the twelve r03 probes + the four r07
-    #      TPC-H first (oldest rows), r08 names next round.
-    # Prior rotation notes kept in git history.
+    # --- ROUND-12 ROTATION (VERDICT r11 item 2, the pre-staged chore) ---
+    # Out (43): every untouched r11-earner — the full star oracle set
+    #      (A1-A6/B/D/J rows re-earned fresh in CORRECTNESS_r11), the
+    #      round-11 first-row earners (schema_drift_audit,
+    #      token_zipf_spectrum, source_vocab_overlap,
+    #      hybrid_neardup_confirm, doc_length_spectrum{,_delta},
+    #      capped_epoch_allocation, hard_negative_{mining,ivf},
+    #      label_knn_ivf, pack_bins_delta, vocab_prune_rewrite,
+    #      vocab_df_delta, length_outlier_report), the banding-fix
+    #      re-earners (minhash_near_dup, neardup_clusters,
+    #      leakage_safe_splits, leakage_fix_report,
+    #      neardup_quality_keepers), and the r04-r06 probes that
+    #      re-earned green r11 rows.  All have green r11 rows and are in
+    #      the grows-only _REPORT_EXEMPT union.
+    # Kept in despite green prior rows: epoch_allocation (code + oracle
+    #      TOUCHED in round 12 — the wu-millionths integerization of the
+    #      COMPUTATION, plus the HUGEINT→BIGINT cast the green sibling
+    #      always had; VERDICT r11 item 1).
+    # In as the r11-item-1 DIAGNOSTIC CLUSTER: mixture_weights (if the
+    #      driver build's 6-dp weights themselves diverge, it reds and
+    #      the root cause is pinned) plus its two downstream consumers
+    #      dsir_importance and lm_guided_mixture (r09-green; a red on
+    #      either with mixture green would localize divergence to the
+    #      consumer arithmetic instead).
+    # Backfill (the oldest-green pool, per the pre-staged r12 note):
+    #      the twelve r03 probes displaced mid-r11, the five r07 TPC-H
+    #      (q3 q4 q5 q6 q7), all 22 remaining r08-green names, and two
+    #      r09 fillers (capped_corpus, pack_bins_summary) to reach
+    #      exactly 50.
+    # ROUND-12 registrations landing later this round displace the two
+    #      r09 fillers first, then the r08 TPC-H block from q21
+    #      backwards (q21, q20, q17, q16, ...).
+    # Prior rotation notes (r11 and earlier) kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04 + r07-r10):
+    # probes; hash-green r01-r04 + r07-r11):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # Touched in round 11 (integer-only published face) — must re-earn:
+    # Touched in round 12 (integerized computation + BIGINT cast) — must
+    # re-earn:
     "epoch_allocation",
-    # Registered in round 11, windowed same-commit (standing rule; the
-    # corpus-stats pair displaces the decontaminate_bloom +
-    # decontam_strip_rewrite r08 fillers per the rotation note below):
-    "schema_drift_audit",
-    "token_zipf_spectrum",
-    "source_vocab_overlap",
-    "hybrid_neardup_confirm",
-    "doc_length_spectrum",
-    "doc_length_spectrum_delta",
-    "capped_epoch_allocation",
-    # Mid-round-11 second wave: new registrations (standing rule) ...
-    "hard_negative_mining",
-    "hard_negative_ivf",
-    "label_knn_ivf",
-    "lsh_recall_audit",
-    "simhash_recall_audit",
-    "decontam_threshold_curve",
-    "pack_bins_delta",
-    "vocab_prune_rewrite",
-    "vocab_df_delta",
-    "length_outlier_report",
-    # ... and the five oracle-touched faces of the minhash banding fix
-    # (must re-earn; see the rotation note above):
-    "minhash_near_dup",
-    "neardup_clusters",
-    "leakage_safe_splits",
-    "leakage_fix_report",
-    "neardup_quality_keepers",
-    # The remaining r03-green names (oldest rows on the board):
-    # (clicks_before_purchase — r03-green — displaced by vocab_df_delta;
-    # cube_order_stats — r03-green — displaced by length_outlier_report)
-    # (date_range_orders — r03-green — displaced by simhash_recall_audit;
-    # events_json_stats — r03-green — displaced by label_knn_ivf, the
-    # events-JSON decode family stays probed by cdc_decode;
-    # media_metadata_stats — r03-green — displaced by
-    # decontam_threshold_curve;
-    # point_filter_customer — r03-green — displaced by pack_bins_delta)
-    "simhash_near_dup",
-    "star_dim_categoria",
-    "star_dim_cliente",
-    "star_dim_envio",
-    "star_dim_metodo_pago",
-    "star_dim_producto",
-    "star_dim_tiempo",
-    "star_fact_source",
-    # (topk_orders — r03-green — displaced by hard_negative_ivf; the
-    # top-k family stays probed by flagship_revenue and
-    # top_customers_per_region, both sentinels)
-    # r04 cohort:
-    "dq_oltp_checks",
-    "events_cohort_retention",
-    "minhash_delta_neardup",
-    "orders_rolling_7d_revenue",
-    "profile_orders",
-    "reconcile_customers_full_outer",
-    "setops_all_orders",
-    "subquery_suite",
-    "weighted_sample_summary",
-    # r05:
-    "scd2_incremental_merge",
-    "tfidf_top_terms",
-    # r06:
-    "ngram_diversity_by_source",
-    "split_leakage_report",
-    "stratified_sample_summary",
-    # (the whole r07 TPC-H block — q3 q4 q5 q6 q7 — and five r03 text
-    # probes are now displaced; all in the round-12 backfill pool.  The
-    # four r08 fillers — decontam_strip_rewrite, decontaminate_bloom,
-    # cluster_balanced_sample, curated_corpus_rewritten — were displaced
-    # by the four round-11 corpus-stats/hybrid registrations.)
+    # The r11-item-1 diagnostic cluster (see the rotation note above):
+    "mixture_weights",
+    "dsir_importance",
+    "lm_guided_mixture",
+    # The twelve r03-green probes displaced mid-r11 (oldest rows):
+    "clicks_before_purchase",
+    "cube_order_stats",
+    "date_range_orders",
+    "events_json_stats",
+    "media_metadata_stats",
+    "point_filter_customer",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "token_count_bpe",
+    "token_stats_by_source",
+    "topk_orders",
+    # The five r07-green TPC-H:
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    # The 22 r08-green names:
+    "cluster_balanced_sample",
+    "curated_corpus_rewritten",
+    "decontam_strip_rewrite",
+    "decontaminate_bloom",
+    "fingerprint_delta",
+    "ivfpq_cosine_topk",
+    "media_exact_dedup",
+    "pq_cosine_topk",
+    "semdedup_threshold_curve",
+    "span_strip_rewrite",
+    "winnowing_fingerprints",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q9_profit_trend",
+    "tpch_q11_important_flow",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty",
+    "tpch_q20_dominant_share",
+    "tpch_q21_sole_blame",
+    # r09 fillers (displaced first by round-12 registrations):
+    "capped_corpus",
+    "pack_bins_summary",
 )
