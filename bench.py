@@ -187,11 +187,12 @@ DEFAULT_HEADLINE = [
     "hard_negative_ivf",
     "label_knn_ivf",
     "lsh_recall_audit",
-    # `simhash_recall_audit` is registered (oracle-green) but not
-    # headline: it runs the full SimHash decision pipeline PLUS the
-    # shared exact-truth verify (measured 7.3 s at sf0.1 — the price of
-    # ground truth twice over).  lsh_recall_audit already carries the
-    # truth stage in the headline; run the sibling by name.
+    # `simhash_recall_audit` and `winnow_recall_audit` are registered
+    # (oracle-green) but not headline: each runs its family's full
+    # candidate pipeline PLUS the shared exact-truth verify (the price
+    # of ground truth per sibling).  lsh_recall_audit already carries
+    # the truth stage in the headline; run the siblings by name.  The
+    # measured family cards live in RECALL.json's jaccard_families.
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",

@@ -783,13 +783,19 @@ def _jaccard_truth_bands(sets: DataFrame) -> DataFrame:
     decile band ``(10·n_common) div union`` — the shared truth stage of
     the family recall audits (lossless prefix-filtered verify over the
     compact per-doc shingle sets; ``2·n_common ≥ union`` states the 0.5
-    line exactly)."""
+    line exactly).
+
+    The truth intersect runs on the RAW shingle strings, not the
+    xxhash64-compressed arrays the candidate/verify stages use
+    (ADVICE r11): in a verify stage a 64-bit collision can only admit a
+    candidate that exact verification then scores correctly, but here
+    the intersection IS the final ``n_common`` — a collision could
+    shift a pair's decile band or admit a sub-0.5 pair, silently
+    diverging from the oracle's raw-string truth CTE.  Audit-only code;
+    the wider string shuffle is noise at audit cardinalities."""
     cand_truth = _ngram_prefix_candidates(sets, LSH_RECALL_TRUTH_THRESHOLD)
-    hashed = sets.select(
-        "doc_id", F.transform("shs", lambda s: F.xxhash64(s)).alias("hshs")
-    )
-    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hshs").alias("shs_a"))
-    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hshs").alias("shs_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     return (
         cand_truth.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -861,13 +867,19 @@ def lsh_recall_audit(
     Scale shape: the union of the two candidate stages the standing
     dedup faces already run (prefix-filtered verify + banded self-join)
     plus two pair-keyed joins and a 12-row aggregate; the compact
-    per-doc set rows are persisted once and feed all consumers.
+    per-doc set rows are persisted once and feed all consumers.  The
+    audit executes EAGERLY (the ≤12-row result is localCheckpointed)
+    so the shared set cache can be unpersisted before returning —
+    a never-released audit cache was measurably evicting neighboring
+    queries' cached blocks mid-bench (VERDICT r11 item 5).
     """
     sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
     sets = sets.withColumn("n_sh", F.size("shs")).persist()
     truth = _jaccard_truth_bands(sets)
     lsh = _minhash_band_candidates(sets, n_hashes, band_r)
-    return _recall_audit_frame(truth, lsh)
+    frame = _recall_audit_frame(truth, lsh).localCheckpoint()
+    sets.unpersist()
+    return frame
 
 
 # Shared SQL fragments of the family recall audits: exact-Jaccard truth
@@ -1132,13 +1144,16 @@ def simhash_recall_audit(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     threshold misses of true shingle overlap.
 
     Scale shape: the SimHash pipeline the registered dedup face already
-    runs + the shared truth verify + two pair-keyed joins.
+    runs + the shared truth verify + two pair-keyed joins.  Eager
+    execute + unpersist, like `lsh_recall_audit` (VERDICT r11 item 5).
     """
     sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
     sets = sets.withColumn("n_sh", F.size("shs")).persist()
     truth = _jaccard_truth_bands(sets)
     found = simhash_neardup(docs, max_hamming).select("doc_a", "doc_b")
-    return _recall_audit_frame(truth, found)
+    frame = _recall_audit_frame(truth, found).localCheckpoint()
+    sets.unpersist()
+    return frame
 
 
 SIMHASH_RECALL_AUDIT_SQL = f"""
@@ -1152,6 +1167,54 @@ candidates AS (
 {_JACCARD_TRUTH_CTES},
 {_RECALL_TAIL_SQL}
 """
+
+
+def winnow_recall_audit(docs: DataFrame) -> DataFrame:
+    """The THIRD lexical family member of the recall data card: the
+    winnowing clone-signal candidate set (docs sharing ≥ 1
+    non-boilerplate fingerprint hash, `winnow.winnow_candidate_pairs`)
+    measured against the same exact ≥0.5-Jaccard ground truth as
+    `lsh_recall_audit` / `simhash_recall_audit`, per Jaccard decile.
+
+    Motivation on record (VERDICT r11 item 3): the r11 minhash banding
+    fix proved a candidate-set misalignment can hide for ten rounds
+    behind verified outputs, and winnowing's candidate stage was the
+    one lexical generator never diffed cross-engine.  Interpretation
+    differs from the siblings: winnowing guarantees a shared
+    fingerprint only for shared SUBSTRINGS of ≥ w+k−1 tokens
+    (Schleimer et al. §2), so its recall curve against set-Jaccard
+    truth shows how much of bag-of-shingles similarity survives the
+    positional sketch, and the band −1 row counts substring-sharing
+    pairs below the 0.5 set line (partial-overlap detections — the
+    localization winnowing exists for, not wasted work).
+
+    Scale shape: the winnowing pass + df-capped pair join the
+    registered report faces already run, the shared truth verify, two
+    pair-keyed joins.  Eager execute + unpersist, like its siblings.
+    """
+    from export_oltp_to_olap_spark.operators.winnow import winnow_candidate_pairs
+
+    sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
+    sets = sets.withColumn("n_sh", F.size("shs")).persist()
+    truth = _jaccard_truth_bands(sets)
+    found = winnow_candidate_pairs(docs)
+    frame = _recall_audit_frame(truth, found).localCheckpoint()
+    sets.unpersist()
+    return frame
+
+
+def _winnow_recall_audit_sql() -> str:
+    from export_oltp_to_olap_spark.operators.winnow import winnow_candidate_ctes
+
+    return f"""
+WITH {_SHINGLE_CTE},
+{winnow_candidate_ctes()},
+{_JACCARD_TRUTH_CTES},
+{_RECALL_TAIL_SQL}
+"""
+
+
+WINNOW_RECALL_AUDIT_SQL = _winnow_recall_audit_sql()
 
 # ---------------------------------------------------------------------------
 # Cluster canonicalization (connected components over near-dup pairs)

@@ -286,6 +286,84 @@ def standing_fingerprints(
     )
 
 
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hash_df: int = CLONE_SIGNAL_MAX_DF,
+) -> DataFrame:
+    """Distinct ``(doc_a, doc_b)`` pairs (doc_a < doc_b) sharing at
+    least one non-boilerplate fingerprint hash — the candidate stage of
+    the clone signal, exposed as a pair set so the family recall audit
+    (`neardup.winnow_recall_audit`) can diff it cross-engine.
+
+    The r11 minhash banding fix is the motivation on record: a
+    candidate-set misalignment hid for ten rounds behind ≥0.8-verified
+    outputs, and this was the one lexical candidate generator whose raw
+    pair set was never compared against the oracle.  Same df-cap as
+    `fingerprint_report`'s ``shared_docs`` (hot hashes leave the join),
+    so the pair volume is bounded by cap·|fingerprint rows|.
+    """
+    fph = standing_fingerprints(docs, k, w, id_col, text_col)
+    hot = (
+        fph.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_hash_df)
+        .select("fp_hash")
+    )
+    cold = fph.join(hot, "fp_hash", "left_anti")
+    a = cold.select(F.col(id_col).alias("doc_a"), F.col("fp_hash").alias("h"))
+    b = cold.select(F.col(id_col).alias("doc_b"), F.col("fp_hash").alias("h"))
+    return (
+        a.join(b, on=[a.h == b.h, F.col("doc_a") < F.col("doc_b")])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def winnow_candidate_ctes(
+    k: int = FINGERPRINT_K,
+    w: int = FINGERPRINT_W,
+    max_hash_df: int = CLONE_SIGNAL_MAX_DF,
+) -> str:
+    """The DuckDB CTE chain producing `winnow_candidate_pairs`' pair set
+    as a ``candidates (doc_a, doc_b)`` CTE.  Consumes a ``toks`` CTE
+    (doc_id, t token array) the caller must provide — the family audit
+    composes this with `neardup.shingle_cte()`, whose ``toks`` is the
+    same tokenization, so the truth and candidate stages tokenize
+    identically by construction.  All other names are ``w``-prefixed to
+    stay collision-free."""
+    return f"""
+wgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{k - 1}], ' ')) AS h
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS u(i)
+),
+wkeyed AS (
+  SELECT doc_id, pos,
+         max(pos) OVER (PARTITION BY doc_id) AS maxpos,
+         min(h || ':' || lpad(CAST(pos AS VARCHAR), {_POS_PAD}, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin
+  FROM wgrams
+),
+wfph AS (
+  SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp_hash FROM wkeyed
+  WHERE pos <= maxpos - {w - 1} OR (maxpos < {w - 1} AND pos = 0)
+),
+whot AS (
+  SELECT fp_hash FROM wfph GROUP BY fp_hash HAVING count(*) > {max_hash_df}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wfph a JOIN wfph b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  WHERE a.fp_hash NOT IN (SELECT fp_hash FROM whot)
+)
+""".strip()
+
+
 DELTA_CUT_FRACTION = 0.9  # registered face: ids above 90 % of max = delta
 
 

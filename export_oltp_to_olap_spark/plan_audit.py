@@ -151,6 +151,7 @@ SMJ_EXPECTED = frozenset(
         # (doc_a, doc_b), neither broadcastable at scale:
         "lsh_recall_audit",
         "simhash_recall_audit",  # same shared recall-audit tail
+        "winnow_recall_audit",  # same shared recall-audit tail
     }
 )
 
@@ -191,6 +192,13 @@ STAGE_EXECUTES = frozenset(
         "leakage_safe_splits",
         "leakage_fix_report",
         "duplicated_spans",
+        # The recall-audit faces execute eagerly at build time (the
+        # ≤12-row frame is localCheckpointed so the shared shingle-set
+        # cache can be unpersisted before returning — VERDICT r11
+        # item 5); a plan sweep over them runs the full audit.
+        "lsh_recall_audit",
+        "simhash_recall_audit",
+        "winnow_recall_audit",
     }
 )
 

@@ -1582,6 +1582,18 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str):
     return neardup.lsh_recall_audit(_docs(spark, sf_dir))
 
 
+@register("winnow_recall_audit", neardup.WINNOW_RECALL_AUDIT_SQL)
+def q_winnow_recall_audit(spark: SparkSession, sf_dir: str):
+    """The third lexical recall data card: the winnowing clone-signal
+    candidate set vs the shared exact ≥0.5-Jaccard ground truth, per
+    decile, with the band −1 row counting substring-sharing pairs below
+    the set-Jaccard line (partial-overlap detections — winnowing's
+    localization value, not waste).  Completes the cross-engine
+    candidate-set diff for all three lexical sketch families (the
+    r11 banding bug's lesson)."""
+    return neardup.winnow_recall_audit(_docs(spark, sf_dir))
+
+
 @register("vocab_prune_rewrite", text_queries.VOCAB_PRUNE_SQL)
 def q_vocab_prune_rewrite(spark: SparkSession, sf_dir: str):
     """Document-frequency band-pass vocabulary pruning (gensim
@@ -1697,8 +1709,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q16_supplier_count",
     "tpch_q17_small_qty",
     "tpch_q20_dominant_share",
-    "tpch_q21_sole_blame",
-    # r09 fillers (displaced first by round-12 registrations):
-    "capped_corpus",
-    "pack_bins_summary",
+    # Registered in round 12, windowed same-commit (standing rule;
+    # displaced the capped_corpus r09 filler):
+    "winnow_recall_audit",
+    # Touched in round 12 (shared truth stage now intersects RAW shingle
+    # strings — ADVICE r11 collision fix — and both faces execute
+    # eagerly + unpersist, VERDICT r11 item 5), so they re-enter and
+    # displace the pack_bins_summary r09 filler and tpch_q21_sole_blame:
+    "lsh_recall_audit",
+    "simhash_recall_audit",
 )

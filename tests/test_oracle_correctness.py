@@ -141,6 +141,9 @@ _REPORT_EXEMPT = {
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
+    # Registered new in round 12, windowed same-commit (first driver
+    # rows land in CORRECTNESS_r12):
+    "winnow_recall_audit",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -199,14 +199,20 @@ def test_recall_tracking_artifact(spark, sf01, emb01):
         == report["ivfpq"]["recall_at_k"]
     )
 
+    # MERGE into the artifact rather than overwrite: RECALL.json also
+    # carries the lexical family-audit section (jaccard_families, from
+    # the registered *_recall_audit faces) — a wholesale dump here is
+    # what silently dropped that section after round 11 recorded it.
+    existing = {}
+    if os.path.exists(_ARTIFACT):
+        with open(_ARTIFACT, encoding="utf-8") as fh:
+            existing = json.load(fh)
+    existing.update(
+        {"sf": 0.1, "n_vectors": n, "k": K, "n_queries": N_QUERIES,
+         "methods": report}
+    )
     with open(_ARTIFACT, "w", encoding="utf-8") as fh:
-        json.dump(
-            {"sf": 0.1, "n_vectors": n, "k": K, "n_queries": N_QUERIES,
-             "methods": report},
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(existing, fh, indent=1, sort_keys=True)
 
     failures = [
         f"{name}: recall {vals['recall_at_k']} < floor {vals['floor']}"
