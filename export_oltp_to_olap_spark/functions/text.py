@@ -55,6 +55,19 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """`word_shingles` semantics over an ALREADY-TOKENIZED array column
+    — the tokenize-once form for callers deriving several n-gram widths
+    from one persisted token array (`decontam_threshold_curve`: five
+    corpus text passes → one).  Same short-document guard: fewer than
+    ``n`` tokens yields an empty array."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
 def max_multiplicity(arr: Column) -> Column:
     """Largest multiplicity of any element of a STRING array (0 for an
     empty array): ``sort_array`` + ONE ``aggregate`` pass whose

@@ -199,6 +199,7 @@ STAGE_EXECUTES = frozenset(
         "lsh_recall_audit",
         "simhash_recall_audit",
         "winnow_recall_audit",
+        "decontam_threshold_curve",  # same eager-release pattern
     }
 )
 

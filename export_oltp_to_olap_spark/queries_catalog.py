@@ -1708,10 +1708,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",
     "tpch_q17_small_qty",
-    "tpch_q20_dominant_share",
     # Registered in round 12, windowed same-commit (standing rule;
     # displaced the capped_corpus r09 filler):
     "winnow_recall_audit",
+    # Touched in round 12 (tokenize-once + eager cache release, VERDICT
+    # r11 item 5), displacing tpch_q20_dominant_share:
+    "decontam_threshold_curve",
     # Touched in round 12 (shared truth stage now intersects RAW shingle
     # strings — ADVICE r11 collision fix — and both faces execute
     # eagerly + unpersist, VERDICT r11 item 5), so they re-enter and
