@@ -1823,11 +1823,23 @@ def save_vocab_classes(vocab_classes: DataFrame, path: str) -> None:
     """Persist the frozen (tok, cls) pruning artifact as parquet — the
     compute-once half of the compute-once / apply-per-batch contract
     (the `save_eval_hashes` convention; parquet so any engine can audit
-    it)."""
+    it).
+
+    The ``-1`` (rare) class is FILTERED OUT before the collect: the
+    apply gate classifies unseen tokens ``-1`` by default, so storing
+    them is redundant — and at 100 TB the rare class IS the vocabulary
+    (typos, URLs: easily billions of tokens), which made this the
+    engine's one unbounded-in-principle driver collect (VERDICT r11
+    item 4).  What remains is the 0/1 bands — tokens with df ≥ lo_pct%
+    of documents, bounded by 100/lo_pct · (docs per df unit), small by
+    construction."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
-    rows = sorted((r["tok"], int(r["cls"])) for r in vocab_classes.collect())
+    rows = sorted(
+        (r["tok"], int(r["cls"]))
+        for r in vocab_classes.where(F.col("cls") != -1).collect()
+    )
     papq.write_table(
         pa.table(
             {
@@ -1857,12 +1869,14 @@ def vocab_prune_at_ingest(docs: DataFrame, vocab: dict) -> DataFrame:
     same corpus (pinned in tests).  Unseen tokens classify -1
     (rare-by-definition).
 
-    Scale note: the closure ships the KEPT-band decision for the whole
-    vocabulary — bounded by the vocab, not the corpus.  At vocabularies
-    too large to broadcast, swap the dict for the Bloom-gated form the
-    decontamination family uses (`decontaminate_bloom`), trading exact
-    low/high attribution for a one-sided error the verify pass
-    removes."""
+    Scale note: the closure ships only the 0/1 bands (tokens with
+    df ≥ lo_pct% of documents — `save_vocab_classes` drops the
+    unbounded ``-1`` class, which the ``get(t, -1)`` default
+    reconstructs), so it is bounded by the df-banded vocabulary, not
+    the corpus.  Should even the mid band outgrow a broadcast, swap the
+    dict for the Bloom-gated form the decontamination family uses
+    (`decontaminate_bloom`), trading exact low/high attribution for a
+    one-sided error the verify pass removes."""
     import hashlib
     import re as _re
 
@@ -1875,10 +1889,28 @@ def vocab_prune_at_ingest(docs: DataFrame, vocab: dict) -> DataFrame:
         "n_pruned_high:bigint,kept_fp:string>"
     )
     def prune(texts):
+        import hashlib as _hl
+
         import pandas as pd
 
+        empty_fp = _hl.md5(b"").hexdigest()
         out = []
         for text in texts:
+            if text is None:
+                # NULL-text parity with the batch face (ADVICE r11):
+                # vocab_prune_rewrite left-joins and publishes zeros +
+                # md5('') for docs with no tokens; the streaming gate
+                # must not crash where the batch face degrades.
+                out.append(
+                    {
+                        "n_tokens": 0,
+                        "n_kept": 0,
+                        "n_pruned_low": 0,
+                        "n_pruned_high": 0,
+                        "kept_fp": empty_fp,
+                    }
+                )
+                continue
             ts = [t for t in tok_re.split(text.lower()) if t]
             kept, lo, hi = [], 0, 0
             for t in ts:

@@ -8,6 +8,7 @@ from __future__ import annotations
 import duckdb
 
 from export_oltp_to_olap_spark.operators import neardup, winnow
+from export_oltp_to_olap_spark.plans import text_queries
 from export_oltp_to_olap_spark.sources.parquet import load_tables
 
 
@@ -93,3 +94,58 @@ def test_recall_audits_release_their_cache(spark, sf001):
     # may contain only the three ≤12-row checkpoint RDDs.
     leaked = after - before
     assert len(leaked) <= 3, f"audit faces leaked cached RDDs: {leaked}"
+
+
+def test_vocab_artifact_excludes_the_rare_class(spark, sf001, tmp_path):
+    """VERDICT r11 item 4: the frozen pruning artifact must store only
+    the bounded 0/1 df-bands — the -1 (rare) class is the corpus-sized
+    tail the apply gate reconstructs via its unseen→-1 default, and
+    dropping it must not change a single published row."""
+    docs = load_tables(spark, sf001, ("documents",))["documents"]
+    art = tmp_path / "vocab_classes.parquet"
+    classes = text_queries.vocab_class_table(docs)
+    n_rare = classes.where("cls = -1").count()
+    assert n_rare > 0, "fixture has no rare tokens — boundedness untestable"
+    text_queries.save_vocab_classes(classes, str(art))
+    vocab = text_queries.load_vocab_classes(str(art))
+    assert set(vocab.values()) <= {0, 1}, "artifact still stores the -1 class"
+    assert len(vocab) == classes.where("cls != -1").count()
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_at_ingest(docs, vocab).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_rewrite(docs).collect()
+    }
+    assert got == want
+
+
+def test_vocab_prune_at_ingest_null_text_parity(spark):
+    """ADVICE r11: a NULL text row must not crash the streaming gate —
+    it publishes the zeros + md5('') row the batch face produces for
+    token-less docs."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, None), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    vocab = {
+        r["tok"]: r["cls"]
+        for r in text_queries.vocab_class_table(
+            docs.where("text IS NOT NULL")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_at_ingest(docs, vocab).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in text_queries.vocab_prune_rewrite(docs).collect()
+    }
+    assert got == want
+    import hashlib
+
+    empty = hashlib.md5(b"").hexdigest()
+    assert got[2] == (2, 0, 0, 0, 0, empty)
+    assert got[3] == (3, 0, 0, 0, 0, empty)
