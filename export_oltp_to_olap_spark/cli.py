@@ -649,6 +649,17 @@ def cmd_web(args: argparse.Namespace, spark: SparkSession | None) -> int:
     return 0
 
 
+def _positive_int(value: str) -> int:
+    """argparse type for knobs where zero is destructive, not a choice
+    (``--vacuum-keep 0`` would mean "delete every copy"): reject < 1 as
+    a clean usage error instead of an uncaught ValueError traceback
+    (ADVICE r11)."""
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {n}")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="export_oltp_to_olap_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -862,7 +873,13 @@ def build_parser() -> argparse.ArgumentParser:
         "drops older versions and crashed partial publishes",
     )
     tvers.add_argument("--root", required=True, help="versioned table root")
-    tvers.add_argument("--vacuum-keep", type=int, default=None)
+    tvers.add_argument(
+        "--vacuum-keep",
+        type=_positive_int,
+        default=None,
+        help="vacuum to the newest N committed versions (N >= 1; "
+        "retention never drops to zero copies)",
+    )
     tvers.add_argument(
         "--count", action="store_true", help="also count the latest snapshot's rows"
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -90,11 +91,29 @@ def read_table_version(
     return spark.read.parquet(_vdir(root, version))
 
 
-def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
-    """Drop all but the newest ``keep_last`` committed versions (and
-    every uncommitted partial directory); returns the removed version
-    numbers.  Time travel reaches only what retention keeps — the
-    table-format VACUUM contract."""
+UNCOMMITTED_GRACE_SECONDS = 3600
+
+
+def vacuum_versions(
+    root: str,
+    keep_last: int = 2,
+    uncommitted_grace_seconds: float = UNCOMMITTED_GRACE_SECONDS,
+) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed versions, plus
+    uncommitted partial directories OLDER than
+    ``uncommitted_grace_seconds``; returns the removed version numbers.
+    Time travel reaches only what retention keeps — the table-format
+    VACUUM contract.
+
+    The grace window exists because a publish still in flight (parquet
+    written, ``_COMMITTED`` marker not yet created) is indistinguishable
+    on disk from a crashed one (ADVICE r11) — Delta/Iceberg VACUUM uses
+    a retention window for exactly this reason.  An mtime younger than
+    the window marks a possibly-live writer and the directory is
+    skipped; pass ``uncommitted_grace_seconds=0`` only when the caller
+    KNOWS no publish is concurrent (the single-writer maintenance
+    window), which is how the crash-recovery tests exercise immediate
+    cleanup."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (never zero copies)")
     versions = committed_versions(root)
@@ -102,12 +121,20 @@ def vacuum_versions(root: str, keep_last: int = 2) -> list[int]:
     removed = []
     if not os.path.isdir(root):
         return removed
+    now = time.time()
     for name in os.listdir(root):
         m = _VDIR_RE.match(name)
         if not m:
             continue
         v = int(m.group(1))
         committed = v in versions
+        if not committed:
+            try:
+                age = now - os.path.getmtime(os.path.join(root, name))
+            except OSError:  # pragma: no cover - raced by its own writer
+                continue
+            if age < uncommitted_grace_seconds:
+                continue  # possibly a publish in flight — retention skips it
         if (committed and v not in keep) or not committed:
             shutil.rmtree(os.path.join(root, name))
             if committed:

@@ -96,6 +96,26 @@ def test_recall_audits_release_their_cache(spark, sf001):
     assert len(leaked) <= 3, f"audit faces leaked cached RDDs: {leaked}"
 
 
+def test_vacuum_keep_zero_is_a_usage_error():
+    """ADVICE r11: ``table-versions --vacuum-keep 0`` must be a clean
+    argparse usage error (exit 2), not an uncaught ValueError traceback
+    out of vacuum_versions."""
+    import pytest
+
+    from export_oltp_to_olap_spark import cli
+
+    with pytest.raises(SystemExit) as e:
+        cli.build_parser().parse_args(
+            ["table-versions", "--root", "/tmp/x", "--vacuum-keep", "0"]
+        )
+    assert e.value.code == 2
+    # a valid value still parses
+    ns = cli.build_parser().parse_args(
+        ["table-versions", "--root", "/tmp/x", "--vacuum-keep", "3"]
+    )
+    assert ns.vacuum_keep == 3
+
+
 def test_vocab_artifact_excludes_the_rare_class(spark, sf001, tmp_path):
     """VERDICT r11 item 4: the frozen pruning artifact must store only
     the bounded 0/1 df-bands — the -1 (rare) class is the corpus-sized

@@ -57,11 +57,17 @@ def test_vacuum_retention_and_bounds(spark, sf001, tmp_path):
     base = _orders(spark, sf001)
     for k in (2, 3, 5, 7):
         tt.versioned_publish(base.limit(k), root)
-    # plant a crashed dir too — vacuum must clear it
+    # plant a crashed dir too — a just-written uncommitted dir is
+    # indistinguishable from a publish IN FLIGHT, so default-grace
+    # vacuum must SKIP it (ADVICE r11) ...
     base.limit(1).write.mode("overwrite").parquet(os.path.join(root, "v9"))
     removed = tt.vacuum_versions(root, keep_last=2)
     assert removed == [1, 2]
     assert tt.committed_versions(root) == [3, 4]
+    assert os.path.exists(os.path.join(root, "v9"))
+    # ... an aged-out one is a crash and goes; grace=0 is the declared
+    # single-writer maintenance mode
+    tt.vacuum_versions(root, keep_last=2, uncommitted_grace_seconds=0)
     assert not os.path.exists(os.path.join(root, "v9"))
     assert tt.read_table_version(spark, root, 4).count() == 7
     try:
