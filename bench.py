@@ -196,6 +196,11 @@ DEFAULT_HEADLINE = [
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
+    # round 12: fuzzy train↔eval leakage (MinHash candidates + exact
+    # verify) and the first-seen novelty profile — both gram/signature-
+    # keyed plans in the family's usual ~1 s class:
+    "fuzzy_decontam_pairs",
+    "source_novelty_profile",
     # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
     # inherently |ns| x the single-point face (2.98 s at sf0.1):
     "decontam_threshold_curve",

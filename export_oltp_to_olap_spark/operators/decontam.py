@@ -905,3 +905,152 @@ SELECT * FROM (
 
 
 DECONTAM_CURVE_SQL = decontam_curve_sql()
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination — near-duplicate train↔eval leakage
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_decontam_pairs(docs: DataFrame) -> DataFrame:
+    """NEAR-DUPLICATE decontamination (the GPT-3 appendix-C class of
+    leak the exact n-gram faces cannot see): train docs whose 3-gram
+    shingle-set Jaccard against ANY eval-split doc reaches ≥ 0.5 — a
+    paraphrase-length rewrite or a light template edit shares most
+    shingles without sharing any single long n-gram run, so
+    `decontaminate_documents` (exact gram membership) misses it while
+    this face flags it.
+
+    Candidates come from the banded-MinHash join the dedup family
+    already runs (`neardup._minhash_band_candidates` — the SCALE path:
+    signature rows, never a corpus×eval cross join), restricted to
+    pairs straddling train×test; each candidate is then verified with
+    an exact intersection over the RAW shingle strings (the audit-face
+    discipline — this evidence IS the output, no later stage would
+    catch a hash collision).  The candidate stage's measured recall
+    curve is `lsh_recall_audit` (≈1.0 at the fixture's band-9 truth,
+    ≥ 1−(1−s²)^8 in expectation), published in RECALL.json.
+
+    One row per flagged pair, pure integers: ``(train_id, eval_id,
+    n_common, union_sz, jaccard_millionths)`` — the evidence a
+    decontamination run attaches to each dropped train doc.  The ≥ 0.5
+    line is the exact integer predicate ``2·n_common ≥ union``.
+
+    Scale shape: split labels join the candidate pairs BEFORE the
+    verify (only straddling pairs ship their shingle sets), and the
+    eval split is ~10% of the corpus, so the verify side is bounded by
+    the straddling candidate volume — at 100 TB this face costs the
+    standing MinHash signatures plus one small keyed verify join.
+    """
+    from export_oltp_to_olap_spark.operators.neardup import (
+        MINHASH_BAND_R,
+        MINHASH_N_HASHES,
+        _minhash_band_candidates,
+        doc_shingle_sets,
+    )
+
+    assigned = assign_splits(docs.select("doc_id"), "doc_id")
+    sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
+    cands = _minhash_band_candidates(sets, MINHASH_N_HASHES, MINHASH_BAND_R)
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    oriented = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+            | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+        )
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("train_id"),
+            F.when(F.col("split_a") == "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("eval_id"),
+        )
+    )
+    ta = sets.select(F.col("doc_id").alias("train_id"), F.col("shs").alias("shs_a"))
+    tb = sets.select(F.col("doc_id").alias("eval_id"), F.col("shs").alias("shs_b"))
+    return (
+        oriented.join(ta, "train_id")
+        .join(tb, "eval_id")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "union_sz", F.size("shs_a") + F.size("shs_b") - F.col("n_common")
+        )
+        .where(F.col("n_common") * 2 >= F.col("union_sz"))
+        .select(
+            "train_id",
+            "eval_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("union_sz").cast("long").alias("union_sz"),
+            F.expr(
+                "(CAST(n_common AS DECIMAL(38,0)) * 1000000) div union_sz"
+            )
+            .cast("long")
+            .alias("jaccard_millionths"),
+        )
+        .orderBy("train_id", "eval_id")
+    )
+
+
+def _fuzzy_decontam_sql() -> str:
+    from export_oltp_to_olap_spark.operators.neardup import MINHASH_BANDS_CTES
+
+    return f"""
+WITH {MINHASH_BANDS_CTES},
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+   AND a.doc_id < b.doc_id
+),
+buck AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+           AS bucket
+  FROM documents
+),
+te AS (
+  SELECT CASE WHEN a.bucket < {_TRAIN_BOUND} THEN c.doc_a ELSE c.doc_b END AS train_id,
+         CASE WHEN a.bucket < {_TRAIN_BOUND} THEN c.doc_b ELSE c.doc_a END AS eval_id
+  FROM candidates c
+  JOIN buck a ON a.doc_id = c.doc_a
+  JOIN buck b ON b.doc_id = c.doc_b
+  WHERE (a.bucket < {_TRAIN_BOUND} AND b.bucket >= {_VAL_BOUND})
+     OR (a.bucket >= {_VAL_BOUND} AND b.bucket < {_TRAIN_BOUND})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+common AS (
+  SELECT t.train_id, t.eval_id, count(*) AS c
+  FROM te t
+  JOIN shingles sa ON sa.doc_id = t.train_id
+  JOIN shingles sb ON sb.doc_id = t.eval_id AND sb.sh = sa.sh
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT t.train_id, t.eval_id,
+         COALESCE(c.c, 0) AS n_common,
+         sa.n + sb.n - COALESCE(c.c, 0) AS union_sz
+  FROM te t
+  LEFT JOIN common c USING (train_id, eval_id)
+  JOIN sizes sa ON sa.doc_id = t.train_id
+  JOIN sizes sb ON sb.doc_id = t.eval_id
+)
+SELECT train_id, eval_id,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(union_sz AS BIGINT) AS union_sz,
+       CAST((CAST(n_common AS HUGEINT) * 1000000) // union_sz AS BIGINT)
+         AS jaccard_millionths
+FROM ver
+WHERE 2 * n_common >= union_sz
+ORDER BY train_id, eval_id
+""".strip()
+
+
+FUZZY_DECONTAM_SQL = _fuzzy_decontam_sql()

@@ -770,6 +770,12 @@ WITH {_MINHASH_PAIRS_CTES}
 SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
+# The signature/banding prefix alone (toks → shingles → ab → sig →
+# bands) for composers that need a DIFFERENT candidate join than the
+# whole-corpus self-join — e.g. fuzzy decontamination's train×eval
+# restriction (`operators/decontam.py::FUZZY_DECONTAM_SQL`).
+MINHASH_BANDS_CTES = _MINHASH_PAIRS_CTES.split(",\ncandidates AS")[0]
+
 
 # ---------------------------------------------------------------------------
 # LSH recall audit — measure the sketch, don't guess

@@ -2028,3 +2028,88 @@ SELECT source, n_docs,
 FROM ranked
 ORDER BY source
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Source novelty profile — first-seen n-gram attribution under ingest order
+# ---------------------------------------------------------------------------
+
+
+def source_novelty_profile(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-source NOVELTY under ingest order: which sources still add
+    new content, and which mostly re-ship n-grams the corpus has
+    already seen?  Each distinct corpus n-gram is attributed to the
+    document where it FIRST appears (minimum ``doc_id`` — the ingest
+    order every append-only corpus has); a source's novelty is the
+    fraction of its per-doc distinct-gram rows that are first
+    appearances.  The mixture-design complement of
+    `ngram_diversity_by_source`: diversity measures repetition WITHIN a
+    source, novelty measures what a source contributes ON TOP OF
+    everything ingested before it — the signal that demotes a crawl
+    slice that merely re-crawls what an earlier slice already ingested.
+
+    Output ``(source, n_gram_rows, n_novel, novelty_millionths)`` —
+    integers only (``novelty_millionths`` is the exact floor
+    ``(10⁶·n_novel) div n_gram_rows``); Σ n_novel over sources = the
+    corpus's distinct n-gram count (each distinct gram is novel exactly
+    once — the conservation law the test pins).  No per-source doc
+    count: it is constant on the uniform fixture (the degenerate-column
+    rule) and `corpus_split_summary` already publishes it.
+
+    Scale shape: one shingle fan-out (spread before the explode), a
+    partial-aggregated ``groupBy(gram)`` min, one gram-keyed join back,
+    and an S-row aggregate — every shuffle keys on the
+    high-cardinality gram, never on (source).  The join carries the RAW
+    gram string (the audit-face discipline: a hash collision here would
+    merge two grams' first-seen attribution straight into the published
+    counts, with no verify stage to catch it).
+    """
+    base = spread_for_compute(docs.select("doc_id", "source", "text"), "doc_id")
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_shingles("text", n))).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    rows = grams.join(first, "g").withColumn(
+        "novel", (F.col("doc_id") == F.col("first_doc")).cast("long")
+    )
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gram_rows"),
+            F.sum("novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_gram_rows",
+            "n_novel",
+            F.expr("(CAST(n_novel AS DECIMAL(38,0)) * 1000000) div n_gram_rows")
+            .cast("long")
+            .alias("novelty_millionths"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {SQL_TOKENS.format(t="text")} AS t FROM documents
+),
+idx0 AS (SELECT doc_id, source, t, generate_subscripts(t, 1) AS i FROM toks),
+shingles AS (
+  SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM idx0 WHERE i + 2 <= len(t)
+),
+first AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_gram_rows,
+       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+         AS novelty_millionths
+FROM shingles s JOIN first f USING (sh)
+GROUP BY source
+ORDER BY source
+""".strip()

@@ -1582,6 +1582,28 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str):
     return neardup.lsh_recall_audit(_docs(spark, sf_dir))
 
 
+@register("fuzzy_decontam_pairs", decontam.FUZZY_DECONTAM_SQL)
+def q_fuzzy_decontam_pairs(spark: SparkSession, sf_dir: str):
+    """NEAR-DUPLICATE train↔eval leakage (the GPT-3 appendix-C class
+    the exact n-gram faces cannot see): banded-MinHash candidates
+    restricted to train×test, verified with exact raw-shingle
+    intersections, flagged at Jaccard ≥ 0.5 via the integer predicate
+    2·n_common ≥ union.  Pure-integer pair evidence rows; the candidate
+    stage's measured recall curve is lsh_recall_audit's."""
+    return decontam.fuzzy_decontam_pairs(_docs(spark, sf_dir))
+
+
+@register("source_novelty_profile", text_queries.SOURCE_NOVELTY_SQL)
+def q_source_novelty_profile(spark: SparkSession, sf_dir: str):
+    """Per-source first-seen n-gram attribution under ingest order:
+    what fraction of each source's distinct-gram rows is NEW to the
+    corpus at arrival.  The mixture-design complement of
+    ngram_diversity_by_source (within-source repetition vs contribution
+    over everything ingested earlier); integer-only face, Σ n_novel =
+    the corpus's distinct-gram count (conservation pinned in tests)."""
+    return text_queries.source_novelty_profile(_docs(spark, sf_dir))
+
+
 @register("winnow_recall_audit", neardup.WINNOW_RECALL_AUDIT_SQL)
 def q_winnow_recall_audit(spark: SparkSession, sf_dir: str):
     """The third lexical recall data card: the winnowing clone-signal
@@ -1706,11 +1728,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q11_important_flow",
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty",
     # Registered in round 12, windowed same-commit (standing rule;
-    # displaced the capped_corpus r09 filler):
+    # displaced the capped_corpus r09 filler, then tpch_q17_small_qty
+    # and tpch_q16_supplier_count per the announced backwards order):
     "winnow_recall_audit",
+    "fuzzy_decontam_pairs",
+    "source_novelty_profile",
     # Touched in round 12 (tokenize-once + eager cache release, VERDICT
     # r11 item 5), displacing tpch_q20_dominant_share:
     "decontam_threshold_curve",

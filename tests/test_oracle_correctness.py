@@ -144,6 +144,8 @@ _REPORT_EXEMPT = {
     # Registered new in round 12, windowed same-commit (first driver
     # rows land in CORRECTNESS_r12):
     "winnow_recall_audit",
+    "fuzzy_decontam_pairs",
+    "source_novelty_profile",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -96,6 +96,80 @@ def test_recall_audits_release_their_cache(spark, sf001):
     assert len(leaked) <= 3, f"audit faces leaked cached RDDs: {leaked}"
 
 
+def test_fuzzy_decontam_precision_and_split_membership(spark, sf001):
+    """Every flagged pair must be a TRUE >=0.5-Jaccard train×test pair
+    with exact evidence (precision is exact — the verify stage runs on
+    raw shingles), and the published integers must recompute from a
+    pure-Python shingle intersection."""
+    from export_oltp_to_olap_spark.operators import decontam
+    from export_oltp_to_olap_spark.operators.sampling import assign_splits
+
+    docs = _docs(spark, sf001)
+    flagged = decontam.fuzzy_decontam_pairs(docs).collect()
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs.select("doc_id"), "doc_id").collect()
+    }
+    import re
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    sets = {}
+    for r in docs.select("doc_id", "text").collect():
+        ts = [t for t in tok_re.split(r["text"].lower()) if t]
+        sets[r["doc_id"]] = {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        }
+    # exact truth: every >=0.5 train×test pair
+    truth = {}
+    train = [d for d, s in splits.items() if s == "train" and sets.get(d)]
+    evald = [d for d, s in splits.items() if s == "test" and sets.get(d)]
+    for a in train:
+        for b in evald:
+            c = len(sets[a] & sets[b])
+            un = len(sets[a]) + len(sets[b]) - c
+            if un and 2 * c >= un:
+                truth[(a, b)] = (c, un, c * 1_000_000 // un)
+    got = {
+        (r["train_id"], r["eval_id"]): (
+            r["n_common"],
+            r["union_sz"],
+            r["jaccard_millionths"],
+        )
+        for r in flagged
+    }
+    assert set(got) <= set(truth), "flagged a pair the exact truth rejects"
+    for k, v in got.items():
+        assert v == truth[k], (k, v, truth[k])
+    for a, b in got:
+        assert splits[a] == "train" and splits[b] == "test"
+
+
+def test_source_novelty_conservation(spark, sf001):
+    """Σ n_novel over sources = the corpus's distinct 3-gram count
+    (each distinct gram is first-seen exactly once), and the millionths
+    column is the exact integer floor."""
+    from pyspark.sql import functions as F
+
+    from export_oltp_to_olap_spark.functions.text import word_shingles
+
+    docs = _docs(spark, sf001)
+    rows = text_queries.source_novelty_profile(docs).collect()
+    distinct_grams = (
+        docs.select(F.explode(word_shingles("text", 3)).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == distinct_grams
+    for r in rows:
+        assert 0 < r["n_novel"] <= r["n_gram_rows"]
+        assert (
+            r["novelty_millionths"]
+            == r["n_novel"] * 1_000_000 // r["n_gram_rows"]
+        )
+    # the signal varies across sources on the fixture (weak-oracle rule)
+    assert len({r["novelty_millionths"] for r in rows}) > 1
+
+
 def test_vacuum_keep_zero_is_a_usage_error():
     """ADVICE r11: ``table-versions --vacuum-keep 0`` must be a clean
     argparse usage error (exit 2), not an uncaught ValueError traceback
