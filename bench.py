@@ -201,6 +201,7 @@ DEFAULT_HEADLINE = [
     # keyed plans in the family's usual ~1 s class:
     "fuzzy_decontam_pairs",
     "source_novelty_profile",
+    "source_novelty_delta",
     # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
     # inherently |ns| x the single-point face (2.98 s at sf0.1):
     "decontam_threshold_curve",

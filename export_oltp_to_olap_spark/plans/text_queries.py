@@ -2064,21 +2064,48 @@ def source_novelty_profile(docs: DataFrame, n: int = 3) -> DataFrame:
     merge two grams' first-seen attribution straight into the published
     counts, with no verify stage to catch it).
     """
-    base = spread_for_compute(docs.select("doc_id", "source", "text"), "doc_id")
-    grams = base.select(
+    return _novelty_finish(novelty_standing_counts(docs, n))
+
+
+def _novelty_gram_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct per-doc ``(doc_id, source, g)`` gram rows — the unit the
+    novelty faces attribute."""
+    return spread_for_compute(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    ).select(
         "doc_id",
         "source",
         F.explode(F.array_distinct(word_shingles("text", n))).alias("g"),
     )
+
+
+def novelty_standing_counts(docs: DataFrame, n: int = 3) -> DataFrame:
+    """The persistable per-source ``(source, n_gram_rows, n_novel)``
+    counts table — the monoid half of the novelty standing state."""
+    grams = _novelty_gram_rows(docs, n)
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     rows = grams.join(first, "g").withColumn(
         "novel", (F.col("doc_id") == F.col("first_doc")).cast("long")
     )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gram_rows"),
+        F.sum("novel").cast("long").alias("n_novel"),
+    )
+
+
+def novelty_standing_grams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """The persistable distinct-gram set — the membership half of the
+    novelty standing state (in production this is the same appended
+    side table the dedup family keeps; here one column ``g``)."""
+    return _novelty_gram_rows(docs, n).select("g").distinct()
+
+
+def _novelty_finish(counts: DataFrame) -> DataFrame:
     return (
-        rows.groupBy("source")
+        counts.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_gram_rows"),
-            F.sum("novel").cast("long").alias("n_novel"),
+            F.sum("n_gram_rows").cast("long").alias("n_gram_rows"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
         )
         .select(
             "source",
@@ -2089,6 +2116,69 @@ def source_novelty_profile(docs: DataFrame, n: int = 3) -> DataFrame:
             .alias("novelty_millionths"),
         )
         .orderBy("source")
+    )
+
+
+def source_novelty_delta(
+    new_docs: DataFrame,
+    standing_grams: DataFrame,
+    standing_counts: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """`source_novelty_profile` for an append-only delta batch against
+    the persisted standing state — incremental ≡ full rebuild EXACTLY,
+    because first-seen attribution is IMMUTABLE under append-only,
+    id-monotone ingest: the document that introduced a gram stays its
+    introducer forever, so the per-source (rows, novel) counts are
+    commutative monoids and the standing summary never needs revision.
+    A delta gram row is novel iff its gram is absent from the standing
+    set AND it is the delta's own first appearance (min doc_id within
+    the batch).
+
+    Steady state O(|delta|): one delta-sized fan-out, one min-agg, one
+    membership anti-probe against the standing gram set (gram-keyed
+    hash join — at corpus scale the standing side stays partitioned,
+    never collected), one SUM merge.  Oracle = the full-rebuild SQL —
+    the strongest incremental ≡ rebuild statement available (the
+    `doc_length_spectrum_delta` convention)."""
+    grams = _novelty_gram_rows(new_docs, n)
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    seen = standing_grams.select("g").withColumn("seen", F.lit(1))
+    rows = (
+        grams.join(first, "g")
+        .join(seen, "g", "left")
+        .withColumn(
+            "novel",
+            (
+                (F.col("doc_id") == F.col("first_doc"))
+                & F.col("seen").isNull()
+            ).cast("long"),
+        )
+    )
+    delta_counts = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gram_rows"),
+        F.sum("novel").cast("long").alias("n_novel"),
+    )
+    return _novelty_finish(standing_counts.unionByName(delta_counts))
+
+
+NOVELTY_DELTA_CUT_FRACTION = 0.9
+
+
+def source_novelty_delta_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: delta = ids above 90 % of max; standing state
+    derives in-call (persists in production).  The merge is exact, so
+    the ORACLE is the full-rebuild SQL — incremental ≡ rebuild
+    hash-checked directly by the driver."""
+    cut = docs.agg(
+        F.floor(F.lit(NOVELTY_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
+    )
+    standing = docs.join(F.broadcast(cut), F.col("doc_id") <= F.col("cut")).drop("cut")
+    new_docs = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("cut")).drop("cut")
+    return source_novelty_delta(
+        new_docs,
+        novelty_standing_grams(standing),
+        novelty_standing_counts(standing),
     )
 
 

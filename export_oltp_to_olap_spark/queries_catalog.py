@@ -1604,6 +1604,16 @@ def q_source_novelty_profile(spark: SparkSession, sf_dir: str):
     return text_queries.source_novelty_profile(_docs(spark, sf_dir))
 
 
+@register("source_novelty_delta", text_queries.SOURCE_NOVELTY_SQL)
+def q_source_novelty_delta(spark: SparkSession, sf_dir: str):
+    """Append-only delta maintenance of the novelty profile: first-seen
+    attribution is immutable under id-monotone ingest, so the per-source
+    counts merge by SUM and the oracle is the FULL-REBUILD SQL —
+    incremental ≡ rebuild hash-checked directly (the
+    doc_length_spectrum_delta convention applied to novelty)."""
+    return text_queries.source_novelty_delta_fixture(_docs(spark, sf_dir))
+
+
 @register("winnow_recall_audit", neardup.WINNOW_RECALL_AUDIT_SQL)
 def q_winnow_recall_audit(spark: SparkSession, sf_dir: str):
     """The third lexical recall data card: the winnowing clone-signal
@@ -1727,13 +1737,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q9_profit_trend",
     "tpch_q11_important_flow",
     "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
     # Registered in round 12, windowed same-commit (standing rule;
     # displaced the capped_corpus r09 filler, then tpch_q17_small_qty
     # and tpch_q16_supplier_count per the announced backwards order):
     "winnow_recall_audit",
     "fuzzy_decontam_pairs",
     "source_novelty_profile",
+    "source_novelty_delta",
     # Touched in round 12 (tokenize-once + eager cache release, VERDICT
     # r11 item 5), displacing tpch_q20_dominant_share:
     "decontam_threshold_curve",

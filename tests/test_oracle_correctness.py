@@ -146,6 +146,7 @@ _REPORT_EXEMPT = {
     "winnow_recall_audit",
     "fuzzy_decontam_pairs",
     "source_novelty_profile",
+    "source_novelty_delta",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -170,6 +170,31 @@ def test_source_novelty_conservation(spark, sf001):
     assert len({r["novelty_millionths"] for r in rows}) > 1
 
 
+def test_source_novelty_delta_cut_sweep(spark, sf001):
+    """Incremental ≡ rebuild at several cut points (the delta-face
+    sweep convention): first-seen attribution is immutable under
+    id-monotone appends, so the merged summary must equal the full
+    profile exactly at every cut."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf001)
+    full = {tuple(r) for r in text_queries.source_novelty_profile(docs).collect()}
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    for frac in (0.0, 0.5, 0.97):
+        cut = int(frac * max_id)
+        standing = docs.where(F.col("doc_id") <= cut)
+        delta = docs.where(F.col("doc_id") > cut)
+        merged = {
+            tuple(r)
+            for r in text_queries.source_novelty_delta(
+                delta,
+                text_queries.novelty_standing_grams(standing),
+                text_queries.novelty_standing_counts(standing),
+            ).collect()
+        }
+        assert merged == full, frac
+
+
 def test_vacuum_keep_zero_is_a_usage_error():
     """ADVICE r11: ``table-versions --vacuum-keep 0`` must be a clean
     argparse usage error (exit 2), not an uncaught ValueError traceback
