@@ -1213,6 +1213,103 @@ WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
 """
 
 
+def cosine_lsh_recall_audit(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """The SEMANTIC family's recall data card, completing the set the
+    lexical audits established (`lsh_recall_audit` /
+    `simhash_recall_audit` / `winnow_recall_audit`): the random-
+    hyperplane LSH CANDIDATE stage measured against exact ≥0.4-cosine
+    ground truth (`cosine_neardup`, the registered brute baseline),
+    per cosine decile.
+
+    Band = the pure-integer ``round(cos·10⁶) div 10⁵`` over the 6-dp
+    rounded cosine both engines already publish bit-identically
+    (`embedding_cosine_neardup` is hash-green on exactly these
+    doubles), so no float reaches the output.  The band −1 row counts
+    candidate pairs below the truth line — wasted verifications, since
+    the registered LSH face rescores candidates exactly (the MinHash
+    interpretation, not SimHash's false positives).
+
+    RECALL.json's ``lsh`` entry records the same signal from the
+    test-side sweep (pair recall at the shipped L=64/b=8 point); this
+    face makes the per-decile curve a driver-hashed artifact, the way
+    the lexical families' curves are.
+
+    Scale shape: the candidate stage the registered LSH face already
+    runs + the brute truth (declared O(N²) — an AUDIT face, priced like
+    its truth stage and kept off the bench headline per the documented
+    O(N²)-baseline rule) + two pair-keyed joins.
+    """
+    from export_oltp_to_olap_spark.operators.neardup import _recall_audit_frame
+
+    truth = cosine_neardup(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.expr("CAST(round(cos * 1000000) AS BIGINT) div 100000").alias("band"),
+    )
+    found = lsh_candidate_pairs(embeddings, n_bands, planes_per_band).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return _recall_audit_frame(truth, found)
+
+
+def cosine_lsh_recall_audit_sql(
+    threshold: float = 0.4,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    dim: int = DIM,
+) -> str:
+    from export_oltp_to_olap_spark.operators.neardup import _RECALL_TAIL_SQL
+
+    n_planes = n_bands * planes_per_band
+    return f"""
+WITH {_NORMS_CTE},
+planes AS (
+  SELECT j, i + 1 AS i,
+         CASE WHEN strpos('01234567',
+                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_planes}) t1(j), range({dim}) t2(i)
+),
+proj AS (
+  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
+  FROM elems e JOIN planes p ON e.i = p.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, j // {planes_per_band} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id, j // {planes_per_band}
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(round(SUM(CAST(a.e * b.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b,
+         CAST(round(round(dot / (na.norm * nb.norm), 6) * 1000000) AS BIGINT)
+           // 100000 AS band
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
+),
+{_RECALL_TAIL_SQL}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — learned buckets, the retrieval-scale path
 # ---------------------------------------------------------------------------

@@ -1604,6 +1604,17 @@ def q_source_novelty_profile(spark: SparkSession, sf_dir: str):
     return text_queries.source_novelty_profile(_docs(spark, sf_dir))
 
 
+@register("cosine_lsh_recall_audit", similarity.cosine_lsh_recall_audit_sql())
+def q_cosine_lsh_recall_audit(spark: SparkSession, sf_dir: str):
+    """The semantic family's recall data card: the random-hyperplane
+    LSH candidate stage vs exact ≥0.4-cosine ground truth per cosine
+    decile (integer bands over the bit-identical 6-dp cosines), plus
+    the wasted-verification row.  Completes the audit set across all
+    four sketch families.  Not bench-headline: its truth stage is the
+    declared O(N²) brute baseline."""
+    return similarity.cosine_lsh_recall_audit(_embeddings(spark, sf_dir))
+
+
 @register("source_novelty_delta", text_queries.SOURCE_NOVELTY_SQL)
 def q_source_novelty_delta(spark: SparkSession, sf_dir: str):
     """Append-only delta maintenance of the novelty profile: first-seen
@@ -1736,7 +1747,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q9_product_profit",
     "tpch_q9_profit_trend",
     "tpch_q11_important_flow",
-    "tpch_q13_custdist",
     # Registered in round 12, windowed same-commit (standing rule;
     # displaced the capped_corpus r09 filler, then tpch_q17_small_qty
     # and tpch_q16_supplier_count per the announced backwards order):
@@ -1744,6 +1754,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "fuzzy_decontam_pairs",
     "source_novelty_profile",
     "source_novelty_delta",
+    "cosine_lsh_recall_audit",
     # Touched in round 12 (tokenize-once + eager cache release, VERDICT
     # r11 item 5), displacing tpch_q20_dominant_share:
     "decontam_threshold_curve",

@@ -147,6 +147,7 @@ _REPORT_EXEMPT = {
     "fuzzy_decontam_pairs",
     "source_novelty_profile",
     "source_novelty_delta",
+    "cosine_lsh_recall_audit",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -170,6 +170,24 @@ def test_source_novelty_conservation(spark, sf001):
     assert len({r["novelty_millionths"] for r in rows}) > 1
 
 
+def test_cosine_lsh_recall_audit_structure(spark, sf001):
+    """The semantic recall card's invariants: bands are cosine deciles
+    ≥ the 0.4 truth line (or the −1 wasted row), recall never exceeds
+    truth, and the wasted row's two counts agree by construction."""
+    from export_oltp_to_olap_spark.operators import similarity as S
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    rows = {r["band"]: r for r in S.cosine_lsh_recall_audit(emb).collect()}
+    assert rows, "no audit rows at all"
+    for band, r in rows.items():
+        assert r["n_recalled"] <= r["n_pairs"]
+        if band >= 0:
+            assert 4 <= band <= 10
+        else:
+            assert r["n_pairs"] == r["n_recalled"]
+
+
 def test_source_novelty_delta_cut_sweep(spark, sf001):
     """Incremental ≡ rebuild at several cut points (the delta-face
     sweep convention): first-seen attribution is immutable under
