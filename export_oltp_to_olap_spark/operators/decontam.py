@@ -1054,3 +1054,77 @@ ORDER BY train_id, eval_id
 
 
 FUZZY_DECONTAM_SQL = _fuzzy_decontam_sql()
+
+
+def fuzzy_eval_index(
+    eval_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The FROZEN eval-side artifacts the fuzzy at-ingest gate probes:
+    ``(band, k0, k1, eval_id)`` MinHash band rows plus ``(eval_id,
+    shs_b)`` raw shingle sets — computed once from the benchmark suite
+    (eval sets are small and static; persist both as parquet in
+    production, the `save_eval_hashes` compute-once convention)."""
+    from export_oltp_to_olap_spark.operators.neardup import (
+        MINHASH_BAND_R,
+        MINHASH_N_HASHES,
+        _minhash_bands,
+        doc_shingle_sets,
+    )
+
+    sets = doc_shingle_sets(eval_docs).where(F.size("shs") > 0)
+    bands = _minhash_bands(sets, MINHASH_N_HASHES, MINHASH_BAND_R).select(
+        F.col("doc_id").alias("eval_id"), "band", "k0", "k1"
+    )
+    esets = sets.select(
+        F.col("doc_id").alias("eval_id"), F.col("shs").alias("shs_b")
+    )
+    return bands, esets
+
+
+def fuzzy_decontam_at_ingest(
+    docs: DataFrame, eval_bands: DataFrame, eval_sets: DataFrame
+) -> DataFrame:
+    """`fuzzy_decontam_pairs` as an INGEST gate: per arriving train doc,
+    stateless MinHash band keys (the same column expressions the batch
+    and streaming dedup paths share), a STREAM-STATIC inner join against
+    the frozen eval band index (append-mode legal; the eval side never
+    changes mid-run), and a per-row raw-shingle verify at the same
+    integer ≥ 0.5 line.  Works identically on a batch DataFrame (the
+    parity test) and a readStream source (the stream ≡ batch test).
+
+    Emission is at-least-once per colliding band (the
+    `streaming_minhash_neardup` convention): a pair colliding in two
+    bands emits two IDENTICAL rows, so any idempotent sink — or
+    ``dropDuplicates`` on the pair key in a downstream batch — restores
+    exactly-once; values are deterministic either way.
+
+    Scale shape: eval band index and shingle sets are benchmark-sized
+    (tiny next to the ingest volume) — both joins broadcast; per-batch
+    cost is one map pass over the arriving docs plus verify work
+    proportional to band collisions.
+    """
+    from export_oltp_to_olap_spark.streaming.neardup_stream import (
+        streaming_band_keys,
+    )
+
+    keys = streaming_band_keys(docs)
+    cand = keys.join(F.broadcast(eval_bands), ["band", "k0", "k1"])
+    return (
+        cand.join(F.broadcast(eval_sets), "eval_id")
+        .withColumn("n_common", F.size(F.array_intersect("shs", "shs_b")))
+        .withColumn(
+            "union_sz", F.size("shs") + F.size("shs_b") - F.col("n_common")
+        )
+        .where(F.col("n_common") * 2 >= F.col("union_sz"))
+        .select(
+            F.col("doc_id").alias("train_id"),
+            "eval_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("union_sz").cast("long").alias("union_sz"),
+            F.expr(
+                "(CAST(n_common AS DECIMAL(38,0)) * 1000000) div union_sz"
+            )
+            .cast("long")
+            .alias("jaccard_millionths"),
+        )
+    )
