@@ -152,6 +152,7 @@ SMJ_EXPECTED = frozenset(
         "lsh_recall_audit",
         "simhash_recall_audit",  # same shared recall-audit tail
         "winnow_recall_audit",  # same shared recall-audit tail
+        "cosine_lsh_recall_audit",  # same shared recall-audit tail
     }
 )
 
