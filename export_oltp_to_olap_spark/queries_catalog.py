@@ -1695,6 +1695,17 @@ WINDOW_FIRST: tuple[str, ...] = (
     # ROUND-12 registrations landing later this round displace the two
     #      r09 fillers first, then the r08 TPC-H block from q21
     #      backwards (q21, q20, q17, q16, ...).
+    # ROUND-13 CHORE (pre-staged): once CORRECTNESS_r12 lands, rotate
+    #      out the r12-earners (keep the 5 star sentinels and any face
+    #      touched in round 13), rotate round-13 registrations in
+    #      same-commit (standing rule), and backfill the oldest-green
+    #      pool — post-r12 it is exactly: the six r08-green TPC-H
+    #      displaced mid-r12 (q13_custdist, q15_top_supplier,
+    #      q16_supplier_count, q17_small_qty, q20_dominant_share,
+    #      q21_sole_blame), the two displaced r09 fillers
+    #      (capped_corpus, pack_bins_summary), the 33 remaining
+    #      r09-green names, then r10-green names as space allows
+    #      (5 sentinels + 6 + 35 = 46 → four r10 slots).
     # Prior rotation notes (r11 and earlier) kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
