@@ -302,6 +302,45 @@ def cmd_eval_hashes(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_fuzzy_index(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Persist the FROZEN fuzzy-decontamination eval index
+    (`operators/decontam.fuzzy_eval_index`: MinHash band rows + raw
+    shingle sets) that `fuzzy_decontam_at_ingest` probes per batch or
+    stream — the compute-once/reuse-per-batch pattern `eval-hashes`
+    established, extended to the NEAR-DUPLICATE leak class."""
+    from export_oltp_to_olap_spark.operators.decontam import fuzzy_eval_index
+    from export_oltp_to_olap_spark.sources.parquet import load_tables
+
+    if args.eval_dir:
+        eval_docs = spark.read.parquet(args.eval_dir).select("doc_id", "text")
+    elif args.source_dir:
+        from export_oltp_to_olap_spark.plans.curation import fixture_eval_docs
+
+        docs = load_tables(spark, args.source_dir, ("documents",))["documents"]
+        eval_docs = fixture_eval_docs(docs)
+    else:
+        print("fuzzy-index: need --eval-dir or --source-dir", file=sys.stderr)
+        return 2
+    bands, esets = fuzzy_eval_index(eval_docs)
+    bands_out = os.path.join(args.out, "bands.parquet")
+    sets_out = os.path.join(args.out, "sets.parquet")
+    bands.write.mode("overwrite").parquet(bands_out)
+    esets.write.mode("overwrite").parquet(sets_out)
+    n_bands = spark.read.parquet(bands_out).count()
+    n_sets = spark.read.parquet(sets_out).count()
+    print(
+        json.dumps(
+            {
+                "bands_out": bands_out,
+                "sets_out": sets_out,
+                "n_band_rows": int(n_bands),
+                "n_eval_docs": int(n_sets),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_fingerprints(args: argparse.Namespace, spark: SparkSession) -> int:
     """Winnowing fingerprints (MOSS) from the command line: persist the
     per-doc fingerprint set, or the per-doc summary + clone-signal
@@ -788,6 +827,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="bitmap size in bits (power of two; sets the fp budget)",
     )
     evalh.set_defaults(fn=cmd_eval_hashes)
+
+    fidx = sub.add_parser(
+        "fuzzy-index",
+        help="persist the frozen fuzzy-decontamination eval index "
+        "(MinHash band rows + raw shingle sets) the at-ingest gate probes",
+    )
+    fidx.add_argument(
+        "--eval-dir", default=None, help="parquet of benchmark docs (doc_id, text)"
+    )
+    fidx.add_argument(
+        "--source-dir",
+        default=None,
+        help="fixture dir: use the stand-in benchmark (test hash split) "
+        "when no --eval-dir is given",
+    )
+    fidx.add_argument("--out", required=True, help="output dir (bands + sets parquet)")
+    fidx.set_defaults(fn=cmd_fuzzy_index)
 
     fprints = sub.add_parser(
         "fingerprints",

@@ -308,6 +308,38 @@ def test_fuzzy_decontam_gate_streams(spark, sf001, tmp_path):
     assert got == want and want
 
 
+def test_fuzzy_index_cli_roundtrip(spark, sf001, tmp_path):
+    """`cli fuzzy-index` persists the frozen eval index; the at-ingest
+    gate under the CLI-written artifacts reproduces the batch face
+    (the eval-hashes compute-once contract, near-dup class)."""
+    from export_oltp_to_olap_spark import cli
+    from export_oltp_to_olap_spark.operators import decontam
+    from export_oltp_to_olap_spark.operators.sampling import assign_splits
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "fuzzy_index"
+    rc = cli.main(
+        ["fuzzy-index", "--source-dir", sf001, "--out", str(out)], spark=spark
+    )
+    assert rc == 0
+    bands = spark.read.parquet(str(out / "bands.parquet"))
+    esets = spark.read.parquet(str(out / "sets.parquet"))
+    docs = _docs(spark, sf001)
+    train = (
+        assign_splits(docs.select("doc_id", "text"), "doc_id")
+        .where(F.col("split") == "train")
+        .drop("split")
+    )
+    got = {
+        tuple(r)
+        for r in decontam.fuzzy_decontam_at_ingest(train, bands, esets)
+        .dropDuplicates(["train_id", "eval_id"])
+        .collect()
+    }
+    want = {tuple(r) for r in decontam.fuzzy_decontam_pairs(docs).collect()}
+    assert got == want and want
+
+
 def test_vacuum_keep_zero_is_a_usage_error():
     """ADVICE r11: ``table-versions --vacuum-keep 0`` must be a clean
     argparse usage error (exit 2), not an uncaught ValueError traceback
