@@ -197,8 +197,8 @@ DEFAULT_HEADLINE = [
     "vocab_df_delta",
     "length_outlier_report",
     # round 12: fuzzy train↔eval leakage (MinHash candidates + exact
-    # verify) and the first-seen novelty profile — both gram/signature-
-    # keyed plans in the family's usual ~1 s class:
+    # verify) and the first-seen novelty profile + its delta — three
+    # gram/signature-keyed plans in the family's usual ~1-2 s class:
     "fuzzy_decontam_pairs",
     "source_novelty_profile",
     "source_novelty_delta",

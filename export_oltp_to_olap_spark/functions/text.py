@@ -43,16 +43,13 @@ def token_count(text: Column | str) -> Column:
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """ARRAY<STRING> of n-token shingles (may contain duplicates).
 
-    Guarded so documents shorter than ``n`` tokens yield an empty array —
-    ``sequence(1, 0)`` would count *down* in Spark, so the guard is not
-    optional.
+    Delegates to :func:`shingles_from_tokens` over :func:`tokens` —
+    ONE home for the construction and its short-document guard, so the
+    two forms cannot drift.  The produced Column expression tree is
+    identical to the pre-delegation inline form (pure refactor; every
+    registered face's plan is unchanged).
     """
-    toks = tokens(text)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+    return shingles_from_tokens(tokens(text), n)
 
 
 def shingles_from_tokens(toks: Column, n: int) -> Column:

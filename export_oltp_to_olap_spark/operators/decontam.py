@@ -950,7 +950,12 @@ def fuzzy_decontam_pairs(docs: DataFrame) -> DataFrame:
     )
 
     assigned = assign_splits(docs.select("doc_id"), "doc_id")
-    sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
+    # The compact set frame feeds THREE branches (signatures, both
+    # verify sides) — persist it or the corpus re-shingles per branch,
+    # then release eagerly like the recall-audit faces (the ADVICE r4 /
+    # VERDICT r11 item 5 discipline): localCheckpoint the small flagged
+    # pair set, unpersist, return.
+    sets = doc_shingle_sets(docs).where(F.size("shs") > 0).persist()
     cands = _minhash_band_candidates(sets, MINHASH_N_HASHES, MINHASH_BAND_R)
     sa = assigned.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
@@ -976,7 +981,7 @@ def fuzzy_decontam_pairs(docs: DataFrame) -> DataFrame:
     )
     ta = sets.select(F.col("doc_id").alias("train_id"), F.col("shs").alias("shs_a"))
     tb = sets.select(F.col("doc_id").alias("eval_id"), F.col("shs").alias("shs_b"))
-    return (
+    frame = (
         oriented.join(ta, "train_id")
         .join(tb, "eval_id")
         .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
@@ -996,7 +1001,10 @@ def fuzzy_decontam_pairs(docs: DataFrame) -> DataFrame:
             .alias("jaccard_millionths"),
         )
         .orderBy("train_id", "eval_id")
+        .localCheckpoint()
     )
+    sets.unpersist()
+    return frame
 
 
 def _fuzzy_decontam_sql() -> str:

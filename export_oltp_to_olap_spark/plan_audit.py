@@ -201,6 +201,7 @@ STAGE_EXECUTES = frozenset(
         "simhash_recall_audit",
         "winnow_recall_audit",
         "decontam_threshold_curve",  # same eager-release pattern
+        "fuzzy_decontam_pairs",  # same eager-release pattern
     }
 )
 

@@ -1741,7 +1741,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    # The 22 r08-green names:
+    # The r08-green names (22 at rotation time; the six TPC-H from
+    # q21 backwards were displaced later by round-12 registrations,
+    # leaving these 16):
     "cluster_balanced_sample",
     "curated_corpus_rewritten",
     "decontam_strip_rewrite",
