@@ -196,6 +196,13 @@ DEFAULT_HEADLINE = [
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
+    # round 12: incremental CLUSTER maintenance — the bootstrap face
+    # (standing map derived in-call, matching its full-rebuild driver
+    # oracle) plus the steady-state [standing] variant whose timed plan
+    # is the delta probe + quotient propagation only (the
+    # incremental_corpus_delta convention):
+    "neardup_clusters_delta",
+    "neardup_clusters_delta[standing]",
     # round 12: fuzzy train↔eval leakage (MinHash candidates + exact
     # verify) and the first-seen novelty profile + its delta — three
     # gram/signature-keyed plans in the family's usual ~1-2 s class:
@@ -323,6 +330,40 @@ def _variant_queries():
             train, eval_docs, bloom=_bloom_cache[sf_dir]
         )
 
+    _clusters_standing_cache: dict[str, tuple] = {}
+
+    def clusters_delta_standing(spark, sf_dir):
+        # Steady-state dedup maintenance: the standing cluster map and
+        # the standing corpus slice are PERSISTED artifacts (built
+        # once, untimed after the first run — what production appends
+        # between batches), so the timed plan is the delta pair probe +
+        # quotient-graph propagation only.  The base
+        # `neardup_clusters_delta` entry keeps the self-contained
+        # bootstrap face that matches its driver oracle.
+        from pyspark.sql import functions as F
+
+        from export_oltp_to_olap_spark.operators import neardup
+        from export_oltp_to_olap_spark.operators.staging import stage
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if sf_dir not in _clusters_standing_cache:
+            cut = docs.agg(
+                F.floor(
+                    F.lit(neardup.CLUSTERS_DELTA_CUT_FRACTION) * F.max("doc_id")
+                ).alias("c")
+            ).first()["c"]
+            old = docs.where(F.col("doc_id") <= cut)
+            _clusters_standing_cache[sf_dir] = (
+                cut,
+                stage(neardup.minhash_neardup_clusters(old), mode="table"),
+            )
+        cut, standing_labels = _clusters_standing_cache[sf_dir]
+        return neardup.neardup_clusters_delta(
+            docs.where(F.col("doc_id") <= cut),
+            docs.where(F.col("doc_id") > cut),
+            standing_labels,
+        )
+
     return {
         "ivf_cosine_topk[kmeans]": ivf_kmeans,
         "semantic_dedup[kmeans]": semdedup_kmeans,
@@ -330,6 +371,7 @@ def _variant_queries():
         "incremental_corpus_delta[standing]": incremental_delta_standing,
         "media_neardup_delta[standing]": media_delta_standing,
         "decontaminate_bloom[standing]": bloom_standing,
+        "neardup_clusters_delta[standing]": clusters_delta_standing,
     }
 
 

@@ -1333,6 +1333,113 @@ FROM allc a JOIN csizes s USING (canonical_id)
 """
 
 
+def neardup_clusters_delta(
+    standing_docs: DataFrame,
+    new_docs: DataFrame,
+    standing_labels: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Incremental maintenance of the near-dup CLUSTER map for an
+    append-only delta batch — the operator that makes corpus dedup
+    maintainable at 100 TB: a nightly batch must not re-run connected
+    components over the whole corpus to absorb D ≪ C new documents.
+
+    Construction (quotient-graph label propagation):
+
+    1. Delta-touching pairs come from `minhash_lsh_neardup_delta` (the
+       persisted band-index probe — nothing re-pairs the standing
+       corpus against itself).
+    2. Each pair endpoint maps to its QUOTIENT node: a standing doc
+       collapses to its standing ``canonical_id``, a delta doc stands
+       for itself.  New edges can merge standing clusters only through
+       a delta bridge, so components over this quotient graph —
+       |standing clusters| + |delta| nodes, |delta pairs| edges —
+       decide every merge the full rebuild would make.
+    3. Min-label propagation over the quotient graph (the
+       `neardup_clusters` loop on a graph that is smaller by the mean
+       cluster size), then standing docs relabel THROUGH their old
+       canonical and sizes recount over the final map.
+
+    EXACTNESS (the oracle is the FULL-REBUILD recursive CTE, so the
+    driver hash-checks incremental ≡ rebuild directly): under
+    id-monotone appends every standing canonical is the min id of its
+    standing cluster and every delta id exceeds every standing id, so
+    the min quotient-node id of a merged component IS the min doc id of
+    the merged cluster — the rebuild's canonical.  Preconditions
+    (documented, same family as `source_novelty_delta`): doc_ids
+    monotone across batches, ``standing_labels`` produced by
+    `neardup_clusters` under the same pair detector and threshold.
+
+    Steady-state cost: the delta pair probe + label propagation whose
+    rounds are bounded by the diameter of the DELTA-INDUCED quotient
+    subgraph (untouched clusters converge in round one).
+    """
+    pairs = minhash_lsh_neardup_delta(
+        standing_docs, new_docs, release_cache=True
+    ).select("doc_a", "doc_b")
+    lab = standing_labels.select("doc_id", "canonical_id")
+    qa = lab.select(
+        F.col("doc_id").alias("doc_a"), F.col("canonical_id").alias("q_a")
+    )
+    qb = lab.select(
+        F.col("doc_id").alias("doc_b"), F.col("canonical_id").alias("q_b")
+    )
+    qedges = (
+        pairs.join(qa, "doc_a", "left")
+        .join(qb, "doc_b", "left")
+        .select(
+            F.coalesce("q_a", "doc_a").alias("doc_a"),
+            F.coalesce("q_b", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    qnodes = (
+        lab.select(F.col("canonical_id").alias("doc_id"))
+        .distinct()
+        .unionByName(new_docs.select("doc_id"))
+        .distinct()
+    )
+    qlabels = neardup_clusters(qnodes, qedges, max_iterations).select(
+        "doc_id", F.col("canonical_id").alias("new_label")
+    )
+    standing_final = lab.join(
+        qlabels.withColumnRenamed("doc_id", "canonical_id"), "canonical_id"
+    ).select("doc_id", F.col("new_label").alias("canonical_id"))
+    delta_final = (
+        new_docs.select("doc_id")
+        .join(qlabels, "doc_id")
+        .select("doc_id", F.col("new_label").alias("canonical_id"))
+    )
+    final = standing_final.unionByName(delta_final)
+    sizes = final.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return final.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+
+
+CLUSTERS_DELTA_CUT_FRACTION = 0.9
+
+
+def neardup_clusters_delta_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: delta = ids above 90 % of max (the
+    `incremental_corpus_delta` convention); standing labels derive
+    in-call via the registered cluster build on the standing slice
+    (persisted between batches in production).  The merge is exact, so
+    the ORACLE is the full-rebuild recursive CTE — incremental ≡
+    rebuild hash-checked directly by the driver."""
+    cut = docs.agg(
+        F.floor(F.lit(CLUSTERS_DELTA_CUT_FRACTION) * F.max("doc_id")).alias("cut")
+    )
+    standing = docs.join(F.broadcast(cut), F.col("doc_id") <= F.col("cut")).drop("cut")
+    delta = docs.join(F.broadcast(cut), F.col("doc_id") > F.col("cut")).drop("cut")
+    return neardup_clusters_delta(
+        standing, delta, minhash_neardup_clusters(standing)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Normalized-text dedup (between exact and near-dup in the dedup ladder)
 # ---------------------------------------------------------------------------
@@ -1417,6 +1524,7 @@ def minhash_lsh_neardup_delta(
     n_hashes: int = MINHASH_N_HASHES,
     threshold: float = 0.8,
     band_r: int = MINHASH_BAND_R,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new delta batch, without re-pairing the
     existing corpus against itself.
@@ -1459,7 +1567,16 @@ def minhash_lsh_neardup_delta(
     within = _minhash_band_candidates(sets_d, n_hashes, band_r)
     candidates = cross.unionByName(within).distinct()
     all_sets = sets_c.unionByName(sets_d)
-    return _verify_jaccard(candidates, all_sets, threshold)
+    out = _verify_jaccard(candidates, all_sets, threshold)
+    if release_cache:
+        # Eager-release mode for composing callers (the cluster delta):
+        # materialize the small verified pair set, drop the corpus-sized
+        # set caches before returning (VERDICT r11 item 5 discipline).
+        # The registered pair face keeps the default lazy form.
+        out = out.localCheckpoint()
+        sets_c.unpersist()
+        sets_d.unpersist()
+    return out
 
 
 def minhash_delta_neardup_docs(docs: DataFrame) -> DataFrame:

@@ -122,6 +122,10 @@ SMJ_EXPECTED = frozenset(
         "neardup_threshold_curve",  # the ngram pair verify join at min(t)
         "leakage_safe_splits",  # inherits neardup_clusters' propagation join
         "neardup_clusters",
+        # same final relabel/recount joins as neardup_clusters: the
+        # standing label map and the size table are both corpus-scale
+        # on doc_id/canonical_id, neither broadcastable:
+        "neardup_clusters_delta",
         # inherits the propagation chain, plus the per-doc quality
         # re-attach: both sides corpus-scale on doc_id/canonical_id
         "neardup_quality_keepers",
@@ -202,6 +206,9 @@ STAGE_EXECUTES = frozenset(
         "winnow_recall_audit",
         "decontam_threshold_curve",  # same eager-release pattern
         "fuzzy_decontam_pairs",  # same eager-release pattern
+        # builds standing labels in-call, then iterative quotient
+        # propagation with per-round stage() cuts:
+        "neardup_clusters_delta",
     }
 )
 

@@ -1615,6 +1615,17 @@ def q_cosine_lsh_recall_audit(spark: SparkSession, sf_dir: str):
     return similarity.cosine_lsh_recall_audit(_embeddings(spark, sf_dir))
 
 
+@register("neardup_clusters_delta", neardup.NEARDUP_CLUSTERS_SQL)
+def q_neardup_clusters_delta(spark: SparkSession, sf_dir: str):
+    """Incremental near-dup CLUSTER maintenance: quotient-graph label
+    propagation absorbs a delta batch into the standing cluster map
+    (merges decided over |standing clusters| + |delta| nodes, never the
+    corpus).  The oracle is the FULL-REBUILD recursive CTE — the driver
+    hash-checks incremental ≡ rebuild directly (the strongest delta
+    statement, applied to the dedup closure itself)."""
+    return neardup.neardup_clusters_delta_fixture(_docs(spark, sf_dir))
+
+
 @register("source_novelty_delta", text_queries.SOURCE_NOVELTY_SQL)
 def q_source_novelty_delta(spark: SparkSession, sf_dir: str):
     """Append-only delta maintenance of the novelty profile: first-seen
@@ -1758,8 +1769,11 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q9_profit_trend",
-    "tpch_q11_important_flow",
+    # Touched in round 12 (minhash_lsh_neardup_delta gained the
+    # release_cache composing mode — default path unchanged, but the
+    # module code moved, so the face re-earns; displaced
+    # tpch_q9_profit_trend):
+    "minhash_delta_neardup",
     # Registered in round 12, windowed same-commit (standing rule;
     # displaced the capped_corpus r09 filler, then tpch_q17_small_qty
     # and tpch_q16_supplier_count per the announced backwards order):
@@ -1768,6 +1782,7 @@ WINDOW_FIRST: tuple[str, ...] = (
     "source_novelty_profile",
     "source_novelty_delta",
     "cosine_lsh_recall_audit",
+    "neardup_clusters_delta",
     # Touched in round 12 (tokenize-once + eager cache release, VERDICT
     # r11 item 5), displacing tpch_q20_dominant_share:
     "decontam_threshold_curve",

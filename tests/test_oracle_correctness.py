@@ -148,6 +148,7 @@ _REPORT_EXEMPT = {
     "source_novelty_profile",
     "source_novelty_delta",
     "cosine_lsh_recall_audit",
+    "neardup_clusters_delta",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",
