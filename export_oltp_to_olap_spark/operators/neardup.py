@@ -1400,8 +1400,25 @@ def neardup_clusters_delta(
         .unionByName(new_docs.select("doc_id"))
         .distinct()
     )
-    qlabels = neardup_clusters(qnodes, qedges, max_iterations).select(
-        "doc_id", F.col("canonical_id").alias("new_label")
+    # Propagate ONLY over the delta-ACTIVE quotient subgraph (nodes
+    # touching a new edge): every other quotient node is a singleton
+    # there and keeps its own id — at 100 TB the standing cluster
+    # population must never enter the iterative loop just to confirm
+    # nothing touched it.
+    active = (
+        qedges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(qedges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    active_labels = neardup_clusters(active, qedges, max_iterations).select(
+        "doc_id", F.col("canonical_id").alias("active_label")
+    )
+    qlabels = (
+        qnodes.join(active_labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("active_label", "doc_id").alias("new_label"),
+        )
     )
     standing_final = lab.join(
         qlabels.withColumnRenamed("doc_id", "canonical_id"), "canonical_id"
