@@ -1674,122 +1674,90 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
-    # --- ROUND-12 ROTATION (VERDICT r11 item 2, the pre-staged chore) ---
-    # Out (43): every untouched r11-earner — the full star oracle set
-    #      (A1-A6/B/D/J rows re-earned fresh in CORRECTNESS_r11), the
-    #      round-11 first-row earners (schema_drift_audit,
-    #      token_zipf_spectrum, source_vocab_overlap,
-    #      hybrid_neardup_confirm, doc_length_spectrum{,_delta},
-    #      capped_epoch_allocation, hard_negative_{mining,ivf},
-    #      label_knn_ivf, pack_bins_delta, vocab_prune_rewrite,
-    #      vocab_df_delta, length_outlier_report), the banding-fix
-    #      re-earners (minhash_near_dup, neardup_clusters,
-    #      leakage_safe_splits, leakage_fix_report,
-    #      neardup_quality_keepers), and the r04-r06 probes that
-    #      re-earned green r11 rows.  All have green r11 rows and are in
-    #      the grows-only _REPORT_EXEMPT union.
-    # Kept in despite green prior rows: epoch_allocation (code + oracle
-    #      TOUCHED in round 12 — the wu-millionths integerization of the
-    #      COMPUTATION, plus the HUGEINT→BIGINT cast the green sibling
-    #      always had; VERDICT r11 item 1).
-    # In as the r11-item-1 DIAGNOSTIC CLUSTER: mixture_weights (if the
-    #      driver build's 6-dp weights themselves diverge, it reds and
-    #      the root cause is pinned) plus its two downstream consumers
-    #      dsir_importance and lm_guided_mixture (r09-green; a red on
-    #      either with mixture green would localize divergence to the
-    #      consumer arithmetic instead).
-    # Backfill (the oldest-green pool, per the pre-staged r12 note):
-    #      the twelve r03 probes displaced mid-r11, the five r07 TPC-H
-    #      (q3 q4 q5 q6 q7), all 22 remaining r08-green names, and two
-    #      r09 fillers (capped_corpus, pack_bins_summary) to reach
-    #      exactly 50.
-    # ROUND-12 registrations landing later this round displace the two
-    #      r09 fillers first, then the r08 TPC-H block from q21
-    #      backwards (q21, q20, q17, q16, ...).
-    # ROUND-13 CHORE (pre-staged): once CORRECTNESS_r12 lands, rotate
-    #      out the r12-earners (keep the 5 star sentinels and any face
-    #      touched in round 13), rotate round-13 registrations in
-    #      same-commit (standing rule), and backfill the oldest-green
-    #      pool — post-r12 it is exactly: the six r08-green TPC-H
-    #      displaced mid-r12 (q13_custdist, q15_top_supplier,
-    #      q16_supplier_count, q17_small_qty, q20_dominant_share,
-    #      q21_sole_blame), the two displaced r09 fillers
-    #      (capped_corpus, pack_bins_summary), the 33 remaining
-    #      r09-green names, then r10-green names as space allows
-    #      (5 sentinels + 6 + 35 = 46 → four r10 slots).
-    # Prior rotation notes (r11 and earlier) kept in git history.
+    # --- ROUND-13 ROTATION (VERDICT r12 item 1, the pre-staged chore) ---
+    # Out (45): every r12-earner except the five star sentinels — the
+    #      round-12 first-row earners (winnow_recall_audit,
+    #      fuzzy_decontam_pairs, source_novelty_{profile,delta},
+    #      cosine_lsh_recall_audit, neardup_clusters_delta), the r12
+    #      re-earners (epoch_allocation + its diagnostic cluster,
+    #      minhash_delta_neardup, decontam_threshold_curve,
+    #      lsh_recall_audit, simhash_recall_audit, decontaminate_bloom,
+    #      decontam_strip_rewrite, span_strip_rewrite, ...), and the
+    #      r03/r07/r08 probes that re-earned green r12 rows.  All have
+    #      green r12 rows and are in the grows-only _REPORT_EXEMPT
+    #      union.
+    # Backfill = strictly oldest-last-green first.  The pre-staged r12
+    #      note counted "six r08 TPC-H + 35 r09 + four r10 slots"; the
+    #      authoritative recount over CORRECTNESS_r01-r12 (last round
+    #      each name earned a row) finds EIGHT registered r08-last
+    #      names (the six TPC-H the note listed plus
+    #      tpch_q11_important_flow and tpch_q9_profit_trend — displaced
+    #      mid-r11/r12 before earning newer rows; bpe_token_stats also
+    #      dates r08 but is retired from the registry) and 33 r09-last
+    #      names (including the two fillers).  Oldest-first therefore
+    #      takes all 8 + all 33 and FOUR r10 slots (taken in catalog
+    #      definition order): 5 + 8 + 33 + 4 = 50.
+    # ROUND-13 registrations landing later this round displace the
+    #      four r10 slots first (orders_price_percentiles,
+    #      distinct_agg_orders, grouping_sets_orders, rollup_revenue —
+    #      newest-green out first), then the r09 block from
+    #      training_shard_manifest backwards.
+    # Prior rotation notes (r12 and earlier) kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04 + r07-r11):
+    # probes; hash-green r01-r04 + r07-r12):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # Touched in round 12 (integerized computation + BIGINT cast) — must
-    # re-earn:
-    "epoch_allocation",
-    # The r11-item-1 diagnostic cluster (see the rotation note above):
-    "mixture_weights",
-    "dsir_importance",
-    "lm_guided_mixture",
-    # The twelve r03-green probes displaced mid-r11 (oldest rows):
-    "clicks_before_purchase",
-    "cube_order_stats",
-    "date_range_orders",
-    "events_json_stats",
-    "media_metadata_stats",
-    "point_filter_customer",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality",
-    "token_count_bpe",
-    "token_stats_by_source",
-    "topk_orders",
-    # The five r07-green TPC-H:
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    # The r08-green names (22 at rotation time; the six TPC-H from
-    # q21 backwards were displaced later by round-12 registrations,
-    # leaving these 16):
-    "cluster_balanced_sample",
-    "curated_corpus_rewritten",
-    "decontam_strip_rewrite",
-    "decontaminate_bloom",
-    "fingerprint_delta",
-    "ivfpq_cosine_topk",
-    "media_exact_dedup",
-    "pq_cosine_topk",
-    "semdedup_threshold_curve",
-    "span_strip_rewrite",
-    "winnowing_fingerprints",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # Touched in round 12 (minhash_lsh_neardup_delta gained the
-    # release_cache composing mode — default path unchanged, but the
-    # module code moved, so the face re-earns; displaced
-    # tpch_q9_profit_trend):
-    "minhash_delta_neardup",
-    # Registered in round 12, windowed same-commit (standing rule;
-    # displaced the capped_corpus r09 filler, then tpch_q17_small_qty
-    # and tpch_q16_supplier_count per the announced backwards order):
-    "winnow_recall_audit",
-    "fuzzy_decontam_pairs",
-    "source_novelty_profile",
-    "source_novelty_delta",
-    "cosine_lsh_recall_audit",
-    "neardup_clusters_delta",
-    # Touched in round 12 (tokenize-once + eager cache release, VERDICT
-    # r11 item 5), displacing tpch_q20_dominant_share:
-    "decontam_threshold_curve",
-    # Touched in round 12 (shared truth stage now intersects RAW shingle
-    # strings — ADVICE r11 collision fix — and both faces execute
-    # eagerly + unpersist, VERDICT r11 item 5), so they re-enter and
-    # displace the pack_bins_summary r09 filler and tpch_q21_sole_blame:
-    "lsh_recall_audit",
-    "simhash_recall_audit",
+    # The eight registered r08-last names (oldest rows in the registry):
+    "tpch_q9_profit_trend",
+    "tpch_q11_important_flow",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty",
+    "tpch_q20_dominant_share",
+    "tpch_q21_sole_blame",
+    # The 33 r09-last names (incl. the two r09 fillers the note named):
+    "ann_cosine_topk",
+    "capped_corpus",
+    "chunk_documents",
+    "corpus_curation_summary",
+    "corpus_digest",
+    "curated_corpus_decontaminated",
+    "curation_audit",
+    "decontaminate_documents",
+    "dim_cliente_scd2",
+    "duplicated_spans",
+    "embedding_norm_stats",
+    "eval_contamination_report",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_hopping_halfhour",
+    "incremental_corpus_delta",
+    "lm_fluency_scores",
+    "media_feature_extract",
+    "neardup_threshold_curve",
+    "orders_rank_suite",
+    "pack_bins_summary",
+    "pii_scan",
+    "quality_calibration_bins",
+    "quality_scores_saved",
+    "rp_cosine_topk",
+    "semantic_dedup",
+    "skew_safe_join_revenue",
+    "snapshot_diff_customers",
+    "source_overlap_matrix",
+    "split_drift_report",
+    "stats_moments_lineitem",
+    "tpch_q10_returned_items",
+    "training_shard_manifest",
+    # Four r10 slots (catalog definition order; displaced first by
+    # round-13 registrations per the note above):
+    "rollup_revenue",
+    "grouping_sets_orders",
+    "distinct_agg_orders",
+    "orders_price_percentiles",
 )
