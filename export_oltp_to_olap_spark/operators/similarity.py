@@ -1311,6 +1311,195 @@ truth AS (
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe cosine LSH — the raised-recall operating point
+# ---------------------------------------------------------------------------
+#
+# VERDICT r12 item 2: the shipped L=64/b=8 single-probe candidate stage
+# measures 0.8446 pair recall against exact ≥0.4-cosine truth at sf0.1
+# (RECALL.json `semantic_family`), with the misses concentrated in the
+# 0.4–0.5 band — the one family card below ~1.0.  Multi-probe LSH
+# (Lv et al., VLDB 2007) fixes the recall/volume trade: probe the
+# neighboring buckets at Hamming ≤ 1 on each band signature, so a pair
+# qualifies when SOME band's keys differ by at most one bit.  That
+# buys per-band hit probability p^b + b·p^(b-1)(1-p) instead of p^b,
+# which lets the geometry move to MORE bits per band (fewer random
+# collisions) without losing the near-threshold pairs.
+#
+# Operating point chosen by a measured sweep on the sf0.1 fixture
+# (2000 vectors, 920 truth pairs ≥ 0.4 cosine):
+#
+#   L= 64 b= 8 h=0 (shipped single-probe): recall 0.8446, cand 0.2445
+#   L= 64 b= 8 h=1: recall 1.0000, cand 0.8616  (defeats the prune)
+#   L= 64 b=11 h=1: recall 0.9772, cand 0.3409
+#   L= 88 b=12 h=1: recall 0.9587, cand 0.2794
+#   L= 96 b=12 h=1: recall 0.9641, cand 0.2981  <- shipped multiprobe
+#   L= 96 b=13 h=1: recall 0.9120, cand 0.1874  (below the 0.95 bar)
+#
+# L=96/b=12/h≤1 clears the ≥0.95 recall bar with 1.22× the shipped
+# single-probe candidate volume; the committed curve lives in
+# RECALL.json `semantic_family.cosine_lsh_multiprobe_candidates`
+# (tests/test_round13.py regenerates it).
+#
+# Scale shape: identical to the single-probe stage — one GEMM per
+# Arrow batch for all band keys, a (band, bucket) equi-self-join over
+# id-only rows — except the probe side fans out ×(b+1) flipped keys
+# (JVM string ops, no extra Python).  Hamming ≤ 1 needs probes on ONE
+# side only: if two signatures differ in exactly one bit, flipping
+# that bit on the probe side reproduces the other side's key, and the
+# identity probe covers the equal case; expanding both sides would
+# only duplicate pairs ahead of the DISTINCT.
+
+MULTIPROBE_N_BANDS = 96
+MULTIPROBE_PLANES_PER_BAND = 12
+
+
+def lsh_multiprobe_candidate_pairs(
+    embeddings: DataFrame,
+    n_bands: int = MULTIPROBE_N_BANDS,
+    planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
+) -> DataFrame:
+    """Hamming≤1 multi-probe LSH candidate id pairs (vec_a < vec_b).
+
+    Standalone sibling of `lsh_candidate_pairs` — deliberately NOT a
+    parameter on it, so the shipped single-probe candidate stage (and
+    every face consuming it) stays byte-identical while the raised
+    operating point is measured side by side.
+    """
+    b = planes_per_band
+    band_keys = _band_keys_udf(n_bands, planes_per_band)
+    base = spread_for_compute(embeddings.where(F.col("embedding").isNotNull()), "vec_id")
+    bucketed = base.select(
+        "vec_id",
+        F.posexplode(band_keys(F.col("embedding"))).alias("band", "bucket"),
+    )
+    # Probe side: the bucket itself + the b single-bit flips.  Pure
+    # codegen string ops (substring/concat/if) over the compact
+    # (vec_id, band, bucket) rows — the GEMM is not re-run per probe.
+    probes = bucketed.select(
+        "vec_id",
+        "band",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.expr(
+                    f"transform(sequence(1, {b}), p -> concat("
+                    f"substring(bucket, 1, p - 1), "
+                    f"if(substring(bucket, p, 1) = '1', '0', '1'), "
+                    f"substring(bucket, p + 1, {b})))"
+                ),
+            )
+        ).alias("bucket"),
+    )
+    a = probes.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    bb = bucketed.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    return (
+        a.join(bb, on=["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def cosine_lsh_multiprobe_recall_audit(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = MULTIPROBE_N_BANDS,
+    planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
+) -> DataFrame:
+    """The raised-recall companion row of `cosine_lsh_recall_audit`
+    (VERDICT r12 item 2): the Hamming≤1 multi-probe candidate stage at
+    the L=96/b=12 operating point, measured against the same exact
+    ≥0.4-cosine truth per cosine decile.  Together the two faces are
+    the recall-vs-candidate-volume trade as driver-hashed artifacts:
+    single-probe 0.8446 @ 0.2445 of all pairs, multi-probe 0.9641 @
+    0.2981 (sf0.1; RECALL.json `semantic_family`).
+
+    Audit face: the truth stage is the declared O(N²) brute baseline,
+    so it stays off the bench headline per the documented rule, like
+    its sibling.
+    """
+    from export_oltp_to_olap_spark.operators.neardup import _recall_audit_frame
+
+    truth = cosine_neardup(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.expr("CAST(round(cos * 1000000) AS BIGINT) div 100000").alias("band"),
+    )
+    found = lsh_multiprobe_candidate_pairs(
+        embeddings, n_bands, planes_per_band
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return _recall_audit_frame(truth, found)
+
+
+def cosine_lsh_multiprobe_recall_audit_sql(
+    threshold: float = 0.4,
+    n_bands: int = MULTIPROBE_N_BANDS,
+    planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
+    dim: int = DIM,
+) -> str:
+    """The sibling's oracle with the multi-probe candidate CTE: probes
+    = each band key plus its b single-bit flips (one-sided, per the
+    Hamming≤1 argument in the module note), joined back to the plain
+    keys.  Planes regenerate from the same md5 seeding at L·b = 1152
+    members."""
+    from export_oltp_to_olap_spark.operators.neardup import _RECALL_TAIL_SQL
+
+    n_planes = n_bands * planes_per_band
+    b = planes_per_band
+    return f"""
+WITH {_NORMS_CTE},
+planes AS (
+  SELECT j, i + 1 AS i,
+         CASE WHEN strpos('01234567',
+                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_planes}) t1(j), range({dim}) t2(i)
+),
+proj AS (
+  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
+  FROM elems e JOIN planes p ON e.i = p.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, j // {b} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id, j // {b}
+),
+probes AS (
+  SELECT vec_id, band, bucket FROM buckets
+  UNION ALL
+  SELECT vec_id, band,
+         substr(bucket, 1, p - 1)
+           || CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END
+           || substr(bucket, p + 1, {b}) AS bucket
+  FROM buckets, range(1, {b} + 1) t(p)
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM probes a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(round(SUM(CAST(a.e * b.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b,
+         CAST(round(round(dot / (na.norm * nb.norm), 6) * 1000000) AS BIGINT)
+           // 100000 AS band
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
+),
+{_RECALL_TAIL_SQL}
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — learned buckets, the retrieval-scale path
 # ---------------------------------------------------------------------------
 #

@@ -157,6 +157,7 @@ SMJ_EXPECTED = frozenset(
         "simhash_recall_audit",  # same shared recall-audit tail
         "winnow_recall_audit",  # same shared recall-audit tail
         "cosine_lsh_recall_audit",  # same shared recall-audit tail
+        "cosine_lsh_multiprobe_recall_audit",  # same shared recall-audit tail
     }
 )
 

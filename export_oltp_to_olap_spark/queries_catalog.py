@@ -1658,6 +1658,23 @@ def q_vocab_prune_rewrite(spark: SparkSession, sf_dir: str):
     return text_queries.vocab_prune_rewrite(_docs(spark, sf_dir))
 
 
+@register(
+    "cosine_lsh_multiprobe_recall_audit",
+    similarity.cosine_lsh_multiprobe_recall_audit_sql(),
+)
+def q_cosine_lsh_multiprobe_recall_audit(spark: SparkSession, sf_dir: str):
+    """The raised-recall companion of `cosine_lsh_recall_audit`
+    (VERDICT r12 item 2): Hamming≤1 multi-probe candidates at the
+    measured L=96/b=12 operating point vs the same exact ≥0.4-cosine
+    truth — sf0.1 recall 0.9641 at 1.22× the single-probe candidate
+    volume (RECALL.json `semantic_family`).  Not bench-headline: its
+    truth stage is the declared O(N²) brute baseline, like the
+    sibling's."""
+    return similarity.cosine_lsh_multiprobe_recall_audit(
+        _embeddings(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1754,10 +1771,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     "stats_moments_lineitem",
     "tpch_q10_returned_items",
     "training_shard_manifest",
-    # Four r10 slots (catalog definition order; displaced first by
-    # round-13 registrations per the note above):
+    # r10 slots (catalog definition order; displaced first by round-13
+    # registrations per the note above — orders_price_percentiles went
+    # to cosine_lsh_multiprobe_recall_audit):
     "rollup_revenue",
     "grouping_sets_orders",
     "distinct_agg_orders",
-    "orders_price_percentiles",
+    # Registered in round 13, windowed same-commit (standing rule):
+    "cosine_lsh_multiprobe_recall_audit",
 )

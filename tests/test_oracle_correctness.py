@@ -149,6 +149,9 @@ _REPORT_EXEMPT = {
     "source_novelty_delta",
     "cosine_lsh_recall_audit",
     "neardup_clusters_delta",
+    # Registered new in round 13, windowed same-commit (first driver
+    # rows land in CORRECTNESS_r13):
+    "cosine_lsh_multiprobe_recall_audit",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",
