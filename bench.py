@@ -205,6 +205,11 @@ DEFAULT_HEADLINE = [
     # measured 8.3 s at sf0.1, ~2.5x the production claim, all of it
     # the deliberate in-call bootstrap:
     "neardup_clusters_delta[standing]",
+    # round 13: delete/tombstone maintenance, same headline convention
+    # as the append delta — the steady-state [standing] variant is the
+    # production claim; the in-call-bootstrap base face stays runnable
+    # by name but off the headline:
+    "neardup_clusters_retract[standing]",
     # round 12: fuzzy train↔eval leakage (MinHash candidates + exact
     # verify) and the first-seen novelty profile + its delta — three
     # gram/signature-keyed plans in the family's usual ~1-2 s class:
@@ -366,6 +371,32 @@ def _variant_queries():
             standing_labels,
         )
 
+    _clusters_retract_cache: dict[str, object] = {}
+
+    def clusters_retract_standing(spark, sf_dir):
+        # Steady-state DELETE maintenance: the standing cluster map is
+        # the persisted artifact (untimed after the first run); the
+        # timed plan is the affected-cluster anti/pass-through joins +
+        # the restricted re-pair and re-propagation only.  The base
+        # `neardup_clusters_retract` entry keeps the self-contained
+        # bootstrap face that matches its full-rebuild driver oracle.
+        from pyspark.sql import functions as F
+
+        from export_oltp_to_olap_spark.operators import neardup
+        from export_oltp_to_olap_spark.operators.staging import stage
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if sf_dir not in _clusters_retract_cache:
+            _clusters_retract_cache[sf_dir] = stage(
+                neardup.minhash_neardup_clusters(docs), mode="table"
+            )
+        deleted = docs.select("doc_id").where(
+            F.col("doc_id") % neardup.RETRACT_MOD == 0
+        )
+        return neardup.neardup_clusters_retract(
+            docs, deleted, _clusters_retract_cache[sf_dir]
+        )
+
     return {
         "ivf_cosine_topk[kmeans]": ivf_kmeans,
         "semantic_dedup[kmeans]": semdedup_kmeans,
@@ -374,6 +405,7 @@ def _variant_queries():
         "media_neardup_delta[standing]": media_delta_standing,
         "decontaminate_bloom[standing]": bloom_standing,
         "neardup_clusters_delta[standing]": clusters_delta_standing,
+        "neardup_clusters_retract[standing]": clusters_retract_standing,
     }
 
 

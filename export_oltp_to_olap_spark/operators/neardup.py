@@ -1457,6 +1457,100 @@ def neardup_clusters_delta_fixture(docs: DataFrame) -> DataFrame:
     )
 
 
+def neardup_clusters_retract(
+    standing_docs: DataFrame,
+    deleted_ids: DataFrame,
+    standing_labels: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Delete/tombstone maintenance of the near-dup CLUSTER map — the
+    quotient trick in reverse (VERDICT r12 item 3): remove a doc set
+    from the standing state by re-propagating ONLY the clusters that
+    contained a deleted doc.
+
+    Why only those clusters, and why that is EXACT (no id-monotonicity
+    precondition, unlike the append delta):
+
+    1. The standing map is the transitive closure of the pair
+       detector's edges over the standing corpus, so no edge ever
+       crosses two standing clusters — a cross-cluster pair would have
+       merged them.  Deleting docs removes edges, never adds them:
+       clusters WITHOUT a deleted member keep their exact membership,
+       canonical (their min id — which cannot be a deleted doc), and
+       size, so they pass through untouched.
+    2. The pair detector is per-pair deterministic and
+       corpus-independent (signatures/buckets derive from each doc's
+       own text), so the full rebuild's edges among survivors of an
+       affected cluster are exactly the detector's edges over those
+       survivors — re-running it restricted to |affected members|
+       docs reproduces the rebuild's subgraph.  Deleting a BRIDGE doc
+       splits its component; deleting a canonical re-elects the min
+       surviving id: both fall out of propagation over the restricted
+       subgraph.
+
+    Steady-state cost: O(|clusters touching the delete batch|) — the
+    detector re-pairs affected survivors only, and the standing
+    population never enters the iterative loop.  The fixture face
+    re-shingles the affected survivors from text; a production
+    deployment keeps the per-doc signatures / band index it already
+    persists for the APPEND path and reuses them here, making retract
+    a pure anti-join + re-propagation (SCALE.md).
+
+    The oracle is the FULL-REBUILD recursive CTE over the surviving
+    corpus (``NEARDUP_CLUSTERS_RETRACT_SQL``), so the driver
+    hash-checks retract ≡ rebuild-after-delete directly — the
+    strongest form, matching `neardup_clusters_delta`'s convention.
+    """
+    lab = standing_labels.select("doc_id", "canonical_id", "cluster_size")
+    deleted = deleted_ids.select("doc_id").distinct()
+    # Clusters containing >= 1 deleted doc.  Bounded by the delete
+    # batch (|affected| <= |deleted|), so broadcast is the right shape
+    # at any corpus size — the standing map is probed, never shuffled.
+    affected = lab.join(deleted, "doc_id").select("canonical_id").distinct()
+    unaffected = lab.join(F.broadcast(affected), "canonical_id", "left_anti")
+    survivors = (
+        lab.join(F.broadcast(affected), "canonical_id")
+        .select("doc_id")
+        .join(deleted, "doc_id", "left_anti")
+    )
+    surviving_docs = standing_docs.join(survivors, "doc_id")
+    pairs = minhash_lsh_neardup(surviving_docs)
+    relabeled = neardup_clusters(
+        surviving_docs.select("doc_id"), pairs, max_iterations
+    )
+    return unaffected.select(
+        "doc_id", "canonical_id", "cluster_size"
+    ).unionByName(relabeled)
+
+
+RETRACT_MOD = 10
+
+
+def neardup_clusters_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: delete every RETRACT_MOD-th doc_id (hits cluster
+    canonicals, interiors and whole singleton clusters across the
+    fixture); standing labels derive in-call via the registered
+    cluster build (persisted between batches in production, exactly as
+    `neardup_clusters_delta_fixture` declares)."""
+    deleted = docs.select("doc_id").where(F.col("doc_id") % RETRACT_MOD == 0)
+    return neardup_clusters_retract(docs, deleted, minhash_neardup_clusters(docs))
+
+
+# The full-rebuild closure over the SURVIVING corpus: the same CTE
+# chain as NEARDUP_CLUSTERS_SQL with every `documents` scan redirected
+# to the survivors filter (both the shingle pipeline's `FROM documents`
+# and the singleton-completion `FROM documents d`; a pytest pins that
+# no bare `documents` scan survives the rewrite).
+NEARDUP_CLUSTERS_RETRACT_SQL = f"""
+WITH RECURSIVE survivors AS (
+  SELECT * FROM documents WHERE doc_id % {RETRACT_MOD} <> 0
+),
+{_CLUSTERS_CTES.replace("FROM documents", "FROM survivors")}
+SELECT a.doc_id, a.canonical_id, s.cluster_size
+FROM allc a JOIN csizes s USING (canonical_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Normalized-text dedup (between exact and near-dup in the dedup ladder)
 # ---------------------------------------------------------------------------

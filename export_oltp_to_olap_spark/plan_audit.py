@@ -126,6 +126,10 @@ SMJ_EXPECTED = frozenset(
         # standing label map and the size table are both corpus-scale
         # on doc_id/canonical_id, neither broadcastable:
         "neardup_clusters_delta",
+        # the standing-map pass-through/anti joins + the affected-only
+        # re-pair and re-propagation chain — same corpus-scale
+        # doc_id/canonical_id keys as its siblings:
+        "neardup_clusters_retract",
         # inherits the propagation chain, plus the per-doc quality
         # re-attach: both sides corpus-scale on doc_id/canonical_id
         "neardup_quality_keepers",
@@ -210,6 +214,9 @@ STAGE_EXECUTES = frozenset(
         # builds standing labels in-call, then iterative quotient
         # propagation with per-round stage() cuts:
         "neardup_clusters_delta",
+        # same shape in reverse: in-call standing build, then the
+        # affected-only re-pair + propagation with stage() cuts:
+        "neardup_clusters_retract",
     }
 )
 

@@ -1675,6 +1675,19 @@ def q_cosine_lsh_multiprobe_recall_audit(spark: SparkSession, sf_dir: str):
     )
 
 
+@register("neardup_clusters_retract", neardup.NEARDUP_CLUSTERS_RETRACT_SQL)
+def q_neardup_clusters_retract(spark: SparkSession, sf_dir: str):
+    """Delete/tombstone maintenance of the dedup cluster map (VERDICT
+    r12 item 3): the quotient trick in reverse — only clusters
+    containing a deleted doc re-pair and re-propagate (bridge deletes
+    split, canonical deletes re-elect the min survivor), every other
+    cluster passes through untouched.  Exact with NO id-monotonicity
+    precondition; the oracle is the FULL-REBUILD recursive CTE over
+    the surviving corpus, so the driver hash-checks retract ≡
+    rebuild-after-delete directly."""
+    return neardup.neardup_clusters_retract_fixture(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1773,10 +1786,11 @@ WINDOW_FIRST: tuple[str, ...] = (
     "training_shard_manifest",
     # r10 slots (catalog definition order; displaced first by round-13
     # registrations per the note above — orders_price_percentiles went
-    # to cosine_lsh_multiprobe_recall_audit):
+    # to cosine_lsh_multiprobe_recall_audit, distinct_agg_orders to
+    # neardup_clusters_retract):
     "rollup_revenue",
     "grouping_sets_orders",
-    "distinct_agg_orders",
     # Registered in round 13, windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
+    "neardup_clusters_retract",
 )

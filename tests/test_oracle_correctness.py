@@ -152,6 +152,7 @@ _REPORT_EXEMPT = {
     # Registered new in round 13, windowed same-commit (first driver
     # rows land in CORRECTNESS_r13):
     "cosine_lsh_multiprobe_recall_audit",
+    "neardup_clusters_retract",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

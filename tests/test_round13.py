@@ -156,3 +156,82 @@ def test_multiprobe_recall_artifact_sf01(spark, sf01):
     }
     with open(artifact, "w", encoding="utf-8") as fh:
         json.dump(existing, fh, indent=1, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# neardup_clusters_retract (VERDICT r12 item 3)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_map(df):
+    return {
+        (r["doc_id"], r["canonical_id"], r["cluster_size"])
+        for r in df.collect()
+    }
+
+
+def test_retract_equals_rebuild_after_delete_fixture(spark, sf0001):
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    got = _cluster_map(ND.neardup_clusters_retract_fixture(docs))
+    survivors = docs.where(F.col("doc_id") % ND.RETRACT_MOD != 0)
+    want = _cluster_map(ND.minhash_neardup_clusters(survivors))
+    assert got == want
+
+
+@pytest.mark.parametrize("pct", [0, 50, 97])
+def test_retract_cut_sweep_equals_rebuild(spark, sf0001, pct):
+    """Delete 0 / 50 / 97 % of docs: retract must equal the full
+    rebuild over the survivors at every cut (the delta face's
+    cut-sweep convention applied to deletes — 0 % pins the no-op
+    pass-through, 97 % the nearly-everything-affected extreme)."""
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    deleted = docs.select("doc_id").where(F.col("doc_id") % 100 < pct)
+    standing = ND.minhash_neardup_clusters(docs)
+    got = _cluster_map(ND.neardup_clusters_retract(docs, deleted, standing))
+    survivors = docs.join(deleted, "doc_id", "left_anti")
+    want = _cluster_map(ND.minhash_neardup_clusters(survivors))
+    assert got == want
+
+
+def test_retract_splits_bridge_and_reelects_canonical(spark):
+    """Planted A–B–C chain: B bridges A and C (pairwise >=0.8 Jaccard
+    with both; A–C below threshold) and holds the min id, so deleting
+    B must BOTH split the cluster and re-elect each side's canonical —
+    the two failure modes that break the append-delta's min-id
+    shortcut under deletes (neardup.py's documented precondition)."""
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    words = [f"w{i}" for i in range(64)]
+    mk = lambda lo, hi: " ".join(words[lo:hi])
+    docs = spark.createDataFrame(
+        [
+            (1, mk(3, 53)),   # B: the bridge, min id -> standing canonical
+            (2, mk(0, 50)),   # A: jaccard(A,B) ~ 0.88 >= 0.8
+            (3, mk(6, 56)),   # C: jaccard(B,C) ~ 0.88; jaccard(A,C) ~ 0.78
+        ],
+        "doc_id long, text string",
+    )
+    standing = ND.minhash_neardup_clusters(docs)
+    smap = _cluster_map(standing)
+    assert smap == {(1, 1, 3), (2, 1, 3), (3, 1, 3)}, smap
+    deleted = spark.createDataFrame([(1,)], "doc_id long")
+    got = _cluster_map(ND.neardup_clusters_retract(docs, deleted, standing))
+    assert got == {(2, 2, 1), (3, 3, 1)}, got
+
+
+def test_retract_oracle_scans_only_survivors():
+    """The retract oracle is the clusters CTE chain with every
+    `documents` scan redirected through the survivors filter — a bare
+    `FROM documents` scan surviving the rewrite would silently rebuild
+    over the UNDELETED corpus."""
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    # everything past the survivors CTE itself (whose one legitimate
+    # `FROM documents` applies the delete filter) must scan survivors
+    body = ND.NEARDUP_CLUSTERS_RETRACT_SQL.split("toks AS", 1)[1]
+    assert "FROM documents" not in body
+    assert "FROM survivors" in body
