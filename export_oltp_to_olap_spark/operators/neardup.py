@@ -1175,6 +1175,94 @@ candidates AS (
 """
 
 
+SIMHASH_SWEEP_RADII = (2, 4, 6)
+
+
+def simhash_radius_sweep(
+    docs: DataFrame, radii: tuple[int, ...] = SIMHASH_SWEEP_RADII
+) -> DataFrame:
+    """The radius dial on the SimHash family card (VERDICT r12 item 8):
+    `simhash_recall_audit` measured hamming≤2 recalling only 0.10 of
+    ≥0.5-Jaccard truth — the quantified "SimHash at tight radius is a
+    near-exact detector" finding.  The natural follow-up question is
+    at what radius the family becomes competitive and at what
+    candidate cost, so this face publishes the full per-radius curve:
+    one (radius, band, n_pairs, n_recalled) row set per hamming radius
+    2/4/6, with each radius's band −1 row counting its decision pairs
+    below the truth line (SimHash has no verify stage, so those are
+    FALSE POSITIVES — the price axis of the curve).
+
+    One pipeline pass: fingerprints + the pigeonhole candidate join
+    run ONCE at the loosest radius (7 segments — lossless: ≤6
+    differing bits can touch at most 6 of them), hammings attach once,
+    and each radius is a filter over the shared pair set — the
+    threshold-curve convention (`neardup_threshold_curve`), not a
+    per-radius re-join.  Shares the exact truth stage with the other
+    family audits; eager execute + unpersist like its siblings."""
+    sets = doc_shingle_sets(docs).where(F.size("shs") > 0)
+    sets = sets.withColumn("n_sh", F.size("shs")).persist()
+    truth = _jaccard_truth_bands(sets)
+    found_all = (
+        simhash_neardup(docs, max_hamming=max(radii))
+        .select("doc_a", "doc_b", "hamming")
+        .persist()
+    )
+    frames = []
+    for r in radii:
+        found = found_all.where(F.col("hamming") <= r).select("doc_a", "doc_b")
+        frames.append(
+            _recall_audit_frame(truth, found).select(
+                F.lit(r).cast("long").alias("radius"), "band", "n_pairs", "n_recalled"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    frame = out.orderBy("radius", "band").localCheckpoint()
+    found_all.unpersist()
+    sets.unpersist()
+    return frame
+
+
+SIMHASH_RADIUS_SWEEP_SQL = f"""
+WITH {_SHINGLE_CTE},
+{SIMHASH_FP_CTE},
+ham AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS h
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max(SIMHASH_SWEEP_RADII)}
+),
+{_JACCARD_TRUTH_CTES},
+radii AS (SELECT unnest([{", ".join(str(r) for r in SIMHASH_SWEEP_RADII)}]) AS radius),
+per_band AS (
+  SELECT CAST(r.radius AS BIGINT) AS radius, t.band,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(c.doc_a) AS BIGINT) AS n_recalled
+  FROM radii r
+  CROSS JOIN truth t
+  LEFT JOIN ham c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+                 AND c.h <= r.radius
+  GROUP BY 1, 2
+),
+nontruth AS (
+  SELECT c.doc_a, c.h FROM ham c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  WHERE t.doc_a IS NULL
+),
+wasted AS (
+  SELECT CAST(r.radius AS BIGINT) AS radius, CAST(-1 AS BIGINT) AS band,
+         CAST(count(n.doc_a) AS BIGINT) AS n_pairs,
+         CAST(count(n.doc_a) AS BIGINT) AS n_recalled
+  FROM radii r LEFT JOIN nontruth n ON n.h <= r.radius
+  GROUP BY 1
+)
+SELECT radius, band, n_pairs, n_recalled FROM per_band
+UNION ALL SELECT radius, band, n_pairs, n_recalled FROM wasted
+ORDER BY radius, band
+"""
+
+
 def winnow_recall_audit(docs: DataFrame) -> DataFrame:
     """The THIRD lexical family member of the recall data card: the
     winnowing clone-signal candidate set (docs sharing ≥ 1

@@ -159,6 +159,7 @@ SMJ_EXPECTED = frozenset(
         # (doc_a, doc_b), neither broadcastable at scale:
         "lsh_recall_audit",
         "simhash_recall_audit",  # same shared recall-audit tail
+        "simhash_radius_sweep",  # same shared recall-audit tail, x3 radii
         "winnow_recall_audit",  # same shared recall-audit tail
         "cosine_lsh_recall_audit",  # same shared recall-audit tail
         "cosine_lsh_multiprobe_recall_audit",  # same shared recall-audit tail
@@ -208,6 +209,7 @@ STAGE_EXECUTES = frozenset(
         # item 5); a plan sweep over them runs the full audit.
         "lsh_recall_audit",
         "simhash_recall_audit",
+        "simhash_radius_sweep",
         "winnow_recall_audit",
         "decontam_threshold_curve",  # same eager-release pattern
         "fuzzy_decontam_pairs",  # same eager-release pattern

@@ -1688,6 +1688,17 @@ def q_neardup_clusters_retract(spark: SparkSession, sf_dir: str):
     return neardup.neardup_clusters_retract_fixture(_docs(spark, sf_dir))
 
 
+@register("simhash_radius_sweep", neardup.SIMHASH_RADIUS_SWEEP_SQL)
+def q_simhash_radius_sweep(spark: SparkSession, sf_dir: str):
+    """The radius dial on the SimHash family card (VERDICT r12 item 8):
+    per-radius (2/4/6) recall of ≥0.5-Jaccard truth per decile, with
+    each radius's band −1 row counting its FALSE POSITIVES (no verify
+    stage) — answers "at what hamming radius does SimHash become
+    competitive, and at what candidate cost" with one shared pipeline
+    pass.  Not bench-headline: shares the siblings' exact-truth stage."""
+    return neardup.simhash_radius_sweep(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1784,13 +1795,14 @@ WINDOW_FIRST: tuple[str, ...] = (
     "stats_moments_lineitem",
     "tpch_q10_returned_items",
     "training_shard_manifest",
-    # r10 slots (catalog definition order; displaced first by round-13
+    # r10 slot (catalog definition order; displaced first by round-13
     # registrations per the note above — orders_price_percentiles went
     # to cosine_lsh_multiprobe_recall_audit, distinct_agg_orders to
-    # neardup_clusters_retract):
+    # neardup_clusters_retract, grouping_sets_orders to
+    # simhash_radius_sweep):
     "rollup_revenue",
-    "grouping_sets_orders",
     # Registered in round 13, windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
+    "simhash_radius_sweep",
 )

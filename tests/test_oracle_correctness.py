@@ -153,6 +153,7 @@ _REPORT_EXEMPT = {
     # rows land in CORRECTNESS_r13):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
+    "simhash_radius_sweep",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",
