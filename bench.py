@@ -216,6 +216,12 @@ DEFAULT_HEADLINE = [
     "fuzzy_decontam_pairs",
     "source_novelty_profile",
     "source_novelty_delta",
+    # round 13: the delete-aware ladder — both fixture faces build
+    # their standing state in-call like the novelty/vocab deltas, so
+    # they bench the same way (no [standing] variant needed; the
+    # in-call build IS the delta-family convention here):
+    "source_novelty_retract",
+    "vocab_df_retract",
     # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
     # inherently |ns| x the single-point face (2.98 s at sf0.1):
     "decontam_threshold_curve",

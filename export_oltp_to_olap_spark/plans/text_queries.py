@@ -1795,6 +1795,61 @@ ORDER BY tok
 """.strip()
 
 
+# Deleted-doc fixture convention shared with neardup.RETRACT_MOD: every
+# RETRACT_MOD-th doc_id is tombstoned.
+VOCAB_RETRACT_MOD = 10
+
+
+def vocab_df_retract(deleted_docs: DataFrame, standing_df: DataFrame) -> DataFrame:
+    """Delete/tombstone maintenance of the standing vocabulary table
+    (VERDICT r12 item 3's ladder, beyond the cluster map): per-token
+    distinct-doc counts are commutative monoids, and a doc contributes
+    to each of its tokens exactly once — so deletes SUBTRACT the
+    tombstoned docs' own df counts, and tokens reaching zero leave the
+    vocabulary.  Exact with no ordering precondition; retract ≡
+    rebuild-over-survivors is the driver-hashed oracle statement.
+
+    Steady-state cost: tokenize the |deleted| docs, one token-keyed
+    join against the standing table (partitioned at corpus scale,
+    never collected, like the delta face's merge)."""
+    removed = vocab_df_counts(deleted_docs).withColumnRenamed("df", "df_rm")
+    return (
+        standing_df.join(removed, "tok", "left")
+        .select(
+            "tok",
+            (F.col("df") - F.coalesce(F.col("df_rm"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        .where(F.col("df") > 0)
+        .orderBy("tok")
+    )
+
+
+def vocab_df_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every VOCAB_RETRACT_MOD-th doc_id;
+    standing table derives in-call (persisted in production).  The
+    subtraction is exact, so the ORACLE is the full-rebuild SQL over
+    the survivors — retract ≡ rebuild hash-checked by the driver."""
+    deleted = docs.where(F.col("doc_id") % VOCAB_RETRACT_MOD == 0)
+    return vocab_df_retract(deleted, vocab_df_counts(docs))
+
+
+VOCAB_DF_RETRACT_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {VOCAB_RETRACT_MOD} <> 0
+),
+toks AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(t="text")}) AS tok
+  FROM survivors
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df
+FROM toks
+GROUP BY tok
+ORDER BY tok
+""".strip()
+
+
 def vocab_class_table(
     docs: DataFrame,
     lo_pct: int = VOCAB_PRUNE_LO_PCT,
@@ -2182,6 +2237,108 @@ def source_novelty_delta_fixture(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_novelty_retract(
+    deleted_ids: DataFrame,
+    standing_rows: DataFrame,
+    standing_counts: DataFrame,
+) -> DataFrame:
+    """Delete/tombstone maintenance of the novelty profile — the
+    first-seen RE-ELECTION problem (VERDICT r12 item 3's hard case):
+    deleting a document revokes its gram rows from ``n_gram_rows``,
+    and every gram whose FIRST-SEEN document dies must re-elect its
+    attribution to the earliest surviving carrier (or vanish with its
+    novel credit when no survivor carries it).
+
+    Standing state: the per-source counts (monoid half, as the append
+    delta keeps) plus the distinct ``(doc_id, source, g)`` POSTING
+    rows — the inverted attribution index.  Membership alone (the
+    append path's gram SET) cannot re-elect; delete-awareness is
+    exactly what upgrades the standing side table to postings, the
+    same state a dedup fingerprint index already persists.
+
+    Cost O(postings touching the delete), standing population never
+    iterated:
+
+    1. ``drows``  = postings of deleted docs (doc-keyed probe).
+    2. ``affected`` = their distinct grams; pull ONLY those grams'
+       postings (gram-keyed probe — the standing side stays
+       partitioned, never collected).
+    3. Per affected gram: ``of`` = min (doc, source) over all its
+       postings (the standing attribution — recomputed from postings
+       rather than persisted per-gram, same probe either way), ``nf``
+       = min over SURVIVING postings.  ``of = nf`` → attribution
+       unchanged; otherwise debit of.source and credit nf.source
+       (no credit when the gram dies with its last carrier).
+    4. Per-source row counts subtract ``drows``; counts merge by SUM;
+       sources with zero surviving rows drop.
+
+    Exact with NO id-monotonicity precondition (min over survivors is
+    the rebuild's first-seen by definition); the oracle is the
+    FULL-REBUILD novelty SQL over the surviving corpus, so the driver
+    hash-checks retract ≡ rebuild-after-delete directly.
+    """
+    deleted = deleted_ids.select("doc_id").distinct()
+    drows = standing_rows.join(deleted, "doc_id")
+    affected = drows.select("g").distinct()
+    pg = standing_rows.join(affected, "g").join(
+        deleted.withColumn("is_del", F.lit(1)), "doc_id", "left"
+    )
+    agg = pg.groupBy("g").agg(
+        F.min(F.struct("doc_id", "source")).alias("of"),
+        F.min(
+            F.when(F.col("is_del").isNull(), F.struct("doc_id", "source"))
+        ).alias("nf"),
+    )
+    moved = agg.where(
+        F.col("nf").isNull() | (F.col("nf.doc_id") != F.col("of.doc_id"))
+    )
+    debits = moved.select(
+        F.col("of.source").alias("source"), F.lit(-1).cast("long").alias("d_novel")
+    )
+    credits = moved.where(F.col("nf").isNotNull()).select(
+        F.col("nf.source").alias("source"), F.lit(1).cast("long").alias("d_novel")
+    )
+    novel_adj = (
+        debits.unionByName(credits)
+        .groupBy("source")
+        .agg(F.sum("d_novel").alias("d_novel"))
+    )
+    row_adj = drows.groupBy("source").agg(
+        (-F.count(F.lit(1))).cast("long").alias("d_rows")
+    )
+    adjusted = (
+        standing_counts.join(row_adj, "source", "left")
+        .join(novel_adj, "source", "left")
+        .select(
+            "source",
+            (F.col("n_gram_rows") + F.coalesce("d_rows", F.lit(0)))
+            .cast("long")
+            .alias("n_gram_rows"),
+            (F.col("n_novel") + F.coalesce("d_novel", F.lit(0)))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .where(F.col("n_gram_rows") > 0)
+    )
+    return _novelty_finish(adjusted)
+
+
+NOVELTY_RETRACT_MOD = 10
+
+
+def source_novelty_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every NOVELTY_RETRACT_MOD-th doc_id;
+    the posting rows and counts derive in-call (persisted artifacts in
+    production).  The re-election is exact, so the ORACLE is the
+    full-rebuild novelty SQL over the survivors."""
+    deleted = docs.select("doc_id").where(
+        F.col("doc_id") % NOVELTY_RETRACT_MOD == 0
+    )
+    return source_novelty_retract(
+        deleted, _novelty_gram_rows(docs), novelty_standing_counts(docs)
+    )
+
+
 SOURCE_NOVELTY_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source, {SQL_TOKENS.format(t="text")} AS t FROM documents
@@ -2202,4 +2359,16 @@ SELECT source,
 FROM shingles s JOIN first f USING (sh)
 GROUP BY source
 ORDER BY source
+""".strip()
+
+
+# The full-rebuild novelty statement over the SURVIVING corpus: the
+# same CTE chain with the one `documents` scan redirected through the
+# tombstone filter (pytest pins the rewrite, as for the cluster
+# retract oracle).
+SOURCE_NOVELTY_RETRACT_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {NOVELTY_RETRACT_MOD} <> 0
+),
+{SOURCE_NOVELTY_SQL.split("WITH ", 1)[1].replace("FROM documents", "FROM survivors")}
 """.strip()

@@ -1699,6 +1699,28 @@ def q_simhash_radius_sweep(spark: SparkSession, sf_dir: str):
     return neardup.simhash_radius_sweep(_docs(spark, sf_dir))
 
 
+@register("vocab_df_retract", text_queries.VOCAB_DF_RETRACT_SQL)
+def q_vocab_df_retract(spark: SparkSession, sf_dir: str):
+    """Delete/tombstone maintenance of the standing vocabulary table:
+    per-token df counts are monoids, so deletes SUBTRACT the
+    tombstoned docs' own counts and zero-df tokens leave.  One
+    token-keyed join against the persisted table; oracle = the
+    full-rebuild SQL over the survivors (retract ≡ rebuild
+    hash-checked by the driver)."""
+    return text_queries.vocab_df_retract_fixture(_docs(spark, sf_dir))
+
+
+@register("source_novelty_retract", text_queries.SOURCE_NOVELTY_RETRACT_SQL)
+def q_source_novelty_retract(spark: SparkSession, sf_dir: str):
+    """Delete/tombstone maintenance of the novelty profile — first-seen
+    RE-ELECTION: grams whose introducing doc dies re-attribute to the
+    earliest surviving carrier (or vanish with their credit), row
+    counts subtract, and only postings touching the delete are read.
+    Exact with no ordering precondition; oracle = the full-rebuild
+    novelty SQL over the survivors."""
+    return text_queries.source_novelty_retract_fixture(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1794,15 +1816,16 @@ WINDOW_FIRST: tuple[str, ...] = (
     "split_drift_report",
     "stats_moments_lineitem",
     "tpch_q10_returned_items",
-    "training_shard_manifest",
-    # r10 slot (catalog definition order; displaced first by round-13
-    # registrations per the note above — orders_price_percentiles went
-    # to cosine_lsh_multiprobe_recall_audit, distinct_agg_orders to
-    # neardup_clusters_retract, grouping_sets_orders to
-    # simhash_radius_sweep):
-    "rollup_revenue",
-    # Registered in round 13, windowed same-commit (standing rule):
+    # Round-13 registrations displaced the four r10 slots
+    # (orders_price_percentiles -> cosine_lsh_multiprobe_recall_audit,
+    # distinct_agg_orders -> neardup_clusters_retract,
+    # grouping_sets_orders -> simhash_radius_sweep, rollup_revenue ->
+    # vocab_df_retract) and then the r09 block from the bottom
+    # (training_shard_manifest -> source_novelty_retract), per the
+    # rotation note above.  Windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
     "simhash_radius_sweep",
+    "vocab_df_retract",
+    "source_novelty_retract",
 )

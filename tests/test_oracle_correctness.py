@@ -154,6 +154,8 @@ _REPORT_EXEMPT = {
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
     "simhash_radius_sweep",
+    "vocab_df_retract",
+    "source_novelty_retract",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -305,3 +305,95 @@ def test_simhash_sweep_recall_monotone_and_artifact(spark, sf01):
     )
     with open(artifact, "w", encoding="utf-8") as fh:
         json.dump(existing, fh, indent=1, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# vocab_df_retract / source_novelty_retract — the delete-aware ladder
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_vocab_df_retract_equals_rebuild(spark, sf0001):
+    from export_oltp_to_olap_spark.plans import text_queries as TQ
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    got = _rows(TQ.vocab_df_retract_fixture(docs))
+    survivors = docs.where(F.col("doc_id") % TQ.VOCAB_RETRACT_MOD != 0)
+    want = _rows(TQ.vocab_df_counts(survivors))
+    assert got == want
+
+
+@pytest.mark.parametrize("pct", [0, 50, 97])
+def test_novelty_retract_cut_sweep_equals_rebuild(spark, sf0001, pct):
+    """Delete 0 / 50 / 97 % of docs: first-seen re-election must equal
+    the full rebuild over the survivors at every cut."""
+    from export_oltp_to_olap_spark.plans import text_queries as TQ
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    deleted = docs.select("doc_id").where(F.col("doc_id") % 100 < pct)
+    got = _rows(
+        TQ.source_novelty_retract(
+            deleted,
+            TQ._novelty_gram_rows(docs),
+            TQ.novelty_standing_counts(docs),
+        )
+    )
+    survivors = docs.join(deleted, "doc_id", "left_anti")
+    want = _rows(TQ.source_novelty_profile(survivors))
+    assert got == want
+
+
+def test_novelty_retract_conservation_law(spark, sf0001):
+    """Σ n_novel after retract = the SURVIVING corpus's distinct-gram
+    count — the append profile's conservation law must survive
+    re-election (a double debit or missed credit breaks it)."""
+    from export_oltp_to_olap_spark.plans import text_queries as TQ
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    out = TQ.source_novelty_retract_fixture(docs)
+    total_novel = out.agg(F.sum("n_novel")).first()[0]
+    survivors = docs.where(F.col("doc_id") % TQ.NOVELTY_RETRACT_MOD != 0)
+    n_distinct = (
+        TQ._novelty_gram_rows(survivors).select("g").distinct().count()
+    )
+    assert total_novel == n_distinct
+
+
+def test_novelty_retract_reelects_across_sources(spark):
+    """Planted re-election: the gram's introducer dies, so the credit
+    must MOVE to the earliest surviving carrier in another source —
+    and a gram whose only carrier dies must vanish with its credit."""
+    from export_oltp_to_olap_spark.plans import text_queries as TQ
+
+    docs = spark.createDataFrame(
+        [
+            (1, "crawl_a", "alpha beta gamma delta"),      # introduces g1
+            (2, "crawl_b", "alpha beta gamma epsilon"),    # re-ships g1
+            (3, "crawl_a", "zeta eta theta iota"),         # introduces g2, dies with it
+        ],
+        "doc_id long, source string, text string",
+    )
+    deleted = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    got = _rows(
+        TQ.source_novelty_retract(
+            deleted,
+            TQ._novelty_gram_rows(docs),
+            TQ.novelty_standing_counts(docs),
+        )
+    )
+    want = _rows(TQ.source_novelty_profile(docs.where(F.col("doc_id") == 2)))
+    assert got == want
+    # the surviving doc's two grams are now both first-seen in crawl_b
+    assert got == {("crawl_b", 2, 2, 1000000)}
+
+
+def test_retract_oracles_scan_only_survivors():
+    from export_oltp_to_olap_spark.plans import text_queries as TQ
+
+    for sql in (TQ.VOCAB_DF_RETRACT_SQL, TQ.SOURCE_NOVELTY_RETRACT_SQL):
+        body = sql.split("toks AS", 1)[1]
+        assert "FROM documents" not in body
+        assert "FROM survivors" in body
