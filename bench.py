@@ -86,6 +86,9 @@ DEFAULT_HEADLINE = [
     "ivf_cosine_topk",
     "pq_cosine_topk",
     "lsh_cosine_neardup",
+    # round 13: the raised-recall multi-probe operating point is a
+    # production face, priced alongside the single-probe headline:
+    "lsh_multiprobe_cosine_neardup",
     "semantic_dedup",
     "semantic_dedup[kmeans]",
     "semantic_dedup[salted]",

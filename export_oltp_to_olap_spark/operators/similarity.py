@@ -1499,6 +1499,120 @@ truth AS (
 """
 
 
+def lsh_multiprobe_cosine_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = MULTIPROBE_N_BANDS,
+    planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
+) -> DataFrame:
+    """The PRODUCTION face of the raised operating point: multi-probe
+    candidates (L=96/b=12/Hamming≤1) → the same two-phase exact-cosine
+    rescore as `lsh_cosine_neardup`.  Precision is exact either way
+    (every reported pair carries its verified 6-dp cosine); what the
+    probes buy is candidate recall — 0.9641 vs 0.8446 of ≥0.4-cosine
+    truth at sf0.1 for ~1.22× the rescore volume (the two audit faces
+    price the trade; RECALL.json `semantic_family`).
+
+    Same scale shape as the single-probe face: the When-guard keeps the
+    interpreted decimal dot on prescore survivors only, and candidates
+    travel as id pairs with the embeddings re-attached afterwards."""
+    pair_dot = _pair_dot_udf()
+    base = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    candidates = lsh_multiprobe_candidate_pairs(
+        embeddings, n_bands, planes_per_band
+    )
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "cos_pre",
+            pair_dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .withColumn(
+            "cos",
+            F.when(
+                F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN),
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
+            ),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def lsh_multiprobe_cosine_neardup_sql(
+    threshold: float = 0.35,
+    n_bands: int = MULTIPROBE_N_BANDS,
+    planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
+    dim: int = DIM,
+) -> str:
+    n_planes = n_bands * planes_per_band
+    b = planes_per_band
+    return f"""
+WITH {_NORMS_CTE},
+planes AS (
+  SELECT j, i + 1 AS i,
+         CASE WHEN strpos('01234567',
+                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_planes}) t1(j), range({dim}) t2(i)
+),
+proj AS (
+  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
+  FROM elems e JOIN planes p ON e.i = p.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, j // {b} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id, j // {b}
+),
+probes AS (
+  SELECT vec_id, band, bucket FROM buckets
+  UNION ALL
+  SELECT vec_id, band,
+         substr(bucket, 1, p - 1)
+           || CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END
+           || substr(bucket, p + 1, {b}) AS bucket
+  FROM buckets, range(1, {b} + 1) t(p)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN elems ea ON ea.vec_id = c.vec_a
+  JOIN elems eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.norm * nb.norm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — learned buckets, the retrieval-scale path
 # ---------------------------------------------------------------------------

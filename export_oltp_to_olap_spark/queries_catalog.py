@@ -1721,6 +1721,20 @@ def q_source_novelty_retract(spark: SparkSession, sf_dir: str):
     return text_queries.source_novelty_retract_fixture(_docs(spark, sf_dir))
 
 
+@register(
+    "lsh_multiprobe_cosine_neardup",
+    similarity.lsh_multiprobe_cosine_neardup_sql(),
+)
+def q_lsh_multiprobe_cosine_neardup(spark: SparkSession, sf_dir: str):
+    """Production face of the raised semantic-LSH operating point:
+    Hamming≤1 multi-probe candidates at L=96/b=12 → the same two-phase
+    exact-cosine rescore as `lsh_cosine_neardup`.  Precision exact
+    either way; the probes buy candidate recall (0.9641 vs 0.8446 of
+    ≥0.4-cosine truth at sf0.1 for ~1.22× the rescore volume — the
+    audit pair prices the trade)."""
+    return similarity.lsh_multiprobe_cosine_neardup(_embeddings(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1815,17 +1829,18 @@ WINDOW_FIRST: tuple[str, ...] = (
     "source_overlap_matrix",
     "split_drift_report",
     "stats_moments_lineitem",
-    "tpch_q10_returned_items",
     # Round-13 registrations displaced the four r10 slots
     # (orders_price_percentiles -> cosine_lsh_multiprobe_recall_audit,
     # distinct_agg_orders -> neardup_clusters_retract,
     # grouping_sets_orders -> simhash_radius_sweep, rollup_revenue ->
     # vocab_df_retract) and then the r09 block from the bottom
-    # (training_shard_manifest -> source_novelty_retract), per the
-    # rotation note above.  Windowed same-commit (standing rule):
+    # (training_shard_manifest -> source_novelty_retract,
+    # tpch_q10_returned_items -> lsh_multiprobe_cosine_neardup), per
+    # the rotation note above.  Windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
     "simhash_radius_sweep",
     "vocab_df_retract",
     "source_novelty_retract",
+    "lsh_multiprobe_cosine_neardup",
 )
