@@ -213,6 +213,7 @@ DEFAULT_HEADLINE = [
     # production claim; the in-call-bootstrap base face stays runnable
     # by name but off the headline:
     "neardup_clusters_retract[standing]",
+    "neardup_clusters_upsert[standing]",
     # round 12: fuzzy train↔eval leakage (MinHash candidates + exact
     # verify) and the first-seen novelty profile + its delta — three
     # gram/signature-keyed plans in the family's usual ~1-2 s class:
@@ -406,6 +407,31 @@ def _variant_queries():
             docs, deleted, _clusters_retract_cache[sf_dir]
         )
 
+    def clusters_upsert_standing(spark, sf_dir):
+        # Steady-state CDC maintenance (deletes + changed docs in one
+        # batch): standing map persisted as above; timed plan is the
+        # retract pass + the delta band probe/propagation only.
+        from pyspark.sql import functions as F
+
+        from export_oltp_to_olap_spark.operators import neardup
+        from export_oltp_to_olap_spark.operators.staging import stage
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if sf_dir not in _clusters_retract_cache:
+            _clusters_retract_cache[sf_dir] = stage(
+                neardup.minhash_neardup_clusters(docs), mode="table"
+            )
+        deleted = docs.select("doc_id").where(
+            F.col("doc_id") % neardup.UPSERT_DEL_MOD == 0
+        )
+        changed = docs.where(
+            (F.col("doc_id") % neardup.UPSERT_CHG_MOD == 0)
+            & (F.col("doc_id") % neardup.UPSERT_DEL_MOD != 0)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(neardup.UPSERT_SUFFIX)))
+        return neardup.neardup_clusters_upsert(
+            docs, _clusters_retract_cache[sf_dir], changed, deleted
+        )
+
     return {
         "ivf_cosine_topk[kmeans]": ivf_kmeans,
         "semantic_dedup[kmeans]": semdedup_kmeans,
@@ -415,6 +441,7 @@ def _variant_queries():
         "decontaminate_bloom[standing]": bloom_standing,
         "neardup_clusters_delta[standing]": clusters_delta_standing,
         "neardup_clusters_retract[standing]": clusters_retract_standing,
+        "neardup_clusters_upsert[standing]": clusters_upsert_standing,
     }
 
 

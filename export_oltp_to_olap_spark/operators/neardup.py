@@ -1639,6 +1639,91 @@ FROM allc a JOIN csizes s USING (canonical_id)
 """
 
 
+def neardup_clusters_upsert(
+    standing_docs: DataFrame,
+    standing_labels: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Full CDC maintenance of the dedup closure — UPSERTS + DELETES in
+    one batch: a changed document's text changes its shingles, so its
+    old version must leave the closure and its new version re-pair;
+    deletes ride along as pure retractions.  Composition of the two
+    exact primitives:
+
+    1. ``retract`` the union of deleted and changed ids — the standing
+       map becomes exact for the untouched survivors (affected
+       clusters split/re-canonicalize as needed).
+    2. ``delta``-absorb the changed docs' NEW versions against that
+       surviving state (band-index probe + quotient propagation).
+
+    Step 2 re-uses `neardup_clusters_delta` OUTSIDE its documented
+    id-monotone append contract — a changed doc re-enters with its OLD
+    id, below existing ids.  That is sound here by a sharper reading
+    of the same argument: after retract, every standing canonical is
+    the min id of its (surviving) cluster BY CONSTRUCTION, so the min
+    quotient-node id of any merged component equals the min doc id of
+    the merged cluster regardless of where the delta ids fall — the
+    "delta ids exceed standing ids" clause strengthens the claim for
+    arbitrary externally-supplied label maps, but is not needed when
+    the map comes from `neardup_clusters`/`neardup_clusters_retract`,
+    whose canonicals are always cluster minima.  The driver oracle
+    (full rebuild over the upserted corpus) and the planted
+    re-pairing pytest verify the composition directly.
+
+    Caller contract: ``changed_docs`` carries the new text under the
+    SAME doc_id; ids also present in ``deleted_ids`` are treated as
+    deletes (the delete wins).
+    """
+    deleted = deleted_ids.select("doc_id").distinct()
+    changed = changed_docs.join(deleted, "doc_id", "left_anti")
+    drop = deleted.unionByName(changed.select("doc_id")).distinct()
+    base = neardup_clusters_retract(
+        standing_docs, drop, standing_labels, max_iterations
+    )
+    survivors = standing_docs.join(drop, "doc_id", "left_anti")
+    return neardup_clusters_delta(survivors, changed, base, max_iterations)
+
+
+UPSERT_DEL_MOD = 10
+UPSERT_CHG_MOD = 13
+UPSERT_SUFFIX = " zz0 zz1 zz2"
+
+
+def neardup_clusters_upsert_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: every UPSERT_DEL_MOD-th doc_id is deleted and
+    every surviving UPSERT_CHG_MOD-th doc_id arrives re-written with a
+    deterministic suffix (new shingles at the tail — grows every
+    changed doc's union, so borderline ≥0.8 pairs drop while template
+    twins that both changed stay paired: both directions exercised).
+    Standing labels derive in-call (persisted in production)."""
+    deleted = docs.select("doc_id").where(F.col("doc_id") % UPSERT_DEL_MOD == 0)
+    changed = (
+        docs.where(
+            (F.col("doc_id") % UPSERT_CHG_MOD == 0)
+            & (F.col("doc_id") % UPSERT_DEL_MOD != 0)
+        )
+        .withColumn("text", F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)))
+    )
+    return neardup_clusters_upsert(
+        docs, minhash_neardup_clusters(docs), changed, deleted
+    )
+
+
+NEARDUP_CLUSTERS_UPSERT_SQL = f"""
+WITH RECURSIVE upserted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {UPSERT_CHG_MOD} = 0
+              THEN text || '{UPSERT_SUFFIX}' ELSE text END AS text
+  FROM documents WHERE doc_id % {UPSERT_DEL_MOD} <> 0
+),
+{_CLUSTERS_CTES.replace("FROM documents", "FROM upserted")}
+SELECT a.doc_id, a.canonical_id, s.cluster_size
+FROM allc a JOIN csizes s USING (canonical_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Normalized-text dedup (between exact and near-dup in the dedup ladder)
 # ---------------------------------------------------------------------------

@@ -130,6 +130,7 @@ SMJ_EXPECTED = frozenset(
         # re-pair and re-propagation chain — same corpus-scale
         # doc_id/canonical_id keys as its siblings:
         "neardup_clusters_retract",
+        "neardup_clusters_upsert",  # retract + delta composed
         # inherits the propagation chain, plus the per-doc quality
         # re-attach: both sides corpus-scale on doc_id/canonical_id
         "neardup_quality_keepers",
@@ -219,6 +220,7 @@ STAGE_EXECUTES = frozenset(
         # same shape in reverse: in-call standing build, then the
         # affected-only re-pair + propagation with stage() cuts:
         "neardup_clusters_retract",
+        "neardup_clusters_upsert",  # retract + delta composed
     }
 )
 

@@ -1735,6 +1735,17 @@ def q_lsh_multiprobe_cosine_neardup(spark: SparkSession, sf_dir: str):
     return similarity.lsh_multiprobe_cosine_neardup(_embeddings(spark, sf_dir))
 
 
+@register("neardup_clusters_upsert", neardup.NEARDUP_CLUSTERS_UPSERT_SQL)
+def q_neardup_clusters_upsert(spark: SparkSession, sf_dir: str):
+    """Full CDC maintenance of the dedup closure — upserts + deletes in
+    one batch: retract the old versions (affected clusters
+    split/re-canonicalize), then delta-absorb the changed docs' new
+    text (band probe + quotient propagation).  Oracle = the full
+    rebuild over the upserted corpus, so the driver hash-checks the
+    whole composition directly."""
+    return neardup.neardup_clusters_upsert_fixture(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1828,19 +1839,20 @@ WINDOW_FIRST: tuple[str, ...] = (
     "snapshot_diff_customers",
     "source_overlap_matrix",
     "split_drift_report",
-    "stats_moments_lineitem",
     # Round-13 registrations displaced the four r10 slots
     # (orders_price_percentiles -> cosine_lsh_multiprobe_recall_audit,
     # distinct_agg_orders -> neardup_clusters_retract,
     # grouping_sets_orders -> simhash_radius_sweep, rollup_revenue ->
     # vocab_df_retract) and then the r09 block from the bottom
     # (training_shard_manifest -> source_novelty_retract,
-    # tpch_q10_returned_items -> lsh_multiprobe_cosine_neardup), per
-    # the rotation note above.  Windowed same-commit (standing rule):
+    # tpch_q10_returned_items -> lsh_multiprobe_cosine_neardup,
+    # stats_moments_lineitem -> neardup_clusters_upsert), per the
+    # rotation note above.  Windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
     "simhash_radius_sweep",
     "vocab_df_retract",
     "source_novelty_retract",
     "lsh_multiprobe_cosine_neardup",
+    "neardup_clusters_upsert",
 )

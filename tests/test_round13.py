@@ -400,6 +400,93 @@ def test_retract_oracles_scan_only_survivors():
 
 
 # ---------------------------------------------------------------------------
+# neardup_clusters_upsert — CDC upserts + deletes on the dedup closure
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_equals_rebuild_over_upserted_corpus(spark, sf0001):
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    got = _cluster_map(ND.neardup_clusters_upsert_fixture(docs))
+    upserted = docs.where(F.col("doc_id") % ND.UPSERT_DEL_MOD != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % ND.UPSERT_CHG_MOD == 0,
+            F.concat(F.col("text"), F.lit(ND.UPSERT_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    want = _cluster_map(ND.minhash_neardup_clusters(upserted))
+    assert got == want
+
+
+def test_upsert_moves_changed_doc_between_clusters(spark):
+    """Planted migration: doc 2's rewrite must LEAVE doc 1's cluster
+    and JOIN doc 3's — the old version's edges retract, the new
+    version re-pairs, in one upsert batch."""
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    w = [f"w{i}" for i in range(64)]
+    u = [f"u{i}" for i in range(64)]
+    mk = lambda words, lo, hi: " ".join(words[lo:hi])
+    docs = spark.createDataFrame(
+        [
+            (1, mk(w, 0, 50)),
+            (2, mk(w, 3, 53)),   # pairs with 1 before the change
+            (3, mk(u, 3, 53)),   # disjoint vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    standing = ND.minhash_neardup_clusters(docs)
+    assert _cluster_map(standing) == {(1, 1, 2), (2, 1, 2), (3, 3, 1)}
+    changed = spark.createDataFrame(
+        [(2, mk(u, 0, 50))], "doc_id long, text string"
+    )
+    empty_del = spark.createDataFrame([], "doc_id long")
+    got = _cluster_map(
+        ND.neardup_clusters_upsert(docs, standing, changed, empty_del)
+    )
+    assert got == {(1, 1, 1), (2, 2, 2), (3, 2, 2)}, got
+
+
+def test_cluster_state_maintained_across_cdc_batches(spark, sf0001):
+    """Three CDC batches applied to an EVOLVING standing state —
+    delete, upsert, delete — must land exactly on the rebuild of the
+    final corpus: pins that retract/upsert compose with their own
+    output, not just with a fresh build."""
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    state = ND.minhash_neardup_clusters(docs)
+    live = docs
+
+    # batch 1: delete doc_id % 7 == 0
+    d1 = live.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    state = ND.neardup_clusters_retract(live, d1, state).localCheckpoint()
+    live = live.join(d1, "doc_id", "left_anti")
+
+    # batch 2: delete % 11 == 3, rewrite % 5 == 1
+    d2 = live.select("doc_id").where(F.col("doc_id") % 11 == 3)
+    c2 = live.where(
+        (F.col("doc_id") % 5 == 1) & (F.col("doc_id") % 11 != 3)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" qq1 qq2 qq3")))
+    state = ND.neardup_clusters_upsert(live, state, c2, d2).localCheckpoint()
+    live = (
+        live.join(d2, "doc_id", "left_anti")
+        .join(c2.select("doc_id", F.col("text").alias("new_text")), "doc_id", "left")
+        .withColumn("text", F.coalesce("new_text", "text"))
+        .drop("new_text")
+    )
+
+    # batch 3: delete % 13 == 2
+    d3 = live.select("doc_id").where(F.col("doc_id") % 13 == 2)
+    state = ND.neardup_clusters_retract(live, d3, state).localCheckpoint()
+    live = live.join(d3, "doc_id", "left_anti")
+
+    assert _cluster_map(state) == _cluster_map(ND.minhash_neardup_clusters(live))
+
+
+# ---------------------------------------------------------------------------
 # lsh_multiprobe_cosine_neardup — the production face of the new point
 # ---------------------------------------------------------------------------
 
