@@ -1639,6 +1639,45 @@ FROM allc a JOIN csizes s USING (canonical_id)
 """
 
 
+def neardup_pairs_retract(
+    standing_pairs: DataFrame, deleted_ids: DataFrame
+) -> DataFrame:
+    """The PAIR-INDEX leg of the delete-aware ladder: the standing
+    verified pair table under deletes is a pure double anti-join —
+    near-dup similarity is a pairwise property of the two texts, so
+    deleting documents removes exactly the pairs touching them and
+    can neither create nor re-score any surviving pair.  O(|standing
+    pairs|) scan, no re-shingling, no propagation; the driver oracle
+    (the full MinHash pair SQL over the surviving corpus) hash-checks
+    that claim — anti-join ≡ re-detect — directly."""
+    d = deleted_ids.select("doc_id").distinct()
+    return (
+        standing_pairs.join(
+            d.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+        )
+        .join(d.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def neardup_pairs_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every RETRACT_MOD-th doc_id; the
+    standing pair table derives in-call (persisted in production)."""
+    deleted = docs.select("doc_id").where(F.col("doc_id") % RETRACT_MOD == 0)
+    return neardup_pairs_retract(minhash_lsh_neardup(docs), deleted).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+NEARDUP_PAIRS_RETRACT_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {RETRACT_MOD} <> 0
+),
+{_MINHASH_PAIRS_CTES.replace("FROM documents", "FROM survivors")}
+SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
 def neardup_clusters_upsert(
     standing_docs: DataFrame,
     standing_labels: DataFrame,

@@ -1746,6 +1746,16 @@ def q_neardup_clusters_upsert(spark: SparkSession, sf_dir: str):
     return neardup.neardup_clusters_upsert_fixture(_docs(spark, sf_dir))
 
 
+@register("neardup_pairs_retract", neardup.NEARDUP_PAIRS_RETRACT_SQL)
+def q_neardup_pairs_retract(spark: SparkSession, sf_dir: str):
+    """The pair-index leg of the delete-aware ladder: the standing
+    verified pair table under deletes is a pure double anti-join
+    (similarity is pairwise, so deletes remove exactly the touching
+    pairs).  Oracle = the full MinHash pair SQL over the survivors —
+    anti-join ≡ re-detect, hash-checked by the driver."""
+    return neardup.neardup_pairs_retract_fixture(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1838,7 +1848,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "skew_safe_join_revenue",
     "snapshot_diff_customers",
     "source_overlap_matrix",
-    "split_drift_report",
     # Round-13 registrations displaced the four r10 slots
     # (orders_price_percentiles -> cosine_lsh_multiprobe_recall_audit,
     # distinct_agg_orders -> neardup_clusters_retract,
@@ -1846,8 +1855,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     # vocab_df_retract) and then the r09 block from the bottom
     # (training_shard_manifest -> source_novelty_retract,
     # tpch_q10_returned_items -> lsh_multiprobe_cosine_neardup,
-    # stats_moments_lineitem -> neardup_clusters_upsert), per the
-    # rotation note above.  Windowed same-commit (standing rule):
+    # stats_moments_lineitem -> neardup_clusters_upsert,
+    # split_drift_report -> neardup_pairs_retract), per the rotation
+    # note above.  Windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
     "simhash_radius_sweep",
@@ -1855,4 +1865,5 @@ WINDOW_FIRST: tuple[str, ...] = (
     "source_novelty_retract",
     "lsh_multiprobe_cosine_neardup",
     "neardup_clusters_upsert",
+    "neardup_pairs_retract",
 )

@@ -109,6 +109,34 @@ def test_multiprobe_is_superset_of_single_probe_at_same_geometry(spark, sf001):
     assert len(multi) > len(single)  # the probes must actually add pairs
 
 
+def test_multiprobe_candidate_set_matches_duckdb(spark, sf001):
+    """Cross-engine CANDIDATE-set diff at the shipped geometry — the
+    r11 banding-bug lesson: a candidate-stage misalignment can hide
+    for rounds behind verified outputs, so the raw pair set itself is
+    diffed against the oracle's probes CTE, not just the per-band
+    counts the driver hashes."""
+    import duckdb
+
+    from export_oltp_to_olap_spark.operators.similarity import (
+        cosine_lsh_multiprobe_recall_audit_sql,
+    )
+
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_multiprobe_candidate_pairs(emb).collect()
+    }
+    full = cosine_lsh_multiprobe_recall_audit_sql()
+    cand_sql = full.split(",\ndots AS")[0] + "\nSELECT doc_a, doc_b FROM candidates"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf001}/embeddings.parquet')"
+    )
+    want = set(map(tuple, con.execute(cand_sql).fetchall()))
+    assert got == want
+
+
 MULTIPROBE_RECALL_FLOOR = 0.95
 
 
@@ -391,12 +419,30 @@ def test_novelty_retract_reelects_across_sources(spark):
 
 
 def test_retract_oracles_scan_only_survivors():
+    from export_oltp_to_olap_spark.operators import neardup as ND
     from export_oltp_to_olap_spark.plans import text_queries as TQ
 
-    for sql in (TQ.VOCAB_DF_RETRACT_SQL, TQ.SOURCE_NOVELTY_RETRACT_SQL):
+    for sql in (
+        TQ.VOCAB_DF_RETRACT_SQL,
+        TQ.SOURCE_NOVELTY_RETRACT_SQL,
+        ND.NEARDUP_PAIRS_RETRACT_SQL,
+    ):
         body = sql.split("toks AS", 1)[1]
         assert "FROM documents" not in body
         assert "FROM survivors" in body
+
+
+def test_pairs_retract_equals_redetect(spark, sf0001):
+    """Anti-join ≡ re-detect: the pair table is pairwise, so dropping
+    pairs touching deleted docs must equal re-running the detector
+    over the survivors."""
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    docs = load_tables(spark, sf0001, ("documents",))["documents"]
+    got = _rows(ND.neardup_pairs_retract_fixture(docs))
+    survivors = docs.where(F.col("doc_id") % ND.RETRACT_MOD != 0)
+    want = _rows(ND.minhash_lsh_neardup(survivors))
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
