@@ -532,6 +532,75 @@ def test_cluster_state_maintained_across_cdc_batches(spark, sf0001):
     assert _cluster_map(state) == _cluster_map(ND.minhash_neardup_clusters(live))
 
 
+def test_streaming_tombstones_maintain_cluster_map(spark, sf0001, tmp_path):
+    """Tombstones arriving as a STREAM (file-fed delete events, the
+    `streaming/cdc.py` feed contract) maintain the cluster map through
+    a foreachBatch retract — the production sink pattern — and the
+    final state equals the rebuild over the survivors regardless of
+    how the deletes split into micro-batches."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    docs = (
+        load_tables(spark, sf0001, ("documents",))["documents"]
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    doomed = [r["doc_id"] for r in docs.where(F.col("doc_id") % 7 == 0).collect()]
+    assert len(doomed) >= 3
+    feed = tmp_path / "tombstones"
+    feed.mkdir()
+    third = max(1, len(doomed) // 3)
+    chunks = [doomed[:third], doomed[third : 2 * third], doomed[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        with open(feed / f"b{i}.json", "w") as f:
+            for did in chunk:
+                f.write(_json.dumps({"doc_id": did, "op": "delete"}) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("op", T.StringType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    state = {
+        "labels": ND.minhash_neardup_clusters(docs).localCheckpoint(),
+        "live": docs,
+    }
+
+    def sink(batch_df, _):
+        deleted = batch_df.where(F.col("op") == "delete").select("doc_id")
+        state["labels"] = ND.neardup_clusters_retract(
+            state["live"], deleted, state["labels"]
+        ).localCheckpoint()
+        state["live"] = state["live"].join(
+            deleted, "doc_id", "left_anti"
+        ).localCheckpoint()
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    survivors = docs.where(F.col("doc_id") % 7 != 0)
+    assert _cluster_map(state["labels"]) == _cluster_map(
+        ND.minhash_neardup_clusters(survivors)
+    )
+
+
 # ---------------------------------------------------------------------------
 # lsh_multiprobe_cosine_neardup — the production face of the new point
 # ---------------------------------------------------------------------------
