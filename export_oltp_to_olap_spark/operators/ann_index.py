@@ -199,3 +199,57 @@ def probe_ivf_index(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def retract_ivf_index(deleted_ids: DataFrame, path: str) -> None:
+    """Delete vectors from a persisted index — partition-scoped
+    copy-on-write: only the posting LISTS containing a deleted vector
+    are rewritten (dynamic partition overwrite), every other list's
+    files are untouched, and a list whose last member dies has its
+    directory removed outright.  The "clusters touching the delete"
+    discipline applied to the ANN index.
+
+    Centroids stay frozen, exactly as `append_ivf_index` declares:
+    assignment is per-vector against the frozen centroid frame, so the
+    retracted index is bit-identical to a fresh build over the
+    survivors with the same centroids (pinned in
+    tests/test_ann_index.py), and centroid drift remains the rebuild-
+    cadence ops decision.  Cost: O(postings of affected lists) read +
+    rewrite; bounded by the delete batch's list fan-out.
+    """
+    import os
+    import shutil
+
+    spark = deleted_ids.sparkSession
+    postings = spark.read.parquet(f"{path}/postings")
+    d = deleted_ids.select("vec_id").distinct()
+    affected = postings.join(d, "vec_id").select("cen_id").distinct()
+    survivors = (
+        postings.join(F.broadcast(affected), "cen_id")
+        .join(d, "vec_id", "left_anti")
+        .select("vec_id", "embedding", "norm", "cen_id")
+    )
+    emptied = [
+        r["cen_id"]
+        for r in affected.join(
+            survivors.select("cen_id").distinct(), "cen_id", "left_anti"
+        ).collect()
+    ]
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try:
+        (
+            survivors.repartition("cen_id")
+            .write.mode("overwrite")
+            .partitionBy("cen_id")
+            .parquet(f"{path}/postings")
+        )
+    finally:
+        spark.conf.set(conf, old)
+    # dynamic overwrite cannot erase a partition it writes no rows to —
+    # fully-emptied lists are removed explicitly (bounded by |delete|)
+    for cid in emptied:
+        part = os.path.join(path, "postings", f"cen_id={cid}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)

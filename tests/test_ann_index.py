@@ -149,3 +149,78 @@ def test_append_casts_delta_to_stored_element_type(spark, emb, tmp_path):
     got = ann_index.probe_ivf_index(spark, path, q, nprobe=NPROBE, k=K)
     want = ann_index.probe_ivf_index(spark, full, q, nprobe=NPROBE, k=K)
     assert _rows(got) == _rows(want)
+
+
+def test_retract_equals_rebuild_over_survivors_frozen_centroids(
+    spark, emb, tmp_path
+):
+    """Retract ≡ a fresh build over the survivors with the SAME frozen
+    centroids: assignment is per-vector, so dropping vectors can move
+    nothing else."""
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, path, n_centroids=N_CEN, centroid_mode="first")
+    deleted = emb.select("vec_id").where(F.col("vec_id") % 5 == 0)
+    ann_index.retract_ivf_index(deleted, path)
+
+    ref = str(tmp_path / "ref")
+    survivors = emb.join(deleted, "vec_id", "left_anti")
+    # same frozen centroid frame: first-N mode trains on the FULL set's
+    # first rows, so rebuild the reference with the original centroids
+    import shutil
+
+    ann_index.build_ivf_index(emb, ref, n_centroids=N_CEN, centroid_mode="first")
+    shutil.rmtree(f"{ref}/postings")
+    cen = spark.read.parquet(f"{ref}/centroids")
+    base = similarity.with_norm(survivors).select("vec_id", "embedding", "norm")
+    (
+        similarity.rank_centroids(base, cen)
+        .where(F.col("cen_rank") == 1)
+        .select("cen_id", "vec_id", "embedding", "norm")
+        .repartition("cen_id")
+        .write.partitionBy("cen_id")
+        .parquet(f"{ref}/postings")
+    )
+    got = _rows(
+        spark.read.parquet(f"{path}/postings").select("vec_id", "cen_id")
+    )
+    want = _rows(
+        spark.read.parquet(f"{ref}/postings").select("vec_id", "cen_id")
+    )
+    assert got == want
+    # and the retracted index still probes (deleted ids gone)
+    out = ann_index.probe_ivf_index(
+        spark, path, _queries(emb), nprobe=NPROBE, k=K
+    )
+    assert out.count() > 0
+    gone = out.join(deleted.withColumnRenamed("vec_id", "neighbor_id"),
+                    "neighbor_id").count()
+    assert gone == 0
+
+
+def test_retract_rewrites_only_affected_lists(spark, emb, tmp_path):
+    """Partition-scoped copy-on-write: lists without a deleted member
+    keep their exact part files; a fully-emptied list's directory is
+    removed."""
+    import glob
+    import os
+
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(emb, path, n_centroids=N_CEN, centroid_mode="first")
+    postings = spark.read.parquet(f"{path}/postings")
+    # delete every member of ONE list, nothing else
+    victim = postings.groupBy("cen_id").count().orderBy("count", "cen_id").first()
+    victim_id = victim["cen_id"]
+    deleted = postings.where(F.col("cen_id") == victim_id).select("vec_id")
+    before = {
+        cid: sorted(glob.glob(os.path.join(path, "postings", f"cen_id={cid}", "*")))
+        for cid in range(N_CEN)
+    }
+    ann_index.retract_ivf_index(deleted, path)
+    assert not os.path.isdir(os.path.join(path, "postings", f"cen_id={victim_id}"))
+    for cid in range(N_CEN):
+        if cid == victim_id:
+            continue
+        after = sorted(
+            glob.glob(os.path.join(path, "postings", f"cen_id={cid}", "*"))
+        )
+        assert after == before[cid], f"untouched list {cid} was rewritten"
