@@ -445,6 +445,102 @@ def test_pairs_retract_equals_redetect(spark, sf0001):
     assert got == want
 
 
+def test_retract_property_random_chains_and_deletes(spark):
+    """Hypothesis: sliding-window docs over a shared token universe
+    produce chains, bridges and nested-overlap clusters; ANY delete
+    subset must leave retract ≡ rebuild-over-survivors.  Catches the
+    shapes the fixture's template clusters don't exercise (the planted
+    bridge test, generalized)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    words = [f"w{i}" for i in range(40)]
+
+    @st.composite
+    def corpus_and_deletes(draw):
+        n = draw(st.integers(min_value=4, max_value=8))
+        docs = []
+        for i in range(n):
+            start = draw(st.integers(min_value=0, max_value=20))
+            length = draw(st.integers(min_value=8, max_value=20))
+            docs.append((i + 1, " ".join(words[start : start + length])))
+        deleted = draw(
+            st.lists(
+                st.integers(min_value=1, max_value=n), unique=True, max_size=n
+            )
+        )
+        return docs, deleted
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(cd=corpus_and_deletes())
+    def run(cd):
+        rows, deleted = cd
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        standing = ND.minhash_neardup_clusters(docs)
+        ddf = spark.createDataFrame([(d,) for d in deleted], "doc_id long")
+        got = _cluster_map(ND.neardup_clusters_retract(docs, ddf, standing))
+        survivors = docs.join(ddf, "doc_id", "left_anti")
+        want = _cluster_map(ND.minhash_neardup_clusters(survivors))
+        assert got == want
+
+    run()
+
+
+def test_novelty_retract_property_random_deletes(spark):
+    """Hypothesis sibling for first-seen re-election: random two-source
+    sliding-window corpora + any delete subset — retract ≡ rebuild."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from export_oltp_to_olap_spark.plans import text_queries as TQ
+
+    words = [f"w{i}" for i in range(25)]
+
+    @st.composite
+    def corpus_and_deletes(draw):
+        n = draw(st.integers(min_value=3, max_value=8))
+        docs = []
+        for i in range(n):
+            start = draw(st.integers(min_value=0, max_value=12))
+            length = draw(st.integers(min_value=4, max_value=12))
+            src = draw(st.sampled_from(["crawl_a", "crawl_b"]))
+            docs.append((i + 1, src, " ".join(words[start : start + length])))
+        deleted = draw(
+            st.lists(
+                st.integers(min_value=1, max_value=n), unique=True, max_size=n
+            )
+        )
+        return docs, deleted
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(cd=corpus_and_deletes())
+    def run(cd):
+        rows, deleted = cd
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        ddf = spark.createDataFrame([(d,) for d in deleted], "doc_id long")
+        got = _rows(
+            TQ.source_novelty_retract(
+                ddf, TQ._novelty_gram_rows(docs), TQ.novelty_standing_counts(docs)
+            )
+        )
+        want = _rows(
+            TQ.source_novelty_profile(docs.join(ddf, "doc_id", "left_anti"))
+        )
+        assert got == want
+
+    run()
+
+
 # ---------------------------------------------------------------------------
 # neardup_clusters_upsert — CDC upserts + deletes on the dedup closure
 # ---------------------------------------------------------------------------
