@@ -1800,6 +1800,18 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      distinct_agg_orders, grouping_sets_orders, rollup_revenue —
     #      newest-green out first), then the r09 block from
     #      training_shard_manifest backwards.
+    # ROUND-14 CHORE (pre-staged): once CORRECTNESS_r13 lands, rotate
+    #      out the r13-earners (keep the 5 star sentinels and any face
+    #      touched in round 14), rotate round-14 registrations in
+    #      same-commit (standing rule), and backfill the oldest-green
+    #      pool — post-r13 it is exactly: the four r09-last names
+    #      displaced mid-r13 (training_shard_manifest,
+    #      tpch_q10_returned_items, stats_moments_lineitem,
+    #      split_drift_report), then the 43-name r10-last pool in
+    #      catalog definition order as space allows
+    #      (5 sentinels + 4 + 41 = 50 → the last two r10 names wait).
+    #      Recount against CORRECTNESS_r01-r13 before applying, as the
+    #      r13 rotation's recount caught the retired bpe_token_stats.
     # Prior rotation notes (r12 and earlier) kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
