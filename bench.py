@@ -226,6 +226,7 @@ DEFAULT_HEADLINE = [
     # in-call build IS the delta-family convention here):
     "source_novelty_retract",
     "vocab_df_retract",
+    "semdedup_retract",
     # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
     # inherently |ns| x the single-point face (2.98 s at sf0.1):
     "decontam_threshold_curve",

@@ -368,3 +368,112 @@ ORDER BY 1
 
 
 SEMDEDUP_THRESHOLD_CURVE_SQL = semdedup_threshold_curve_sql()
+
+
+# ---------------------------------------------------------------------------
+# Delete-aware maintenance — the semantic leg of the retract ladder
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_RETRACT_MOD = 10
+
+
+def semdedup_retract(
+    deleted_ids: DataFrame,
+    standing_assignment: DataFrame,
+    standing_map: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    max_members_per_pair_task: int | None = None,
+) -> DataFrame:
+    """Delete/tombstone maintenance of the SemDeDup keep/drop map — the
+    cluster-retract discipline applied to the embedding family: only
+    CELLS containing a deleted vector re-decide their keepers; every
+    other cell's rows pass through untouched.
+
+    Why affected-cells-only is exact: the centroid frame is FROZEN (the
+    persisted artifact, exactly as `retract_ivf_index` declares — a
+    deleted vector that was a centroid keeps defining its cell; drift
+    is the rebuild-cadence ops decision), assignment is per-vector
+    against that frame, and `kept` is a per-cell function of the cell's
+    member set (lower-id-wins over ≥-threshold cosines).  Deleting a
+    vector can only remove suppressors, so re-deciding the affected
+    cells over their surviving members reproduces the
+    rebuild-with-frozen-centroids exactly — no ordering precondition.
+
+    Standing state: the assignment table (vec_id, embedding, norm,
+    cluster_id — the same postings shape the IVF index persists) and
+    the published map.  Cost: O(|affected cells' members|²) pair work
+    via the shared salted `_scored_pairs` recipe; the standing
+    population never re-pairs."""
+    d = deleted_ids.select("vec_id").distinct()
+    affected = (
+        standing_assignment.join(d, "vec_id").select("cluster_id").distinct()
+    )
+    untouched = standing_map.join(F.broadcast(affected), "cluster_id", "left_anti")
+    members = standing_assignment.join(F.broadcast(affected), "cluster_id").join(
+        d, "vec_id", "left_anti"
+    )
+    dup_pairs = (
+        _scored_pairs(members, threshold, max_members_per_pair_task)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.max("cos").alias("dup_cos"))
+    )
+    redecided = (
+        members.select("vec_id", "cluster_id")
+        .join(dup_pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_cos").isNull().alias("kept"),
+            "dup_cos",
+        )
+    )
+    return untouched.select(
+        "vec_id", "cluster_id", "kept", "dup_cos"
+    ).unionByName(redecided)
+
+
+def semdedup_retract_fixture(embeddings: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every SEMDEDUP_RETRACT_MOD-th vec_id
+    (which includes centroid vectors 0 and 10 of the first-16 frame —
+    the frozen-centroid contract is exercised, not assumed); the
+    assignment table and standing map derive in-call (persisted
+    artifacts in production)."""
+    assigned = _staged_assignment(embeddings, SEMDEDUP_CENTROIDS, "first")
+    deleted = embeddings.select("vec_id").where(
+        F.col("vec_id") % SEMDEDUP_RETRACT_MOD == 0
+    )
+    return semdedup_retract(deleted, assigned, semantic_dedup(embeddings))
+
+
+def semdedup_retract_sql(
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    mod: int = SEMDEDUP_RETRACT_MOD,
+) -> str:
+    """The rebuild-with-frozen-centroids statement over the survivors:
+    the shared assignment CTEs with the MEMBER side restricted to the
+    surviving vec_ids (one targeted join insertion — pytest pins the
+    anchor fired exactly once) while the centroid side keeps reading
+    the full frame (`c.vec_id < N` — frozen artifact, deletions
+    included)."""
+    anchor = "  FROM elems v\n"
+    assignment = _assignment_ctes(n_centroids)
+    assert assignment.count(anchor) == 1
+    assignment = assignment.replace(
+        anchor, "  FROM elems v\n  JOIN surv ON surv.vec_id = v.vec_id\n"
+    )
+    return f"""
+WITH surv AS (SELECT vec_id FROM embeddings WHERE vec_id % {mod} <> 0),
+{assignment},
+{_pair_cos_cte("dup_pairs", "vec_id", threshold)}
+SELECT a.vec_id, a.cluster_id,
+       (d.dup_cos IS NULL) AS kept,
+       d.dup_cos
+FROM assigned a
+LEFT JOIN (SELECT vec_id, max(cos) AS dup_cos
+           FROM dup_pairs GROUP BY vec_id) d
+  ON d.vec_id = a.vec_id
+"""
+
+
+SEMDEDUP_RETRACT_SQL = semdedup_retract_sql()

@@ -145,6 +145,10 @@ SMJ_EXPECTED = frozenset(
         "winnowing_fingerprints",  # clone signal = fingerprint set ⋈ itself on fp_hash
         "fingerprint_delta",  # delta fingerprints ⋈ the standing side table on fp_hash
         "semdedup_threshold_curve",  # inherits semantic_dedup's within-cluster pair join
+        # same within-cluster pair join over the affected cells, plus
+        # the standing-map pass-through/anti joins — every side
+        # corpus-scale on vec_id/cluster_id:
+        "semdedup_retract",
         # top-k neighbor list ⋈ the labels frame (both derive from the
         # embeddings table; neither side is broadcastable at corpus
         # scale) — the vote re-attach of the brute-force baseline:

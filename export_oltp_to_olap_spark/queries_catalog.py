@@ -1756,6 +1756,17 @@ def q_neardup_pairs_retract(spark: SparkSession, sf_dir: str):
     return neardup.neardup_pairs_retract_fixture(_docs(spark, sf_dir))
 
 
+@register("semdedup_retract", semdedup.SEMDEDUP_RETRACT_SQL)
+def q_semdedup_retract(spark: SparkSession, sf_dir: str):
+    """The semantic leg of the delete-aware ladder: only SemDeDup CELLS
+    containing a deleted vector re-decide their keepers (deletes can
+    only remove suppressors); the centroid frame stays FROZEN — the
+    fixture tombstones centroid vectors 0 and 10, exercising the
+    contract.  Oracle = the rebuild-with-frozen-centroids SQL over the
+    surviving members."""
+    return semdedup.semdedup_retract_fixture(_embeddings(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1859,7 +1870,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "semantic_dedup",
     "skew_safe_join_revenue",
     "snapshot_diff_customers",
-    "source_overlap_matrix",
     # Round-13 registrations displaced the four r10 slots
     # (orders_price_percentiles -> cosine_lsh_multiprobe_recall_audit,
     # distinct_agg_orders -> neardup_clusters_retract,
@@ -1868,7 +1878,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     # (training_shard_manifest -> source_novelty_retract,
     # tpch_q10_returned_items -> lsh_multiprobe_cosine_neardup,
     # stats_moments_lineitem -> neardup_clusters_upsert,
-    # split_drift_report -> neardup_pairs_retract), per the rotation
+    # split_drift_report -> neardup_pairs_retract,
+    # source_overlap_matrix -> semdedup_retract), per the rotation
     # note above.  Windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
@@ -1878,4 +1889,5 @@ WINDOW_FIRST: tuple[str, ...] = (
     "lsh_multiprobe_cosine_neardup",
     "neardup_clusters_upsert",
     "neardup_pairs_retract",
+    "semdedup_retract",
 )

@@ -159,6 +159,7 @@ _REPORT_EXEMPT = {
     "lsh_multiprobe_cosine_neardup",
     "neardup_clusters_upsert",
     "neardup_pairs_retract",
+    "semdedup_retract",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -432,6 +432,65 @@ def test_retract_oracles_scan_only_survivors():
         assert "FROM survivors" in body
 
 
+def test_semdedup_retract_equals_frozen_centroid_rebuild(spark, sf0001):
+    """Retract ≡ rebuild-with-frozen-centroids over the survivors: the
+    affected cells re-decide, the rest pass through, and a deleted
+    suppressor's duplicates become kept again."""
+    from export_oltp_to_olap_spark.operators import semdedup as SD
+
+    emb = load_tables(spark, sf0001, ("embeddings",))["embeddings"]
+    got = _rows(SD.semdedup_retract_fixture(emb))
+    assigned = SD._staged_assignment(emb, SD.SEMDEDUP_CENTROIDS, "first")
+    survivors = assigned.where(
+        F.col("vec_id") % SD.SEMDEDUP_RETRACT_MOD != 0
+    )
+    dup = (
+        SD._scored_pairs(survivors, SD.SEMDEDUP_THRESHOLD, None)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.max("cos").alias("dup_cos"))
+    )
+    want = _rows(
+        survivors.select("vec_id", "cluster_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_cos").isNull().alias("kept"),
+            "dup_cos",
+        )
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("pct", [0, 50, 97])
+def test_semdedup_retract_cut_sweep(spark, sf0001, pct):
+    from export_oltp_to_olap_spark.operators import semdedup as SD
+
+    emb = load_tables(spark, sf0001, ("embeddings",))["embeddings"]
+    assigned = SD._staged_assignment(emb, SD.SEMDEDUP_CENTROIDS, "first")
+    deleted = emb.select("vec_id").where(F.col("vec_id") % 100 < pct)
+    got = _rows(
+        SD.semdedup_retract(deleted, assigned, SD.semantic_dedup(emb))
+    )
+    survivors = assigned.join(deleted, "vec_id", "left_anti")
+    dup = (
+        SD._scored_pairs(survivors, SD.SEMDEDUP_THRESHOLD, None)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.max("cos").alias("dup_cos"))
+    )
+    want = _rows(
+        survivors.select("vec_id", "cluster_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_cos").isNull().alias("kept"),
+            "dup_cos",
+        )
+    )
+    assert got == want
+
+
 def test_pairs_retract_equals_redetect(spark, sf0001):
     """Anti-join ≡ re-detect: the pair table is pairwise, so dropping
     pairs touching deleted docs must equal re-running the detector
