@@ -600,6 +600,70 @@ def test_novelty_retract_property_random_deletes(spark):
     run()
 
 
+def test_upsert_property_random_changes_and_deletes(spark):
+    """Hypothesis for the CDC composition: random sliding-window
+    corpora, a random delete subset AND a random changed subset whose
+    docs get re-windowed text — upsert must equal the rebuild over the
+    post-CDC corpus.  Exercises re-inserted non-monotone ids, cluster
+    splits, migrations and merges in one operator."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from export_oltp_to_olap_spark.operators import neardup as ND
+
+    words = [f"w{i}" for i in range(40)]
+
+    @st.composite
+    def scenario(draw):
+        n = draw(st.integers(min_value=4, max_value=7))
+        docs = []
+        for i in range(n):
+            start = draw(st.integers(min_value=0, max_value=20))
+            length = draw(st.integers(min_value=8, max_value=18))
+            docs.append((i + 1, " ".join(words[start : start + length])))
+        deleted = draw(
+            st.lists(st.integers(min_value=1, max_value=n), unique=True, max_size=3)
+        )
+        changed = {}
+        for did in draw(
+            st.lists(st.integers(min_value=1, max_value=n), unique=True, max_size=3)
+        ):
+            if did in deleted:
+                continue
+            start = draw(st.integers(min_value=0, max_value=20))
+            length = draw(st.integers(min_value=8, max_value=18))
+            changed[did] = " ".join(words[start : start + length])
+        return docs, deleted, changed
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(sc=scenario())
+    def run(sc):
+        rows, deleted, changed = sc
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        standing = ND.minhash_neardup_clusters(docs)
+        ddf = spark.createDataFrame([(d,) for d in deleted], "doc_id long")
+        cdf = (
+            spark.createDataFrame(list(changed.items()), "doc_id long, text string")
+            if changed
+            else spark.createDataFrame([], "doc_id long, text string")
+        )
+        got = _cluster_map(ND.neardup_clusters_upsert(docs, standing, cdf, ddf))
+        final_rows = [
+            (i, changed.get(i, t))
+            for i, t in rows
+            if i not in deleted
+        ]
+        final = spark.createDataFrame(final_rows, "doc_id long, text string")
+        want = _cluster_map(ND.minhash_neardup_clusters(final))
+        assert got == want
+
+    run()
+
+
 # ---------------------------------------------------------------------------
 # neardup_clusters_upsert — CDC upserts + deletes on the dedup closure
 # ---------------------------------------------------------------------------
