@@ -218,6 +218,9 @@ DEFAULT_HEADLINE = [
     # verify) and the first-seen novelty profile + its delta — three
     # gram/signature-keyed plans in the family's usual ~1-2 s class:
     "fuzzy_decontam_pairs",
+    # round 13: the semantic (paraphrase-class) decontam twin — probe
+    # fan-out on the eval side only, exact rescore; 2.5 s solo:
+    "semantic_decontam_pairs",
     "source_novelty_profile",
     "source_novelty_delta",
     # round 13: the delete-aware ladder — both fixture faces build

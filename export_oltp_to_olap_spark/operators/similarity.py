@@ -1499,6 +1499,181 @@ truth AS (
 """
 
 
+SEMANTIC_DECONTAM_EVAL_MOD = 10
+SEMANTIC_DECONTAM_EVAL_REMAINDER = 3
+SEMANTIC_DECONTAM_THRESHOLD = 0.4
+
+
+def semantic_decontam_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = SEMANTIC_DECONTAM_THRESHOLD,
+    n_bands: int = MULTIPROBE_N_BANDS,
+    planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the leak class neither
+    exact n-gram collision nor lexical fuzzy MinHash can see: a
+    paraphrased or re-worded eval item shares almost no shingles with
+    its training-set twin but sits next to it in embedding space.
+    Returns every (train_id, eval_id, cos) with exact 6-dp cosine ≥
+    ``threshold`` — the flag list an ingest gate or strip pass
+    consumes, mirroring `fuzzy_decontam_pairs`' contract on the
+    embedding side.
+
+    Scale shape — the multi-probe operating point applied where its
+    asymmetry pays best: candidates come from the eval side's
+    Hamming≤1 probes joined against the TRAIN side's plain band keys,
+    so the ×(b+1) probe fan-out lands on the benchmark-sized eval
+    frame only and the corpus-sized train side stays at L rows per
+    vector (at 100 TB: the train band table is the persisted index,
+    the probe side is broadcast-joined, nothing ever pairs train
+    against train).  Candidate recall at the shipped L=96/b=12 point
+    is the audited 0.9641 (RECALL.json `semantic_family`); the exact
+    rescore keeps precision exact, so every reported pair is a true
+    ≥-threshold pair."""
+    band_keys = _band_keys_udf(n_bands, planes_per_band)
+    b = planes_per_band
+    tbase = with_norm(train).select("vec_id", "embedding", "norm")
+    ebase = with_norm(eval_docs).select("vec_id", "embedding", "norm")
+    tbuckets = tbase.select(
+        F.col("vec_id").alias("train_id"),
+        F.posexplode(band_keys(F.col("embedding"))).alias("band", "bucket"),
+    )
+    ebuckets = ebase.select(
+        F.col("vec_id").alias("eval_id"),
+        F.posexplode(band_keys(F.col("embedding"))).alias("band", "bucket"),
+    )
+    eprobes = ebuckets.select(
+        "eval_id",
+        "band",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.expr(
+                    f"transform(sequence(1, {b}), p -> concat("
+                    f"substring(bucket, 1, p - 1), "
+                    f"if(substring(bucket, p, 1) = '1', '0', '1'), "
+                    f"substring(bucket, p + 1, {b})))"
+                ),
+            )
+        ).alias("bucket"),
+    )
+    candidates = (
+        tbuckets.join(eprobes, on=["band", "bucket"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    pair_dot = _pair_dot_udf()
+    ta = tbase.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = ebase.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        candidates.join(ta, "train_id")
+        .join(eb, "eval_id")
+        .withColumn(
+            "cos_pre",
+            pair_dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .withColumn(
+            "cos",
+            F.when(
+                F.col("cos_pre") >= F.lit(threshold - PRESCORE_MARGIN),
+                F.round(
+                    _exact_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b")),
+                    6,
+                ),
+            ),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("train_id", "eval_id", "cos")
+    )
+
+
+def semantic_decontam_fixture(embeddings: DataFrame) -> DataFrame:
+    """Fixture face: vectors with ``vec_id % 10 == 3`` stand in for the
+    benchmark eval set (the `minhash_delta_neardup` split convention),
+    the rest are the training corpus."""
+    is_eval = (
+        F.col("vec_id") % SEMANTIC_DECONTAM_EVAL_MOD
+        == SEMANTIC_DECONTAM_EVAL_REMAINDER
+    )
+    return semantic_decontam_pairs(
+        embeddings.where(~is_eval), embeddings.where(is_eval)
+    ).orderBy("train_id", "eval_id")
+
+
+def semantic_decontam_sql(
+    threshold: float = SEMANTIC_DECONTAM_THRESHOLD,
+    n_bands: int = MULTIPROBE_N_BANDS,
+    planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
+    dim: int = DIM,
+    eval_mod: int = SEMANTIC_DECONTAM_EVAL_MOD,
+    eval_rem: int = SEMANTIC_DECONTAM_EVAL_REMAINDER,
+) -> str:
+    n_planes = n_bands * planes_per_band
+    b = planes_per_band
+    return f"""
+WITH {_NORMS_CTE},
+planes AS (
+  SELECT j, i + 1 AS i,
+         CASE WHEN strpos('01234567',
+                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_planes}) t1(j), range({dim}) t2(i)
+),
+proj AS (
+  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
+  FROM elems e JOIN planes p ON e.i = p.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, j // {b} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id, j // {b}
+),
+eprobes AS (
+  SELECT vec_id, band, bucket FROM buckets
+  WHERE vec_id % {eval_mod} = {eval_rem}
+  UNION ALL
+  SELECT vec_id, band,
+         substr(bucket, 1, p - 1)
+           || CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END
+           || substr(bucket, p + 1, {b}) AS bucket
+  FROM buckets, range(1, {b} + 1) t(p)
+  WHERE vec_id % {eval_mod} = {eval_rem}
+),
+cand AS (
+  SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+  FROM buckets t
+  JOIN eprobes e ON t.band = e.band AND t.bucket = e.bucket
+  WHERE t.vec_id % {eval_mod} <> {eval_rem}
+),
+dots AS (
+  SELECT c.train_id, c.eval_id,
+         CAST(round(SUM(CAST(ea.e * eb.e AS DECIMAL(38,16))), 12) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN elems ea ON ea.vec_id = c.train_id
+  JOIN elems eb ON eb.vec_id = c.eval_id AND eb.i = ea.i
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id, round(dot / (na.norm * nb.norm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = train_id
+JOIN norms nb ON nb.vec_id = eval_id
+WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
+ORDER BY train_id, eval_id
+"""
+
+
 def lsh_multiprobe_cosine_neardup(
     embeddings: DataFrame,
     threshold: float = 0.35,

@@ -1767,6 +1767,18 @@ def q_semdedup_retract(spark: SparkSession, sf_dir: str):
     return semdedup.semdedup_retract_fixture(_embeddings(spark, sf_dir))
 
 
+@register("semantic_decontam_pairs", similarity.semantic_decontam_sql())
+def q_semantic_decontam_pairs(spark: SparkSession, sf_dir: str):
+    """SEMANTIC benchmark decontamination — the paraphrase leak class
+    lexical fuzzy MinHash cannot see: train×eval pairs with exact 6-dp
+    cosine ≥ 0.4, candidates from the multi-probe operating point with
+    the ×(b+1) probe fan-out on the benchmark-sized EVAL side only
+    (the train band table is the persisted index at scale).  Exact
+    rescore keeps precision exact; candidate recall is the audited
+    0.9641."""
+    return similarity.semantic_decontam_fixture(_embeddings(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1869,7 +1881,6 @@ WINDOW_FIRST: tuple[str, ...] = (
     "rp_cosine_topk",
     "semantic_dedup",
     "skew_safe_join_revenue",
-    "snapshot_diff_customers",
     # Round-13 registrations displaced the four r10 slots
     # (orders_price_percentiles -> cosine_lsh_multiprobe_recall_audit,
     # distinct_agg_orders -> neardup_clusters_retract,
@@ -1879,8 +1890,9 @@ WINDOW_FIRST: tuple[str, ...] = (
     # tpch_q10_returned_items -> lsh_multiprobe_cosine_neardup,
     # stats_moments_lineitem -> neardup_clusters_upsert,
     # split_drift_report -> neardup_pairs_retract,
-    # source_overlap_matrix -> semdedup_retract), per the rotation
-    # note above.  Windowed same-commit (standing rule):
+    # source_overlap_matrix -> semdedup_retract,
+    # snapshot_diff_customers -> semantic_decontam_pairs), per the
+    # rotation note above.  Windowed same-commit (standing rule):
     "cosine_lsh_multiprobe_recall_audit",
     "neardup_clusters_retract",
     "simhash_radius_sweep",
@@ -1890,4 +1902,5 @@ WINDOW_FIRST: tuple[str, ...] = (
     "neardup_clusters_upsert",
     "neardup_pairs_retract",
     "semdedup_retract",
+    "semantic_decontam_pairs",
 )

@@ -160,6 +160,7 @@ _REPORT_EXEMPT = {
     "neardup_clusters_upsert",
     "neardup_pairs_retract",
     "semdedup_retract",
+    "semantic_decontam_pairs",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -825,6 +825,39 @@ def test_streaming_tombstones_maintain_cluster_map(spark, sf0001, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_semantic_decontam_precision_and_recall(spark, sf001):
+    """Every reported (train, eval) pair must sit in the brute
+    train×eval baseline with a bit-identical cosine (precision exact —
+    the rescore decides membership), and recall against that baseline
+    must clear the audited multi-probe floor."""
+    emb = load_tables(spark, sf001, ("embeddings",))["embeddings"]
+    is_eval = (
+        F.col("vec_id") % S.SEMANTIC_DECONTAM_EVAL_MOD
+        == S.SEMANTIC_DECONTAM_EVAL_REMAINDER
+    )
+    train, eval_docs = emb.where(~is_eval), emb.where(is_eval)
+    got = {
+        (r["train_id"], r["eval_id"]): r["cos"]
+        for r in S.semantic_decontam_pairs(train, eval_docs).collect()
+    }
+    # brute truth: all >=0.4-cosine pairs restricted train x eval
+    brute_all = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in S.cosine_neardup(emb, S.SEMANTIC_DECONTAM_THRESHOLD).collect()
+    }
+    evals = {r["vec_id"] for r in eval_docs.select("vec_id").collect()}
+    brute = {}
+    for (a, b), cos in brute_all.items():
+        if (a in evals) != (b in evals):
+            t, e = (b, a) if a in evals else (a, b)
+            brute[(t, e)] = cos
+    assert set(got) <= set(brute)
+    for k in got:
+        assert got[k] == brute[k]
+    assert brute, "fixture must contain cross-split leaks"
+    assert len(got) / len(brute) >= 0.9
+
+
 def test_multiprobe_neardup_dominates_single_probe(spark, sf001):
     """Precision is exact (every reported pair sits in the brute
     baseline with a bit-identical cos — the rescore, not the probes,
