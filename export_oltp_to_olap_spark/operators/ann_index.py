@@ -217,9 +217,6 @@ def retract_ivf_index(deleted_ids: DataFrame, path: str) -> None:
     cadence ops decision.  Cost: O(postings of affected lists) read +
     rewrite; bounded by the delete batch's list fan-out.
     """
-    import os
-    import shutil
-
     spark = deleted_ids.sparkSession
     postings = spark.read.parquet(f"{path}/postings")
     d = deleted_ids.select("vec_id").distinct()
@@ -229,6 +226,15 @@ def retract_ivf_index(deleted_ids: DataFrame, path: str) -> None:
         .join(d, "vec_id", "left_anti")
         .select("vec_id", "embedding", "norm", "cen_id")
     )
+    # Materialize the survivors BEFORE the overwrite: the plan lazily
+    # reads the same path it is about to rewrite, which is safe only
+    # because dynamic partition overwrite stages its output and commits
+    # after all input is consumed — an assumption a writer/API change
+    # could silently break into self-truncation (ADVICE r13).  The
+    # localCheckpoint severs that read-then-overwrite coupling outright;
+    # it is bounded by the affected lists' postings, i.e. the delete
+    # batch's list fan-out, never the index.
+    survivors = survivors.localCheckpoint(eager=True)
     emptied = [
         r["cen_id"]
         for r in affected.join(
@@ -247,9 +253,16 @@ def retract_ivf_index(deleted_ids: DataFrame, path: str) -> None:
         )
     finally:
         spark.conf.set(conf, old)
-    # dynamic overwrite cannot erase a partition it writes no rows to —
-    # fully-emptied lists are removed explicitly (bounded by |delete|)
+    # Dynamic overwrite cannot erase a partition it writes no rows to —
+    # fully-emptied lists are removed explicitly (bounded by |delete|).
+    # Deletion goes through the Hadoop FileSystem API so the index path
+    # may live on any supported scheme (hdfs://, s3a://, file:// —
+    # ADVICE r13: os.path/shutil silently no-op'd on non-local stores,
+    # leaving deleted vectors probe-visible in the emptied lists).
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for cid in emptied:
-        part = os.path.join(path, "postings", f"cen_id={cid}")
-        if os.path.isdir(part):
-            shutil.rmtree(part)
+        part = jvm.org.apache.hadoop.fs.Path(f"{path}/postings/cen_id={cid}")
+        fs = part.getFileSystem(hconf)
+        if fs.exists(part):
+            fs.delete(part, True)

@@ -1426,6 +1426,7 @@ def neardup_clusters_delta(
     new_docs: DataFrame,
     standing_labels: DataFrame,
     max_iterations: int = 25,
+    validate_contract: bool = False,
 ) -> DataFrame:
     """Incremental maintenance of the near-dup CLUSTER map for an
     append-only delta batch — the operator that makes corpus dedup
@@ -1449,23 +1450,46 @@ def neardup_clusters_delta(
        canonical and sizes recount over the final map.
 
     EXACTNESS (the oracle is the FULL-REBUILD recursive CTE, so the
-    driver hash-checks incremental ≡ rebuild directly): under
-    id-monotone appends every standing canonical is the min id of its
-    standing cluster and every delta id exceeds every standing id, so
-    the min quotient-node id of a merged component IS the min doc id of
-    the merged cluster — the rebuild's canonical.  Preconditions
-    (documented, same family as `source_novelty_delta`): doc_ids
-    monotone across batches, ``standing_labels`` produced by
-    `neardup_clusters` under the same pair detector and threshold.
+    driver hash-checks incremental ≡ rebuild directly).  CONTRACT on
+    ``standing_labels`` — the invariant the quotient argument actually
+    consumes (promoted from the upsert call site, ADVICE r13):
+
+    * ``canonical_id`` is the MIN member doc_id of its cluster (so the
+      min quotient-node id of any merged component IS the min doc id
+      of the merged cluster — the rebuild's canonical), and
+    * the map was produced under the same pair detector and threshold.
+
+    Every producer in this module satisfies the first clause by
+    construction: `neardup_clusters` labels with the component min, and
+    `neardup_clusters_retract` re-elects minima over survivors — which
+    is what lets `neardup_clusters_upsert` re-enter changed docs with
+    their OLD (non-monotone) ids.  Id-monotone appends (every delta id
+    above every standing id, the `source_novelty_delta` family
+    precondition) remain a SUFFICIENT condition for externally-supplied
+    maps, not a necessary one.  ``validate_contract=True`` asserts the
+    min-id clause with one aggregation over the standing map (a debug
+    job — leave off in production; the upsert property tests run it).
 
     Steady-state cost: the delta pair probe + label propagation whose
     rounds are bounded by the diameter of the DELTA-INDUCED quotient
     subgraph (untouched clusters converge in round one).
     """
+    lab = standing_labels.select("doc_id", "canonical_id")
+    if validate_contract:
+        bad = (
+            lab.groupBy("canonical_id")
+            .agg(F.min("doc_id").alias("mn"))
+            .where(F.col("canonical_id") != F.col("mn"))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"neardup_clusters_delta: standing_labels violates the "
+                f"canonical-is-cluster-min contract for {bad} cluster(s)"
+            )
     pairs = minhash_lsh_neardup_delta(
         standing_docs, new_docs, release_cache=True
     ).select("doc_a", "doc_b")
-    lab = standing_labels.select("doc_id", "canonical_id")
     qa = lab.select(
         F.col("doc_id").alias("doc_a"), F.col("canonical_id").alias("q_a")
     )
@@ -1697,17 +1721,13 @@ def neardup_clusters_upsert(
     2. ``delta``-absorb the changed docs' NEW versions against that
        surviving state (band-index probe + quotient propagation).
 
-    Step 2 re-uses `neardup_clusters_delta` OUTSIDE its documented
-    id-monotone append contract — a changed doc re-enters with its OLD
-    id, below existing ids.  That is sound here by a sharper reading
-    of the same argument: after retract, every standing canonical is
-    the min id of its (surviving) cluster BY CONSTRUCTION, so the min
-    quotient-node id of any merged component equals the min doc id of
-    the merged cluster regardless of where the delta ids fall — the
-    "delta ids exceed standing ids" clause strengthens the claim for
-    arbitrary externally-supplied label maps, but is not needed when
-    the map comes from `neardup_clusters`/`neardup_clusters_retract`,
-    whose canonicals are always cluster minima.  The driver oracle
+    Step 2 satisfies `neardup_clusters_delta`'s documented contract —
+    ``canonical_id`` = min member id of its cluster — even though the
+    changed docs re-enter with their OLD (non-monotone) ids: the
+    retract in step 1 re-elects minima over survivors by construction
+    (the contract's producer list names it; ADVICE r13 promoted the
+    invariant out of this call site into delta's own docstring, where
+    ``validate_contract=True`` can assert it).  The driver oracle
     (full rebuild over the upserted corpus) and the planted
     re-pairing pytest verify the composition directly.
 

@@ -458,7 +458,16 @@ def semdedup_retract_sql(
     included)."""
     anchor = "  FROM elems v\n"
     assignment = _assignment_ctes(n_centroids)
-    assert assignment.count(anchor) == 1
+    # ValueError, not assert: this anchor pin executes at module import
+    # (SEMDEDUP_RETRACT_SQL below), where a bare assert vanishes under
+    # python -O and would otherwise break every import of the module
+    # rather than just this oracle (ADVICE r13).
+    if assignment.count(anchor) != 1:
+        raise ValueError(
+            "semdedup_retract_sql: the survivors-join anchor must appear "
+            f"exactly once in the assignment CTEs, found "
+            f"{assignment.count(anchor)} — _assignment_ctes changed shape"
+        )
     assignment = assignment.replace(
         anchor, "  FROM elems v\n  JOIN surv ON surv.vec_id = v.vec_id\n"
     )

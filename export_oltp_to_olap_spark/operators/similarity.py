@@ -1353,6 +1353,74 @@ MULTIPROBE_N_BANDS = 96
 MULTIPROBE_PLANES_PER_BAND = 12
 
 
+def _probe_expansion(planes_per_band: int):
+    """The Hamming≤1 probe set as ONE exploded Column: the bucket itself
+    plus its ``planes_per_band`` single-bit flips — pure codegen string
+    ops (substring/concat/if) over the compact (vec_id, band, bucket)
+    rows, so the GEMM is never re-run per probe.  Shared by the
+    self-join candidate stage and the decontam gate's eval side
+    (ADVICE r13: the F.expr string was duplicated — a divergence would
+    silently desync the two faces)."""
+    b = planes_per_band
+    return F.explode(
+        F.concat(
+            F.array(F.col("bucket")),
+            F.expr(
+                f"transform(sequence(1, {b}), p -> concat("
+                f"substring(bucket, 1, p - 1), "
+                f"if(substring(bucket, p, 1) = '1', '0', '1'), "
+                f"substring(bucket, p + 1, {b})))"
+            ),
+        )
+    ).alias("bucket")
+
+
+def _lsh_buckets_ctes(n_bands: int, planes_per_band: int, dim: int = DIM) -> str:
+    """The planes/proj/buckets CTE block every banded-hyperplane oracle
+    shares (ADVICE r13: previously triplicated across the multi-probe
+    audit, the semantic-decontam oracle and the production-face oracle).
+    Planes regenerate from the same md5 seeding as `_hyperplanes`."""
+    n_planes = n_bands * planes_per_band
+    b = planes_per_band
+    return f"""planes AS (
+  SELECT j, i + 1 AS i,
+         CASE WHEN strpos('01234567',
+                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_planes}) t1(j), range({dim}) t2(i)
+),
+proj AS (
+  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
+  FROM elems e JOIN planes p ON e.i = p.i
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, j // {b} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id, j // {b}
+)"""
+
+
+def _probe_expansion_ctes(
+    planes_per_band: int, name: str = "probes", where: str = ""
+) -> str:
+    """SQL twin of :func:`_probe_expansion`: a ``{name}`` CTE of the
+    identity bucket plus its b single-bit flips over the shared
+    ``buckets`` CTE, optionally restricted by ``where`` (the decontam
+    oracle's eval-side filter) on both arms."""
+    b = planes_per_band
+    w = f"\n  {where}" if where else ""
+    return f"""{name} AS (
+  SELECT vec_id, band, bucket FROM buckets{w}
+  UNION ALL
+  SELECT vec_id, band,
+         substr(bucket, 1, p - 1)
+           || CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END
+           || substr(bucket, p + 1, {b}) AS bucket
+  FROM buckets, range(1, {b} + 1) t(p){w}
+)"""
+
+
 def lsh_multiprobe_candidate_pairs(
     embeddings: DataFrame,
     n_bands: int = MULTIPROBE_N_BANDS,
@@ -1372,24 +1440,10 @@ def lsh_multiprobe_candidate_pairs(
         "vec_id",
         F.posexplode(band_keys(F.col("embedding"))).alias("band", "bucket"),
     )
-    # Probe side: the bucket itself + the b single-bit flips.  Pure
-    # codegen string ops (substring/concat/if) over the compact
-    # (vec_id, band, bucket) rows — the GEMM is not re-run per probe.
-    probes = bucketed.select(
-        "vec_id",
-        "band",
-        F.explode(
-            F.concat(
-                F.array(F.col("bucket")),
-                F.expr(
-                    f"transform(sequence(1, {b}), p -> concat("
-                    f"substring(bucket, 1, p - 1), "
-                    f"if(substring(bucket, p, 1) = '1', '0', '1'), "
-                    f"substring(bucket, p + 1, {b})))"
-                ),
-            )
-        ).alias("bucket"),
-    )
+    # Probe side: the bucket itself + the b single-bit flips
+    # (`_probe_expansion` — pure codegen string ops over the compact
+    # (vec_id, band, bucket) rows; the GEMM is not re-run per probe).
+    probes = bucketed.select("vec_id", "band", _probe_expansion(b))
     a = probes.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     bb = bucketed.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     return (
@@ -1444,36 +1498,10 @@ def cosine_lsh_multiprobe_recall_audit_sql(
     members."""
     from export_oltp_to_olap_spark.operators.neardup import _RECALL_TAIL_SQL
 
-    n_planes = n_bands * planes_per_band
-    b = planes_per_band
     return f"""
 WITH {_NORMS_CTE},
-planes AS (
-  SELECT j, i + 1 AS i,
-         CASE WHEN strpos('01234567',
-                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
-              THEN 1.0 ELSE -1.0 END AS w
-  FROM range({n_planes}) t1(j), range({dim}) t2(i)
-),
-proj AS (
-  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
-  FROM elems e JOIN planes p ON e.i = p.i
-  GROUP BY 1, 2
-),
-buckets AS (
-  SELECT vec_id, j // {b} AS band,
-         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-  FROM proj GROUP BY vec_id, j // {b}
-),
-probes AS (
-  SELECT vec_id, band, bucket FROM buckets
-  UNION ALL
-  SELECT vec_id, band,
-         substr(bucket, 1, p - 1)
-           || CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END
-           || substr(bucket, p + 1, {b}) AS bucket
-  FROM buckets, range(1, {b} + 1) t(p)
-),
+{_lsh_buckets_ctes(n_bands, planes_per_band, dim)},
+{_probe_expansion_ctes(planes_per_band)},
 candidates AS (
   SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM probes a
@@ -1543,21 +1571,7 @@ def semantic_decontam_pairs(
         F.col("vec_id").alias("eval_id"),
         F.posexplode(band_keys(F.col("embedding"))).alias("band", "bucket"),
     )
-    eprobes = ebuckets.select(
-        "eval_id",
-        "band",
-        F.explode(
-            F.concat(
-                F.array(F.col("bucket")),
-                F.expr(
-                    f"transform(sequence(1, {b}), p -> concat("
-                    f"substring(bucket, 1, p - 1), "
-                    f"if(substring(bucket, p, 1) = '1', '0', '1'), "
-                    f"substring(bucket, p + 1, {b})))"
-                ),
-            )
-        ).alias("bucket"),
-    )
+    eprobes = ebuckets.select("eval_id", "band", _probe_expansion(b))
     candidates = (
         tbuckets.join(eprobes, on=["band", "bucket"])
         .select("train_id", "eval_id")
@@ -1619,38 +1633,10 @@ def semantic_decontam_sql(
     eval_mod: int = SEMANTIC_DECONTAM_EVAL_MOD,
     eval_rem: int = SEMANTIC_DECONTAM_EVAL_REMAINDER,
 ) -> str:
-    n_planes = n_bands * planes_per_band
-    b = planes_per_band
     return f"""
 WITH {_NORMS_CTE},
-planes AS (
-  SELECT j, i + 1 AS i,
-         CASE WHEN strpos('01234567',
-                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
-              THEN 1.0 ELSE -1.0 END AS w
-  FROM range({n_planes}) t1(j), range({dim}) t2(i)
-),
-proj AS (
-  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
-  FROM elems e JOIN planes p ON e.i = p.i
-  GROUP BY 1, 2
-),
-buckets AS (
-  SELECT vec_id, j // {b} AS band,
-         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-  FROM proj GROUP BY vec_id, j // {b}
-),
-eprobes AS (
-  SELECT vec_id, band, bucket FROM buckets
-  WHERE vec_id % {eval_mod} = {eval_rem}
-  UNION ALL
-  SELECT vec_id, band,
-         substr(bucket, 1, p - 1)
-           || CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END
-           || substr(bucket, p + 1, {b}) AS bucket
-  FROM buckets, range(1, {b} + 1) t(p)
-  WHERE vec_id % {eval_mod} = {eval_rem}
-),
+{_lsh_buckets_ctes(n_bands, planes_per_band, dim)},
+{_probe_expansion_ctes(planes_per_band, name="eprobes", where=f"WHERE vec_id % {eval_mod} = {eval_rem}")},
 cand AS (
   SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
   FROM buckets t
@@ -1736,36 +1722,10 @@ def lsh_multiprobe_cosine_neardup_sql(
     planes_per_band: int = MULTIPROBE_PLANES_PER_BAND,
     dim: int = DIM,
 ) -> str:
-    n_planes = n_bands * planes_per_band
-    b = planes_per_band
     return f"""
 WITH {_NORMS_CTE},
-planes AS (
-  SELECT j, i + 1 AS i,
-         CASE WHEN strpos('01234567',
-                          substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
-              THEN 1.0 ELSE -1.0 END AS w
-  FROM range({n_planes}) t1(j), range({dim}) t2(i)
-),
-proj AS (
-  SELECT e.vec_id, p.j, SUM(e.e * p.w) AS d
-  FROM elems e JOIN planes p ON e.i = p.i
-  GROUP BY 1, 2
-),
-buckets AS (
-  SELECT vec_id, j // {b} AS band,
-         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-  FROM proj GROUP BY vec_id, j // {b}
-),
-probes AS (
-  SELECT vec_id, band, bucket FROM buckets
-  UNION ALL
-  SELECT vec_id, band,
-         substr(bucket, 1, p - 1)
-           || CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END
-           || substr(bucket, p + 1, {b}) AS bucket
-  FROM buckets, range(1, {b} + 1) t(p)
-),
+{_lsh_buckets_ctes(n_bands, planes_per_band, dim)},
+{_probe_expansion_ctes(planes_per_band)},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM probes a
