@@ -1795,112 +1795,101 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
-    # --- ROUND-13 ROTATION (VERDICT r12 item 1, the pre-staged chore) ---
-    # Out (45): every r12-earner except the five star sentinels — the
-    #      round-12 first-row earners (winnow_recall_audit,
-    #      fuzzy_decontam_pairs, source_novelty_{profile,delta},
-    #      cosine_lsh_recall_audit, neardup_clusters_delta), the r12
-    #      re-earners (epoch_allocation + its diagnostic cluster,
-    #      minhash_delta_neardup, decontam_threshold_curve,
-    #      lsh_recall_audit, simhash_recall_audit, decontaminate_bloom,
-    #      decontam_strip_rewrite, span_strip_rewrite, ...), and the
-    #      r03/r07/r08 probes that re-earned green r12 rows.  All have
-    #      green r12 rows and are in the grows-only _REPORT_EXEMPT
-    #      union.
-    # Backfill = strictly oldest-last-green first.  The pre-staged r12
-    #      note counted "six r08 TPC-H + 35 r09 + four r10 slots"; the
-    #      authoritative recount over CORRECTNESS_r01-r12 (last round
-    #      each name earned a row) finds EIGHT registered r08-last
-    #      names (the six TPC-H the note listed plus
-    #      tpch_q11_important_flow and tpch_q9_profit_trend — displaced
-    #      mid-r11/r12 before earning newer rows; bpe_token_stats also
-    #      dates r08 but is retired from the registry) and 33 r09-last
-    #      names (including the two fillers).  Oldest-first therefore
-    #      takes all 8 + all 33 and FOUR r10 slots (taken in catalog
-    #      definition order): 5 + 8 + 33 + 4 = 50.
-    # ROUND-13 registrations landing later this round displace the
-    #      four r10 slots first (orders_price_percentiles,
-    #      distinct_agg_orders, grouping_sets_orders, rollup_revenue —
-    #      newest-green out first), then the r09 block from
-    #      training_shard_manifest backwards.
-    # ROUND-14 CHORE (pre-staged): once CORRECTNESS_r13 lands, rotate
-    #      out the r13-earners (keep the 5 star sentinels and any face
-    #      touched in round 14), rotate round-14 registrations in
-    #      same-commit (standing rule), and backfill the oldest-green
-    #      pool — post-r13 it is exactly: the four r09-last names
-    #      displaced mid-r13 (training_shard_manifest,
-    #      tpch_q10_returned_items, stats_moments_lineitem,
-    #      split_drift_report), then the 43-name r10-last pool in
-    #      catalog definition order as space allows
-    #      (5 sentinels + 4 + 41 = 50 → the last two r10 names wait).
-    #      Recount against CORRECTNESS_r01-r13 before applying, as the
-    #      r13 rotation's recount caught the retired bpe_token_stats.
-    # Prior rotation notes (r12 and earlier) kept in git history.
+    # --- ROUND-14 ROTATION (VERDICT r13 item 1, the pre-staged chore) ---
+    # Recount against CORRECTNESS_r01-r13 executed first, as the note
+    #      demanded — and it again corrected the pre-staged numbers: the
+    #      oldest-green pool is SIX r09-last names, not four (the note
+    #      missed snapshot_diff_customers and source_overlap_matrix,
+    #      displaced by the last two r13 registrations), plus the
+    #      43-name r10-last pool.  The four r04-last rows-only ledger
+    #      faces (approx_distinct_parts, approx_percentiles_orders,
+    #      frequent_terms_sketch, quality_classifier_scores) stay out of
+    #      the window by the standing convention: the 50 driver rows are
+    #      all full hash checks; each ledger face has an exact companion
+    #      verified in-window or in the suite (COVERAGE.md).
+    # Out: every r13-earner not touched in round 14.  Kept besides the
+    #      sentinels: the nine faces whose code or oracle round 14
+    #      touches — the delete-ladder faces re-parameterized for
+    #      persisted standing signatures (neardup_clusters_delta /
+    #      _retract / _upsert, minhash_delta_neardup), the three
+    #      multi-probe faces whose SQL builders moved onto the shared
+    #      _lsh_buckets_ctes/_probe_expansion fragments
+    #      (cosine_lsh_multiprobe_recall_audit,
+    #      lsh_multiprobe_cosine_neardup, semantic_decontam_pairs),
+    #      semdedup_retract (oracle guard rewrite), and
+    #      ivfpq_cosine_topk (raised operating point, VERDICT r13
+    #      item 4).
+    # Backfill = strictly oldest-last-green first: all 6 r09-last names,
+    #      then the r10-last pool in catalog definition order.  Round-14
+    #      registrations landing later this round displace the r10
+    #      backfill from the bottom (newest-green out first), per the
+    #      r13 convention.
+    # ROUND-15 CHORE (pre-staged): once CORRECTNESS_r14 lands, rotate
+    #      out the r14-earners (keep the 5 star sentinels and any face
+    #      touched in round 15), rotate round-15 registrations in
+    #      same-commit (standing rule), and backfill oldest-green-first
+    #      — post-r14 the pool starts with whatever r10-last names this
+    #      round displaced plus the remaining r10 tail, then the r11
+    #      block.  RECOUNT against CORRECTNESS_r01-r14 before applying;
+    #      both the r13 and r14 recounts corrected their pre-staged
+    #      notes.
+    # Prior rotation notes (r13 and earlier) kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04 + r07-r12):
+    # probes; hash-green r01-r04 + r07-r13):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # The eight registered r08-last names (oldest rows in the registry):
-    "tpch_q9_profit_trend",
-    "tpch_q11_important_flow",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty",
-    "tpch_q20_dominant_share",
-    "tpch_q21_sole_blame",
-    # The 33 r09-last names (incl. the two r09 fillers the note named):
-    "ann_cosine_topk",
-    "capped_corpus",
-    "chunk_documents",
-    "corpus_curation_summary",
-    "corpus_digest",
-    "curated_corpus_decontaminated",
-    "curation_audit",
-    "decontaminate_documents",
-    "dim_cliente_scd2",
-    "duplicated_spans",
-    "embedding_norm_stats",
-    "eval_contamination_report",
-    "events_funnel",
-    "events_gapfill_locf",
-    "events_hopping_halfhour",
-    "incremental_corpus_delta",
-    "lm_fluency_scores",
-    "media_feature_extract",
-    "neardup_threshold_curve",
-    "orders_rank_suite",
-    "pack_bins_summary",
-    "pii_scan",
-    "quality_calibration_bins",
-    "quality_scores_saved",
-    "rp_cosine_topk",
-    "semantic_dedup",
-    "skew_safe_join_revenue",
-    # Round-13 registrations displaced the four r10 slots
-    # (orders_price_percentiles -> cosine_lsh_multiprobe_recall_audit,
-    # distinct_agg_orders -> neardup_clusters_retract,
-    # grouping_sets_orders -> simhash_radius_sweep, rollup_revenue ->
-    # vocab_df_retract) and then the r09 block from the bottom
-    # (training_shard_manifest -> source_novelty_retract,
-    # tpch_q10_returned_items -> lsh_multiprobe_cosine_neardup,
-    # stats_moments_lineitem -> neardup_clusters_upsert,
-    # split_drift_report -> neardup_pairs_retract,
-    # source_overlap_matrix -> semdedup_retract,
-    # snapshot_diff_customers -> semantic_decontam_pairs), per the
-    # rotation note above.  Windowed same-commit (standing rule):
-    "cosine_lsh_multiprobe_recall_audit",
+    # Faces touched in round 14 (standing rule: stay windowed the round
+    # their code or oracle changes):
+    "neardup_clusters_delta",
     "neardup_clusters_retract",
-    "simhash_radius_sweep",
-    "vocab_df_retract",
-    "source_novelty_retract",
-    "lsh_multiprobe_cosine_neardup",
     "neardup_clusters_upsert",
-    "neardup_pairs_retract",
+    "minhash_delta_neardup",
     "semdedup_retract",
+    "cosine_lsh_multiprobe_recall_audit",
+    "lsh_multiprobe_cosine_neardup",
     "semantic_decontam_pairs",
+    "ivfpq_cosine_topk",
+    # The six r09-last names (oldest full-oracle rows in the registry):
+    "split_drift_report",
+    "training_shard_manifest",
+    "snapshot_diff_customers",
+    "tpch_q10_returned_items",
+    "stats_moments_lineitem",
+    "source_overlap_matrix",
+    # The r10-last pool in catalog definition order (30 of 43; the tail
+    # waits for round 15 or displacement by r14 registrations):
+    "rollup_revenue",
+    "grouping_sets_orders",
+    "distinct_agg_orders",
+    "orders_price_percentiles",
+    "events_anomaly_zscore",
+    "normalized_dedup_documents",
+    "ngram_jaccard_neardup",
+    "label_knn_noise",
+    "embedding_cosine_neardup",
+    "lsh_cosine_neardup",
+    "ivf_cosine_topk",
+    "gopher_quality_flags",
+    "c4_quality_flags",
+    "boilerplate_ngrams",
+    "boilerplate_ngrams_delta",
+    "lang_mismatch_report",
+    "text_repetition",
+    "media_frame_sample",
+    "setops_customers",
+    "semi_anti_customers",
+    "pivot_priority_status",
+    "correlated_lookup",
+    "scalar_function_suite",
+    "cdc_decode",
+    "events_tumbling_hourly",
+    "events_user_moving_value",
+    "events_sessionize",
+    "corpus_split_summary",
+    "purchases_asof_clicks",
+    "exact_dedup_documents",
 )
