@@ -1427,6 +1427,8 @@ def neardup_clusters_delta(
     standing_labels: DataFrame,
     max_iterations: int = 25,
     validate_contract: bool = False,
+    standing_sets: DataFrame | None = None,
+    standing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental maintenance of the near-dup CLUSTER map for an
     append-only delta batch — the operator that makes corpus dedup
@@ -1472,7 +1474,12 @@ def neardup_clusters_delta(
 
     Steady-state cost: the delta pair probe + label propagation whose
     rounds are bounded by the diameter of the DELTA-INDUCED quotient
-    subgraph (untouched clusters converge in round one).
+    subgraph (untouched clusters converge in round one).  Pass
+    ``standing_sets`` / ``standing_bands`` (:func:`neardup_standing_index`
+    output — VERDICT r13 item 5) and the probe consumes the persisted
+    shingle-set/band-index tables directly, so the batch never
+    re-shingles the standing corpus; left at ``None`` they derive from
+    ``standing_docs`` in-call (the oracle-fixture path).
     """
     lab = standing_labels.select("doc_id", "canonical_id")
     if validate_contract:
@@ -1488,7 +1495,11 @@ def neardup_clusters_delta(
                 f"canonical-is-cluster-min contract for {bad} cluster(s)"
             )
     pairs = minhash_lsh_neardup_delta(
-        standing_docs, new_docs, release_cache=True
+        standing_docs,
+        new_docs,
+        release_cache=True,
+        corpus_sets=standing_sets,
+        corpus_bands=standing_bands,
     ).select("doc_a", "doc_b")
     qa = lab.select(
         F.col("doc_id").alias("doc_a"), F.col("canonical_id").alias("q_a")
@@ -1569,11 +1580,38 @@ def neardup_clusters_delta_fixture(docs: DataFrame) -> DataFrame:
     )
 
 
+def _band_index_candidates(bands: DataFrame, band_r: int = MINHASH_BAND_R) -> DataFrame:
+    """Banded LSH candidate pairs from PERSISTED band-index rows
+    (``(doc_id, band, k0..k{R-1})`` — `neardup_standing_index` output).
+    Deliberately a standalone sibling of `_minhash_band_candidates`
+    (which derives its bands from shingle sets in-plan): rewriting the
+    shared candidate stage would force the whole minhash family back
+    into the driver window for a refactor with no behavior change.  The
+    two stay in lockstep by pytest
+    (``test_band_index_candidates_equivalent``)."""
+    key_cols = [f"k{r}" for r in range(band_r)]
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                *[F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols],
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def neardup_clusters_retract(
     standing_docs: DataFrame,
     deleted_ids: DataFrame,
     standing_labels: DataFrame,
     max_iterations: int = 25,
+    standing_sets: DataFrame | None = None,
+    standing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Delete/tombstone maintenance of the near-dup CLUSTER map — the
     quotient trick in reverse (VERDICT r12 item 3): remove a doc set
@@ -1602,11 +1640,16 @@ def neardup_clusters_retract(
 
     Steady-state cost: O(|clusters touching the delete batch|) — the
     detector re-pairs affected survivors only, and the standing
-    population never enters the iterative loop.  The fixture face
-    re-shingles the affected survivors from text; a production
-    deployment keeps the per-doc signatures / band index it already
-    persists for the APPEND path and reuses them here, making retract
-    a pure anti-join + re-propagation (SCALE.md).
+    population never enters the iterative loop.  Pass ``standing_sets``
+    / ``standing_bands`` (:func:`neardup_standing_index` output — the
+    per-doc signatures / band index production already persists for
+    the APPEND path, VERDICT r13 item 5) and the re-pair becomes pure
+    joins over the persisted rows: nothing re-shingles or re-signs any
+    text (equivalence pinned by ``test_standing_signatures_equivalent``;
+    shingles and signatures are per-document, so filtering the
+    persisted rows to the affected survivors is exactly the in-call
+    derivation).  Left at ``None``, the fixture/bootstrap path
+    re-shingles the affected survivors from ``standing_docs``.
 
     The oracle is the FULL-REBUILD recursive CTE over the surviving
     corpus (``NEARDUP_CLUSTERS_RETRACT_SQL``), so the driver
@@ -1625,11 +1668,23 @@ def neardup_clusters_retract(
         .select("doc_id")
         .join(deleted, "doc_id", "left_anti")
     )
-    surviving_docs = standing_docs.join(survivors, "doc_id")
-    pairs = minhash_lsh_neardup(surviving_docs)
-    relabeled = neardup_clusters(
-        surviving_docs.select("doc_id"), pairs, max_iterations
-    )
+    if standing_sets is not None:
+        sets_surv = standing_sets.join(survivors, "doc_id")
+        bands_surv = (
+            standing_bands.join(survivors, "doc_id")
+            if standing_bands is not None
+            else _minhash_bands(sets_surv, MINHASH_N_HASHES, MINHASH_BAND_R)
+        )
+        pairs = _verify_jaccard(
+            _band_index_candidates(bands_surv), sets_surv, 0.8
+        )
+        relabeled = neardup_clusters(survivors, pairs, max_iterations)
+    else:
+        surviving_docs = standing_docs.join(survivors, "doc_id")
+        pairs = minhash_lsh_neardup(surviving_docs)
+        relabeled = neardup_clusters(
+            surviving_docs.select("doc_id"), pairs, max_iterations
+        )
     return unaffected.select(
         "doc_id", "canonical_id", "cluster_size"
     ).unionByName(relabeled)
@@ -1708,41 +1763,164 @@ def neardup_clusters_upsert(
     changed_docs: DataFrame,
     deleted_ids: DataFrame,
     max_iterations: int = 25,
+    standing_sets: DataFrame | None = None,
+    standing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Full CDC maintenance of the dedup closure — UPSERTS + DELETES in
     one batch: a changed document's text changes its shingles, so its
     old version must leave the closure and its new version re-pair;
-    deletes ride along as pure retractions.  Composition of the two
-    exact primitives:
+    deletes ride along as pure retractions.
 
-    1. ``retract`` the union of deleted and changed ids — the standing
-       map becomes exact for the untouched survivors (affected
-       clusters split/re-canonicalize as needed).
-    2. ``delta``-absorb the changed docs' NEW versions against that
-       surviving state (band-index probe + quotient propagation).
+    FUSED construction (round 14 — previously retract ∘ delta, two
+    iterative propagation loops; the profile showed the loops' fixed
+    job overhead, not re-shingling, dominated the steady-state cost, so
+    the two quotient graphs are now merged and propagation runs ONCE):
 
-    Step 2 satisfies `neardup_clusters_delta`'s documented contract —
-    ``canonical_id`` = min member id of its cluster — even though the
-    changed docs re-enter with their OLD (non-monotone) ids: the
-    retract in step 1 re-elects minima over survivors by construction
-    (the contract's producer list names it; ADVICE r13 promoted the
-    invariant out of this call site into delta's own docstring, where
-    ``validate_contract=True`` can assert it).  The driver oracle
-    (full rebuild over the upserted corpus) and the planted
-    re-pairing pytest verify the composition directly.
+    1. Affected clusters = clusters containing a deleted or changed id
+       (broadcast-bounded by the batch).  Unaffected clusters whose
+       canonical never touches a new edge pass through with their
+       stored size — the retract discipline.
+    2. One quotient graph over three node kinds: unaffected cluster
+       CANONICALS (each stands for its intact cluster), affected
+       SURVIVORS (raw ids — their cluster must re-form anyway), and
+       CHANGED ids (new text).  Edges: the detector re-run restricted
+       to affected survivors (the retract edge set) plus the delta
+       probe of the changed docs' new text against the surviving
+       corpus, endpoints mapped to their quotient node.
+    3. Min-label propagation over the delta-ACTIVE subgraph only, then
+       unaffected members relabel THROUGH their canonical and sizes
+       recount over touched components only.
+
+    EXACTNESS: every quotient node id is the min doc id of the member
+    set it stands for (an unaffected canonical is its cluster's min by
+    the standing contract; raw nodes stand for themselves), so the min
+    node id of a merged component IS the min member id — the rebuild's
+    canonical.  Edge completeness: survivor↔survivor pairs not
+    involving affected clusters cannot exist (they would have been
+    cross-cluster standing edges), so the affected re-pair + the
+    changed-doc probe cover exactly the rebuild's edge set that the
+    standing closure does not already encode.  The driver oracle (full
+    rebuild over the upserted corpus), the 3-batch/migration pytests
+    and the hypothesis chains verify the fusion directly.
 
     Caller contract: ``changed_docs`` carries the new text under the
     SAME doc_id; ids also present in ``deleted_ids`` are treated as
     deletes (the delete wins).
+
+    ``standing_sets`` / ``standing_bands`` (:func:`neardup_standing_index`
+    output — VERDICT r13 item 5) thread the persisted signature tables
+    through both edge sources: the affected re-pair joins persisted
+    rows and the delta probe hits the persisted band index restricted
+    to survivors (doc_id anti-joins — shingles and signatures are
+    per-document).  The changed docs' NEW text is then the only thing
+    shingled: steady state pays O(|changed| + |deleted| + touched
+    clusters), never a corpus re-shingle.
     """
     deleted = deleted_ids.select("doc_id").distinct()
     changed = changed_docs.join(deleted, "doc_id", "left_anti")
     drop = deleted.unionByName(changed.select("doc_id")).distinct()
-    base = neardup_clusters_retract(
-        standing_docs, drop, standing_labels, max_iterations
+    lab = standing_labels.select("doc_id", "canonical_id", "cluster_size")
+    affected = lab.join(drop, "doc_id").select("canonical_id").distinct()
+    unaffected = lab.join(F.broadcast(affected), "canonical_id", "left_anti")
+    surviving_affected = (
+        lab.join(F.broadcast(affected), "canonical_id")
+        .select("doc_id")
+        .join(drop, "doc_id", "left_anti")
     )
     survivors = standing_docs.join(drop, "doc_id", "left_anti")
-    return neardup_clusters_delta(survivors, changed, base, max_iterations)
+
+    # Edge source 1: the detector restricted to affected survivors
+    # (the retract edge set) — persisted rows when supplied.
+    if standing_sets is not None:
+        sets_aff = standing_sets.join(surviving_affected, "doc_id")
+        bands_aff = (
+            standing_bands.join(surviving_affected, "doc_id")
+            if standing_bands is not None
+            else _minhash_bands(sets_aff, MINHASH_N_HASHES, MINHASH_BAND_R)
+        )
+        repair = _verify_jaccard(
+            _band_index_candidates(bands_aff), sets_aff, 0.8
+        )
+    else:
+        repair = minhash_lsh_neardup(
+            standing_docs.join(surviving_affected, "doc_id")
+        )
+    # Edge source 2: the changed docs' NEW text probed against the
+    # surviving corpus (band index anti-joined to survivors).
+    surv_sets = (
+        standing_sets.join(drop, "doc_id", "left_anti")
+        if standing_sets is not None
+        else None
+    )
+    surv_bands = (
+        standing_bands.join(drop, "doc_id", "left_anti")
+        if standing_bands is not None
+        else None
+    )
+    probe = minhash_lsh_neardup_delta(
+        survivors,
+        changed,
+        release_cache=True,
+        corpus_sets=surv_sets,
+        corpus_bands=surv_bands,
+    )
+
+    # Quotient mapping: unaffected members collapse to their canonical;
+    # affected survivors and changed docs stand for themselves.
+    m = unaffected.select("doc_id", F.col("canonical_id").alias("q"))
+    qa = m.select(F.col("doc_id").alias("doc_a"), F.col("q").alias("q_a"))
+    qb = m.select(F.col("doc_id").alias("doc_b"), F.col("q").alias("q_b"))
+    qedges = (
+        repair.select("doc_a", "doc_b")
+        .unionByName(probe.select("doc_a", "doc_b"))
+        .join(qa, "doc_a", "left")
+        .join(qb, "doc_b", "left")
+        .select(
+            F.coalesce("q_a", "doc_a").alias("doc_a"),
+            F.coalesce("q_b", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    active = (
+        qedges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(qedges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    active_labels = neardup_clusters(active, qedges, max_iterations).select(
+        F.col("doc_id").alias("q"), F.col("canonical_id").alias("nl")
+    )
+
+    # Untouched unaffected clusters (canonical never met a new edge)
+    # pass through with their stored size; everything else recounts
+    # over touched components only — both sides batch-bounded beyond
+    # the one relabel join through the standing map.
+    relabeled_unaff = unaffected.join(active_labels, unaffected.canonical_id == active_labels.q, "left")
+    untouched = relabeled_unaff.where(F.col("nl").isNull()).select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+    touched_unaff = relabeled_unaff.where(F.col("nl").isNotNull()).select(
+        "doc_id", F.col("nl").alias("canonical_id")
+    )
+    raw_nodes = surviving_affected.unionByName(changed.select("doc_id"))
+    touched_raw = (
+        raw_nodes.join(
+            active_labels, raw_nodes.doc_id == active_labels.q, "left"
+        )
+        .select(
+            raw_nodes.doc_id,
+            F.coalesce("nl", raw_nodes.doc_id).alias("canonical_id"),
+        )
+    )
+    touched = touched_unaff.unionByName(touched_raw)
+    sizes = touched.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return untouched.unionByName(
+        touched.join(sizes, "canonical_id").select(
+            "doc_id", "canonical_id", "cluster_size"
+        )
+    )
 
 
 UPSERT_DEL_MOD = 10
@@ -1862,12 +2040,14 @@ def _verify_jaccard(candidates: DataFrame, sets: DataFrame, threshold: float) ->
 
 
 def minhash_lsh_neardup_delta(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     delta: DataFrame,
     n_hashes: int = MINHASH_N_HASHES,
     threshold: float = 0.8,
     band_r: int = MINHASH_BAND_R,
     release_cache: bool = False,
+    corpus_sets: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new delta batch, without re-pairing the
     existing corpus against itself.
@@ -1881,16 +2061,38 @@ def minhash_lsh_neardup_delta(
     delta)` restricted to pairs with ≥ 1 delta member, pairs normalized
     doc_a < doc_b.  Assumes corpus and delta doc_ids are disjoint.
 
-    Scale: the corpus band index is exactly the table a production
-    pipeline persists between runs (bucketed by band keys, the probe
-    join is then shuffle-free); here it's derived in-plan.
+    Scale: the corpus band index and shingle-set table are exactly what
+    a production pipeline persists between runs (bucketed by band keys,
+    the probe join is then shuffle-free).  Pass them as
+    ``corpus_sets`` / ``corpus_bands`` (:func:`neardup_standing_index`
+    output — the persisted artifacts, VERDICT r13 item 5) and the batch
+    plan never re-shingles or re-signs the standing corpus: its only
+    corpus-side work is the band probe and the per-candidate verify.
+    With both supplied ``corpus`` may be ``None`` (the steady-state
+    plan provably never reads the raw corpus — the `curated_delta`
+    structural-independence convention).  Left at ``None`` they derive
+    from ``corpus`` in-call (the bootstrap / oracle-fixture path;
+    equivalence pinned by ``test_standing_signatures_equivalent``).
     """
-    # Both set tables feed two consumers (band derivation + verify), so
-    # persist both — same convention as the full run's single table.
-    sets_c = doc_shingle_sets(corpus).persist()
+    derived = corpus_sets is None
+    if derived:
+        if corpus is None:
+            raise ValueError(
+                "minhash_lsh_neardup_delta: pass corpus (bootstrap) or "
+                "corpus_sets (steady state)"
+            )
+        # The derived set table feeds two consumers (band derivation +
+        # verify), so persist it — same convention as the full run's
+        # single table.  A supplied persisted table is already storage.
+        corpus_sets = doc_shingle_sets(corpus).persist()
+    sets_c = corpus_sets
     sets_d = doc_shingle_sets(delta).persist()
     key_cols = [f"k{r}" for r in range(band_r)]
-    bands_c = _minhash_bands(sets_c, n_hashes, band_r)
+    bands_c = (
+        _minhash_bands(sets_c, n_hashes, band_r)
+        if corpus_bands is None
+        else corpus_bands
+    )
     bands_d = _minhash_bands(sets_d, n_hashes, band_r)
     d, c = bands_d.alias("d"), bands_c.alias("c")
     cross = (
@@ -1915,11 +2117,33 @@ def minhash_lsh_neardup_delta(
         # Eager-release mode for composing callers (the cluster delta):
         # materialize the small verified pair set, drop the corpus-sized
         # set caches before returning (VERDICT r11 item 5 discipline).
-        # The registered pair face keeps the default lazy form.
+        # The registered pair face keeps the default lazy form.  Only
+        # caches THIS call created are released — a supplied persisted
+        # corpus_sets table belongs to the caller.
         out = out.localCheckpoint()
-        sets_c.unpersist()
+        if derived:
+            sets_c.unpersist()
         sets_d.unpersist()
     return out
+
+
+def neardup_standing_index(
+    docs: DataFrame,
+    n_hashes: int = MINHASH_N_HASHES,
+    band_r: int = MINHASH_BAND_R,
+) -> tuple[DataFrame, DataFrame]:
+    """The two persisted artifacts the steady-state MinHash dedup path
+    maintains (VERDICT r13 item 5): the per-doc shingle-set table
+    ``(doc_id, shs)`` — the verify stage's input — and the banded
+    signature index ``(doc_id, band, k0..k{R-1})`` — the candidate
+    stage's input.  Production writes both once and appends each
+    admitted batch's rows (the `ngram_shingle_sets` /
+    `standing_fingerprints` convention); deletes are doc_id anti-joins
+    on both (shingles and signatures are per-document).  This helper is
+    the bootstrap — and, staged as real tables, the bench's untimed
+    setup for the ``[standing]`` variants."""
+    sets = doc_shingle_sets(docs)
+    return sets, _minhash_bands(sets, n_hashes, band_r)
 
 
 def minhash_delta_neardup_docs(docs: DataFrame) -> DataFrame:
