@@ -230,6 +230,12 @@ DEFAULT_HEADLINE = [
     "source_novelty_retract",
     "vocab_df_retract",
     "semdedup_retract",
+    # round 14: the ladder applied one level up — the delete-aware
+    # curated corpus (keeper re-admission from the persisted ledger)
+    # and the cluster-keyed split map under canonical deletion; both
+    # build their standing state in-call like the r13 retract faces:
+    "curated_retract",
+    "leakage_split_retract",
     # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
     # inherently |ns| x the single-point face (2.98 s at sf0.1):
     "decontam_threshold_curve",

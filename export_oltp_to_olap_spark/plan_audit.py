@@ -130,7 +130,18 @@ SMJ_EXPECTED = frozenset(
         # re-pair and re-propagation chain — same corpus-scale
         # doc_id/canonical_id keys as its siblings:
         "neardup_clusters_retract",
-        "neardup_clusters_upsert",  # retract + delta composed
+        # the fused quotient propagation plus the same standing-map
+        # pass-through/anti and edge-mapping joins:
+        "neardup_clusters_upsert",
+        # the ledger legs of the curated retract: keepers/losers joined
+        # on text (exact re-election), the pair-table re-key joins and
+        # the kept anti-join — corpus-derived frames keyed on
+        # text/doc_id, neither side broadcastable at corpus scale
+        # (SCALE.md reviews the shapes):
+        "curated_retract",
+        # inherits neardup_clusters_retract's propagation/pass-through
+        # chain plus the split re-hash over the relabeled map:
+        "leakage_split_retract",
         # inherits the propagation chain, plus the per-doc quality
         # re-attach: both sides corpus-scale on doc_id/canonical_id
         "neardup_quality_keepers",
@@ -224,7 +235,11 @@ STAGE_EXECUTES = frozenset(
         # same shape in reverse: in-call standing build, then the
         # affected-only re-pair + propagation with stage() cuts:
         "neardup_clusters_retract",
-        "neardup_clusters_upsert",  # retract + delta composed
+        "neardup_clusters_upsert",  # fused retract+delta quotient propagation
+        # in-call standing ledger (stage() cuts) + the retract-chain
+        # propagation respectively:
+        "curated_retract",
+        "leakage_split_retract",
     }
 )
 

@@ -851,3 +851,196 @@ ORDER BY j.doc_id
 
 
 NEARDUP_QUALITY_KEEPERS_SQL = _quality_keepers_sql()
+
+
+# ---------------------------------------------------------------------------
+# Delete-aware STANDING CURATED corpus (VERDICT r13 item 2)
+# ---------------------------------------------------------------------------
+#
+# The retract ladder (clusters, pairs, vocab, novelty, semdedup, IVF)
+# covered the dedup INGREDIENTS; this is the ladder applied one level up,
+# to the curated corpus itself.  Deleting raw documents can RE-ADMIT
+# documents the standing corpus suppressed:
+#
+# * a deleted exact-dedup KEEPER releases its text slot — the min-id
+#   SURVIVING twin (from the losers ledger) re-enters the curated stage;
+# * a deleted near-dup WITNESS releases its victims — a doc dropped only
+#   because a smaller-id ≥0.7 neighbor existed must re-enter when every
+#   such neighbor is gone.
+#
+# The affected-set discipline: exact re-election touches only text
+# groups whose KEEPER died (deleting a loser never moves the group min);
+# near-dup maintenance touches only pairs with a deleted endpoint — and
+# a re-admitted exact twin needs NO re-shingling, because its text (hence
+# shingle set, hence every Jaccard) is IDENTICAL to its dead keeper's:
+# the dead keeper's verified pair rows re-key to the successor id with
+# their jaccard values intact.  Re-admissions can never drop a
+# previously-kept doc (a re-admitted twin's id exceeds its dead keeper's,
+# so any pair it wins was already won by the keeper), so the standing
+# kept set only grows by re-admissions and shrinks by deletions — both
+# scoped to the batch.
+
+CURATED_RETRACT_MOD = 10  # the ladder's shared tombstone fixture convention
+
+
+def curation_standing_ledger(
+    old_docs: DataFrame, mode: str | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three persisted artifacts the delete-aware curated corpus
+    maintains: the curated-stage KEEPERS (gate + exact-dedup survivors,
+    pre near-dup — `standing_state`'s first table), the exact-dup
+    LOSERS ledger (gate-passing docs whose text slot a smaller id
+    holds — `curation_audit`'s ``dropped_exact_dup`` rows, persisted),
+    and the verified near-dup PAIR table over the keepers.  Production
+    writes all three once and maintains them per batch (appends for
+    ingest, the anti-joins/re-keys of :func:`curated_retract` for
+    deletes)."""
+    gated = _gated(old_docs)
+    w = Window.partitionBy("text")
+    gk = gated.withColumn("keeper", F.min("doc_id").over(w))
+    keepers = stage(
+        gk.where(F.col("doc_id") == F.col("keeper")).select(
+            "doc_id", "text", "quality"
+        ),
+        mode=mode,
+    )
+    losers = stage(
+        gk.where(F.col("doc_id") != F.col("keeper")).select("doc_id", "text"),
+        mode=mode,
+    )
+    pairs = stage(
+        ngram_jaccard_pairs(keepers, n=3, threshold=NEARDUP_THRESHOLD),
+        mode=mode,
+    )
+    return keepers, losers, pairs
+
+
+def curated_retract(
+    deleted_ids: DataFrame,
+    standing_curated: DataFrame,
+    standing_losers: DataFrame,
+    standing_pairs: DataFrame,
+) -> DataFrame:
+    """The standing CURATED corpus after a delete batch — exactly
+    ``curated_corpus(survivors)`` (the driver oracle states that claim
+    over the full-rebuild SQL), computed from the persisted ledger
+    without re-gating, re-deduping or re-shingling anything:
+
+    1. Exact re-election: for each DELETED keeper, the min surviving
+       loser with the same text re-enters the curated stage (same text
+       ⇒ same gates, same quality — recomputed per-row for the output
+       column, identical by construction).
+    2. Pair re-key: surviving standing pairs pass through; pairs
+       touching a dead keeper re-key to its successor (same text ⇒ same
+       jaccard) or die with it when no twin survives.  The re-keyed
+       table is provably the full pair set over the new curated stage.
+    3. The near-dup drop rule (any smaller-id ≥-threshold neighbor) and
+       the doc_id hash split then re-derive kept rows per batch-scoped
+       joins only.
+
+    Output ``(doc_id, quality, split)`` ordered by doc_id — the
+    `incremental_corpus_delta` face shape, over the whole surviving
+    curated corpus.  Production also updates the ledger itself: keepers
+    := keepers − deleted ∪ re-admitted, losers := losers − deleted −
+    re-admitted, pairs := the re-keyed table (all batch-scoped
+    anti-joins/upserts of the same frames computed here).
+    """
+    d = deleted_ids.select("doc_id").distinct()
+    dk = standing_curated.join(d, "doc_id").select("doc_id", "text")
+    kept_keepers = standing_curated.join(d, "doc_id", "left_anti").select(
+        "doc_id", "text", "quality"
+    )
+    surv_losers = standing_losers.join(d, "doc_id", "left_anti")
+    readmitted = (
+        dk.select("text")
+        .join(surv_losers, "text")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+        .withColumn("quality", quality_score("text"))
+    )
+    new_deduped = kept_keepers.unionByName(readmitted)
+
+    # Successor map over dead keepers (succ NULL = text slot died).
+    succ = (
+        dk.join(
+            readmitted.select(F.col("doc_id").alias("succ"), "text"), "text"
+        )
+        .select("doc_id", "succ")
+    )
+    dead = dk.select("doc_id").join(succ, "doc_id", "left").withColumn(
+        "dead", F.lit(True)
+    )
+    ma = dead.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("succ").alias("succ_a"),
+        F.col("dead").alias("dead_a"),
+    )
+    mb = dead.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("succ").alias("succ_b"),
+        F.col("dead").alias("dead_b"),
+    )
+    mapped = (
+        standing_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .where(
+            (F.col("dead_a").isNull() | F.col("succ_a").isNotNull())
+            & (F.col("dead_b").isNull() | F.col("succ_b").isNotNull())
+        )
+        .select(
+            F.coalesce("succ_a", "doc_a").alias("na"),
+            F.coalesce("succ_b", "doc_b").alias("nb"),
+        )
+    )
+    dropped = (
+        mapped.select(F.greatest("na", "nb").alias("doc_id")).distinct()
+    )
+    kept = new_deduped.join(dropped, "doc_id", "left_anti")
+    return (
+        assign_splits(kept, "doc_id")
+        .select("doc_id", "quality", "split")
+        .orderBy("doc_id")
+    )
+
+
+def curated_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Registered face: tombstone every CURATED_RETRACT_MOD-th doc_id
+    (the ladder's shared convention — at sf0.01 the cut deletes 43
+    curated keepers, including near-dup witnesses whose victims
+    re-enter); the standing ledger derives in-call (persisted in
+    production).  The ORACLE is the full curation SQL over the
+    surviving corpus, so the driver hash-checks retract ≡
+    rebuild-after-delete directly."""
+    base = docs.select("doc_id", "text")
+    deleted = base.select("doc_id").where(
+        F.col("doc_id") % CURATED_RETRACT_MOD == 0
+    )
+    keepers, losers, pairs = curation_standing_ledger(base)
+    return curated_retract(deleted, keepers, losers, pairs)
+
+
+def _curated_retract_sql() -> str:
+    """Full-rebuild curation over the survivors: the shared pipeline
+    CTEs with the ONE raw-corpus scan redirected (the
+    `semdedup_retract_sql` anchor discipline — ValueError, not assert,
+    because this runs at import)."""
+    ctes = _pipeline_ctes()
+    anchor = "FROM documents"
+    if ctes.count(anchor) != 1:
+        raise ValueError(
+            "curated_retract oracle: expected exactly one raw-corpus scan "
+            f"in the pipeline CTEs, found {ctes.count(anchor)}"
+        )
+    return f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {CURATED_RETRACT_MOD} <> 0
+),
+{ctes.replace(anchor, "FROM survivors")}
+SELECT doc_id, quality, split
+FROM assigned
+ORDER BY doc_id
+"""
+
+
+CURATED_RETRACT_SQL = _curated_retract_sql()

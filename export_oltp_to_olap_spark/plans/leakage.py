@@ -36,6 +36,7 @@ from export_oltp_to_olap_spark.operators.neardup import (
     minhash_lsh_neardup,
     minhash_neardup_clusters,
     neardup_clusters,
+    neardup_clusters_retract,
 )
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
 from export_oltp_to_olap_spark.operators.staging import stage_fanout
@@ -185,4 +186,63 @@ both_schemes AS (
   JOIN clus_sp sb ON sb.doc_id = p.doc_b
 )
 SELECT scheme, n_cross_pairs FROM both_schemes ORDER BY scheme
+"""
+
+
+# ---------------------------------------------------------------------------
+# Delete-aware cluster-keyed splits (VERDICT r13 item 2, second half)
+# ---------------------------------------------------------------------------
+#
+# The cluster-keyed assignment's split key is the component CANONICAL —
+# so deletes have a failure mode the doc-hash split cannot have: deleting
+# a canonical (or a bridge doc) re-elects/splits components, and every
+# member of an affected component may change split.  The retract keeps
+# the fix's invariant (no dup family ever straddles splits — both members
+# of any surviving pair still share a canonical) while touching only the
+# clusters the delete batch hits: unaffected components keep their
+# canonical, hence their split, byte-stable.  That stability trade is the
+# documented one: doc-hash splits never move but leak; cluster-keyed
+# splits are leak-free and move only inside delete-affected families.
+
+SPLIT_RETRACT_MOD = 10  # the delete ladder's shared tombstone convention
+
+
+def leakage_safe_split_retract(
+    documents: DataFrame,
+    deleted_ids: DataFrame | None = None,
+    standing_labels: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc cluster-keyed split map after a delete batch:
+    ``(doc_id, canonical_id, split)`` over the survivors, canonical and
+    split recomputed ONLY inside delete-affected components
+    (`neardup_clusters_retract` does the scoped re-pair/re-election;
+    the split is a map-side hash of the resulting canonical).  The
+    registered face derives its standing cluster map in-call and
+    tombstones every SPLIT_RETRACT_MOD-th doc_id; the ORACLE is the
+    full cluster + split SQL over the surviving corpus — retract ≡
+    rebuild-after-delete, driver-hashed."""
+    if deleted_ids is None:
+        deleted_ids = documents.select("doc_id").where(
+            F.col("doc_id") % SPLIT_RETRACT_MOD == 0
+        )
+    if standing_labels is None:
+        standing_labels = minhash_neardup_clusters(documents)
+    relabeled = neardup_clusters_retract(
+        documents, deleted_ids, standing_labels
+    )
+    return (
+        assign_splits(relabeled.select("doc_id", "canonical_id"), "canonical_id")
+        .select("doc_id", "canonical_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+LEAKAGE_SPLIT_RETRACT_SQL = f"""
+WITH RECURSIVE survivors AS (
+  SELECT * FROM documents WHERE doc_id % {SPLIT_RETRACT_MOD} <> 0
+),
+{_CLUSTERS_CTES.replace("FROM documents", "FROM survivors")}
+SELECT a.doc_id, a.canonical_id, {_split_case("a.canonical_id")} AS split
+FROM allc a
+ORDER BY a.doc_id
 """

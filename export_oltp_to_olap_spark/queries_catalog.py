@@ -1779,6 +1779,30 @@ def q_semantic_decontam_pairs(spark: SparkSession, sf_dir: str):
     return similarity.semantic_decontam_fixture(_embeddings(spark, sf_dir))
 
 
+@register("curated_retract", curation.CURATED_RETRACT_SQL)
+def q_curated_retract(spark: SparkSession, sf_dir: str):
+    """The delete-aware ladder applied to the curated corpus ITSELF
+    (VERDICT r13 item 2): deleting an exact-dedup keeper re-admits its
+    min-id surviving twin, deleting a near-dup witness re-admits the
+    victims it alone suppressed — all from the persisted ledger
+    (keepers, losers, verified pairs), with re-keyed pairs instead of
+    re-shingling.  Oracle = the FULL curation SQL over the surviving
+    corpus: retract ≡ rebuild-after-delete, hash-checked by the
+    driver."""
+    return curation.curated_retract_fixture(_docs(spark, sf_dir))
+
+
+@register("leakage_split_retract", leakage.LEAKAGE_SPLIT_RETRACT_SQL)
+def q_leakage_split_retract(spark: SparkSession, sf_dir: str):
+    """Cluster-keyed splits under canonical deletion: the per-doc
+    (doc_id, canonical_id, split) map after a delete batch, canonical
+    re-elected and split re-hashed only inside delete-affected
+    components (unaffected families keep their split byte-stable; no
+    surviving dup pair ever straddles splits).  Oracle = the full
+    cluster + split SQL over the survivors."""
+    return leakage.leakage_safe_split_retract(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1860,8 +1884,13 @@ WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "stats_moments_lineitem",
     "source_overlap_matrix",
-    # The r10-last pool in catalog definition order (30 of 43; the tail
-    # waits for round 15 or displacement by r14 registrations):
+    # Round-14 registrations, windowed same-commit (standing rule),
+    # displacing the r10 backfill from the bottom:
+    "curated_retract",
+    "leakage_split_retract",
+    # The r10-last pool in catalog definition order (28 of 43 after the
+    # two r14 displacements above took exact_dedup_documents and
+    # purchases_asof_clicks; the tail waits for round 15):
     "rollup_revenue",
     "grouping_sets_orders",
     "distinct_agg_orders",
@@ -1890,6 +1919,4 @@ WINDOW_FIRST: tuple[str, ...] = (
     "events_user_moving_value",
     "events_sessionize",
     "corpus_split_summary",
-    "purchases_asof_clicks",
-    "exact_dedup_documents",
 )

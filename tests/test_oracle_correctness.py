@@ -161,6 +161,10 @@ _REPORT_EXEMPT = {
     "neardup_pairs_retract",
     "semdedup_retract",
     "semantic_decontam_pairs",
+    # Registered new in round 14, windowed same-commit (first driver
+    # rows land in CORRECTNESS_r14):
+    "curated_retract",
+    "leakage_split_retract",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

@@ -166,3 +166,174 @@ def test_delta_validate_contract_rejects_non_min_canonicals(spark, sf0001):
         neardup.neardup_clusters_delta(
             standing, delta, bad, validate_contract=True
         )
+
+
+# ---------------------------------------------------------------------------
+# curated_retract — the delete-aware standing CURATED corpus (VERDICT
+# r13 item 2): cut sweep ≡ rebuild-after-delete, planted keeper
+# re-admission, and the oracle-rewrite pins.
+# ---------------------------------------------------------------------------
+
+
+def _curated_shape(df):
+    return {tuple(r) for r in df.select("doc_id", "quality", "split").collect()}
+
+
+@pytest.mark.parametrize("mod,label", [(2, "half"), (3, "third")])
+def test_curated_retract_cut_sweep_equals_rebuild(spark, sf001, mod, label):
+    """retract(delete doc_id % mod == 0) ≡ curated_corpus(survivors)
+    at two cut depths beyond the registered fixture's 10% — the r13
+    retract-ladder sweep convention applied one level up."""
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    deleted = docs.select("doc_id").where(F.col("doc_id") % mod == 0)
+    ledger = C.curation_standing_ledger(docs)
+    got = _curated_shape(C.curated_retract(deleted, *ledger))
+    want = _curated_shape(
+        C.curated_corpus(docs.where(F.col("doc_id") % mod != 0))
+    )
+    assert got == want and want, label
+
+
+def test_curated_retract_empty_delete_is_identity(spark, sf001):
+    """The 0% cut: an empty tombstone batch must reproduce the standing
+    curated corpus exactly."""
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    deleted = docs.select("doc_id").where(F.lit(False))
+    ledger = C.curation_standing_ledger(docs)
+    got = _curated_shape(C.curated_retract(deleted, *ledger))
+    want = _curated_shape(C.curated_corpus(docs))
+    assert got == want and want
+
+
+def _distinct_gated_texts(spark, sf_dir, n=3):
+    """Deterministically pick n gate-passing fixture texts that are
+    pairwise NON-near-dup (word-trigram jaccard < 0.5), so planted
+    exact twins cannot be suppressed by a cross-group witness."""
+    import re as _re
+
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cands = [
+        r["text"]
+        for r in C._gated(docs).orderBy("doc_id").limit(40).collect()
+    ]
+
+    def shingles(t):
+        toks = [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    picked, sets = [], []
+    for t in cands:
+        s = shingles(t)
+        if not s:
+            continue
+        if all(
+            len(s & o) / len(s | o) < 0.5 for o in sets
+        ):
+            picked.append(t)
+            sets.append(s)
+        if len(picked) == n:
+            return picked
+    raise AssertionError("fixture lacks 3 pairwise-distinct gated texts")
+
+
+def test_curated_retract_planted_exact_keeper_readmission(spark, sf001):
+    """The planted test the verdict demanded: delete exact-dedup
+    KEEPERS whose twins survive — the twins must re-enter the curated
+    corpus with the keeper's quality, and the whole result must equal
+    the rebuild over survivors."""
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    t0, t1, t2 = _distinct_gated_texts(spark, sf001)
+    corpus = spark.createDataFrame(
+        [(1, t0), (2, t0), (3, t1), (4, t1), (7, t1), (5, t2)],
+        "doc_id long, text string",
+    )
+    # Delete both keepers (1, 3) and one mid twin (4): group t0 re-elects
+    # 2, group t1 must skip the deleted 4 and re-elect 7.
+    deleted = spark.createDataFrame([(1,), (3,), (4,)], "doc_id long")
+    ledger = C.curation_standing_ledger(corpus)
+    got = _curated_shape(C.curated_retract(deleted, *ledger))
+    ids = {r[0] for r in got}
+    assert 2 in ids and 7 in ids and 5 in ids and 4 not in ids
+    want = _curated_shape(
+        C.curated_corpus(
+            corpus.where(~F.col("doc_id").isin(1, 3, 4))
+        )
+    )
+    assert got == want
+
+
+def test_curated_retract_near_dup_witness_readmission(spark, sf001):
+    """The fixture cut really exercises the near-dup half of the
+    re-admission contract: docs absent from the FULL standing curated
+    corpus (suppressed by a ≥0.7 witness) re-enter once every witness
+    is deleted.  Pinned non-empty so fixture drift cannot silently
+    turn the face into a pure anti-join check."""
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    standing_kept = {
+        r["doc_id"] for r in C.curated_corpus(docs).select("doc_id").collect()
+    }
+    got_ids = {r[0] for r in _curated_shape(C.curated_retract_fixture(docs))}
+    readmitted = got_ids - standing_kept
+    assert readmitted, (
+        "the registered cut no longer re-admits any near-dup victim — "
+        "re-plant the fixture"
+    )
+
+
+def test_retract_oracles_scan_only_survivors():
+    """String-rewrite oracle pins (the r13 convention): past the
+    survivors CTE itself, no bare raw-corpus scan may remain in either
+    new retract oracle."""
+    from export_oltp_to_olap_spark.plans import curation as C
+    from export_oltp_to_olap_spark.plans import leakage as L
+
+    body = C.CURATED_RETRACT_SQL.split("feats AS", 1)[1]
+    assert "FROM documents" not in body
+    body = L.LEAKAGE_SPLIT_RETRACT_SQL.split("toks AS", 1)[1]
+    assert "FROM documents" not in body
+
+
+def test_split_retract_unaffected_components_keep_split(spark, sf001):
+    """The stability half of the cluster-keyed retract contract:
+    members of components untouched by the delete batch keep BOTH
+    their canonical and their split byte-stable; only delete-affected
+    components may move."""
+    from export_oltp_to_olap_spark.operators.sampling import assign_splits
+    from export_oltp_to_olap_spark.plans import leakage as L
+
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    standing = neardup.minhash_neardup_clusters(docs).localCheckpoint()
+    before = {
+        r["doc_id"]: (r["canonical_id"], r["split"])
+        for r in assign_splits(
+            standing.select("doc_id", "canonical_id"), "canonical_id"
+        ).collect()
+    }
+    deleted = docs.select("doc_id").where(
+        F.col("doc_id") % L.SPLIT_RETRACT_MOD == 0
+    )
+    affected = {
+        r["canonical_id"]
+        for r in standing.join(deleted, "doc_id")
+        .select("canonical_id")
+        .distinct()
+        .collect()
+    }
+    moved = unaffected_changed = 0
+    for r in L.leakage_safe_split_retract(docs, deleted, standing).collect():
+        old = before[r["doc_id"]]
+        if old != (r["canonical_id"], r["split"]):
+            moved += 1
+            if old[0] not in affected:
+                unaffected_changed += 1
+    assert unaffected_changed == 0
+    assert moved > 0, "the cut never re-elects a canonical — re-plant"
