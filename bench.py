@@ -236,6 +236,13 @@ DEFAULT_HEADLINE = [
     # build their standing state in-call like the r13 retract faces:
     "curated_retract",
     "leakage_split_retract",
+    # round 14: the cheap monoid/anti-join retract legs (VERDICT r13
+    # item 6) — SUM-subtract or doc_id anti-join, standing state
+    # in-call per the family convention:
+    "doc_length_spectrum_retract",
+    "boilerplate_ngrams_retract",
+    "pack_source_totals_retract",
+    "winnow_fingerprints_retract",
     # five decontam passes at n = 3,4,5,6,8 — the calibration sweep is
     # inherently |ns| x the single-point face (2.98 s at sf0.1):
     "decontam_threshold_curve",

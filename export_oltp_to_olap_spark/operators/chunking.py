@@ -258,3 +258,91 @@ def pack_bins_delta_fixture(docs: DataFrame, window: int = PACK_WINDOW) -> DataF
         pack_source_totals(standing),
         window,
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete maintenance of the packing carry (VERDICT r13 item 6)
+# ---------------------------------------------------------------------------
+#
+# The per-(source, bin) SUMMARY is not delete-maintainable by
+# subtraction — removing a doc shifts every later offset in its
+# (source, shard) lane, which is a re-pack of the lane tail, not a
+# monoid op.  The per-source CARRY (doc and token totals) IS a pure
+# additive monoid, and it is the state the delta path actually consumes
+# (`pack_bins_delta`'s standing_totals): keeping it delete-exact keeps
+# the append path exact after compaction re-packs the affected lanes.
+
+PACK_RETRACT_MOD = 10  # the delete ladder's shared tombstone convention
+
+
+def pack_source_state(docs: DataFrame) -> DataFrame:
+    """The delete-aware form of the packing carry: per-source doc and
+    token totals ``(source, n_docs, total_tokens)``.  Superset of
+    :func:`pack_source_totals` (which the append delta consumes) —
+    the doc count is what makes zero-row cleanup exact: a source
+    leaves the table when its last DOC dies, not when its token sum
+    happens to reach zero (all-empty-text sources keep their row,
+    exactly as the rebuild does)."""
+    return (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def pack_source_totals_retract(
+    deleted_docs: DataFrame, standing_state: DataFrame
+) -> DataFrame:
+    """Delete/tombstone maintenance of the packing carry: subtract the
+    tombstoned docs' own per-source counts/sums, drop sources whose
+    doc count reaches zero (`vocab_df_retract`'s convention).  Steady
+    state tokenizes the |deleted| docs only."""
+    removed = pack_source_state(deleted_docs).select(
+        "source",
+        F.col("n_docs").alias("docs_rm"),
+        F.col("total_tokens").alias("toks_rm"),
+    )
+    return (
+        standing_state.join(removed, "source", "left")
+        .select(
+            "source",
+            (F.col("n_docs") - F.coalesce(F.col("docs_rm"), F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("total_tokens") - F.coalesce(F.col("toks_rm"), F.lit(0)))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+        .where(F.col("n_docs") > 0)
+        .orderBy("source")
+    )
+
+
+def pack_totals_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every PACK_RETRACT_MOD-th doc_id;
+    standing carry derives in-call (persisted in production).  ORACLE =
+    the rebuild aggregation over the survivors."""
+    deleted = docs.where(F.col("doc_id") % PACK_RETRACT_MOD == 0)
+    return pack_source_totals_retract(deleted, pack_source_state(docs))
+
+
+PACK_TOTALS_RETRACT_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {PACK_RETRACT_MOD} <> 0
+),
+toks AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM survivors
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM toks
+GROUP BY source
+ORDER BY source
+""".strip()

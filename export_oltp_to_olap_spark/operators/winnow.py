@@ -529,3 +529,71 @@ def streaming_fingerprints(
     return docs.select(F.col(id_col), F.explode(entries).alias("e")).select(
         id_col, F.col("e.fp_pos").alias("fp_pos"), F.col("e.fp_hash").alias("fp_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete maintenance of the standing fingerprint table (VERDICT r13
+# item 6)
+# ---------------------------------------------------------------------------
+
+WINNOW_RETRACT_MOD = 10  # the delete ladder's shared tombstone convention
+
+
+def winnow_fingerprints_retract(
+    deleted_ids: DataFrame, standing_fph: DataFrame
+) -> DataFrame:
+    """Delete/tombstone maintenance of the persisted ``(doc_id,
+    fp_hash)`` side table the delta path probes (`standing_fingerprints`
+    — VERDICT r13 item 6): winnowing is per-document, so deletes remove
+    exactly the tombstoned docs' rows — one doc_id anti-join, the
+    `neardup_pairs_retract` convention.  No re-fingerprinting, no
+    window re-evaluation; the driver oracle (the full winnowing
+    pipeline over the surviving corpus) hash-checks anti-join ≡
+    re-fingerprint directly."""
+    d = deleted_ids.select("doc_id").distinct()
+    return standing_fph.join(d, "doc_id", "left_anti").orderBy(
+        "doc_id", "fp_hash"
+    )
+
+
+def winnow_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every WINNOW_RETRACT_MOD-th doc_id; the
+    standing fingerprint table derives in-call (persisted and appended
+    per batch in production)."""
+    deleted = docs.select("doc_id").where(
+        F.col("doc_id") % WINNOW_RETRACT_MOD == 0
+    )
+    return winnow_fingerprints_retract(deleted, standing_fingerprints(docs))
+
+
+def _winnow_retract_sql() -> str:
+    """The full winnowing fingerprint pipeline over the survivors: the
+    shared candidate CTE chain truncated at ``wfph`` (the anchor pin
+    raises at import if the fragment shape drifts, the
+    `semdedup_retract_sql` discipline)."""
+    chain = winnow_candidate_ctes()
+    anchor = ",\nwhot AS"
+    if chain.count(anchor) != 1:
+        raise ValueError(
+            "winnow_fingerprints_retract oracle: expected exactly one "
+            f"whot CTE in the candidate chain, found {chain.count(anchor)}"
+        )
+    fph_ctes = chain.split(anchor, 1)[0]
+    return f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {WINNOW_RETRACT_MOD} <> 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM survivors
+),
+{fph_ctes}
+SELECT doc_id, fp_hash
+FROM wfph
+ORDER BY doc_id, fp_hash
+""".strip()
+
+
+WINNOW_RETRACT_SQL = _winnow_retract_sql()

@@ -508,6 +508,75 @@ def boilerplate_delta_fixture(docs: DataFrame) -> DataFrame:
     return boilerplate_ngrams_delta(new_docs, sc, st)
 
 
+BOILERPLATE_RETRACT_MOD = 10  # the delete ladder's shared convention
+
+
+def boilerplate_ngrams_retract(
+    deleted_docs: DataFrame,
+    standing_counts: DataFrame,
+    standing_totals: DataFrame,
+    n: int = 2,
+    top_k: int = BOILERPLATE_TOP_K,
+) -> DataFrame:
+    """Delete/tombstone maintenance of the standing boilerplate tables
+    (VERDICT r13 item 6): per-(source, gram) document counts and
+    per-source totals are commutative monoids and a doc contributes to
+    each of its distinct grams once — deletes SUBTRACT the tombstoned
+    docs' own gram rows and totals; grams (and sources) reaching zero
+    leave their tables (`vocab_df_retract`'s convention).  Steady
+    state: gram fan-out over the |deleted| docs, two keyed merges."""
+    d_counts, d_totals = _boilerplate_counts(deleted_docs, n)
+    counts = (
+        standing_counts.join(
+            d_counts.select(
+                "source", "gram", F.col("doc_count").alias("rm")
+            ),
+            ["source", "gram"],
+            "left",
+        )
+        .select(
+            "source",
+            "gram",
+            (F.col("doc_count") - F.coalesce(F.col("rm"), F.lit(0)))
+            .cast("long")
+            .alias("doc_count"),
+        )
+        .where(F.col("doc_count") > 0)
+    )
+    totals = (
+        standing_totals.join(
+            d_totals.select("source", F.col("n_docs").alias("rm")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            (F.col("n_docs") - F.coalesce(F.col("rm"), F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+    return _boilerplate_rank(counts, totals, top_k)
+
+
+def boilerplate_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every BOILERPLATE_RETRACT_MOD-th doc_id;
+    standing tables derive in-call (persisted in production).  ORACLE =
+    the full-rebuild SQL over the survivors."""
+    deleted = docs.where(F.col("doc_id") % BOILERPLATE_RETRACT_MOD == 0)
+    sc, st = _boilerplate_counts(docs)
+    return boilerplate_ngrams_retract(deleted, sc, st)
+
+
+BOILERPLATE_RETRACT_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {BOILERPLATE_RETRACT_MOD} <> 0
+),
+{BOILERPLATE_NGRAMS_SQL.replace("FROM documents", "FROM survivors").removeprefix("WITH ")}
+""".strip()
+
+
 def token_count_bpe(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate per document.
 
@@ -1555,6 +1624,52 @@ def doc_length_delta_fixture(docs: DataFrame) -> DataFrame:
     return doc_length_spectrum_delta(new_docs, _doc_length_counts(standing))
 
 
+DOC_LENGTH_RETRACT_MOD = 10  # the delete ladder's shared tombstone convention
+
+
+def doc_length_spectrum_retract(
+    deleted_docs: DataFrame, standing_counts: DataFrame
+) -> DataFrame:
+    """Delete/tombstone maintenance of the standing length spectrum
+    (VERDICT r13 item 6): per-(source, bucket) doc counts and token
+    sums are commutative monoids and each doc contributes to exactly
+    one bucket — deletes SUBTRACT the tombstoned docs' own bucket rows,
+    and buckets whose doc count reaches zero leave the table
+    (`vocab_df_retract`'s exact convention).  Steady state tokenizes
+    the |deleted| docs only; one merge keyed like the standing table."""
+    removed = _doc_length_counts(deleted_docs).select(
+        "source",
+        "len_bucket",
+        F.col("n_docs").alias("docs_rm"),
+        F.col("n_tokens").alias("toks_rm"),
+    )
+    merged = (
+        standing_counts.join(removed, ["source", "len_bucket"], "left")
+        .select(
+            "source",
+            "len_bucket",
+            (F.col("n_docs") - F.coalesce(F.col("docs_rm"), F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("n_tokens") - F.coalesce(F.col("toks_rm"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+    return _spectrum_finish(merged)
+
+
+def doc_length_retract_fixture(docs: DataFrame) -> DataFrame:
+    """Fixture face: tombstone every DOC_LENGTH_RETRACT_MOD-th doc_id;
+    the standing count table derives in-call (persisted in
+    production).  The subtraction is exact, so the ORACLE is the
+    full-rebuild SQL over the survivors — retract ≡ rebuild,
+    hash-checked by the driver."""
+    deleted = docs.where(F.col("doc_id") % DOC_LENGTH_RETRACT_MOD == 0)
+    return doc_length_spectrum_retract(deleted, _doc_length_counts(docs))
+
+
 DOC_LENGTH_SPECTRUM_SQL = f"""
 WITH per_doc AS (
   SELECT source,
@@ -1577,6 +1692,14 @@ SELECT source,
 FROM bucketed
 GROUP BY source, len_bucket
 ORDER BY source, len_bucket
+""".strip()
+
+
+DOC_LENGTH_RETRACT_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM documents WHERE doc_id % {DOC_LENGTH_RETRACT_MOD} <> 0
+),
+{DOC_LENGTH_SPECTRUM_SQL.replace("FROM documents", "FROM survivors").removeprefix("WITH ")}
 """.strip()
 
 

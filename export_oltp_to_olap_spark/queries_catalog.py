@@ -1803,6 +1803,46 @@ def q_leakage_split_retract(spark: SparkSession, sf_dir: str):
     return leakage.leakage_safe_split_retract(_docs(spark, sf_dir))
 
 
+@register("doc_length_spectrum_retract", text_queries.DOC_LENGTH_RETRACT_SQL)
+def q_doc_length_retract(spark: SparkSession, sf_dir: str):
+    """Monoid leg of the delete ladder (VERDICT r13 item 6): the
+    standing per-(source, bucket) length spectrum under deletes —
+    SUM-subtract of the tombstoned docs' own bucket rows, zero-count
+    buckets leave.  Oracle = the full-rebuild spectrum over the
+    survivors."""
+    return text_queries.doc_length_retract_fixture(_docs(spark, sf_dir))
+
+
+@register("boilerplate_ngrams_retract", text_queries.BOILERPLATE_RETRACT_SQL)
+def q_boilerplate_retract(spark: SparkSession, sf_dir: str):
+    """Monoid leg of the delete ladder: the standing per-(source, gram)
+    document-frequency tables under deletes — SUM-subtract both the
+    gram counts and the per-source totals, zero rows leave, then the
+    same top-k rank.  Oracle = the full-rebuild boilerplate SQL over
+    the survivors."""
+    return text_queries.boilerplate_retract_fixture(_docs(spark, sf_dir))
+
+
+@register("pack_source_totals_retract", chunking.PACK_TOTALS_RETRACT_SQL)
+def q_pack_totals_retract(spark: SparkSession, sf_dir: str):
+    """Monoid leg of the delete ladder: the packing CARRY (per-source
+    doc/token totals — the state `pack_bins_delta` consumes) under
+    deletes; a source leaves when its last doc dies, not when its
+    token sum reaches zero.  Oracle = the rebuild aggregation over the
+    survivors."""
+    return chunking.pack_totals_retract_fixture(_docs(spark, sf_dir))
+
+
+@register("winnow_fingerprints_retract", winnow.WINNOW_RETRACT_SQL)
+def q_winnow_retract(spark: SparkSession, sf_dir: str):
+    """Anti-join leg of the delete ladder: the persisted winnowing
+    fingerprint side table under deletes (winnowing is per-document,
+    so deletes remove exactly the tombstoned docs' rows).  Oracle =
+    the full winnowing pipeline over the survivors — anti-join ≡
+    re-fingerprint, hash-checked by the driver."""
+    return winnow.winnow_retract_fixture(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-report window (see module docstring, "REGISTRATION-ORDER ROTATION")
 # ---------------------------------------------------------------------------
@@ -1888,9 +1928,15 @@ WINDOW_FIRST: tuple[str, ...] = (
     # displacing the r10 backfill from the bottom:
     "curated_retract",
     "leakage_split_retract",
-    # The r10-last pool in catalog definition order (28 of 43 after the
-    # two r14 displacements above took exact_dedup_documents and
-    # purchases_asof_clicks; the tail waits for round 15):
+    "doc_length_spectrum_retract",
+    "boilerplate_ngrams_retract",
+    "pack_source_totals_retract",
+    "winnow_fingerprints_retract",
+    # The r10-last pool in catalog definition order (24 of 43 after the
+    # six r14 displacements above took exact_dedup_documents,
+    # purchases_asof_clicks, corpus_split_summary, events_sessionize,
+    # events_user_moving_value and events_tumbling_hourly; the tail
+    # waits for round 15):
     "rollup_revenue",
     "grouping_sets_orders",
     "distinct_agg_orders",
@@ -1915,8 +1961,4 @@ WINDOW_FIRST: tuple[str, ...] = (
     "correlated_lookup",
     "scalar_function_suite",
     "cdc_decode",
-    "events_tumbling_hourly",
-    "events_user_moving_value",
-    "events_sessionize",
-    "corpus_split_summary",
 )

@@ -165,6 +165,10 @@ _REPORT_EXEMPT = {
     # rows land in CORRECTNESS_r14):
     "curated_retract",
     "leakage_split_retract",
+    "doc_length_spectrum_retract",
+    "boilerplate_ngrams_retract",
+    "pack_source_totals_retract",
+    "winnow_fingerprints_retract",
     # Registered new in round 10, windowed same-commit (first driver
     # rows land in CORRECTNESS_r10):
     "c4_quality_flags",

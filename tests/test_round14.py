@@ -337,3 +337,88 @@ def test_split_retract_unaffected_components_keep_split(spark, sf001):
                 unaffected_changed += 1
     assert unaffected_changed == 0
     assert moved > 0, "the cut never re-elects a canonical — re-plant"
+
+
+# ---------------------------------------------------------------------------
+# The cheap monoid/anti-join retract legs (VERDICT r13 item 6):
+# subtract ≡ rebuild at a deeper cut than the registered fixture, plus
+# planted zero-row cleanup.
+# ---------------------------------------------------------------------------
+
+
+def test_doc_length_retract_deep_cut_and_zero_cleanup(spark, sf001):
+    from export_oltp_to_olap_spark.plans import text_queries as T
+
+    docs = _docs(spark, sf001)
+    standing = T._doc_length_counts(docs)
+    deleted = docs.where(F.col("doc_id") % 2 == 0)
+    got = _rows(T.doc_length_spectrum_retract(deleted, standing))
+    want = _rows(T.doc_length_spectrum(docs.where(F.col("doc_id") % 2 != 0)))
+    assert got == want and want
+    # zero-row cleanup: delete EVERYTHING -> empty table, no zero rows
+    assert T.doc_length_spectrum_retract(docs, standing).count() == 0
+
+
+def test_boilerplate_retract_deep_cut_and_zero_cleanup(spark, sf001):
+    from export_oltp_to_olap_spark.plans import text_queries as T
+
+    docs = _docs(spark, sf001)
+    sc, st = T._boilerplate_counts(docs)
+    deleted = docs.where(F.col("doc_id") % 2 == 0)
+    got = _rows(T.boilerplate_ngrams_retract(deleted, sc, st))
+    want = _rows(T.boilerplate_ngrams(docs.where(F.col("doc_id") % 2 != 0)))
+    assert got == want and want
+    assert T.boilerplate_ngrams_retract(docs, sc, st).count() == 0
+
+
+def test_pack_totals_retract_deep_cut_and_doc_keyed_cleanup(spark, sf001):
+    """The cleanup key is the DOC count: a source whose surviving docs
+    all have empty text keeps its zero-token row, exactly like the
+    rebuild (planted on a synthetic frame)."""
+    from export_oltp_to_olap_spark.operators import chunking as K
+
+    docs = _docs(spark, sf001)
+    state = K.pack_source_state(docs)
+    deleted = docs.where(F.col("doc_id") % 2 == 0)
+    got = _rows(K.pack_source_totals_retract(deleted, state))
+    want = _rows(
+        K.pack_source_state(docs.where(F.col("doc_id") % 2 != 0)).orderBy(
+            "source"
+        )
+    )
+    assert got == want and want
+    # planted: source 'b' loses its only non-empty doc but keeps an
+    # empty-text doc -> row stays with total 0; source 'c' loses its
+    # last doc -> row leaves.
+    frame = spark.createDataFrame(
+        [
+            (1, "a", "alpha beta gamma"),
+            (2, "b", "delta words here"),
+            (3, "b", ""),
+            (4, "c", "omega"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    dele = spark.createDataFrame([(2,), (4,)], "doc_id long")
+    out = {
+        (r["source"], r["n_docs"], r["total_tokens"])
+        for r in K.pack_source_totals_retract(
+            frame.join(dele, "doc_id"), K.pack_source_state(frame)
+        ).collect()
+    }
+    assert out == {("a", 1, 3), ("b", 1, 0)}
+
+
+def test_winnow_retract_deep_cut(spark, sf001):
+    from export_oltp_to_olap_spark.operators import winnow as W
+
+    docs = _docs(spark, sf001)
+    standing = W.standing_fingerprints(docs)
+    deleted = docs.select("doc_id").where(F.col("doc_id") % 2 == 0)
+    got = _rows(W.winnow_fingerprints_retract(deleted, standing))
+    want = _rows(
+        W.standing_fingerprints(
+            docs.where(F.col("doc_id") % 2 != 0)
+        ).orderBy("doc_id", "fp_hash")
+    )
+    assert got == want and want
