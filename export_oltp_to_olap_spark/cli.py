@@ -341,6 +341,54 @@ def cmd_fuzzy_index(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_semantic_index(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Persist the FROZEN semantic-decontamination eval index
+    (`operators/similarity.semantic_eval_index`: the eval vectors'
+    Hamming≤1 multi-probe band table + the rescore vectors) that
+    `semantic_decontam_at_ingest` probes per batch or stream — the
+    `fuzzy-index` compute-once pattern extended to the PARAPHRASE leak
+    class (VERDICT r13 item 3)."""
+    from export_oltp_to_olap_spark.operators.similarity import (
+        SEMANTIC_DECONTAM_EVAL_MOD,
+        SEMANTIC_DECONTAM_EVAL_REMAINDER,
+        semantic_eval_index,
+    )
+
+    if args.eval_dir:
+        eval_vecs = spark.read.parquet(args.eval_dir).select(
+            "vec_id", "embedding"
+        )
+    elif args.source_dir:
+        emb = spark.read.parquet(
+            os.path.join(args.source_dir, "embeddings.parquet")
+        )
+        eval_vecs = emb.where(
+            F.col("vec_id") % SEMANTIC_DECONTAM_EVAL_MOD
+            == SEMANTIC_DECONTAM_EVAL_REMAINDER
+        ).select("vec_id", "embedding")
+    else:
+        print("semantic-index: need --eval-dir or --source-dir", file=sys.stderr)
+        return 2
+    probes, vecs = semantic_eval_index(eval_vecs)
+    probes_out = os.path.join(args.out, "probes.parquet")
+    vecs_out = os.path.join(args.out, "vecs.parquet")
+    probes.write.mode("overwrite").parquet(probes_out)
+    vecs.write.mode("overwrite").parquet(vecs_out)
+    n_probes = spark.read.parquet(probes_out).count()
+    n_vecs = spark.read.parquet(vecs_out).count()
+    print(
+        json.dumps(
+            {
+                "probes_out": probes_out,
+                "vecs_out": vecs_out,
+                "n_probe_rows": int(n_probes),
+                "n_eval_vectors": int(n_vecs),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_fingerprints(args: argparse.Namespace, spark: SparkSession) -> int:
     """Winnowing fingerprints (MOSS) from the command line: persist the
     per-doc fingerprint set, or the per-doc summary + clone-signal
@@ -844,6 +892,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     fidx.add_argument("--out", required=True, help="output dir (bands + sets parquet)")
     fidx.set_defaults(fn=cmd_fuzzy_index)
+
+    sidx = sub.add_parser(
+        "semantic-index",
+        help="persist the frozen SEMANTIC-decontamination eval index "
+        "(multi-probe band table + rescore vectors) the at-ingest gate probes",
+    )
+    sidx.add_argument(
+        "--eval-dir",
+        default=None,
+        help="parquet of benchmark vectors (vec_id, embedding)",
+    )
+    sidx.add_argument(
+        "--source-dir",
+        default=None,
+        help="fixture dir: use the stand-in benchmark slice "
+        "(vec_id %% 10 == 3 of embeddings.parquet) when no --eval-dir is given",
+    )
+    sidx.add_argument(
+        "--out", required=True, help="output dir (probes + vecs parquet)"
+    )
+    sidx.set_defaults(fn=cmd_semantic_index)
 
     fprints = sub.add_parser(
         "fingerprints",

@@ -422,3 +422,130 @@ def test_winnow_retract_deep_cut(spark, sf001):
         ).orderBy("doc_id", "fp_hash")
     )
     assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination at INGEST (VERDICT r13 item 3): the frozen
+# eval probe index gates arriving train vectors — batch parity with the
+# registered face, stream ≡ batch via the file-feed fixture, and the
+# CLI round-trip of the persisted index.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_split(spark, sf_dir):
+    from export_oltp_to_olap_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    is_eval = (
+        F.col("vec_id") % S.SEMANTIC_DECONTAM_EVAL_MOD
+        == S.SEMANTIC_DECONTAM_EVAL_REMAINDER
+    )
+    return emb.where(~is_eval), emb.where(is_eval)
+
+
+def test_semantic_decontam_gate_batch_parity(spark, sf0001):
+    """The at-ingest gate under the frozen eval probe index reproduces
+    the batch face exactly (after the documented at-least-once dedup):
+    same pairs, same exact 6-dp cosines — and the probe asymmetry
+    stays on the eval side (the stream side emits L plain keys)."""
+    from export_oltp_to_olap_spark.operators import similarity as S
+
+    train, eval_vecs = _semantic_split(spark, sf0001)
+    probes, vecs = S.semantic_eval_index(eval_vecs)
+    got = {
+        tuple(r)
+        for r in S.semantic_decontam_at_ingest(train, probes, vecs)
+        .dropDuplicates(["train_id", "eval_id"])
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in S.semantic_decontam_pairs(train, eval_vecs).collect()
+    }
+    assert got == want and want, (len(got), len(want))
+
+
+def test_semantic_decontam_gate_streams(spark, sf0001, tmp_path):
+    """Stream ≡ batch for the semantic gate: one Arrow GEMM per arriving
+    micro-batch + two stream-static broadcast joins are append-mode
+    legal; the file-feed fixture replays the train vectors in three
+    batches (the `test_fuzzy_decontam_gate_streams` convention on the
+    embedding side)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from export_oltp_to_olap_spark.operators import similarity as S
+
+    train, eval_vecs = _semantic_split(spark, sf0001)
+    probes, vecs = S.semantic_eval_index(eval_vecs)
+    # freeze the static sides (production persists them as parquet)
+    probes = spark.createDataFrame(probes.collect(), probes.schema)
+    vecs = spark.createDataFrame(vecs.collect(), vecs.schema)
+    rows = train.select("vec_id", "embedding").collect()
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    chunks = [rows[:150], rows[150:300], rows[300:]]
+    for i, chunk in enumerate(chunks):
+        with open(feed / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                    )
+                    + "\n"
+                )
+        _os.utime(feed / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(feed))
+    out = []
+    q = (
+        S.semantic_decontam_at_ingest(stream, probes, vecs)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["train_id"], r["eval_id"]): tuple(r) for r in out}
+    want = {
+        (r["train_id"], r["eval_id"]): tuple(r)
+        for r in S.semantic_decontam_pairs(train, eval_vecs).collect()
+    }
+    assert got == want and want
+
+
+def test_semantic_index_cli_roundtrip(spark, sf0001, tmp_path):
+    """`cli.py semantic-index` persists the frozen probe/vector tables;
+    reloading them drives the gate to the same pair set."""
+    import argparse
+
+    from export_oltp_to_olap_spark import cli
+    from export_oltp_to_olap_spark.operators import similarity as S
+
+    rc = cli.cmd_semantic_index(
+        argparse.Namespace(eval_dir=None, source_dir=sf0001, out=str(tmp_path)),
+        spark,
+    )
+    assert rc == 0
+    probes = spark.read.parquet(str(tmp_path / "probes.parquet"))
+    vecs = spark.read.parquet(str(tmp_path / "vecs.parquet"))
+    train, eval_vecs = _semantic_split(spark, sf0001)
+    got = {
+        tuple(r)
+        for r in S.semantic_decontam_at_ingest(train, probes, vecs)
+        .dropDuplicates(["train_id", "eval_id"])
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in S.semantic_decontam_pairs(train, eval_vecs).collect()
+    }
+    assert got == want and want
