@@ -52,22 +52,34 @@ DIM = 64
 # ADC-scans the WHOLE corpus, so its code ranking is only locally wrong
 # — 4k suffices for its floor; IVF-PQ ranks RESIDUAL codes inside
 # probed lists where quantization error is a larger share of the
-# distance, so its shipped shortlist is wider (recall@10 0.40 → ~0.7 at
-# sf0.1 for 16× instead of 4×; the sweep lives in RECALL.json).  Cost:
-# shortlist_mult·k raw vectors per query touch the exact rescore — at
-# any corpus size this stays ≪ the probed-candidate count, so the
-# 100 TB story (codes bound bandwidth, rescore bounds error) is intact.
+# distance, so its shipped shortlist is far wider (the sweep lives in
+# RECALL.json and below).  Cost: shortlist_mult·k raw vectors per query
+# touch the exact rescore — at any corpus size this stays ≪ the
+# probed-candidate count, so the 100 TB story (codes bound bandwidth,
+# rescore bounds error) is intact.
 PQ_SHORTLIST_MULT = 4
-IVFPQ_SHORTLIST_MULT = 16
+IVFPQ_SHORTLIST_MULT = 64
 
 IVFPQ_CENTROIDS = 16
-# Shipped operating point (VERDICT r7 item 4): the sf0.1 grid measured
-# recall@10 = {nprobe 4: 0.59 ceiling, 6: 0.68, 8: 0.72} at mult=16 —
-# nprobe 4 was COVERAGE-limited (its full-rescore ceiling sat below the
-# 0.6 bar), so the shipped point widens both dials: 6/16 lists probed,
-# 16k-wide exact rescore.  RECALL.json commits the shortlist sweep and
-# a 0.60 floor; the exact-rescore contract is unchanged.
-IVFPQ_NPROBE = 6
+# Shipped operating point (VERDICT r13 item 4 — raised from the r7
+# 6/16 point, whose 0.68 recall@10 had become the weakest card).  The
+# sf0.1 (nprobe × shortlist_mult) grid, recall@10 vs the exact brute
+# baseline, full-rescore ceiling in the last column:
+#
+#   nprobe \ mult    16     32     64    ceiling
+#        6          0.68   0.71   0.73   0.73
+#        8          0.72   0.77   0.79   0.79
+#       10          0.71   0.79   0.82   0.82
+#       12          0.75   0.85   0.90   0.91
+#
+# Every row saturates AT its coverage ceiling: with 16 coarse cells on
+# the isotropic fixture, coverage — not code noise — is the binding
+# constraint, so recall needs nprobe; the shortlist then buys the rest
+# cheaply (the rescore is raw-vector work ≪ the ADC scan at any nprobe).
+# Shipped: 12/16 lists probed, 64k-wide exact rescore — recall@10 0.90,
+# within 0.01 of its ceiling; RECALL.json commits the grid and a 0.85
+# floor.  The exact-rescore contract is unchanged.
+IVFPQ_NPROBE = 12
 
 
 def train_codebooks(
@@ -257,9 +269,9 @@ def ivfpq_cosine_topk(
 
     Cost per query: nprobe/n_centroids of the corpus scored against an
     8-byte code each; only the ``shortlist_mult·k`` shortlist touches
-    raw vectors (16k shipped — residual-code ranking is noisier than
+    raw vectors (64k shipped — residual-code ranking is noisier than
     whole-vector PQ, so recall needs the wider rescore; see the
-    shortlist sweep in RECALL.json).
+    shortlist sweep in RECALL.json and the grid above IVFPQ_NPROBE).
 
     ``coarse_centroids`` / ``codebooks``: pass frozen in-memory arrays
     (e.g. from :func:`load_pq_artifact`) to skip both training jobs —

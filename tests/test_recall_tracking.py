@@ -15,10 +15,11 @@ centroid mode (centroids ARE the query vectors — the oracle-restatable
 stand-in); PQ/RP recall decays with N because their rerank shortlists
 are absolute sizes (4k and 16k rows), so at sf0.1 they cover 2% and 8%
 of the corpus vs 20%/80% at sf0.001 — exactly the drift this artifact
-exists to surface.  IVF-PQ ships the widened nprobe=6 / shortlist=16k
-point (round-8 retune: the old 4/4k point measured 0.40 with a 0.59
-coverage ceiling) with its own shortlist sweep.  All five paths are
-seeded/deterministic, so floors sit close under the measured values.
+exists to surface.  IVF-PQ ships the nprobe=12 / shortlist=64k point
+(round-14 retune of the r8 6/16k point, whose 0.68 had become the
+weakest card — the full nprobe × shortlist grid is in pq.py) with its
+own shortlist sweep.  All five paths are seeded/deterministic, so
+floors sit close under the measured values.
 """
 
 from __future__ import annotations
@@ -69,10 +70,12 @@ def _ivf_coverage(base, centroids, n_probe, n_vectors):
 _METHODS = {
     "ivf": (0.95, lambda emb: S.ivf_cosine_topk(emb)),
     "pq": (0.40, lambda emb: PQ.pq_cosine_topk(emb)),
-    # shipped point nprobe=6, shortlist=16k (VERDICT r7 item 4): the
-    # old 4/4k point measured 0.40 with a COVERAGE ceiling of 0.59 —
-    # the widened dials measure 0.68 here, floored at 0.60.
-    "ivfpq": (0.60, lambda emb: PQ.ivfpq_cosine_topk(emb)),
+    # shipped point nprobe=12, shortlist=64k (VERDICT r13 item 4; the
+    # r8 6/16k point's 0.68 had become the weakest card): every grid
+    # row saturates at its coverage ceiling, so the raise is mostly
+    # nprobe — 12/16 lists measure 0.90 here (ceiling 0.91), floored
+    # at 0.85.  Full grid in pq.py above IVFPQ_NPROBE.
+    "ivfpq": (0.85, lambda emb: PQ.ivfpq_cosine_topk(emb)),
     "rp": (0.45, lambda emb: S.rp_cosine_topk(emb)),
 }
 LSH_FLOOR = 0.80
@@ -172,12 +175,14 @@ def test_recall_tracking_artifact(spark, sf01, emb01):
         == report["ivf"]["recall_at_k"]
     )
 
-    # IVF-PQ shortlist sweep (VERDICT r7 item 4): the rescore-width
-    # dial at the shipped nprobe — recall must rise monotonically with
-    # the shortlist, and the shipped multiplier must match the headline
-    # entry, so a retune shows up as a curve shift in the artifact.
+    # IVF-PQ shortlist sweep (VERDICT r7 item 4, widened r14): the
+    # rescore-width dial at the shipped nprobe — recall must rise
+    # monotonically with the shortlist, and the shipped multiplier must
+    # match the headline entry, so a retune shows up as a curve shift
+    # in the artifact.  Points = the r14 grid's mult axis (pq.py) plus
+    # the historical 4× origin.
     shortlist_sweep = {}
-    for mult in (4, 8, PQ.IVFPQ_SHORTLIST_MULT):
+    for mult in (4, 16, 32, PQ.IVFPQ_SHORTLIST_MULT):
         got_m = {
             (r["query_id"], r["neighbor_id"])
             for r in PQ.ivfpq_cosine_topk(emb01, shortlist_mult=mult).collect()
@@ -189,7 +194,7 @@ def test_recall_tracking_artifact(spark, sf01, emb01):
     report["ivfpq"]["shortlist_sweep"] = shortlist_sweep
     sl_recalls = [
         shortlist_sweep[str(m)]["recall_at_k"]
-        for m in (4, 8, PQ.IVFPQ_SHORTLIST_MULT)
+        for m in (4, 16, 32, PQ.IVFPQ_SHORTLIST_MULT)
     ]
     assert sl_recalls == sorted(sl_recalls), (
         f"recall not monotone in shortlist width: {sl_recalls}"

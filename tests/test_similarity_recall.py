@@ -137,9 +137,10 @@ def test_pq_recall_and_exact_scores(emb, pq_books):
 
 def test_ivfpq_recall_and_exact_scores(emb):
     """IVF-PQ (coarse lists + residual codes): recall floor vs brute
-    force (measured 0.49 on this corpus) and the exact-score contract.
-    Registered as a rows-only driver query (k-means training has no SQL
-    oracle); this test carries its quality evidence."""
+    force and the exact-score contract.  At the r14 operating point
+    (nprobe=12, shortlist 64k — see pq.py) the shortlist exceeds this
+    500-vector corpus, so fixture recall IS the probed-coverage
+    ceiling: measured 0.97, floored at 0.90."""
     from export_oltp_to_olap_spark.operators import pq as PQ
     from export_oltp_to_olap_spark.operators import similarity as S
 
@@ -153,7 +154,7 @@ def test_ivfpq_recall_and_exact_scores(emb):
     got = PQ.ivfpq_cosine_topk(emb).collect()
     got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
     recall = len(exact_top & got_pairs) / len(exact_top)
-    assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} below floor"
+    assert recall >= 0.9, f"IVF-PQ recall {recall:.2f} below floor"
     for r in got:
         assert exact_all[(r["query_id"], r["neighbor_id"])] == r["cos"]
 
