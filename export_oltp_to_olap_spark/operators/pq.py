@@ -48,16 +48,26 @@ DIM = 64
 
 # Exact-rescore shortlist sizes, as multiples of k.  The shortlist is
 # the recall/bandwidth dial: ADC ranking over 8-byte codes is noisy, so
-# the rescore must look past the first k code-ranked candidates.  PQ
-# ADC-scans the WHOLE corpus, so its code ranking is only locally wrong
-# — 4k suffices for its floor; IVF-PQ ranks RESIDUAL codes inside
-# probed lists where quantization error is a larger share of the
-# distance, so its shipped shortlist is far wider (the sweep lives in
-# RECALL.json and below).  Cost: shortlist_mult·k raw vectors per query
-# touch the exact rescore — at any corpus size this stays ≪ the
-# probed-candidate count, so the 100 TB story (codes bound bandwidth,
-# rescore bounds error) is intact.
-PQ_SHORTLIST_MULT = 4
+# the rescore must look past the first k code-ranked candidates.  Cost:
+# shortlist_mult·k raw vectors per query touch the exact rescore — an
+# ABSOLUTE per-query count, independent of corpus size, so at any N it
+# stays ≪ the ADC-scanned candidate count and the 100 TB story (codes
+# bound bandwidth, rescore bounds error) is intact.
+#
+# PQ shipped point (round 14 — after the IVF-PQ raise, PQ's 0.44 was
+# the next-weakest recall card).  The sf0.1 shortlist sweep, recall@10
+# vs the exact brute baseline (in-call-trained codebooks, the card's
+# own truth path; full-coverage ceiling = 1.0 since PQ ADC-scans the
+# whole corpus):
+#
+#   mult      4      8     16     32     64
+#   recall  0.44   0.55   0.68   0.85   0.98
+#
+# Shipped: 64k-wide rescore — recall@10 0.98, floored at 0.95 in
+# RECALL.json.  The committed card's rescored_fraction (32% at sf0.1)
+# is a small-N artifact of the absolute shortlist: 640 raw vectors per
+# query is 3×10⁻⁴ of a 2M-vector corpus.
+PQ_SHORTLIST_MULT = 64
 IVFPQ_SHORTLIST_MULT = 64
 
 IVFPQ_CENTROIDS = 16
@@ -545,7 +555,8 @@ def pq_cosine_topk_saved_sql(
     differently across engines (~1e-15); a flip needs two candidates
     that close AND the flipped one inside the true top-k — the same
     measure-zero shortlist-boundary risk the RP/LSH oracles accept,
-    with 4k shortlist headroom here."""
+    and at fixture scale the 64k shortlist covers the whole corpus, so
+    the boundary does not even exist there."""
     from export_oltp_to_olap_spark.operators.similarity import _NORMS_CTE
 
     art = artifact or load_pq_artifact()

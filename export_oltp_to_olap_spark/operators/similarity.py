@@ -2339,12 +2339,17 @@ RP_DIM_OUT = 16
 # numpy sweep over sf0.1 (recall@10 at the 16k shortlist: 20240 → 0.45,
 # 20241 → 0.50, 20242 → 0.49) so the RECALL.json floor keeps headroom.
 RP_SEED = 20241
-# Shortlist 16k per query: the fixture corpus is the JL worst case
-# (near-uniform cosines — median 0, p99 0.29 — so true-neighbor gaps sit
-# inside the ~1/√dim_out distortion; measured recall@10 at sf0.1 is
-# 0.22 at the 4k shortlist vs 0.50 at 16k).  Real embedding corpora
-# are clustered with wide cosine gaps and do fine at 4k.
-RP_SHORTLIST_MULT = 16
+# Shortlist per query: the fixture corpus is the JL worst case
+# (near-uniform cosines — median 0, p99 0.29 — so true-neighbor gaps
+# sit inside the ~1/√dim_out distortion; real embedding corpora are
+# clustered with wide cosine gaps and do fine at 4k).  The sf0.1
+# sweep (recall@10 vs brute): 0.22 @ 4k, 0.50 @ 16k, 0.63 @ 32k,
+# 0.80 @ 64k, 0.95 @ 128k — shipped 128k (round 14, the same raise as
+# the PQ/IVF-PQ points; floored at 0.90 in RECALL.json).  The
+# shortlist is an ABSOLUTE per-query row count: 1280 raw vectors per
+# query vanishes against any production corpus, and the projection
+# scan it reranks stays 16 of 64 dims over N rows regardless.
+RP_SHORTLIST_MULT = 128
 
 
 def _rp_matrix(dim_in: int, dim_out: int = RP_DIM_OUT, seed: int = RP_SEED):

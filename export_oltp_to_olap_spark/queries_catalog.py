@@ -1882,7 +1882,10 @@ WINDOW_FIRST: tuple[str, ...] = (
     #      lsh_multiprobe_cosine_neardup, semantic_decontam_pairs),
     #      semdedup_retract (oracle guard rewrite), and
     #      ivfpq_cosine_topk (raised operating point, VERDICT r13
-    #      item 4).
+    #      item 4); pq_cosine_topk and rp_cosine_topk joined late in
+    #      the round when their shortlist points were raised off the
+    #      same measured-sweep treatment (64k / 128k), displacing two
+    #      more r10-backfill names from the bottom.
     # Backfill = strictly oldest-last-green first: all 6 r09-last names,
     #      then the r10-last pool in catalog definition order.  Round-14
     #      registrations landing later this round displace the r10
@@ -1917,6 +1920,8 @@ WINDOW_FIRST: tuple[str, ...] = (
     "lsh_multiprobe_cosine_neardup",
     "semantic_decontam_pairs",
     "ivfpq_cosine_topk",
+    "pq_cosine_topk",
+    "rp_cosine_topk",
     # The six r09-last names (oldest full-oracle rows in the registry):
     "split_drift_report",
     "training_shard_manifest",
@@ -1932,11 +1937,12 @@ WINDOW_FIRST: tuple[str, ...] = (
     "boilerplate_ngrams_retract",
     "pack_source_totals_retract",
     "winnow_fingerprints_retract",
-    # The r10-last pool in catalog definition order (24 of 43 after the
+    # The r10-last pool in catalog definition order (22 of 43 after the
     # six r14 displacements above took exact_dedup_documents,
     # purchases_asof_clicks, corpus_split_summary, events_sessionize,
-    # events_user_moving_value and events_tumbling_hourly; the tail
-    # waits for round 15):
+    # events_user_moving_value and events_tumbling_hourly, and the late
+    # pq/rp window entries took scalar_function_suite and cdc_decode
+    # from the bottom; the tail waits for round 15):
     "rollup_revenue",
     "grouping_sets_orders",
     "distinct_agg_orders",
@@ -1959,6 +1965,4 @@ WINDOW_FIRST: tuple[str, ...] = (
     "semi_anti_customers",
     "pivot_priority_status",
     "correlated_lookup",
-    "scalar_function_suite",
-    "cdc_decode",
 )

@@ -12,13 +12,14 @@ kmeans-vs-first list quality) at fixture scale.
 
 Reading the committed artifact: IVF's 0.99 is inflated by the "first"
 centroid mode (centroids ARE the query vectors — the oracle-restatable
-stand-in); PQ/RP recall decays with N because their rerank shortlists
-are absolute sizes (4k and 16k rows), so at sf0.1 they cover 2% and 8%
-of the corpus vs 20%/80% at sf0.001 — exactly the drift this artifact
-exists to surface.  IVF-PQ ships the nprobe=12 / shortlist=64k point
-(round-14 retune of the r8 6/16k point, whose 0.68 had become the
-weakest card — the full nprobe × shortlist grid is in pq.py) with its
-own shortlist sweep.  All five paths are seeded/deterministic, so
+stand-in); PQ/RP rerank shortlists are ABSOLUTE row counts (64k and
+128k per query), so their fixture-scale rescored/candidate fractions
+look large (32%/64% of 2000 vectors) while vanishing at production N
+— recall drift with N is exactly what this artifact exists to
+surface.  Round 14 raised all three compressed-index points off their
+measured sweeps: IVF-PQ nprobe=12 / shortlist=64k (the full nprobe ×
+shortlist grid is in pq.py), PQ shortlist 4k→64k, RP 16k→128k (curves
+beside each constant).  All five paths are seeded/deterministic, so
 floors sit close under the measured values.
 """
 
@@ -69,14 +70,18 @@ def _ivf_coverage(base, centroids, n_probe, n_vectors):
 # rerank shortlist).
 _METHODS = {
     "ivf": (0.95, lambda emb: S.ivf_cosine_topk(emb)),
-    "pq": (0.40, lambda emb: PQ.pq_cosine_topk(emb)),
+    # r14 64k shortlist: sweep 0.44/0.55/0.68/0.85/0.98 at 4/8/16/32/64
+    # (in-call-trained codebooks — this card's truth path; see pq.py)
+    "pq": (0.95, lambda emb: PQ.pq_cosine_topk(emb)),
     # shipped point nprobe=12, shortlist=64k (VERDICT r13 item 4; the
     # r8 6/16k point's 0.68 had become the weakest card): every grid
     # row saturates at its coverage ceiling, so the raise is mostly
     # nprobe — 12/16 lists measure 0.90 here (ceiling 0.91), floored
     # at 0.85.  Full grid in pq.py above IVFPQ_NPROBE.
     "ivfpq": (0.85, lambda emb: PQ.ivfpq_cosine_topk(emb)),
-    "rp": (0.45, lambda emb: S.rp_cosine_topk(emb)),
+    # r14 128k shortlist: sweep 0.50/0.63/0.80/0.95 at 16/32/64/128
+    # (curve beside RP_SHORTLIST_MULT in similarity.py)
+    "rp": (0.90, lambda emb: S.rp_cosine_topk(emb)),
 }
 LSH_FLOOR = 0.80
 LSH_CANDIDATE_CEILING = 0.30  # same non-degrading bound as test_scale_growth
@@ -125,7 +130,9 @@ def test_recall_tracking_artifact(spark, sf01, emb01):
     # PQ/RP rank by scanning ALL compressed codes/projections (bandwidth
     # pruning, not scan pruning); their candidate fraction is the share
     # of RAW vectors the exact rescore touches.
-    report["pq"]["candidate_fraction"] = round(min(1.0, 4 * K / n), 4)
+    report["pq"]["candidate_fraction"] = round(
+        min(1.0, PQ.PQ_SHORTLIST_MULT * K / n), 4
+    )
     report["rp"]["candidate_fraction"] = round(
         min(1.0, S.RP_SHORTLIST_MULT * K / n), 4
     )

@@ -112,10 +112,11 @@ def test_pq_encode_shape_and_determinism(emb, pq_books):
 
 
 def test_pq_recall_and_exact_scores(emb, pq_books):
-    """ADC ranking over 8-byte codes must recover a solid share of the
-    exact top-10 (floor measured 0.64 on this corpus — weak-similarity
-    physics, same story as IVF), and every returned pair's cos is the
-    brute-force value (the exact rescore contract)."""
+    """ADC ranking over 8-byte codes must recover the exact top-10 —
+    the r14 64k shortlist exceeds this 500-vector fixture, so the
+    rescore is full-corpus here (measured 1.0, floored 0.95) — and
+    every returned pair's cos is the brute-force value (the exact
+    rescore contract)."""
     from export_oltp_to_olap_spark.operators import pq as PQ
     from export_oltp_to_olap_spark.operators import similarity as S
 
@@ -129,7 +130,7 @@ def test_pq_recall_and_exact_scores(emb, pq_books):
     got = PQ.pq_cosine_topk(emb, codebooks=pq_books).collect()
     got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
     recall = len(exact_top & got_pairs) / len(exact_top)
-    assert recall >= 0.45, f"PQ recall {recall:.2f} below floor"
+    assert recall >= 0.95, f"PQ recall {recall:.2f} below floor"
     for r in got:
         key = (r["query_id"], r["neighbor_id"])
         assert exact_all[key] == r["cos"]
@@ -181,6 +182,8 @@ def test_rp_recall_and_exact_scores(emb):
     got = S.rp_cosine_topk(emb).collect()
     got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
     recall = len(exact_pairs & got_pairs) / len(exact_pairs)
-    assert recall >= 0.75, f"RP recall {recall:.2f} at 4x compression"
+    # the r14 128k shortlist exceeds this 500-vector fixture, so the
+    # rerank IS a full rescore here: fixture recall measured 1.0
+    assert recall >= 0.95, f"RP recall {recall:.2f} at 4x compression"
     for r in got:
         assert r["cos"] == exact_scores[(r["query_id"], r["neighbor_id"])]
