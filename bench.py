@@ -231,10 +231,13 @@ DEFAULT_HEADLINE = [
     "vocab_df_retract",
     "semdedup_retract",
     # round 14: the ladder applied one level up — the delete-aware
-    # curated corpus (keeper re-admission from the persisted ledger)
-    # and the cluster-keyed split map under canonical deletion; both
-    # build their standing state in-call like the r13 retract faces:
+    # curated corpus (keeper re-admission from the persisted ledger),
+    # its full CDC upsert composition (challenge/demotion + the
+    # both-directions probe), and the cluster-keyed split map under
+    # canonical deletion; all build their standing state in-call like
+    # the r13 retract faces:
     "curated_retract",
+    "curated_upsert",
     "leakage_split_retract",
     # round 14: the cheap monoid/anti-join retract legs (VERDICT r13
     # item 6) — SUM-subtract or doc_id anti-join, standing state

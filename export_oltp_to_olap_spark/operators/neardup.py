@@ -447,6 +447,65 @@ def ngram_jaccard_pairs_delta(
     )
 
 
+def ngram_jaccard_pairs_touching(
+    corpus_sets: DataFrame,
+    delta_sets: DataFrame,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b, jaccard ≥ t) with AT LEAST ONE endpoint
+    in ``delta_sets``, in EITHER id direction — the CDC-upsert sibling
+    of :func:`ngram_jaccard_pairs_delta`, which only emits pairs whose
+    LARGER id is in the delta (sound under append-only ingest, where
+    delta ids exceed every corpus id, but not for upserts: a re-written
+    document keeps its mid-range id, so its new text can victimize — or
+    be witnessed by — standing docs on BOTH sides of it).
+
+    Both inputs are :func:`ngram_shingle_sets` frames (the persisted
+    side-table format); nothing here re-shingles text.  The prefix
+    filter stays lossless: its size bounds and prefix-collision
+    argument are symmetric in the two sides, so dropping the id-order
+    join predicate only adds the mirrored candidates, which the
+    least/greatest normalization + distinct collapse.  Scale is the
+    delta probe's: Σ df(delta prefixes) join volume, never corpus².
+    """
+    t = F.lit(threshold)
+    a = _prefix_index(corpus_sets.unionByName(delta_sets), threshold).alias("a")
+    b = _prefix_index(delta_sets, threshold).alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+                F.col("a.n_sh") >= t * F.col("b.n_sh"),
+                F.col("b.n_sh") >= t * F.col("a.n_sh"),
+            ],
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets_all = corpus_sets.unionByName(delta_sets)
+    hash_sets = lambda s, side: s.select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{side}"),
+        F.transform("shs", lambda x: F.xxhash64(x)).alias(f"shs_{side}"),
+    )
+    return (
+        candidates.join(hash_sets(sets_all, "a"), "doc_a")
+        .join(hash_sets(sets_all, "b"), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 _SHINGLE_CTE = shingle_cte()
 
 NGRAM_JACCARD_SQL = f"""

@@ -139,6 +139,10 @@ SMJ_EXPECTED = frozenset(
         # text/doc_id, neither side broadcastable at corpus scale
         # (SCALE.md reviews the shapes):
         "curated_retract",
+        # the retract chain above plus the challenge/admit text joins
+        # and the both-directions prefix probe — same corpus-derived
+        # text/doc_id-keyed frames:
+        "curated_upsert",
         # inherits neardup_clusters_retract's propagation/pass-through
         # chain plus the split re-hash over the relabeled map:
         "leakage_split_retract",
@@ -239,6 +243,7 @@ STAGE_EXECUTES = frozenset(
         # in-call standing ledger (stage() cuts) + the retract-chain
         # propagation respectively:
         "curated_retract",
+        "curated_upsert",  # retract state + staged stage0/admitted cuts
         "leakage_split_retract",
     }
 )

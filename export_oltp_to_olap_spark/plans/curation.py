@@ -48,6 +48,7 @@ from export_oltp_to_olap_spark.functions.text import (
 from export_oltp_to_olap_spark.operators.neardup import (
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_delta,
+    ngram_jaccard_pairs_touching,
     ngram_shingle_sets,
 )
 from export_oltp_to_olap_spark.operators.sampling import assign_splits
@@ -945,6 +946,34 @@ def curated_retract(
     re-admitted, pairs := the re-keyed table (all batch-scoped
     anti-joins/upserts of the same frames computed here).
     """
+    new_deduped, mapped, _succ = _curated_retract_state(
+        deleted_ids, standing_curated, standing_losers, standing_pairs
+    )
+    dropped = (
+        mapped.select(F.greatest("na", "nb").alias("doc_id")).distinct()
+    )
+    kept = new_deduped.join(dropped, "doc_id", "left_anti")
+    return (
+        assign_splits(kept, "doc_id")
+        .select("doc_id", "quality", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _curated_retract_state(
+    deleted_ids: DataFrame,
+    standing_curated: DataFrame,
+    standing_losers: DataFrame,
+    standing_pairs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Steps 1–2 of :func:`curated_retract`, exposed so the upsert
+    composition can continue from the post-retract STATE instead of the
+    final output: returns (``new_deduped`` — the curated stage after
+    deletes + exact re-election, (doc_id, text, quality); ``mapped`` —
+    the re-keyed pair table over it, (na, nb), either order;
+    ``succ`` — the dead-keeper → re-admitted-successor id map, same
+    text on both sides, used to re-key persisted per-doc artifacts
+    like shingle-set tables without recomputing them)."""
     d = deleted_ids.select("doc_id").distinct()
     dk = standing_curated.join(d, "doc_id").select("doc_id", "text")
     kept_keepers = standing_curated.join(d, "doc_id", "left_anti").select(
@@ -993,15 +1022,7 @@ def curated_retract(
             F.coalesce("succ_b", "doc_b").alias("nb"),
         )
     )
-    dropped = (
-        mapped.select(F.greatest("na", "nb").alias("doc_id")).distinct()
-    )
-    kept = new_deduped.join(dropped, "doc_id", "left_anti")
-    return (
-        assign_splits(kept, "doc_id")
-        .select("doc_id", "quality", "split")
-        .orderBy("doc_id")
-    )
+    return new_deduped, mapped, succ
 
 
 def curated_retract_fixture(docs: DataFrame) -> DataFrame:
@@ -1044,3 +1065,258 @@ ORDER BY doc_id
 
 
 CURATED_RETRACT_SQL = _curated_retract_sql()
+
+
+def curated_upsert(
+    deleted_ids: DataFrame,
+    changed_docs: DataFrame,
+    standing_curated: DataFrame,
+    standing_losers: DataFrame,
+    standing_pairs: DataFrame,
+    standing_sets: DataFrame | None = None,
+) -> DataFrame:
+    """Full CDC maintenance of the standing CURATED corpus — UPSERTS +
+    DELETES in one batch, ≡ ``curated_corpus((documents − deleted −
+    changed) ∪ changed')`` (the driver oracle states that claim over
+    the full-rebuild SQL).  The retract ladder one level up from
+    :func:`neardup_clusters_upsert <export_oltp_to_olap_spark.operators.
+    neardup.neardup_clusters_upsert>`: a re-written document's OLD text
+    must release its exact-dedup slot and near-dup edges (re-admitting
+    whoever it suppressed), and its NEW text competes fresh — including
+    against docs with LARGER ids, which the append-only delta's
+    id-monotone precondition could ignore.
+
+    Construction:
+
+    1. RETRACT leg over ``deleted ∪ changed`` ids
+       (:func:`_curated_retract_state`): the post-retract curated stage
+       + re-keyed pair table — exactly the standing state for the
+       corpus minus the batch.
+    2. CHALLENGE/ADMIT: gate the changed docs' new text, in-batch
+       exact-dedup (min id per text), then match against the
+       post-retract stage by text.  Unseen text → admitted keeper;
+       text already held with a LARGER keeper id → the batch row
+       CHALLENGES (it is the rebuild's min id for that text): the old
+       keeper demotes and — same text ⇒ same shingles ⇒ same jaccard —
+       its pairs re-key to the challenger; smaller keeper id → the
+       batch row is a loser.
+    3. Pair completeness: old×old pairs are the re-keyed retract table;
+       challenger pairs are the demoted keeper's re-keyed rows; only
+       genuinely NEW texts need probing —
+       :func:`ngram_jaccard_pairs_touching` (BOTH id directions: a
+       mid-range admitted id can witness-drop standing docs above it)
+       against the rest of the stage.  Then the drop rule + hash split
+       re-derive the output.
+
+    ``standing_sets`` (:func:`standing_state`'s shingle side-table over
+    the standing curated stage) threads the persisted signatures
+    through: re-admissions and demotions RE-KEY existing set rows via
+    the two same-text successor maps, so steady state shingles only the
+    admitted batch texts — never the corpus (the VERDICT r13 item-5
+    discipline).  ``None`` (fixture/bootstrap) shingles the stage
+    in-call.
+
+    Caller contract: ``changed_docs`` carries the new text under the
+    SAME doc_id (or a brand-new id — inserts ride the same path); ids
+    also present in ``deleted_ids`` are deletes (the delete wins).
+    Output (doc_id, quality, split) ordered by doc_id.  Scale: every
+    frame beyond the one standing-stage anti-join is bounded by the
+    batch and the clusters/postings it touches.
+    """
+    deleted = deleted_ids.select("doc_id").distinct()
+    changed = changed_docs.join(deleted, "doc_id", "left_anti")
+    drop = deleted.unionByName(changed.select("doc_id")).distinct()
+    stage0, pairs0, succ_r = _curated_retract_state(
+        drop, standing_curated, standing_losers, standing_pairs
+    )
+    stage0 = stage(stage0)  # challenge join + anti-join + set build fan-out
+
+    w = Window.partitionBy("text")
+    batch = (
+        _gated(changed)
+        .withColumn("min_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id", "pred_lang")
+    )
+    j = batch.join(
+        stage0.select(F.col("doc_id").alias("keeper_id"), "text"),
+        "text",
+        "left",
+    )
+    admitted = stage(
+        j.where(F.col("keeper_id").isNull()).select("doc_id", "text", "quality")
+    )
+    challengers = j.where(
+        F.col("keeper_id").isNotNull() & (F.col("doc_id") < F.col("keeper_id"))
+    )
+    demoted = challengers.select(F.col("keeper_id").alias("doc_id"))
+    succ_c = challengers.select(
+        F.col("keeper_id").alias("doc_id"), F.col("doc_id").alias("succ")
+    )
+    stage_old = stage0.join(F.broadcast(demoted), "doc_id", "left_anti").unionByName(
+        challengers.select("doc_id", "text", "quality")
+    )
+
+    # Re-key the surviving pair table through the challenge successions
+    # (no deaths here: a challenged text always has its challenger).
+    ca = succ_c.select(F.col("doc_id").alias("na"), F.col("succ").alias("sa"))
+    cb = succ_c.select(F.col("doc_id").alias("nb"), F.col("succ").alias("sb"))
+    pairs_old = (
+        pairs0.join(F.broadcast(ca), "na", "left")
+        .join(F.broadcast(cb), "nb", "left")
+        .select(
+            F.coalesce("sa", F.col("na")).alias("x"),
+            F.coalesce("sb", F.col("nb")).alias("y"),
+        )
+        .select(
+            F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+        )
+    )
+
+    # Shingle sets for the probe's corpus side: persisted rows re-keyed
+    # through both successor maps, or an in-call shingle of the stage.
+    if standing_sets is not None:
+        # Compose the two same-text successions before re-keying: a dead
+        # keeper's re-admitted loser can itself be challenged by a batch
+        # id (k → ℓ → c), and the loser never had a persisted set row —
+        # so k's row must re-key straight to c.  succ_c alone also
+        # applies (an unchanged keeper challenged directly); chains are
+        # at most two levels (a challenge successor is a batch id).
+        step = succ_c.select(
+            F.col("doc_id").alias("mid"), F.col("succ").alias("succ2")
+        )
+        succ_r2 = succ_r.join(
+            F.broadcast(step), succ_r["succ"] == step["mid"], "left"
+        ).select(
+            succ_r["doc_id"], F.coalesce("succ2", succ_r["succ"]).alias("succ")
+        )
+        m = succ_r2.unionByName(succ_c)
+        corpus_sets = (
+            standing_sets.join(F.broadcast(m), "doc_id", "left")
+            .select(
+                F.coalesce("succ", F.col("doc_id")).alias("doc_id"),
+                "shs",
+                "n_sh",
+            )
+            .join(stage_old.select("doc_id"), "doc_id")
+        )
+    else:
+        corpus_sets = ngram_shingle_sets(stage_old.select("doc_id", "text"))
+    delta_sets = ngram_shingle_sets(admitted.select("doc_id", "text"))
+    new_pairs = ngram_jaccard_pairs_touching(
+        corpus_sets, delta_sets, NEARDUP_THRESHOLD
+    )
+
+    all_pairs = pairs_old.unionByName(
+        new_pairs.select("doc_a", "doc_b")
+    )
+    dropped = all_pairs.select(F.greatest("doc_a", "doc_b").alias("doc_id")).distinct()
+    kept = stage_old.unionByName(admitted).join(dropped, "doc_id", "left_anti")
+    return (
+        assign_splits(kept, "doc_id")
+        .select("doc_id", "quality", "split")
+        .orderBy("doc_id")
+    )
+
+
+UPSERT_COPY_MOD = 29  # the challenge/reverse-witness-planting classes
+
+
+def curated_upsert_fixture(docs: DataFrame) -> DataFrame:
+    """Registered face: the ladder's shared CDC fixture (`neardup`'s
+    UPSERT constants — every UPSERT_DEL_MOD-th id deleted, every
+    surviving UPSERT_CHG_MOD-th id re-written with the deterministic
+    suffix) plus the two copy classes the CURATED face needs to
+    exercise its upsert-only branches at sf0.01:
+
+    * ``doc_id ≡ 1 (mod UPSERT_COPY_MOD)`` re-writes to its NEXT
+      neighbor's original text VERBATIM — an exact twin of a standing
+      text held by a larger id, so the batch row CHALLENGES the keeper
+      (demotion + pair re-key);
+    * ``doc_id ≡ 15 (mod UPSERT_COPY_MOD)`` re-writes to the neighbor's
+      text + suffix — a ≥0.7 near-dup of a LARGER standing id, the
+      reverse-direction probe pair the append-only delta could never
+      emit.
+
+    Plain suffix changes keep exercising slot release and re-gating.
+    Standing ledger derives in-call (persisted in production).
+    ORACLE: the full curation SQL over the upserted corpus — upsert ≡
+    rebuild, hashed directly."""
+    from export_oltp_to_olap_spark.operators.neardup import (
+        UPSERT_CHG_MOD,
+        UPSERT_DEL_MOD,
+        UPSERT_SUFFIX,
+    )
+
+    base = docs.select("doc_id", "text")
+    deleted = base.select("doc_id").where(
+        F.col("doc_id") % UPSERT_DEL_MOD == 0
+    )
+    nbr = base.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("nbr_text")
+    )
+    is_twin = F.col("doc_id") % UPSERT_COPY_MOD == 1
+    is_near = F.col("doc_id") % UPSERT_COPY_MOD == 15
+    is_chg = F.col("doc_id") % UPSERT_CHG_MOD == 0
+    changed = (
+        base.where(F.col("doc_id") % UPSERT_DEL_MOD != 0)
+        .where(is_twin | is_near | is_chg)
+        .join(nbr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(is_twin, F.coalesce("nbr_text", F.col("text")))
+            .when(
+                is_near,
+                F.concat(
+                    F.coalesce("nbr_text", F.col("text")), F.lit(UPSERT_SUFFIX)
+                ),
+            )
+            .otherwise(F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)))
+            .alias("text"),
+        )
+    )
+    keepers, losers, pairs = curation_standing_ledger(base)
+    return curated_upsert(deleted, changed, keepers, losers, pairs)
+
+
+def _curated_upsert_sql() -> str:
+    """Full-rebuild curation over the UPSERTED corpus: the shared
+    pipeline CTEs with the one raw-corpus scan redirected through the
+    delete-filter + text-rewrite CTE (`NEARDUP_CLUSTERS_UPSERT_SQL`'s
+    shape, `curated_retract`'s anchor discipline)."""
+    from export_oltp_to_olap_spark.operators.neardup import (
+        UPSERT_CHG_MOD,
+        UPSERT_DEL_MOD,
+        UPSERT_SUFFIX,
+    )
+
+    ctes = _pipeline_ctes()
+    anchor = "FROM documents"
+    if ctes.count(anchor) != 1:
+        raise ValueError(
+            "curated_upsert oracle: expected exactly one raw-corpus scan "
+            f"in the pipeline CTEs, found {ctes.count(anchor)}"
+        )
+    return f"""
+WITH upserted AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN d.doc_id % {UPSERT_COPY_MOD} = 1
+             THEN COALESCE(n.text, d.text)
+           WHEN d.doc_id % {UPSERT_COPY_MOD} = 15
+             THEN COALESCE(n.text, d.text) || '{UPSERT_SUFFIX}'
+           WHEN d.doc_id % {UPSERT_CHG_MOD} = 0
+             THEN d.text || '{UPSERT_SUFFIX}'
+           ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % {UPSERT_DEL_MOD} <> 0
+),
+{ctes.replace(anchor, "FROM upserted")}
+SELECT doc_id, quality, split
+FROM assigned
+ORDER BY doc_id
+"""
+
+
+CURATED_UPSERT_SQL = _curated_upsert_sql()

@@ -1792,6 +1792,24 @@ def q_curated_retract(spark: SparkSession, sf_dir: str):
     return curation.curated_retract_fixture(_docs(spark, sf_dir))
 
 
+@register("curated_upsert", curation.CURATED_UPSERT_SQL)
+def q_curated_upsert(spark: SparkSession, sf_dir: str):
+    """Full CDC maintenance of the standing curated corpus — upserts +
+    deletes in one batch, the ladder's capstone one level up from
+    `neardup_clusters_upsert`: re-written docs release their old
+    exact/near-dup slots (re-admitting whoever they suppressed), their
+    new text competes fresh in BOTH id directions (a mid-range id can
+    challenge a larger keeper for its text slot or witness-drop a
+    larger standing doc — paths the append-only delta's id-monotone
+    precondition excludes by fiat), and deletes ride the retract leg.
+    The fixture's copy classes plant both: verbatim neighbor copies
+    CHALLENGE (11 demotions at sf0.01), suffixed neighbor copies emit
+    reverse-direction near-dup pairs.  Oracle = the FULL curation SQL
+    over the upserted corpus: upsert ≡ rebuild, hash-checked by the
+    driver."""
+    return curation.curated_upsert_fixture(_docs(spark, sf_dir))
+
+
 @register("leakage_split_retract", leakage.LEAKAGE_SPLIT_RETRACT_SQL)
 def q_leakage_split_retract(spark: SparkSession, sf_dir: str):
     """Cluster-keyed splits under canonical deletion: the per-doc
@@ -1932,17 +1950,19 @@ WINDOW_FIRST: tuple[str, ...] = (
     # Round-14 registrations, windowed same-commit (standing rule),
     # displacing the r10 backfill from the bottom:
     "curated_retract",
+    "curated_upsert",
     "leakage_split_retract",
     "doc_length_spectrum_retract",
     "boilerplate_ngrams_retract",
     "pack_source_totals_retract",
     "winnow_fingerprints_retract",
-    # The r10-last pool in catalog definition order (22 of 43 after the
+    # The r10-last pool in catalog definition order (21 of 43 after the
     # six r14 displacements above took exact_dedup_documents,
     # purchases_asof_clicks, corpus_split_summary, events_sessionize,
-    # events_user_moving_value and events_tumbling_hourly, and the late
-    # pq/rp window entries took scalar_function_suite and cdc_decode
-    # from the bottom; the tail waits for round 15):
+    # events_user_moving_value and events_tumbling_hourly, the late
+    # pq/rp window entries took scalar_function_suite and cdc_decode,
+    # and curated_upsert took correlated_lookup from the bottom; the
+    # tail waits for round 15):
     "rollup_revenue",
     "grouping_sets_orders",
     "distinct_agg_orders",
@@ -1964,5 +1984,4 @@ WINDOW_FIRST: tuple[str, ...] = (
     "setops_customers",
     "semi_anti_customers",
     "pivot_priority_status",
-    "correlated_lookup",
 )

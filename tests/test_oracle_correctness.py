@@ -164,6 +164,7 @@ _REPORT_EXEMPT = {
     # Registered new in round 14, windowed same-commit (first driver
     # rows land in CORRECTNESS_r14):
     "curated_retract",
+    "curated_upsert",
     "leakage_split_retract",
     "doc_length_spectrum_retract",
     "boilerplate_ngrams_retract",

@@ -298,6 +298,8 @@ def test_retract_oracles_scan_only_survivors():
 
     body = C.CURATED_RETRACT_SQL.split("feats AS", 1)[1]
     assert "FROM documents" not in body
+    body = C.CURATED_UPSERT_SQL.split("feats AS", 1)[1]
+    assert "FROM documents" not in body
     body = L.LEAKAGE_SPLIT_RETRACT_SQL.split("toks AS", 1)[1]
     assert "FROM documents" not in body
 
@@ -549,3 +551,211 @@ def test_semantic_index_cli_roundtrip(spark, sf0001, tmp_path):
         for r in S.semantic_decontam_pairs(train, eval_vecs).collect()
     }
     assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# curated_upsert — full CDC maintenance of the curated corpus
+# ---------------------------------------------------------------------------
+
+
+def _upserted_corpus(docs, deleted_ids, changed):
+    """The rebuild's effective corpus: (docs − deleted − changed ids)
+    ∪ changed — the claim curated_upsert is checked against."""
+    drop = deleted_ids.unionByName(changed.select("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").unionByName(changed)
+
+
+@pytest.mark.parametrize("dmod,cmod", [(3, 4), (2, 5)])
+def test_curated_upsert_cut_sweep_equals_rebuild(spark, sf001, dmod, cmod):
+    """Deep delete+change batches (a third/quarter and half/fifth of
+    the corpus at once) ≡ the full curation rebuild over the upserted
+    corpus — the retract-ladder sweep convention for the CDC face."""
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    deleted = docs.select("doc_id").where(F.col("doc_id") % dmod == 0)
+    changed = (
+        docs.where(
+            (F.col("doc_id") % cmod == 0) & (F.col("doc_id") % dmod != 0)
+        )
+        .select("doc_id", F.concat("text", F.lit(" zz0 zz1 zz2")).alias("text"))
+    )
+    ledger = C.curation_standing_ledger(docs)
+    got = _curated_shape(C.curated_upsert(deleted, changed, *ledger))
+    want = _curated_shape(
+        C.curated_corpus(_upserted_corpus(docs, deleted, changed))
+    )
+    assert got == want and want
+
+
+def test_curated_upsert_planted_challenge_loser_and_reverse_witness(
+    spark, sf001
+):
+    """The three upsert-only branches, each planted explicitly:
+
+    * CHALLENGE — a smaller batch id re-writes to a standing keeper's
+      exact text and takes the slot (the keeper demotes);
+    * batch LOSER — a larger batch id re-writes to a text whose keeper
+      is smaller and silently loses;
+    * REVERSE witness — a smaller batch id's new text near-dups a
+      LARGER standing id, which must drop (the pair direction the
+      append-only delta can never emit).
+    """
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    t0, t1, t2, t3, t4 = _distinct_gated_texts(spark, sf001, n=5)
+    corpus = spark.createDataFrame(
+        [(4, t0), (8, t0), (6, t1), (9, t2), (2, t3), (7, t4)],
+        "doc_id long, text string",
+    )
+    changed = spark.createDataFrame(
+        [
+            (3, t1),                    # insert: challenges keeper 6
+            (7, t0),                    # rewrite: loses to keeper 4
+            (2, t2 + " zz0 zz1 zz2"),   # rewrite: witnesses 9 from below
+        ],
+        "doc_id long, text string",
+    )
+    deleted = spark.createDataFrame([], "doc_id long")
+    ledger = C.curation_standing_ledger(corpus)
+    got = _curated_shape(C.curated_upsert(deleted, changed, *ledger))
+    ids = {r[0] for r in got}
+    assert 3 in ids and 6 not in ids, "challenge: 3 must take t1 from 6"
+    assert 4 in ids and 7 not in ids, "loser: 7 must lose t0 to keeper 4"
+    assert 2 in ids and 9 not in ids, (
+        "reverse witness: 2's near-copy must drop standing 9"
+    )
+    want = _curated_shape(
+        C.curated_corpus(_upserted_corpus(corpus, deleted, changed))
+    )
+    assert got == want
+
+
+def test_curated_upsert_persisted_sets_and_succession_chain(spark, sf001):
+    """The persisted-signatures path (standing shingle sets re-keyed
+    through the composed same-text successions, nothing re-shingled
+    but the batch) ≡ the in-call path ≡ the rebuild — on a corpus that
+    exercises the two-level chain: keeper 1 dies, loser 9 re-elects
+    (succ_r 1→9), then batch id 5 challenges the re-admitted 9
+    (succ_c 9→5), so keeper 1's persisted set row must re-key straight
+    to 5."""
+    from export_oltp_to_olap_spark.operators.neardup import ngram_shingle_sets
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    t0, t1 = _distinct_gated_texts(spark, sf001, n=2)
+    corpus = spark.createDataFrame(
+        [(1, t0), (9, t0), (6, t1)], "doc_id long, text string"
+    )
+    deleted = spark.createDataFrame([(1,)], "doc_id long")
+    changed = spark.createDataFrame([(5, t0)], "doc_id long, text string")
+    keepers, losers, pairs = C.curation_standing_ledger(corpus)
+    sets = ngram_shingle_sets(keepers.select("doc_id", "text"))
+    in_call = _curated_shape(
+        C.curated_upsert(deleted, changed, keepers, losers, pairs)
+    )
+    persisted = _curated_shape(
+        C.curated_upsert(
+            deleted, changed, keepers, losers, pairs, standing_sets=sets
+        )
+    )
+    want = _curated_shape(
+        C.curated_corpus(_upserted_corpus(corpus, deleted, changed))
+    )
+    assert in_call == persisted == want and want
+    kept_ids = {r[0] for r in want}
+    assert 5 in kept_ids and 9 not in kept_ids and 1 not in kept_ids, (
+        "the chained challenge must leave 5 holding t0"
+    )
+
+
+def test_curated_upsert_empty_batch_is_identity(spark, sf001):
+    """An empty CDC batch must reproduce the standing curated corpus."""
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    deleted = spark.createDataFrame([], "doc_id long")
+    changed = spark.createDataFrame([], "doc_id long, text string")
+    ledger = C.curation_standing_ledger(docs)
+    got = _curated_shape(C.curated_upsert(deleted, changed, *ledger))
+    want = _curated_shape(C.curated_corpus(docs))
+    assert got == want and want
+
+
+def test_curated_upsert_seeded_random_chains(spark, sf0001):
+    """Randomized delete+rewrite batches (seeded, so reproducible) ≡
+    the rebuild — the hypothesis-chain convention for the CDC face,
+    sized to the tiny fixture."""
+    import random
+
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf0001).select("doc_id", "text")
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    for seed in (20260, 20261):
+        rng = random.Random(seed)
+        dset = set(rng.sample(ids, len(ids) // 8))
+        cpool = [i for i in ids if i not in dset]
+        cset = set(rng.sample(cpool, len(cpool) // 8))
+        suffix = " " + " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"]) for _ in range(3)
+        )
+        deleted = docs.select("doc_id").where(
+            F.col("doc_id").isin(*dset) if dset else F.lit(False)
+        )
+        changed = (
+            docs.where(F.col("doc_id").isin(*cset))
+            .select("doc_id", F.concat("text", F.lit(suffix)).alias("text"))
+        )
+        ledger = C.curation_standing_ledger(docs)
+        got = _curated_shape(C.curated_upsert(deleted, changed, *ledger))
+        want = _curated_shape(
+            C.curated_corpus(_upserted_corpus(docs, deleted, changed))
+        )
+        assert got == want and want, f"seed {seed}"
+
+
+def test_curated_upsert_fixture_plants_all_branches(spark, sf001):
+    """The registered fixture's copy classes must actually fire at
+    fixture scale: at least one verbatim neighbor copy CHALLENGES a
+    standing keeper (the copier's id replaces the neighbor's in the
+    output) and at least one suffixed copy drops a LARGER standing id
+    (the reverse-direction witness).  Guards fixture drift — without
+    these the face degrades to the append-only delta's coverage."""
+    from export_oltp_to_olap_spark.operators.neardup import (
+        UPSERT_CHG_MOD,
+        UPSERT_DEL_MOD,
+    )
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf001).select("doc_id", "text")
+    got_ids = {r[0] for r in C.curated_upsert_fixture(docs).collect()}
+    standing_ids = {
+        r[0] for r in C.curated_corpus(docs).select("doc_id").collect()
+    }
+    is_twin = lambda i: i % C.UPSERT_COPY_MOD == 1  # noqa: E731
+    survivors = lambda i: i % UPSERT_DEL_MOD != 0  # noqa: E731
+    # a twin copier present while its (standing-kept) neighbor is gone
+    untouched = lambda i: (  # noqa: E731
+        survivors(i) and i % UPSERT_CHG_MOD != 0 and i % C.UPSERT_COPY_MOD not in (1, 15)
+    )
+    challenged = [
+        i
+        for i in got_ids
+        if is_twin(i)
+        and survivors(i)
+        and untouched(i + 1)
+        and (i + 1) in standing_ids
+        and (i + 1) not in got_ids
+    ]
+    assert challenged, "no verbatim copy challenged its neighbor — re-plant"
+    # a near copier present while its larger standing neighbor dropped
+    nearcop = [
+        i
+        for i in got_ids
+        if i % C.UPSERT_COPY_MOD == 15
+        and survivors(i)
+        and untouched(i + 1)
+        and (i + 1) in standing_ids
+        and (i + 1) not in got_ids
+    ]
+    assert nearcop, "no suffixed copy witness-dropped its neighbor — re-plant"
