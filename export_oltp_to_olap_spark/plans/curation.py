@@ -946,7 +946,7 @@ def curated_retract(
     re-admitted, pairs := the re-keyed table (all batch-scoped
     anti-joins/upserts of the same frames computed here).
     """
-    new_deduped, mapped, _succ = _curated_retract_state(
+    new_deduped, mapped, _succ, _losers = _curated_retract_state(
         deleted_ids, standing_curated, standing_losers, standing_pairs
     )
     dropped = (
@@ -965,15 +965,18 @@ def _curated_retract_state(
     standing_curated: DataFrame,
     standing_losers: DataFrame,
     standing_pairs: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Steps 1–2 of :func:`curated_retract`, exposed so the upsert
     composition can continue from the post-retract STATE instead of the
     final output: returns (``new_deduped`` — the curated stage after
     deletes + exact re-election, (doc_id, text, quality); ``mapped`` —
-    the re-keyed pair table over it, (na, nb), either order;
-    ``succ`` — the dead-keeper → re-admitted-successor id map, same
-    text on both sides, used to re-key persisted per-doc artifacts
-    like shingle-set tables without recomputing them)."""
+    the re-keyed pair table over it, (na, nb, jaccard), either id
+    order (same text ⇒ same jaccard, so re-keying preserves the
+    value); ``succ`` — the dead-keeper → re-admitted-successor id map,
+    same text on both sides, used to re-key persisted per-doc
+    artifacts like shingle-set tables without recomputing them;
+    ``surv_losers`` — the loser ledger minus the delete batch, which
+    ledger maintenance subtracts re-admissions from)."""
     d = deleted_ids.select("doc_id").distinct()
     dk = standing_curated.join(d, "doc_id").select("doc_id", "text")
     kept_keepers = standing_curated.join(d, "doc_id", "left_anti").select(
@@ -1020,9 +1023,10 @@ def _curated_retract_state(
         .select(
             F.coalesce("succ_a", "doc_a").alias("na"),
             F.coalesce("succ_b", "doc_b").alias("nb"),
+            "jaccard",
         )
     )
-    return new_deduped, mapped, succ
+    return new_deduped, mapped, succ, surv_losers
 
 
 def curated_retract_fixture(docs: DataFrame) -> DataFrame:
@@ -1123,10 +1127,40 @@ def curated_upsert(
     frame beyond the one standing-stage anti-join is bounded by the
     batch and the clusters/postings it touches.
     """
+    _stage, pairs_new, _losers, kept = _curated_upsert_state(
+        deleted_ids,
+        changed_docs,
+        standing_curated,
+        standing_losers,
+        standing_pairs,
+        standing_sets,
+    )
+    return (
+        assign_splits(kept, "doc_id")
+        .select("doc_id", "quality", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _curated_upsert_state(
+    deleted_ids: DataFrame,
+    changed_docs: DataFrame,
+    standing_curated: DataFrame,
+    standing_losers: DataFrame,
+    standing_pairs: DataFrame,
+    standing_sets: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """:func:`curated_upsert`'s construction, returning the full
+    POST-BATCH LEDGER alongside the kept rows so batches can chain
+    (:func:`curated_upsert_ledger`, the streaming sink, the 3-batch
+    tests): (``stage_new`` — the curated-stage keepers, ``pairs_new``
+    — the verified pair table over them (doc_a, doc_b, jaccard),
+    ``losers_new`` — every gate-passing doc whose text slot a smaller
+    id holds, ``kept`` — stage_new minus the near-dup drop set)."""
     deleted = deleted_ids.select("doc_id").distinct()
     changed = changed_docs.join(deleted, "doc_id", "left_anti")
     drop = deleted.unionByName(changed.select("doc_id")).distinct()
-    stage0, pairs0, succ_r = _curated_retract_state(
+    stage0, pairs0, succ_r, surv_losers = _curated_retract_state(
         drop, standing_curated, standing_losers, standing_pairs
     )
     stage0 = stage(stage0)  # challenge join + anti-join + set build fan-out
@@ -1167,9 +1201,12 @@ def curated_upsert(
         .select(
             F.coalesce("sa", F.col("na")).alias("x"),
             F.coalesce("sb", F.col("nb")).alias("y"),
+            "jaccard",
         )
         .select(
-            F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "jaccard",
         )
     )
 
@@ -1207,16 +1244,63 @@ def curated_upsert(
         corpus_sets, delta_sets, NEARDUP_THRESHOLD
     )
 
-    all_pairs = pairs_old.unionByName(
-        new_pairs.select("doc_a", "doc_b")
+    pairs_new = pairs_old.unionByName(new_pairs)
+    stage_new = stage_old.unionByName(admitted)
+    dropped = pairs_new.select(
+        F.greatest("doc_a", "doc_b").alias("doc_id")
+    ).distinct()
+    kept = stage_new.join(dropped, "doc_id", "left_anti")
+    # Loser ledger forward: survivors of the old ledger minus the
+    # re-admitted (now keepers), plus the demoted keepers and every
+    # gate-passing batch row whose text slot a smaller id holds
+    # (challenge losers AND in-batch exact-dup drops).
+    losers_new = (
+        surv_losers.join(
+            succ_r.select(F.col("succ").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .unionByName(
+            challengers.select(F.col("keeper_id").alias("doc_id"), "text")
+        )
+        .unionByName(
+            _gated(changed)
+            .join(stage_new.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "text")
+        )
     )
-    dropped = all_pairs.select(F.greatest("doc_a", "doc_b").alias("doc_id")).distinct()
-    kept = stage_old.unionByName(admitted).join(dropped, "doc_id", "left_anti")
-    return (
+    return stage_new, pairs_new, losers_new, kept
+
+
+def curated_upsert_ledger(
+    deleted_ids: DataFrame,
+    changed_docs: DataFrame,
+    standing_curated: DataFrame,
+    standing_losers: DataFrame,
+    standing_pairs: DataFrame,
+    standing_sets: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """One CDC batch applied to the persisted curation ledger,
+    returning the NEXT ledger — (keepers, losers, pairs, curated
+    output rows) — so batches chain: feeding batch N's ledger into
+    batch N+1 is provably ≡ the rebuild over the accumulated corpus
+    (the 3-batch and streamed-CDC pytests pin it, the
+    `neardup_clusters_upsert` evolving-state convention).  This is
+    the production maintenance loop `curated_retract`'s docstring
+    promises: each frame is exactly the batch-scoped update computed
+    inside the upsert, nothing re-derives from the raw corpus."""
+    stage_new, pairs_new, losers_new, kept = _curated_upsert_state(
+        deleted_ids,
+        changed_docs,
+        standing_curated,
+        standing_losers,
+        standing_pairs,
+        standing_sets,
+    )
+    out = (
         assign_splits(kept, "doc_id")
         .select("doc_id", "quality", "split")
         .orderBy("doc_id")
     )
+    return stage_new, losers_new, pairs_new, out
 
 
 UPSERT_COPY_MOD = 29  # the challenge/reverse-witness-planting classes

@@ -759,3 +759,182 @@ def test_curated_upsert_fixture_plants_all_branches(spark, sf001):
         and (i + 1) not in got_ids
     ]
     assert nearcop, "no suffixed copy witness-dropped its neighbor — re-plant"
+
+
+def _ledger_shape(keepers, losers, pairs):
+    return (
+        {tuple(r) for r in keepers.select("doc_id", "text").collect()},
+        {tuple(r) for r in losers.select("doc_id", "text").collect()},
+        {tuple(r) for r in pairs.select("doc_a", "doc_b", "jaccard").collect()},
+    )
+
+
+def test_curated_upsert_three_batch_evolving_state(spark, sf0001):
+    """Ledger threading (`curated_upsert_ledger`): three sequential CDC
+    batches — deletes, rewrites and inserts — each fed the PREVIOUS
+    batch's ledger.  After every batch the curated output must equal
+    the rebuild over the accumulated corpus, and the final ledger must
+    equal a fresh `curation_standing_ledger` over it (keepers, losers
+    AND verified pairs) — the `neardup_clusters_upsert` evolving-state
+    convention one level up."""
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf0001).select("doc_id", "text").localCheckpoint()
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    live = docs
+    keepers, losers, pairs = C.curation_standing_ledger(docs)
+    batches = [
+        # (delete mod, change mod, insert count)
+        (11, 7, 2),
+        (13, 5, 3),
+        (9, 8, 0),
+    ]
+    for i, (dmod, cmod, n_ins) in enumerate(batches):
+        deleted = live.select("doc_id").where(F.col("doc_id") % dmod == 0)
+        rewrites = (
+            live.where(
+                (F.col("doc_id") % cmod == 0) & (F.col("doc_id") % dmod != 0)
+            )
+            .select(
+                "doc_id",
+                F.concat("text", F.lit(f" batch{i} zz{i}")).alias("text"),
+            )
+        )
+        donors = [
+            r["text"]
+            for r in live.orderBy("doc_id").limit(n_ins).collect()
+        ]
+        inserts = (
+            spark.createDataFrame(
+                [
+                    (max_id + 100 * (i + 1) + k, t + f" ins{i}")
+                    for k, t in enumerate(donors)
+                ],
+                "doc_id long, text string",
+            )
+            if donors
+            else spark.createDataFrame([], "doc_id long, text string")
+        )
+        changed = rewrites.unionByName(inserts)
+        keepers, losers, pairs, out = C.curated_upsert_ledger(
+            deleted, changed, keepers, losers, pairs
+        )
+        keepers = keepers.localCheckpoint()
+        losers = losers.localCheckpoint()
+        pairs = pairs.localCheckpoint()
+        live = (
+            live.join(
+                deleted.unionByName(changed.select("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            .unionByName(changed)
+            .localCheckpoint()
+        )
+        got = {tuple(r) for r in out.collect()}
+        want = _curated_shape(C.curated_corpus(live))
+        assert got == want and want, f"batch {i} output diverged"
+    fresh = C.curation_standing_ledger(live)
+    assert _ledger_shape(keepers, losers, pairs) == _ledger_shape(*fresh), (
+        "threaded ledger diverged from the fresh rebuild ledger"
+    )
+
+
+def test_streaming_cdc_maintains_curated_corpus(spark, sf0001, tmp_path):
+    """A file-fed CDC stream of upserts + deletes maintains the curated
+    corpus through a foreachBatch `curated_upsert_ledger` sink; the
+    final state equals the rebuild over the accumulated corpus
+    regardless of the micro-batch split (the r13 streaming-tombstone
+    pin, one level up)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = (
+        _docs(spark, sf0001).select("doc_id", "text").localCheckpoint()
+    )
+    rows = docs.orderBy("doc_id").collect()
+    events = []
+    for r in rows:
+        if r["doc_id"] % 9 == 0:
+            events.append({"op": "delete", "doc_id": r["doc_id"], "text": None})
+        elif r["doc_id"] % 6 == 0:
+            events.append(
+                {
+                    "op": "upsert",
+                    "doc_id": r["doc_id"],
+                    "text": r["text"] + " streamed zz",
+                }
+            )
+    assert len(events) >= 6
+    feed = tmp_path / "cdc"
+    feed.mkdir()
+    third = max(1, len(events) // 3)
+    for i in range(3):
+        chunk = events[i * third :] if i == 2 else events[i * third : (i + 1) * third]
+        with open(feed / f"b{i}.json", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("op", T.StringType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    k0, l0, p0 = C.curation_standing_ledger(docs)
+    state = {"ledger": (k0, l0, p0), "live": docs}
+
+    def sink(batch_df, _):
+        deleted = batch_df.where(F.col("op") == "delete").select("doc_id")
+        changed = batch_df.where(F.col("op") == "upsert").select(
+            "doc_id", "text"
+        )
+        k, l, p = state["ledger"]
+        k, l, p, _out = C.curated_upsert_ledger(deleted, changed, k, l, p)
+        state["ledger"] = (
+            k.localCheckpoint(),
+            l.localCheckpoint(),
+            p.localCheckpoint(),
+        )
+        state["live"] = (
+            state["live"]
+            .join(
+                deleted.unionByName(changed.select("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            .unionByName(changed)
+            .localCheckpoint()
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    k, l, p = state["ledger"]
+    # Final curated corpus from the threaded ledger (empty batch =
+    # identity, pinned above) must equal the rebuild over the stream's
+    # accumulated corpus.
+    empty_d = spark.createDataFrame([], "doc_id long")
+    empty_c = spark.createDataFrame([], "doc_id long, text string")
+    got = _curated_shape(C.curated_upsert(empty_d, empty_c, k, l, p))
+    want = _curated_shape(C.curated_corpus(state["live"]))
+    assert got == want and want
+    assert _ledger_shape(k, l, p) == _ledger_shape(
+        *C.curation_standing_ledger(state["live"])
+    )
