@@ -238,6 +238,11 @@ DEFAULT_HEADLINE = [
     # the r13 retract faces:
     "curated_retract",
     "curated_upsert",
+    # the steady-state twin: persisted ledger + shingle sets untimed,
+    # timed plan = retract state + challenge/admit + the probe only —
+    # the cost `curated_upsert_ledger`'s maintenance loop actually
+    # pays per batch:
+    "curated_upsert[standing]",
     "leakage_split_retract",
     # round 14: the cheap monoid/anti-join retract legs (VERDICT r13
     # item 6) — SUM-subtract or doc_id anti-join, standing state
@@ -477,6 +482,78 @@ def _variant_queries():
             standing_bands=bands,
         )
 
+    _curated_ledger_cache: dict[str, tuple] = {}
+
+    def curated_upsert_standing(spark, sf_dir):
+        # Steady-state CDC maintenance of the CURATED corpus: the
+        # keeper/loser/pair ledger and the keepers' shingle-set table
+        # are the persisted artifacts (untimed after the first run —
+        # exactly what `curated_upsert_ledger` maintains batch-over-
+        # batch); the timed plan is the retract-state joins, the
+        # challenge/admit text join, and the both-directions probe,
+        # shingling ONLY the admitted batch texts.  The base
+        # `curated_upsert` entry keeps the self-contained bootstrap
+        # face that matches its full-rebuild driver oracle.
+        from pyspark.sql import functions as F
+
+        from export_oltp_to_olap_spark.operators import neardup
+        from export_oltp_to_olap_spark.operators.neardup import (
+            ngram_shingle_sets,
+        )
+        from export_oltp_to_olap_spark.operators.staging import stage
+        from export_oltp_to_olap_spark.plans import curation
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        if sf_dir not in _curated_ledger_cache:
+            keepers, losers, pairs = curation.curation_standing_ledger(
+                docs, mode="table"
+            )
+            _curated_ledger_cache[sf_dir] = (
+                keepers,
+                losers,
+                pairs,
+                stage(
+                    ngram_shingle_sets(keepers.select("doc_id", "text")),
+                    mode="table",
+                ),
+            )
+        keepers, losers, pairs, sets = _curated_ledger_cache[sf_dir]
+        deleted = docs.select("doc_id").where(
+            F.col("doc_id") % neardup.UPSERT_DEL_MOD == 0
+        )
+        nbr = docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("text").alias("nbr_text"),
+        )
+        is_twin = F.col("doc_id") % curation.UPSERT_COPY_MOD == 1
+        is_near = F.col("doc_id") % curation.UPSERT_COPY_MOD == 15
+        is_chg = F.col("doc_id") % neardup.UPSERT_CHG_MOD == 0
+        changed = (
+            docs.where(F.col("doc_id") % neardup.UPSERT_DEL_MOD != 0)
+            .where(is_twin | is_near | is_chg)
+            .join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(is_twin, F.coalesce("nbr_text", F.col("text")))
+                .when(
+                    is_near,
+                    F.concat(
+                        F.coalesce("nbr_text", F.col("text")),
+                        F.lit(neardup.UPSERT_SUFFIX),
+                    ),
+                )
+                .otherwise(
+                    F.concat(F.col("text"), F.lit(neardup.UPSERT_SUFFIX))
+                )
+                .alias("text"),
+            )
+        )
+        return curation.curated_upsert(
+            deleted, changed, keepers, losers, pairs, standing_sets=sets
+        )
+
     return {
         "ivf_cosine_topk[kmeans]": ivf_kmeans,
         "semantic_dedup[kmeans]": semdedup_kmeans,
@@ -487,6 +564,7 @@ def _variant_queries():
         "neardup_clusters_delta[standing]": clusters_delta_standing,
         "neardup_clusters_retract[standing]": clusters_retract_standing,
         "neardup_clusters_upsert[standing]": clusters_upsert_standing,
+        "curated_upsert[standing]": curated_upsert_standing,
     }
 
 
