@@ -1877,6 +1877,26 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
+    # --- ROUND-15 ROTATION (pre-staged chore; RECOUNT FIRST) ---
+    # After CORRECTNESS_r14 lands, every current window name is
+    #      r14-last.  Authoritative recount against r01–r13 for the
+    #      names OUTSIDE this window (re-verify against r01–r14 before
+    #      applying — the recount has corrected the pre-stage note two
+    #      rounds running): oldest-green backfill order is the 22
+    #      remaining r10-last names (adaptive_quality_gate,
+    #      bpe_tokens_saved, cdc_decode, corpus_split_summary,
+    #      correlated_lookup, curriculum_manifest, events_sessionize,
+    #      events_tumbling_hourly, events_user_moving_value,
+    #      exact_dedup_documents, media_neardup, media_neardup_capped,
+    #      media_neardup_delta, purchases_asof_clicks,
+    #      scalar_function_suite, simhash_fingerprints,
+    #      span_dedup_report, tpch_q12/q14/q18/q19/q22), then the
+    #      40-name r11-last pool in catalog definition order.  The four
+    #      r04-last rows-only ledger faces stay out by the standing
+    #      convention (all 50 driver rows are full hash checks).
+    # Out: every r14-earner not touched in round 15; keep the five star
+    #      sentinels + anything round 15 touches, rotate r15
+    #      registrations in same-commit per the standing rule.
     # --- ROUND-14 ROTATION (VERDICT r13 item 1, the pre-staged chore) ---
     # Recount against CORRECTNESS_r01-r13 executed first, as the note
     #      demanded — and it again corrected the pre-staged numbers: the
