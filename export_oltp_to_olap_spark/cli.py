@@ -389,6 +389,99 @@ def cmd_semantic_index(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_curate_ledger_init(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Bootstrap the persisted CURATION LEDGER — the four parquet
+    tables the delete/CDC maintenance loop reads and rewrites per
+    batch (`plans/curation.py::curation_standing_ledger` + the
+    keepers' shingle-set side table): keepers, losers, verified
+    near-dup pairs, sets.  Run once per corpus; after that,
+    ``curate-ledger-apply`` maintains the tables batch-over-batch
+    without ever re-gating or re-shingling the corpus."""
+    from export_oltp_to_olap_spark.operators.neardup import ngram_shingle_sets
+    from export_oltp_to_olap_spark.plans.curation import curation_standing_ledger
+
+    docs = spark.read.parquet(args.corpus).select("doc_id", "text")
+    keepers, losers, pairs = curation_standing_ledger(docs)
+    sets = ngram_shingle_sets(keepers.select("doc_id", "text"))
+    counts = {}
+    for name, df in (
+        ("keepers", keepers),
+        ("losers", losers),
+        ("pairs", pairs),
+        ("sets", sets),
+    ):
+        out = os.path.join(args.out, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(out)
+        counts[f"n_{name}"] = int(spark.read.parquet(out).count())
+    print(json.dumps({"ledger_out": args.out, **counts}))
+    return 0
+
+
+_CDC_BATCH_SCHEMA = "doc_id long, op string, text string"
+
+
+def cmd_curate_ledger_apply(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Apply ONE CDC batch (upserts + deletes) to a persisted curation
+    ledger: reads the four ledger tables and a batch file (JSON lines
+    or parquet with ``doc_id, op ∈ {delete, upsert}, text``), runs
+    `curated_upsert_ledger`, and writes the NEXT ledger plus the
+    curated output rows (``curated.parquet``: doc_id, quality, split)
+    under ``--out``.  Chained applies provably converge to the fresh
+    rebuild's ledger (pytest-pinned).  ``--out`` must differ from
+    ``--ledger``: the new tables derive lazily FROM the old ones, so
+    writing over the input would self-truncate mid-read (the
+    read-then-overwrite trap ADVICE r13 flagged on the IVF index)."""
+    from export_oltp_to_olap_spark.plans.curation import curated_upsert_ledger
+
+    if os.path.abspath(args.out) == os.path.abspath(args.ledger):
+        print(
+            "curate-ledger-apply: --out must differ from --ledger "
+            "(lazy reads of the input tables feed the output write)",
+            file=sys.stderr,
+        )
+        return 2
+    ledger = {
+        n: spark.read.parquet(os.path.join(args.ledger, f"{n}.parquet"))
+        for n in ("keepers", "losers", "pairs", "sets")
+    }
+    if args.batch.endswith(".parquet"):
+        batch = spark.read.parquet(args.batch)
+    else:
+        batch = spark.read.schema(_CDC_BATCH_SCHEMA).json(args.batch)
+    deleted = batch.where(F.col("op") == "delete").select("doc_id")
+    changed = batch.where(F.col("op") == "upsert").select("doc_id", "text")
+    keepers, losers, pairs, sets, out = curated_upsert_ledger(
+        deleted,
+        changed,
+        ledger["keepers"],
+        ledger["losers"],
+        ledger["pairs"],
+        standing_sets=ledger["sets"],
+    )
+    counts = {}
+    for name, df in (
+        ("keepers", keepers),
+        ("losers", losers),
+        ("pairs", pairs),
+        ("sets", sets),
+        ("curated", out),
+    ):
+        path = os.path.join(args.out, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        counts[f"n_{name}"] = int(spark.read.parquet(path).count())
+    print(
+        json.dumps(
+            {
+                "ledger_out": args.out,
+                "n_deleted": int(deleted.distinct().count()),
+                "n_upserts": int(changed.count()),
+                **counts,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_fingerprints(args: argparse.Namespace, spark: SparkSession) -> int:
     """Winnowing fingerprints (MOSS) from the command line: persist the
     per-doc fingerprint set, or the per-doc summary + clone-signal
@@ -913,6 +1006,35 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", required=True, help="output dir (probes + vecs parquet)"
     )
     sidx.set_defaults(fn=cmd_semantic_index)
+
+    clinit = sub.add_parser(
+        "curate-ledger-init",
+        help="bootstrap the persisted curation ledger (keepers, losers, "
+        "verified pairs, shingle sets) the CDC maintenance loop rewrites",
+    )
+    clinit.add_argument(
+        "--corpus", required=True, help="parquet of (doc_id, text) documents"
+    )
+    clinit.add_argument("--out", required=True, help="ledger output dir")
+    clinit.set_defaults(fn=cmd_curate_ledger_init)
+
+    clapply = sub.add_parser(
+        "curate-ledger-apply",
+        help="apply one CDC batch (upserts + deletes) to a persisted "
+        "curation ledger; writes the next ledger + curated.parquet",
+    )
+    clapply.add_argument(
+        "--ledger", required=True, help="dir written by curate-ledger-init/apply"
+    )
+    clapply.add_argument(
+        "--batch",
+        required=True,
+        help="JSON-lines or parquet batch: doc_id, op in {delete, upsert}, text",
+    )
+    clapply.add_argument(
+        "--out", required=True, help="next-ledger output dir (must differ)"
+    )
+    clapply.set_defaults(fn=cmd_curate_ledger_apply)
 
     fprints = sub.add_parser(
         "fingerprints",

@@ -1127,7 +1127,7 @@ def curated_upsert(
     frame beyond the one standing-stage anti-join is bounded by the
     batch and the clusters/postings it touches.
     """
-    _stage, pairs_new, _losers, kept = _curated_upsert_state(
+    _stage, _pairs, _losers, _sets, kept = _curated_upsert_state(
         deleted_ids,
         changed_docs,
         standing_curated,
@@ -1149,14 +1149,17 @@ def _curated_upsert_state(
     standing_losers: DataFrame,
     standing_pairs: DataFrame,
     standing_sets: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """:func:`curated_upsert`'s construction, returning the full
     POST-BATCH LEDGER alongside the kept rows so batches can chain
     (:func:`curated_upsert_ledger`, the streaming sink, the 3-batch
     tests): (``stage_new`` — the curated-stage keepers, ``pairs_new``
     — the verified pair table over them (doc_a, doc_b, jaccard),
     ``losers_new`` — every gate-passing doc whose text slot a smaller
-    id holds, ``kept`` — stage_new minus the near-dup drop set)."""
+    id holds, ``sets_new`` — the forward shingle-set side table over
+    stage_new (just ``corpus_sets ∪ delta_sets`` — the probe already
+    built both, so carrying the artifact forward never re-shingles
+    the corpus), ``kept`` — stage_new minus the near-dup drop set)."""
     deleted = deleted_ids.select("doc_id").distinct()
     changed = changed_docs.join(deleted, "doc_id", "left_anti")
     drop = deleted.unionByName(changed.select("doc_id")).distinct()
@@ -1267,7 +1270,8 @@ def _curated_upsert_state(
             .select("doc_id", "text")
         )
     )
-    return stage_new, pairs_new, losers_new, kept
+    sets_new = corpus_sets.unionByName(delta_sets)
+    return stage_new, pairs_new, losers_new, sets_new, kept
 
 
 def curated_upsert_ledger(
@@ -1277,17 +1281,20 @@ def curated_upsert_ledger(
     standing_losers: DataFrame,
     standing_pairs: DataFrame,
     standing_sets: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """One CDC batch applied to the persisted curation ledger,
-    returning the NEXT ledger — (keepers, losers, pairs, curated
-    output rows) — so batches chain: feeding batch N's ledger into
-    batch N+1 is provably ≡ the rebuild over the accumulated corpus
-    (the 3-batch and streamed-CDC pytests pin it, the
-    `neardup_clusters_upsert` evolving-state convention).  This is
-    the production maintenance loop `curated_retract`'s docstring
+    returning the NEXT ledger — (keepers, losers, pairs, shingle
+    sets, curated output rows) — so batches chain: feeding batch N's
+    ledger into batch N+1 is provably ≡ the rebuild over the
+    accumulated corpus (the 3-batch and streamed-CDC pytests pin it,
+    the `neardup_clusters_upsert` evolving-state convention).  This
+    is the production maintenance loop `curated_retract`'s docstring
     promises: each frame is exactly the batch-scoped update computed
-    inside the upsert, nothing re-derives from the raw corpus."""
-    stage_new, pairs_new, losers_new, kept = _curated_upsert_state(
+    inside the upsert, nothing re-derives from the raw corpus — the
+    forward sets table in particular is the probe's own
+    corpus ∪ delta union, so chained batches never re-shingle
+    (`cli.py curate-ledger-apply` is the runnable form)."""
+    stage_new, pairs_new, losers_new, sets_new, kept = _curated_upsert_state(
         deleted_ids,
         changed_docs,
         standing_curated,
@@ -1300,7 +1307,7 @@ def curated_upsert_ledger(
         .select("doc_id", "quality", "split")
         .orderBy("doc_id")
     )
-    return stage_new, losers_new, pairs_new, out
+    return stage_new, losers_new, pairs_new, sets_new, out
 
 
 UPSERT_COPY_MOD = 29  # the challenge/reverse-witness-planting classes

@@ -779,10 +779,13 @@ def test_curated_upsert_three_batch_evolving_state(spark, sf0001):
     convention one level up."""
     from export_oltp_to_olap_spark.plans import curation as C
 
+    from export_oltp_to_olap_spark.operators.neardup import ngram_shingle_sets
+
     docs = _docs(spark, sf0001).select("doc_id", "text").localCheckpoint()
     max_id = docs.agg(F.max("doc_id")).first()[0]
     live = docs
     keepers, losers, pairs = C.curation_standing_ledger(docs)
+    sets = ngram_shingle_sets(keepers.select("doc_id", "text"))
     batches = [
         # (delete mod, change mod, insert count)
         (11, 7, 2),
@@ -816,12 +819,13 @@ def test_curated_upsert_three_batch_evolving_state(spark, sf0001):
             else spark.createDataFrame([], "doc_id long, text string")
         )
         changed = rewrites.unionByName(inserts)
-        keepers, losers, pairs, out = C.curated_upsert_ledger(
-            deleted, changed, keepers, losers, pairs
+        keepers, losers, pairs, sets, out = C.curated_upsert_ledger(
+            deleted, changed, keepers, losers, pairs, standing_sets=sets
         )
         keepers = keepers.localCheckpoint()
         losers = losers.localCheckpoint()
         pairs = pairs.localCheckpoint()
+        sets = sets.localCheckpoint()
         live = (
             live.join(
                 deleted.unionByName(changed.select("doc_id")).distinct(),
@@ -837,6 +841,16 @@ def test_curated_upsert_three_batch_evolving_state(spark, sf0001):
     fresh = C.curation_standing_ledger(live)
     assert _ledger_shape(keepers, losers, pairs) == _ledger_shape(*fresh), (
         "threaded ledger diverged from the fresh rebuild ledger"
+    )
+    got_sets = {
+        (r["doc_id"], tuple(sorted(r["shs"]))) for r in sets.collect()
+    }
+    want_sets = {
+        (r["doc_id"], tuple(sorted(r["shs"])))
+        for r in ngram_shingle_sets(fresh[0].select("doc_id", "text")).collect()
+    }
+    assert got_sets == want_sets, (
+        "forward shingle-set table diverged from the fresh build"
     )
 
 
@@ -891,20 +905,26 @@ def test_streaming_cdc_maintains_curated_corpus(spark, sf0001, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .json(str(feed))
     )
+    from export_oltp_to_olap_spark.operators.neardup import ngram_shingle_sets
+
     k0, l0, p0 = C.curation_standing_ledger(docs)
-    state = {"ledger": (k0, l0, p0), "live": docs}
+    s0 = ngram_shingle_sets(k0.select("doc_id", "text"))
+    state = {"ledger": (k0, l0, p0, s0), "live": docs}
 
     def sink(batch_df, _):
         deleted = batch_df.where(F.col("op") == "delete").select("doc_id")
         changed = batch_df.where(F.col("op") == "upsert").select(
             "doc_id", "text"
         )
-        k, l, p = state["ledger"]
-        k, l, p, _out = C.curated_upsert_ledger(deleted, changed, k, l, p)
+        k, l, p, sets = state["ledger"]
+        k, l, p, sets, _out = C.curated_upsert_ledger(
+            deleted, changed, k, l, p, standing_sets=sets
+        )
         state["ledger"] = (
             k.localCheckpoint(),
             l.localCheckpoint(),
             p.localCheckpoint(),
+            sets.localCheckpoint(),
         )
         state["live"] = (
             state["live"]
@@ -926,7 +946,7 @@ def test_streaming_cdc_maintains_curated_corpus(spark, sf0001, tmp_path):
     )
     q.awaitTermination()
 
-    k, l, p = state["ledger"]
+    k, l, p, _sets = state["ledger"]
     # Final curated corpus from the threaded ledger (empty batch =
     # identity, pinned above) must equal the rebuild over the stream's
     # accumulated corpus.
@@ -938,3 +958,75 @@ def test_streaming_cdc_maintains_curated_corpus(spark, sf0001, tmp_path):
     assert _ledger_shape(k, l, p) == _ledger_shape(
         *C.curation_standing_ledger(state["live"])
     )
+
+
+def test_curate_ledger_cli_roundtrip(spark, sf0001, tmp_path):
+    """`cli.py curate-ledger-init` + two chained `curate-ledger-apply`
+    calls through REAL parquet round-trips: each apply's
+    curated.parquet must equal the rebuild over the accumulated
+    corpus, and same-dir overwrite is refused (the lazy
+    read-then-overwrite trap)."""
+    import argparse
+    import json as _json
+
+    from export_oltp_to_olap_spark import cli
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    docs = _docs(spark, sf0001).select("doc_id", "text").localCheckpoint()
+    corpus = str(tmp_path / "corpus.parquet")
+    docs.write.parquet(corpus)
+    ledger0 = str(tmp_path / "ledger0")
+    rc = cli.cmd_curate_ledger_init(
+        argparse.Namespace(corpus=corpus, out=ledger0), spark
+    )
+    assert rc == 0
+
+    live = docs
+    prev = ledger0
+    for i, (dmod, cmod) in enumerate([(9, 6), (7, 5)]):
+        rows = live.orderBy("doc_id").collect()
+        batch = str(tmp_path / f"batch{i}.json")
+        with open(batch, "w") as f:
+            for r in rows:
+                if r["doc_id"] % dmod == 0:
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": r["doc_id"], "op": "delete", "text": None}
+                        )
+                        + "\n"
+                    )
+                elif r["doc_id"] % cmod == 0:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "doc_id": r["doc_id"],
+                                "op": "upsert",
+                                "text": r["text"] + f" cli{i} zz",
+                            }
+                        )
+                        + "\n"
+                    )
+        out = str(tmp_path / f"ledger{i + 1}")
+        rc = cli.cmd_curate_ledger_apply(
+            argparse.Namespace(ledger=prev, batch=batch, out=out), spark
+        )
+        assert rc == 0
+        deleted = live.select("doc_id").where(F.col("doc_id") % dmod == 0)
+        changed = (
+            live.where(
+                (F.col("doc_id") % cmod == 0) & (F.col("doc_id") % dmod != 0)
+            )
+            .select(
+                "doc_id", F.concat("text", F.lit(f" cli{i} zz")).alias("text")
+            )
+        )
+        live = _upserted_corpus(live, deleted, changed).localCheckpoint()
+        got = _curated_shape(spark.read.parquet(f"{out}/curated.parquet"))
+        want = _curated_shape(C.curated_corpus(live))
+        assert got == want and want, f"apply {i} diverged"
+        prev = out
+
+    rc = cli.cmd_curate_ledger_apply(
+        argparse.Namespace(ledger=prev, batch=batch, out=prev), spark
+    )
+    assert rc == 2
