@@ -1030,3 +1030,70 @@ def test_curate_ledger_cli_roundtrip(spark, sf0001, tmp_path):
         argparse.Namespace(ledger=prev, batch=batch, out=prev), spark
     )
     assert rc == 2
+
+
+def test_curated_upsert_property_random_chains(spark, sf001):
+    """Hypothesis sibling of the seeded-random test (the r13 retract
+    convention): tiny corpora of token-windows drawn from REAL gated
+    fixture texts (so the language/quality gates pass non-vacuously),
+    random overlapping delete + rewrite sets (delete wins) — upsert ≡
+    the full curation rebuild over the effective corpus, with
+    shrinking on failure."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from export_oltp_to_olap_spark.plans import curation as C
+
+    base_texts = _distinct_gated_texts(spark, sf001, n=3)
+    pools = [t.split() for t in base_texts]
+    nonempty = [0]
+
+    @st.composite
+    def corpus_and_batch(draw):
+        n = draw(st.integers(min_value=3, max_value=7))
+        docs = []
+        for i in range(n):
+            pool = pools[draw(st.integers(0, len(pools) - 1))]
+            start = draw(st.integers(0, max(0, len(pool) - 20)))
+            length = draw(st.integers(min_value=10, max_value=20))
+            docs.append((i + 1, " ".join(pool[start : start + length])))
+        deleted = draw(
+            st.lists(st.integers(1, n), unique=True, max_size=n)
+        )
+        rewrites = []
+        for did in draw(
+            st.lists(st.integers(1, n + 2), unique=True, max_size=n)
+        ):  # ids past n are inserts
+            pool = pools[draw(st.integers(0, len(pools) - 1))]
+            start = draw(st.integers(0, max(0, len(pool) - 20)))
+            length = draw(st.integers(min_value=10, max_value=20))
+            rewrites.append((did, " ".join(pool[start : start + length])))
+        return docs, deleted, rewrites
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(cb=corpus_and_batch())
+    def run(cb):
+        rows, deleted, rewrites = cb
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ddf = spark.createDataFrame(
+            [(d,) for d in deleted] or [(None,)], "doc_id long"
+        ).where(F.col("doc_id").isNotNull())
+        cdf = spark.createDataFrame(
+            rewrites or [(None, None)], "doc_id long, text string"
+        ).where(F.col("doc_id").isNotNull())
+        ledger = C.curation_standing_ledger(docs)
+        got = _curated_shape(C.curated_upsert(ddf, cdf, *ledger))
+        eff_changed = cdf.join(ddf, "doc_id", "left_anti")
+        want = _curated_shape(
+            C.curated_corpus(_upserted_corpus(docs, ddf, eff_changed))
+        )
+        assert got == want
+        if want:
+            nonempty[0] += 1
+
+    run()
+    assert nonempty[0] > 0, "every example was gate-vacuous — fix the pools"
