@@ -133,8 +133,18 @@ def _prefix_index(sets: DataFrame, threshold: float) -> DataFrame:
     plen = (
         F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
     ).cast("int")
-    # Global shingle order = md5 hex (ties broken by the shingle itself);
-    # the 32-hex-char key is its own md5, so the index carries it directly.
+    # Global shingle order = (xxhash64, shingle) — any TOTAL order keeps
+    # the prefix filter lossless (a qualifying pair must share a shingle
+    # in the first p of either side UNDER THE SHARED ORDER, whichever
+    # order that is), so the order is a pure cost knob.  xxhash64 longs
+    # replace the previous md5-hex keys (optimization r14): the hash is
+    # ~an order of magnitude cheaper than md5, the per-doc array_sort
+    # compares 8-byte longs instead of 32-char strings, and the sort key
+    # IS the join key (the old form paid a second hash pass,
+    # xxhash64(pref.sh), after slicing).  Ties break on the shingle
+    # itself, keeping the order total.  A 64-bit collision can only ADD
+    # a candidate (verification restores precision); the pair OUTPUT is
+    # bit-identical either way, which is what the oracle checks.
     return sets.select(
         "doc_id",
         "n_sh",
@@ -142,24 +152,15 @@ def _prefix_index(sets: DataFrame, threshold: float) -> DataFrame:
             F.slice(
                 F.array_sort(
                     F.transform(
-                        "shs", lambda s: F.struct(F.md5(s).alias("h"), s.alias("sh"))
+                        "shs",
+                        lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("sh")),
                     )
                 ),
                 F.lit(1),
                 plen,
             )
         ).alias("pref"),
-    ).select(
-        "doc_id",
-        "n_sh",
-        # Join key: 64-bit hash of the shingle, NOT the 32-char md5 hex.
-        # The md5 above only defines the global prefix ORDER; the equi-join
-        # key just needs equality, and shuffling 8-byte longs instead of
-        # 32-byte strings measurably cuts the candidate join (sf0.1:
-        # 1.26 s → 0.96 s warm).  A 64-bit collision can only ADD a
-        # candidate (verification restores precision).
-        F.xxhash64(F.col("pref.sh")).alias("h"),
-    )
+    ).select("doc_id", "n_sh", F.col("pref.h").alias("h"))
 
 
 def _ngram_prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
@@ -469,7 +470,15 @@ def ngram_jaccard_pairs_touching(
     delta probe's: Σ df(delta prefixes) join volume, never corpus².
     """
     t = F.lit(threshold)
-    a = _prefix_index(corpus_sets.unionByName(delta_sets), threshold).alias("a")
+    # The corpus side is consumed THREE times below (prefix index + both
+    # verify sides), and in the CDC-upsert caller it is an expensive
+    # re-key JOIN plan, not a table scan — materialize it once
+    # (measured 3× ~1.2 s → one pass at sf0.1, optimization r14; the
+    # same discipline as ngram_jaccard_pairs' persisted sets).
+    from export_oltp_to_olap_spark.operators.staging import stage_fanout
+
+    sets_all = stage_fanout(corpus_sets.unionByName(delta_sets))
+    a = _prefix_index(sets_all, threshold).alias("a")
     b = _prefix_index(delta_sets, threshold).alias("b")
     candidates = (
         a.join(
@@ -487,7 +496,6 @@ def ngram_jaccard_pairs_touching(
         )
         .distinct()
     )
-    sets_all = corpus_sets.unionByName(delta_sets)
     hash_sets = lambda s, side: s.select(  # noqa: E731
         F.col("doc_id").alias(f"doc_{side}"),
         F.transform("shs", lambda x: F.xxhash64(x)).alias(f"shs_{side}"),
@@ -619,8 +627,21 @@ def doc_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     One compact row per doc (~KB) is also the shape that lets AQE
     broadcast the whole map under candidate joins at fixture scale.
     """
-    return spread_for_compute(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.array_distinct(word_shingles("text", n)).alias("shs")
+    # Tokenize in a SEPARATE projection, then shingle from the token
+    # column: the regex tokenizer then runs exactly once per row (the
+    # shingle construction references the token array n+2 times, which
+    # also keeps CollapseProject from re-inlining the alias — it only
+    # collapses single-reference or cheap aliases).  Measured at sf0.1:
+    # 0.75 s → 0.50 s for the shingle build on top of the
+    # `shingles_from_tokens` zip_with rewrite (optimization r14).
+    from export_oltp_to_olap_spark.functions.text import shingles_from_tokens
+
+    toked = spread_for_compute(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", tokens("text").alias("__toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("__toks"), n)).alias("shs"),
     )
 
 

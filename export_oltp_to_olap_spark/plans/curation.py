@@ -898,7 +898,13 @@ def curation_standing_ledger(
     deletes)."""
     gated = _gated(old_docs)
     w = Window.partitionBy("text")
-    gk = gated.withColumn("keeper", F.min("doc_id").over(w))
+    # Materialize the gate+window ONCE: keepers and losers are two
+    # filters of the same frame, and staging each branch separately
+    # re-ran the whole regex gate chain + the text-partitioned window
+    # per branch (measured ~1.5 s per extra pass at sf0.1 —
+    # optimization r14, guide §2.4 "two operations keyed the same way
+    # share one exchange").
+    gk = stage_fanout(gated.withColumn("keeper", F.min("doc_id").over(w)))
     keepers = stage(
         gk.where(F.col("doc_id") == F.col("keeper")).select(
             "doc_id", "text", "quality"
@@ -1367,7 +1373,22 @@ def curated_upsert_fixture(docs: DataFrame) -> DataFrame:
         )
     )
     keepers, losers, pairs = curation_standing_ledger(base)
-    return curated_upsert(deleted, changed, keepers, losers, pairs)
+    # Thread the keepers' shingle-set table through (the persisted-
+    # signatures path, ≡ in-call by test_curated_upsert_persisted_sets_
+    # and_succession_chain): the ledger's own pair build already
+    # materialized the identical set plan (ngram_jaccard_pairs persists
+    # it, and the CacheManager serves identical plans), so the probe's
+    # corpus side becomes same-text re-keys of those rows instead of a
+    # fresh shingle pass over the whole post-retract stage — measured
+    # ~3 s off the face at sf0.1 (optimization r14, guide §2.3 "shuffle
+    # keys and metadata instead of payloads").
+    sets = ngram_shingle_sets(keepers)  # plan-identical to the pair
+    # build's persisted sets (doc_shingle_sets projects internally), so
+    # the cache lookup hits; a .select() here would change the analyzed
+    # plan and miss.
+    return curated_upsert(
+        deleted, changed, keepers, losers, pairs, standing_sets=sets
+    )
 
 
 def _curated_upsert_sql() -> str:
