@@ -1433,22 +1433,23 @@ def neardup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # Carry the previous label THROUGH the staged frame so the
+        # convergence check is a filter-count over the just-materialized
+        # blocks instead of a fresh shuffle join of two checkpointed
+        # frames — one distributed join per round removed (optimization
+        # r14; the loop runs 2-4 rounds on every cluster face).
         new_labels = stage(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") < F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     else:  # pragma: no cover - loop guard
