@@ -45,9 +45,10 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     Delegates to :func:`shingles_from_tokens` over :func:`tokens` —
     ONE home for the construction and its short-document guard, so the
-    two forms cannot drift.  The produced Column expression tree is
-    identical to the pre-delegation inline form (pure refactor; every
-    registered face's plan is unchanged).
+    two forms cannot drift.  Since the r14 ``zip_with`` rewrite the
+    expression tree differs from the historical inline
+    ``transform(sequence, …)`` form (value-identical, different —
+    faster — plan; see :func:`shingles_from_tokens`).
     """
     return shingles_from_tokens(tokens(text), n)
 

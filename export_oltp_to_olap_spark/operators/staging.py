@@ -50,20 +50,36 @@ def staging_mode(df: DataFrame) -> str:
     return df.sparkSession.conf.get(STAGING_CONF_KEY, "local")
 
 
-def stage(df: DataFrame, mode: str | None = None, name: str | None = None) -> DataFrame:
+def stage(
+    df: DataFrame,
+    mode: str | None = None,
+    name: str | None = None,
+    eager: bool = True,
+) -> DataFrame:
     """Materialize ``df`` once and return a lineage-free equivalent.
 
     ``mode`` overrides the session conf; ``name`` names the table in
     ``table`` mode (auto-generated otherwise).
+
+    ``eager=False`` defers materialization to the CALLER'S FIRST ACTION
+    over the returned frame (local/cache/checkpoint modes; ``table`` is
+    a write and stays eager).  Iterative loops use this to fold their
+    convergence check into the materializing job itself — e.g.
+    ``neardup_clusters`` counts changed labels WHILE the round's blocks
+    materialize, instead of paying a separate count job per round
+    (optimization r15, guide §2.4/§2.6: the action must compute every
+    partition of the staged frame for the blocks to be complete — a
+    full count/filter-count does; a ``first()``/``limit`` would not).
     """
     mode = mode or staging_mode(df)
     if mode not in _MODES:
         raise ValueError(f"staging mode {mode!r} not one of {_MODES}")
     if mode == "local":
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     if mode == "cache":
         out = df.persist()
-        out.count()  # eager, like the other modes
+        if eager:
+            out.count()
         return out
     if mode == "checkpoint":
         sc = df.sparkSession.sparkContext
@@ -72,7 +88,7 @@ def stage(df: DataFrame, mode: str | None = None, name: str | None = None) -> Da
                 "staging='checkpoint' needs spark.sparkContext.setCheckpointDir "
                 "(point it at DFS/S3 on a cluster)"
             )
-        return df.checkpoint()
+        return df.checkpoint(eager=eager)
     return _stage_table(df, name)
 
 

