@@ -46,7 +46,7 @@ the v1↔v2 migration-equivalence test; `streaming/stateful.py` remains
 the execution-tested dedup in this container.
 
 Gate re-probed each round per VERDICT: ``google.protobuf`` absent in
-the round-11 through round-14 containers (``import google`` →
+the round-11 through round-15 containers (``import google`` →
 ModuleNotFoundError) — the declared skip stands unchanged.
 """
 

@@ -30,6 +30,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_persisted_probe_equals_one_shot_operator(spark, emb, tmp_path):
     path = str(tmp_path / "ivf")
     ann_index.build_ivf_index(emb, path, n_centroids=N_CEN, centroid_mode="first")

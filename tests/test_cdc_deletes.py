@@ -46,6 +46,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_venta_delete_tombstones_then_converges(spark, oltp, tmp_path):
     """Deleting a sale removes its fact rows; after the surviving slice
     re-syncs (orden update event), the store equals a full rebuild from
@@ -119,6 +120,7 @@ def test_dim_safe_delete_respects_fact_references(spark, oltp, tmp_path):
     assert dim.where(F.col("id_cliente") == unreferenced).count() == 0
 
 
+@pytest.mark.slow
 def test_latest_op_per_key_decides(spark, oltp, tmp_path):
     """delete-then-update keeps the row (update is later); update-then-
     delete removes it — per-key LWW over the event ts."""

@@ -3,6 +3,7 @@ incremental / worker / web, worker heartbeat artifact)."""
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 import time
@@ -131,6 +132,7 @@ def _get_json(url):
     return status, json.loads(body)
 
 
+@pytest.mark.slow
 def test_ops_http_endpoints(spark, tmp_path, monkeypatch):
     """All three reference endpoints (ref main.py:42-113): /health OK,
     /worker-status staleness classification, token-gated /sync that runs

@@ -3,6 +3,7 @@ for any micro-batch slicing of an id-ordered feed."""
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 
@@ -16,6 +17,9 @@ from export_oltp_to_olap_spark.streaming.curation_stream import streaming_curate
 DOC_SCHEMA = T.StructType(
     [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
 )
+
+
+pytestmark = pytest.mark.slow  # streaming/robustness sweep tier (see pytest.ini)
 
 
 def test_streaming_curation_matches_batch(spark, sf0001, tmp_path):

@@ -36,6 +36,9 @@ _NEEDS_DATA = {"quality_classifier_scores"}
 registry._ensure_loaded()
 
 
+pytestmark = pytest.mark.slow  # streaming/robustness sweep tier (see pytest.ini)
+
+
 @pytest.fixture(scope="module")
 def empty_sf(spark, sf001, tmp_path_factory):
     root = tmp_path_factory.mktemp("empty_sf")

@@ -54,6 +54,7 @@ def test_merge_ignores_stale_aside_when_table_exists(spark, tmp_path):
     assert not os.path.exists(f"{path}.__old_merge")
 
 
+@pytest.mark.slow
 def test_star_refuses_mixed_sk_modes(spark, tmp_path):
     """An initial dense_rank load + an xxhash64 incremental merge would
     interleave two surrogate-key spaces; merge_star must refuse

@@ -4,6 +4,7 @@ anti-patterns it exists to catch."""
 
 from __future__ import annotations
 
+import pytest
 import json
 
 from pyspark.sql import functions as F
@@ -65,6 +66,7 @@ def test_cli_explain_emits_summary_json(spark, sf0001, capsys):
     assert main(["explain", "no_such_query"], spark=spark) == 2
 
 
+@pytest.mark.slow
 def test_full_registry_sweep_matches_audited_baseline(spark, sf0001):
     """The shipped registry must sweep clean: every cartesian is in
     CARTESIAN_ALLOWED and every SortMergeJoin is full-outer or in

@@ -107,6 +107,7 @@ def test_hot_paths_in_wholestage_codegen(spark, sf001):
         assert "*(" in plan, f"{name} runs interpreted (no codegen spans)"
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark, sf001):
     """Only the brute-force ANN baseline is allowed a cross join (it is
     one by definition, with the small side broadcast)."""

@@ -92,6 +92,7 @@ def emb01(spark, sf01):
     return load_tables(spark, sf01, ("embeddings",))["embeddings"]
 
 
+@pytest.mark.slow
 def test_recall_tracking_artifact(spark, sf01, emb01):
     n = emb01.count()
     exact_top = {

@@ -4,6 +4,7 @@ recall⊇confirm containment of the hybrid near-dup audit."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.plans import text_queries
@@ -283,6 +284,7 @@ def _python_waterfill(rows, budget_tenths, max_epochs_tenths):
     return B, tot_cap, out
 
 
+@pytest.mark.slow
 def test_capped_allocation_matches_python_waterfiller(spark):
     """Hypothesis: the Spark face equals the pure-Python waterfiller for
     random source mixes and knobs, and Σ targets == min(B, Σ caps)."""

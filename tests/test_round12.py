@@ -5,6 +5,7 @@ candidate generator), and the audit faces' eager cache release."""
 
 from __future__ import annotations
 
+import pytest
 import duckdb
 
 from export_oltp_to_olap_spark.operators import neardup, winnow
@@ -340,6 +341,7 @@ def test_fuzzy_index_cli_roundtrip(spark, sf001, tmp_path):
     assert got == want and want
 
 
+@pytest.mark.slow
 def test_neardup_clusters_delta_cut_sweep(spark, sf001):
     """Incremental cluster maintenance ≡ full rebuild at several cut
     points (the delta-face sweep convention applied to the dedup

@@ -4,6 +4,7 @@ decontamination gate ≡ the batch face on duplication-heavy corpora."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -42,6 +43,7 @@ def _corpus(draw):
     return rows
 
 
+@pytest.mark.slow
 def test_novelty_delta_equals_profile_at_any_cut(spark):
     @settings(**_SETTINGS)
     @given(rows=_corpus(), cut_frac=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
@@ -69,6 +71,7 @@ def test_novelty_delta_equals_profile_at_any_cut(spark):
     check()
 
 
+@pytest.mark.slow
 def test_fuzzy_gate_equals_batch_face_on_generated_corpora(spark):
     @settings(**_SETTINGS)
     @given(rows=_corpus())

@@ -289,6 +289,7 @@ def test_simhash_sweep_radius2_matches_registered_audit(spark, sf001):
     assert sweep == single
 
 
+@pytest.mark.slow
 def test_simhash_sweep_recall_monotone_and_artifact(spark, sf01):
     """Recall must rise with radius (a non-monotone curve means the
     pigeonhole candidate stage lost pairs at a wider radius), and the
@@ -504,6 +505,7 @@ def test_pairs_retract_equals_redetect(spark, sf0001):
     assert got == want
 
 
+@pytest.mark.slow
 def test_retract_property_random_chains_and_deletes(spark):
     """Hypothesis: sliding-window docs over a shared token universe
     produce chains, bridges and nested-overlap clusters; ANY delete
@@ -551,6 +553,7 @@ def test_retract_property_random_chains_and_deletes(spark):
     run()
 
 
+@pytest.mark.slow
 def test_novelty_retract_property_random_deletes(spark):
     """Hypothesis sibling for first-seen re-election: random two-source
     sliding-window corpora + any delete subset — retract ≡ rebuild."""
@@ -600,6 +603,7 @@ def test_novelty_retract_property_random_deletes(spark):
     run()
 
 
+@pytest.mark.slow
 def test_upsert_property_random_changes_and_deletes(spark):
     """Hypothesis for the CDC composition: random sliding-window
     corpora, a random delete subset AND a random changed subset whose
@@ -714,6 +718,7 @@ def test_upsert_moves_changed_doc_between_clusters(spark):
     assert got == {(1, 1, 1), (2, 2, 2), (3, 2, 2)}, got
 
 
+@pytest.mark.slow
 def test_cluster_state_maintained_across_cdc_batches(spark, sf0001):
     """Three CDC batches applied to an EVOLVING standing state —
     delete, upsert, delete — must land exactly on the rebuild of the

@@ -681,6 +681,7 @@ def test_curated_upsert_empty_batch_is_identity(spark, sf001):
     assert got == want and want
 
 
+@pytest.mark.slow
 def test_curated_upsert_seeded_random_chains(spark, sf0001):
     """Randomized delete+rewrite batches (seeded, so reproducible) ≡
     the rebuild — the hypothesis-chain convention for the CDC face,
@@ -769,6 +770,7 @@ def _ledger_shape(keepers, losers, pairs):
     )
 
 
+@pytest.mark.slow
 def test_curated_upsert_three_batch_evolving_state(spark, sf0001):
     """Ledger threading (`curated_upsert_ledger`): three sequential CDC
     batches — deletes, rewrites and inserts — each fed the PREVIOUS
@@ -854,6 +856,7 @@ def test_curated_upsert_three_batch_evolving_state(spark, sf0001):
     )
 
 
+@pytest.mark.slow
 def test_streaming_cdc_maintains_curated_corpus(spark, sf0001, tmp_path):
     """A file-fed CDC stream of upserts + deletes maintains the curated
     corpus through a foreachBatch `curated_upsert_ledger` sink; the
@@ -960,6 +963,7 @@ def test_streaming_cdc_maintains_curated_corpus(spark, sf0001, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_curate_ledger_cli_roundtrip(spark, sf0001, tmp_path):
     """`cli.py curate-ledger-init` + two chained `curate-ledger-apply`
     calls through REAL parquet round-trips: each apply's
@@ -1032,6 +1036,7 @@ def test_curate_ledger_cli_roundtrip(spark, sf0001, tmp_path):
     assert rc == 2
 
 
+@pytest.mark.slow
 def test_curated_upsert_property_random_chains(spark, sf001):
     """Hypothesis sibling of the seeded-random test (the r13 retract
     convention): tiny corpora of token-windows drawn from REAL gated

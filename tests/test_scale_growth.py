@@ -131,6 +131,7 @@ def test_ngram_dfcap_turns_growth_near_flat(spark, sf001, sf01):
     assert frac[sf01] < 0.05
 
 
+@pytest.mark.slow
 def test_simhash_candidates_output_bound(spark, sf001, sf01):
     """The fixture's identical-template families make the TRUE hamming ≤ 8
     pair set itself quadratic (24.7k → 2.49M pairs), so no candidate

@@ -55,6 +55,7 @@ def _write_feed(feed_dir: str, fname: str, events: list[dict]) -> None:
             f.write(json.dumps(e) + "\n")
 
 
+@pytest.mark.slow
 def test_cdc_stream_cold_start_converges_to_full(
     spark, oltp, full_star_tables, tmp_path
 ):
