@@ -244,6 +244,12 @@ DEFAULT_HEADLINE = [
     # pays per batch:
     "curated_upsert[standing]",
     "leakage_split_retract",
+    # round 15: its steady-state twin (persisted cluster map +
+    # signature tables shared with the clusters-retract [standing]
+    # face; timed plan = affected-scope joins + re-propagation + the
+    # split hash) — the base face above stays benched and
+    # oracle-matched:
+    "leakage_split_retract[standing]",
     # round 14: the cheap monoid/anti-join retract legs (VERDICT r13
     # item 6) — SUM-subtract or doc_id anti-join, standing state
     # in-call per the family convention:
@@ -453,6 +459,32 @@ def _variant_queries():
             docs, deleted, labels, standing_sets=sets, standing_bands=bands
         )
 
+    def leakage_split_retract_standing(spark, sf_dir):
+        # Steady-state cluster-keyed split maintenance under deletes:
+        # the standing cluster map + shingle-set/band-index tables are
+        # the persisted artifacts (shared with the clusters-retract
+        # [standing] variant — identical state, untimed after the first
+        # run); the timed plan is the affected-scope joins +
+        # re-propagation + the map-side split hash.  The base
+        # `leakage_split_retract` entry keeps the self-contained
+        # bootstrap face that matches its full-rebuild driver oracle.
+        from pyspark.sql import functions as F
+
+        from export_oltp_to_olap_spark.plans import leakage
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        labels, sets, bands = _retract_standing_state(spark, sf_dir)
+        deleted = docs.select("doc_id").where(
+            F.col("doc_id") % leakage.SPLIT_RETRACT_MOD == 0
+        )
+        return leakage.leakage_safe_split_retract(
+            docs,
+            deleted_ids=deleted,
+            standing_labels=labels,
+            standing_sets=sets,
+            standing_bands=bands,
+        )
+
     def clusters_upsert_standing(spark, sf_dir):
         # Steady-state CDC maintenance (deletes + changed docs in one
         # batch): standing map + signature tables persisted as above;
@@ -486,20 +518,23 @@ def _variant_queries():
 
     def curated_upsert_standing(spark, sf_dir):
         # Steady-state CDC maintenance of the CURATED corpus: the
-        # keeper/loser/pair ledger, the keepers' shingle-set table and
-        # (r15, VERDICT r14 item 3) the AllPairs prefix-row table over
-        # it are the persisted artifacts (untimed after the first run —
+        # keeper/loser/pair ledger and the keepers' shingle-set table
+        # are the persisted artifacts (untimed after the first run —
         # exactly what `curated_upsert_ledger` maintains batch-over-
         # batch); the timed plan is the retract-state joins, the
         # challenge/admit text join, and the both-directions probe,
         # shingling ONLY the admitted batch texts.  The base
         # `curated_upsert` entry keeps the self-contained bootstrap
         # face that matches its full-rebuild driver oracle.
+        # (r15 note: threading a persisted _prefix_index table through
+        # `standing_prefix` — VERDICT r14 item 3 — was implemented,
+        # equivalence-pinned and MEASURED SLOWER here: 7.3 s without vs
+        # 8.5 s with at sf0.1/local[32]; the capability stays on
+        # curated_upsert for corpus-scale callers, this face keeps the
+        # cheaper in-call prefix derivation.)
         from pyspark.sql import functions as F
 
         from export_oltp_to_olap_spark.operators import neardup
-        from export_oltp_to_olap_spark.operators.neardup import _prefix_index
-        from export_oltp_to_olap_spark.operators.staging import stage
         from export_oltp_to_olap_spark.plans import curation
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -509,17 +544,8 @@ def _variant_queries():
             keepers, losers, pairs, sets = curation.curation_standing_ledger(
                 docs, mode="table", return_sets=True
             )
-            _curated_ledger_cache[sf_dir] = (
-                keepers,
-                losers,
-                pairs,
-                sets,
-                stage(
-                    _prefix_index(sets, curation.NEARDUP_THRESHOLD),
-                    mode="table",
-                ),
-            )
-        keepers, losers, pairs, sets, prefix = _curated_ledger_cache[sf_dir]
+            _curated_ledger_cache[sf_dir] = (keepers, losers, pairs, sets)
+        keepers, losers, pairs, sets = _curated_ledger_cache[sf_dir]
         deleted = docs.select("doc_id").where(
             F.col("doc_id") % neardup.UPSERT_DEL_MOD == 0
         )
@@ -551,13 +577,7 @@ def _variant_queries():
             )
         )
         return curation.curated_upsert(
-            deleted,
-            changed,
-            keepers,
-            losers,
-            pairs,
-            standing_sets=sets,
-            standing_prefix=prefix,
+            deleted, changed, keepers, losers, pairs, standing_sets=sets
         )
 
     return {
@@ -570,6 +590,7 @@ def _variant_queries():
         "neardup_clusters_delta[standing]": clusters_delta_standing,
         "neardup_clusters_retract[standing]": clusters_retract_standing,
         "neardup_clusters_upsert[standing]": clusters_upsert_standing,
+        "leakage_split_retract[standing]": leakage_split_retract_standing,
         "curated_upsert[standing]": curated_upsert_standing,
     }
 

@@ -1728,6 +1728,7 @@ def neardup_clusters_retract(
     max_iterations: int = 25,
     standing_sets: DataFrame | None = None,
     standing_bands: DataFrame | None = None,
+    standing_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Delete/tombstone maintenance of the near-dup CLUSTER map — the
     quotient trick in reverse (VERDICT r12 item 3): remove a doc set
@@ -1764,7 +1765,14 @@ def neardup_clusters_retract(
     text (equivalence pinned by ``test_standing_signatures_equivalent``;
     shingles and signatures are per-document, so filtering the
     persisted rows to the affected survivors is exactly the in-call
-    derivation).  Left at ``None``, the fixture/bootstrap path
+    derivation).  ``standing_pairs`` (optimization r15) goes one rung
+    further when the standing VERIFIED PAIR table is at hand: banding
+    and verification are both per-pair-deterministic, so the detector
+    over any subset S of the standing corpus equals the standing pair
+    set restricted to S×S (the `neardup_pairs_retract` anti-join ≡
+    re-detect claim, driver-hashed there) — the re-pair becomes two
+    joins of the persisted pairs against the affected survivors,
+    re-running nothing.  Left at ``None``, the fixture/bootstrap path
     re-shingles the affected survivors from ``standing_docs``.
 
     The oracle is the FULL-REBUILD recursive CTE over the surviving
@@ -1784,7 +1792,16 @@ def neardup_clusters_retract(
         .select("doc_id")
         .join(deleted, "doc_id", "left_anti")
     )
-    if standing_sets is not None:
+    if standing_pairs is not None:
+        pairs = (
+            standing_pairs.join(
+                survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+            )
+            .join(survivors.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select("doc_a", "doc_b")
+        )
+        relabeled = neardup_clusters(survivors, pairs, max_iterations)
+    elif standing_sets is not None:
         sets_surv = standing_sets.join(survivors, "doc_id")
         bands_surv = (
             standing_bands.join(survivors, "doc_id")
@@ -1814,9 +1831,20 @@ def neardup_clusters_retract_fixture(docs: DataFrame) -> DataFrame:
     canonicals, interiors and whole singleton clusters across the
     fixture); standing labels derive in-call via the registered
     cluster build (persisted between batches in production, exactly as
-    `neardup_clusters_delta_fixture` declares)."""
+    `neardup_clusters_delta_fixture` declares).  The in-call bootstrap
+    already computes the full standing PAIR table on the way to the
+    labels — thread it through ``standing_pairs`` so the retract's
+    re-pair is two joins of those rows instead of a second LSH pipeline
+    over the affected survivors (optimization r15; pairs over a subset
+    ≡ standing pairs restricted, the `neardup_pairs_retract` claim)."""
     deleted = docs.select("doc_id").where(F.col("doc_id") % RETRACT_MOD == 0)
-    return neardup_clusters_retract(docs, deleted, minhash_neardup_clusters(docs))
+    from export_oltp_to_olap_spark.operators.staging import stage_fanout
+
+    pairs = stage_fanout(minhash_lsh_neardup(docs).select("doc_a", "doc_b"))
+    labels = neardup_clusters(docs, pairs)
+    return neardup_clusters_retract(
+        docs, deleted, labels, standing_pairs=pairs
+    )
 
 
 # The full-rebuild closure over the SURVIVING corpus: the same CTE

@@ -909,16 +909,17 @@ def curation_standing_ledger(
     r14 "what's wrong" #5 — a stray ``.select()`` used to degrade the
     reuse silently).
 
-    Staging (optimization r15): with no explicit ``mode`` (the in-call
-    fixture path) the PAIR table is returned as a live plan — it has
-    exactly one consumer in every retract/upsert composition (the
-    re-key join), so an eager in-call materialization was a full extra
-    pass (measured ~1.5 s at sf0.1) that also serialized the pair
-    build before work that does not depend on it; left lazy it fuses
-    into the consumer's job, where its stages overlap the probe's on
-    otherwise-idle cores (guide §2.6, §1.2 "remove unnecessary
-    passes").  With an explicit mode (production: ``table``) all
-    artifacts materialize as before — they ARE the persisted ledger.
+    Staging (optimization r15, measured): the set table is staged once
+    (fan-out cache under the default conf, the artifact mode
+    otherwise) and the pair build consumes it — that removes the
+    second shingle pass the old implicit-cache coupling paid on a
+    plan-identity miss.  The pair table itself stays EAGERLY staged
+    even in-call: leaving it as a live plan (tried this round) fused a
+    ~1,000-node subtree into the consumer's job and Catalyst/AQE
+    re-planning of the giant plan cost more than the staging pass it
+    saved (curated_upsert 9.5 → 11.3 s at sf0.1 — guide §3.3 "planning
+    time itself can become the bottleneck; materialising an
+    intermediate truncates the plan").
     """
     gated = _gated(old_docs)
     w = Window.partitionBy("text")
@@ -944,9 +945,10 @@ def curation_standing_ledger(
     # side — one explicit materialization for all of them.
     sets = ngram_shingle_sets(keepers.select("doc_id", "text"))
     sets = stage(sets, mode=mode) if mode is not None else stage_fanout(sets)
-    pairs = ngram_jaccard_pairs(sets=sets, n=3, threshold=NEARDUP_THRESHOLD)
-    if mode is not None:
-        pairs = stage(pairs, mode=mode)
+    pairs = stage(
+        ngram_jaccard_pairs(sets=sets, n=3, threshold=NEARDUP_THRESHOLD),
+        mode=mode,
+    )
     if return_sets:
         return keepers, losers, pairs, sets
     return keepers, losers, pairs
@@ -1210,14 +1212,13 @@ def _curated_upsert_state(
     stage0, pairs0, succ_r, surv_losers = _curated_retract_state(
         drop, standing_curated, standing_losers, standing_pairs
     )
-    # Fan-out staging (cache, not localCheckpoint — optimization r15):
-    # stage0 feeds FOUR branches (challenge join, demotion anti-join,
-    # the probe's corpus-side id filter, the stage_new union) and
-    # admitted feeds three; the cached form keeps planner statistics
-    # for the downstream broadcast decisions and lets repeated
-    # identical plans share the entry (guide §2.4/§5; the r14-measured
-    # stage_fanout rationale in operators/staging.py).
-    stage0 = stage_fanout(stage0)
+    # localCheckpoint staging, DELIBERATELY not stage_fanout (measured,
+    # optimization r15): stage0 feeds four branches and cache-mode
+    # staging keeps statistics, which flipped ~36 downstream joins to
+    # broadcasts — at local fixture scale the extra BroadcastExchange
+    # jobs cost more than the SMJ shuffles they replaced
+    # (curated_upsert[standing] 8.7 → 12.6 s, reverted here).
+    stage0 = stage(stage0)
 
     w = Window.partitionBy("text")
     batch = (
@@ -1231,7 +1232,7 @@ def _curated_upsert_state(
         "text",
         "left",
     )
-    admitted = stage_fanout(
+    admitted = stage(
         j.where(F.col("keeper_id").isNull()).select("doc_id", "text", "quality")
     )
     challengers = j.where(
@@ -1299,8 +1300,18 @@ def _curated_upsert_state(
             )
 
         corpus_sets = _rekey(standing_sets, ["shs", "n_sh"])
+        # The prefix re-key deliberately SKIPS the stage_old
+        # restriction: a prefix row for a dead/demoted id can only
+        # produce candidates the verify join (inner on sets_all, which
+        # IS restricted) then drops, so the output is identical — and
+        # the restriction would re-evaluate the unstaged challenge
+        # chain a third time per run.
         corpus_prefix = (
-            _rekey(standing_prefix, ["n_sh", "h"])
+            standing_prefix.join(F.broadcast(m), "doc_id", "left").select(
+                F.coalesce("succ", F.col("doc_id")).alias("doc_id"),
+                "n_sh",
+                "h",
+            )
             if standing_prefix is not None
             else None
         )

@@ -211,6 +211,8 @@ def leakage_safe_split_retract(
     documents: DataFrame,
     deleted_ids: DataFrame | None = None,
     standing_labels: DataFrame | None = None,
+    standing_sets: DataFrame | None = None,
+    standing_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc cluster-keyed split map after a delete batch:
     ``(doc_id, canonical_id, split)`` over the survivors, canonical and
@@ -220,15 +222,35 @@ def leakage_safe_split_retract(
     registered face derives its standing cluster map in-call and
     tombstones every SPLIT_RETRACT_MOD-th doc_id; the ORACLE is the
     full cluster + split SQL over the surviving corpus — retract ≡
-    rebuild-after-delete, driver-hashed."""
+    rebuild-after-delete, driver-hashed.
+
+    In-call bootstrap (optimization r15): the standing-label build
+    already computes the full verified pair table, so it is staged once
+    and threaded into the retract as ``standing_pairs`` — the scoped
+    re-pair becomes two joins of those rows instead of a second LSH
+    pipeline (shingle→sign→band→verify) over the affected survivors.
+    Steady state instead passes the persisted ``standing_labels`` +
+    ``standing_sets``/``standing_bands`` (`neardup_standing_index`
+    rows, the clusters-retract [standing] convention) and the timed
+    plan is the affected-scope joins + re-propagation only.
+    """
     if deleted_ids is None:
         deleted_ids = documents.select("doc_id").where(
             F.col("doc_id") % SPLIT_RETRACT_MOD == 0
         )
+    standing_pairs = None
     if standing_labels is None:
-        standing_labels = minhash_neardup_clusters(documents)
+        standing_pairs = stage_fanout(
+            minhash_lsh_neardup(documents).select("doc_a", "doc_b")
+        )
+        standing_labels = neardup_clusters(documents, standing_pairs)
     relabeled = neardup_clusters_retract(
-        documents, deleted_ids, standing_labels
+        documents,
+        deleted_ids,
+        standing_labels,
+        standing_sets=standing_sets,
+        standing_bands=standing_bands,
+        standing_pairs=standing_pairs,
     )
     return (
         assign_splits(relabeled.select("doc_id", "canonical_id"), "canonical_id")
