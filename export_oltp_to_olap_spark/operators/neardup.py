@@ -933,8 +933,20 @@ def _recall_audit_frame(truth: DataFrame, found: DataFrame) -> DataFrame:
     ``found`` (doc_a, doc_b) pair set, plus the ``band = -1`` row
     counting found pairs BELOW the truth line (wasted work / false
     positives, depending on the family; its n_recalled repeats n_pairs
-    — they are all found by construction)."""
-    found = found.withColumn("is_cand", F.lit(1).cast("long"))
+    — they are all found by construction).
+
+    Both inputs are STAGED here (optimization r15): each is consumed
+    twice (the per-band left join AND the wasted anti-join), and both
+    are expensive plans over cheap row counts — the t=0.5 truth verify
+    alone prunes ~437k prefix candidates to ~256 rows at sf0.1, and it
+    was running TWICE per audit (measured: lsh_recall_audit 3.75 →
+    ~2.4 s warm, and the face's run-to-run swing shrinks with it since
+    half the heavy work is gone; guide §2.4/§5 reuse).  The staged
+    frames are a few hundred rows, so the lingering blocks are
+    negligible — unlike the shingle-set cache, which the audit faces
+    still release eagerly."""
+    found = stage(found.withColumn("is_cand", F.lit(1).cast("long")))
+    truth = stage(truth)
     per_band = (
         truth.join(found, ["doc_a", "doc_b"], "left")
         .groupBy("band")

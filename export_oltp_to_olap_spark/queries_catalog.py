@@ -1877,131 +1877,94 @@ WINDOW_FIRST: tuple[str, ...] = (
     # invariant; tests/test_oracle_correctness.py::
     # test_driver_report_completeness enforces it against the latest
     # CORRECTNESS report + the grows-only _REPORT_EXEMPT union.
-    # --- ROUND-15 ROTATION (pre-staged chore; RECOUNT FIRST) ---
-    # After CORRECTNESS_r14 lands, every current window name is
-    #      r14-last.  Authoritative recount against r01–r13 for the
-    #      names OUTSIDE this window (re-verify against r01–r14 before
-    #      applying — the recount has corrected the pre-stage note two
-    #      rounds running): oldest-green backfill order is the 22
-    #      remaining r10-last names (adaptive_quality_gate,
-    #      bpe_tokens_saved, cdc_decode, corpus_split_summary,
-    #      correlated_lookup, curriculum_manifest, events_sessionize,
-    #      events_tumbling_hourly, events_user_moving_value,
-    #      exact_dedup_documents, media_neardup, media_neardup_capped,
-    #      media_neardup_delta, purchases_asof_clicks,
-    #      scalar_function_suite, simhash_fingerprints,
-    #      span_dedup_report, tpch_q12/q14/q18/q19/q22), then the
-    #      40-name r11-last pool in catalog definition order.  The four
-    #      r04-last rows-only ledger faces stay out by the standing
-    #      convention (all 50 driver rows are full hash checks).
-    # Out: every r14-earner not touched in round 15; keep the five star
-    #      sentinels + anything round 15 touches, rotate r15
-    #      registrations in same-commit per the standing rule.
-    # --- ROUND-14 ROTATION (VERDICT r13 item 1, the pre-staged chore) ---
-    # Recount against CORRECTNESS_r01-r13 executed first, as the note
-    #      demanded — and it again corrected the pre-staged numbers: the
-    #      oldest-green pool is SIX r09-last names, not four (the note
-    #      missed snapshot_diff_customers and source_overlap_matrix,
-    #      displaced by the last two r13 registrations), plus the
-    #      43-name r10-last pool.  The four r04-last rows-only ledger
-    #      faces (approx_distinct_parts, approx_percentiles_orders,
-    #      frequent_terms_sketch, quality_classifier_scores) stay out of
-    #      the window by the standing convention: the 50 driver rows are
-    #      all full hash checks; each ledger face has an exact companion
-    #      verified in-window or in the suite (COVERAGE.md).
-    # Out: every r13-earner not touched in round 14.  Kept besides the
-    #      sentinels: the nine faces whose code or oracle round 14
-    #      touches — the delete-ladder faces re-parameterized for
-    #      persisted standing signatures (neardup_clusters_delta /
-    #      _retract / _upsert, minhash_delta_neardup), the three
-    #      multi-probe faces whose SQL builders moved onto the shared
-    #      _lsh_buckets_ctes/_probe_expansion fragments
-    #      (cosine_lsh_multiprobe_recall_audit,
-    #      lsh_multiprobe_cosine_neardup, semantic_decontam_pairs),
-    #      semdedup_retract (oracle guard rewrite), and
-    #      ivfpq_cosine_topk (raised operating point, VERDICT r13
-    #      item 4); pq_cosine_topk and rp_cosine_topk joined late in
-    #      the round when their shortlist points were raised off the
-    #      same measured-sweep treatment (64k / 128k), displacing two
-    #      more r10-backfill names from the bottom.
-    # Backfill = strictly oldest-last-green first: all 6 r09-last names,
-    #      then the r10-last pool in catalog definition order.  Round-14
-    #      registrations landing later this round displace the r10
-    #      backfill from the bottom (newest-green out first), per the
-    #      r13 convention.
-    # ROUND-15 CHORE (pre-staged): once CORRECTNESS_r14 lands, rotate
-    #      out the r14-earners (keep the 5 star sentinels and any face
-    #      touched in round 15), rotate round-15 registrations in
-    #      same-commit (standing rule), and backfill oldest-green-first
-    #      — post-r14 the pool starts with whatever r10-last names this
-    #      round displaced plus the remaining r10 tail, then the r11
-    #      block.  RECOUNT against CORRECTNESS_r01-r14 before applying;
-    #      both the r13 and r14 recounts corrected their pre-staged
-    #      notes.
-    # Prior rotation notes (r13 and earlier) kept in git history.
+    # --- ROUND-15 ROTATION (executed; recount against r01-r14 done) ---
+    # Post-r14 recount: every r14 window name is r14-last green; the
+    #      oldest-green pool outside the window is 22 r10-last names,
+    #      then 40 r11-last in catalog definition order (the pre-staged
+    #      note's numbers held this round).  The four never-green
+    #      rows-only ledger faces (approx_distinct_parts,
+    #      approx_percentiles_orders, frequent_terms_sketch,
+    #      quality_classifier_scores) stay out by the standing
+    #      convention: all 50 driver rows are full hash checks; each
+    #      ledger face has an exact companion verified elsewhere
+    #      (COVERAGE.md).
+    # In:  the 5 star sentinels; the 16 faces round 15's optimization
+    #      touches (the neardup_clusters propagation-loop rewrite
+    #      reaches every cluster-consuming face; the staged
+    #      _recall_audit_frame reaches every family recall audit; the
+    #      standing-pairs re-pair reaches the retract/leakage faces;
+    #      the explicit ledger sets threading reaches the curated CDC
+    #      faces); then oldest-green backfill - all 22 r10-last names
+    #      and the first 7 r11-last in definition order.
+    # Out: the r14-earners round 15 does not touch.  No new
+    #      registrations this round (optimization round - bench-only
+    #      [standing] variants are not registry entries).
+    # ROUND-16 CHORE (pre-staged): rotate out the r15-earners (keep the
+    #      5 sentinels + anything round 16 touches), rotate r16
+    #      registrations in same-commit (standing rule), backfill
+    #      oldest-green-first - post-r15 the pool starts at the 33
+    #      remaining r11-last names in definition order, then r12-last.
+    #      RECOUNT against CORRECTNESS_r01-r15 before applying; the r13
+    #      and r14 recounts both corrected their pre-staged notes.
+    # Prior rotation notes (r14 and earlier) kept in git history.
     # -------------------------------------------------------------------
     # Star-schema sentinels (kept every round as cross-round stability
-    # probes; hash-green r01-r04 + r07-r13):
+    # probes; hash-green r01-r04 + r07-r14):
     "flagship_revenue",
     "star_hecho_ventas",
     "incremental_orden_hecho",
     "pricing_summary",
     "top_customers_per_region",
-    # Faces touched in round 14 (standing rule: stay windowed the round
-    # their code or oracle changes):
+    # Faces touched in round 15 (standing rule: stay windowed the round
+    # their code changes).  The cluster-propagation loop rewrite:
+    "neardup_clusters",
     "neardup_clusters_delta",
     "neardup_clusters_retract",
     "neardup_clusters_upsert",
-    "minhash_delta_neardup",
-    "semdedup_retract",
-    "cosine_lsh_multiprobe_recall_audit",
-    "lsh_multiprobe_cosine_neardup",
-    "semantic_decontam_pairs",
-    "ivfpq_cosine_topk",
-    "pq_cosine_topk",
-    "rp_cosine_topk",
-    # The six r09-last names (oldest full-oracle rows in the registry):
-    "split_drift_report",
-    "training_shard_manifest",
-    "snapshot_diff_customers",
-    "tpch_q10_returned_items",
-    "stats_moments_lineitem",
-    "source_overlap_matrix",
-    # Round-14 registrations, windowed same-commit (standing rule),
-    # displacing the r10 backfill from the bottom:
+    "neardup_quality_keepers",
+    "leakage_safe_splits",
+    "leakage_fix_report",
+    "leakage_split_retract",
+    # the curation ledger's explicit staged-sets threading:
     "curated_retract",
     "curated_upsert",
-    "leakage_split_retract",
-    "doc_length_spectrum_retract",
-    "boilerplate_ngrams_retract",
-    "pack_source_totals_retract",
-    "winnow_fingerprints_retract",
-    # The r10-last pool in catalog definition order (21 of 43 after the
-    # six r14 displacements above took exact_dedup_documents,
-    # purchases_asof_clicks, corpus_split_summary, events_sessionize,
-    # events_user_moving_value and events_tumbling_hourly, the late
-    # pq/rp window entries took scalar_function_suite and cdc_decode,
-    # and curated_upsert took correlated_lookup from the bottom; the
-    # tail waits for round 15):
-    "rollup_revenue",
-    "grouping_sets_orders",
-    "distinct_agg_orders",
-    "orders_price_percentiles",
-    "events_anomaly_zscore",
-    "normalized_dedup_documents",
-    "ngram_jaccard_neardup",
-    "label_knn_noise",
-    "embedding_cosine_neardup",
-    "lsh_cosine_neardup",
-    "ivf_cosine_topk",
-    "gopher_quality_flags",
-    "c4_quality_flags",
-    "boilerplate_ngrams",
-    "boilerplate_ngrams_delta",
-    "lang_mismatch_report",
-    "text_repetition",
-    "media_frame_sample",
-    "setops_customers",
-    "semi_anti_customers",
-    "pivot_priority_status",
+    # the staged _recall_audit_frame shared by every family audit:
+    "lsh_recall_audit",
+    "simhash_recall_audit",
+    "winnow_recall_audit",
+    "simhash_radius_sweep",
+    "cosine_lsh_recall_audit",
+    "cosine_lsh_multiprobe_recall_audit",
+    # Oldest-green backfill: the full 22-name r10-last pool, catalog
+    # definition order:
+    "correlated_lookup",
+    "scalar_function_suite",
+    "cdc_decode",
+    "events_tumbling_hourly",
+    "events_user_moving_value",
+    "events_sessionize",
+    "corpus_split_summary",
+    "purchases_asof_clicks",
+    "exact_dedup_documents",
+    "simhash_fingerprints",
+    "span_dedup_report",
+    "adaptive_quality_gate",
+    "curriculum_manifest",
+    "tpch_q18_large_volume",
+    "tpch_q12_shipping_delay",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity",
+    "bpe_tokens_saved",
+    "media_neardup",
+    "media_neardup_delta",
+    "media_neardup_capped",
+    # then the first 7 r11-last names in definition order:
+    "orders_rolling_7d_revenue",
+    "dq_oltp_checks",
+    "subquery_suite",
+    "events_cohort_retention",
+    "stratified_sample_summary",
+    "weighted_sample_summary",
+    "minhash_near_dup",
 )
