@@ -1032,7 +1032,12 @@ def _curated_retract_state(
     new_deduped = kept_keepers.unionByName(readmitted)
 
     # Successor map over dead keepers (succ NULL = text slot died).
-    succ = (
+    # Staged (optimization r15): a delete-batch-sized frame whose
+    # lineage re-runs the re-admission group-by + quality regex, and
+    # whose derivatives feed the ma/mb/m BROADCASTS — each broadcast
+    # re-evaluated the subtree separately before staging (guide §2.4
+    # reuse, the same fix as the challenge join above).
+    succ = stage(
         dk.join(
             readmitted.select(F.col("doc_id").alias("succ"), "text"), "text"
         )
@@ -1227,13 +1232,24 @@ def _curated_upsert_state(
         .where(F.col("doc_id") == F.col("min_id"))
         .drop("min_id", "pred_lang")
     )
-    j = batch.join(
-        stage0.select(F.col("doc_id").alias("keeper_id"), "text"),
-        "text",
-        "left",
+    # Stage the challenge join ONCE (optimization r15): j is a
+    # batch-sized frame (~700 rows at sf0.1) whose lineage is the whole
+    # regex gate chain + text window + the stage0 join, and its
+    # unstaged derivatives (admitted, challengers, succ_c, demoted)
+    # feed FIVE separate consumers — four of them broadcasts, each of
+    # which re-evaluated the full subtree (guide §2.4 reuse; measured
+    # below at the curated_upsert faces).  admitted/challengers are
+    # then cheap filters over the checkpointed rows and need no staging
+    # of their own.
+    j = stage(
+        batch.join(
+            stage0.select(F.col("doc_id").alias("keeper_id"), "text"),
+            "text",
+            "left",
+        )
     )
-    admitted = stage(
-        j.where(F.col("keeper_id").isNull()).select("doc_id", "text", "quality")
+    admitted = j.where(F.col("keeper_id").isNull()).select(
+        "doc_id", "text", "quality"
     )
     challengers = j.where(
         F.col("keeper_id").isNotNull() & (F.col("doc_id") < F.col("keeper_id"))
