@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from export_oltp_to_olap_spark.functions.text import tokens, word_shingles
 from export_oltp_to_olap_spark.operators.partitioning import spread_for_compute
-from export_oltp_to_olap_spark.operators.staging import stage
+from export_oltp_to_olap_spark.operators.staging import stage, stage_fanout
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -1466,9 +1466,25 @@ def neardup_clusters(
     No SQL-oracle restriction: the closure is restated in DuckDB as a
     recursive CTE (``NEARDUP_CLUSTERS_SQL``), so this IS value-checked.
     """
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Materialize the DIRECTED pair list once before symmetrizing
+    # (optimization r15): the symmetric union references `pairs` in
+    # both branches, so an unstaged detector plan (banded candidates +
+    # exact verify) was evaluated TWICE when the edge cache
+    # materialized (neardup_clusters solo 3.16 → 1.99 s at sf0.1;
+    # guide §2.4 reuse — the broadcast/union re-evaluation lesson of
+    # the curated faces applied here).  Callers that already cached
+    # their pair frame (the quotient faces stage their qedges for the
+    # active-node union; leakage stages its pair table for the
+    # retract) skip the redundant second cache — re-scanning a cached
+    # parent is cheap, re-caching it is one more job per face.
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    already_cached = (
+        pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    )
+    if not already_cached:
+        half = stage_fanout(half)
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = stage(docs.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(max_iterations):
@@ -1651,6 +1667,11 @@ def neardup_clusters_delta(
         .unionByName(new_docs.select("doc_id"))
         .distinct()
     )
+    # Stage the quotient edges once (optimization r15): the active-node
+    # union below references qedges twice and the propagation loop's
+    # edge build references it again — unstaged, the probe's candidate
+    # join + verify re-ran per reference.
+    qedges = stage_fanout(qedges)
     # Propagate ONLY over the delta-ACTIVE quotient subgraph (nodes
     # touching a new edge): every other quotient node is a singleton
     # there and keeps its own id — at 100 TB the standing cluster
@@ -2038,6 +2059,10 @@ def neardup_clusters_upsert(
         .where(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
+    # Staged once for the same reason as the delta path: the active
+    # union + the loop's edge build would otherwise re-run the repair
+    # and probe joins per reference (optimization r15).
+    qedges = stage_fanout(qedges)
     active = (
         qedges.select(F.col("doc_a").alias("doc_id"))
         .unionByName(qedges.select(F.col("doc_b").alias("doc_id")))
