@@ -935,18 +935,19 @@ def _recall_audit_frame(truth: DataFrame, found: DataFrame) -> DataFrame:
     positives, depending on the family; its n_recalled repeats n_pairs
     — they are all found by construction).
 
-    Both inputs are STAGED here (optimization r15): each is consumed
-    twice (the per-band left join AND the wasted anti-join), and both
-    are expensive plans over cheap row counts — the t=0.5 truth verify
-    alone prunes ~437k prefix candidates to ~256 rows at sf0.1, and it
-    was running TWICE per audit (measured: lsh_recall_audit 3.75 →
-    ~2.4 s warm, and the face's run-to-run swing shrinks with it since
-    half the heavy work is gone; guide §2.4/§5 reuse).  The staged
-    frames are a few hundred rows, so the lingering blocks are
-    negligible — unlike the shingle-set cache, which the audit faces
-    still release eagerly."""
-    found = stage(found.withColumn("is_cand", F.lit(1).cast("long")))
-    truth = stage(truth)
+    Both inputs are CACHED here and the ≤12-row result is computed
+    EAGERLY before they are released (optimization r15): each input is
+    consumed twice (the per-band left join AND the wasted anti-join),
+    and both are expensive plans over cheap row counts — the t=0.5
+    truth verify alone prunes ~437k prefix candidates to ~256 rows at
+    sf0.1, and it was running TWICE per audit (measured:
+    lsh_recall_audit solo median 4.10 → 3.16 s, warm spread 20% → 6%;
+    guide §2.4/§5 reuse).  Owning the eager-release dance here keeps
+    the r11 storage discipline (`test_recall_audits_release_their_
+    cache`): exactly one tiny checkpointed frame outlives the call —
+    callers must NOT re-checkpoint it."""
+    found = found.withColumn("is_cand", F.lit(1).cast("long")).persist()
+    truth = truth.persist()
     per_band = (
         truth.join(found, ["doc_a", "doc_b"], "left")
         .groupBy("band")
@@ -964,7 +965,10 @@ def _recall_audit_frame(truth: DataFrame, found: DataFrame) -> DataFrame:
             F.col("n").alias("n_recalled"),
         )
     )
-    return per_band.unionByName(wasted).orderBy("band")
+    out = per_band.unionByName(wasted).orderBy("band").localCheckpoint()
+    truth.unpersist()
+    found.unpersist()
+    return out
 
 
 def lsh_recall_audit(
@@ -1007,7 +1011,7 @@ def lsh_recall_audit(
     sets = sets.withColumn("n_sh", F.size("shs")).persist()
     truth = _jaccard_truth_bands(sets)
     lsh = _minhash_band_candidates(sets, n_hashes, band_r)
-    frame = _recall_audit_frame(truth, lsh).localCheckpoint()
+    frame = _recall_audit_frame(truth, lsh)  # already eager-checkpointed inside
     sets.unpersist()
     return frame
 
@@ -1281,7 +1285,7 @@ def simhash_recall_audit(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     sets = sets.withColumn("n_sh", F.size("shs")).persist()
     truth = _jaccard_truth_bands(sets)
     found = simhash_neardup(docs, max_hamming).select("doc_a", "doc_b")
-    frame = _recall_audit_frame(truth, found).localCheckpoint()
+    frame = _recall_audit_frame(truth, found)  # already eager-checkpointed inside
     sets.unpersist()
     return frame
 
@@ -1416,7 +1420,7 @@ def winnow_recall_audit(docs: DataFrame) -> DataFrame:
     sets = sets.withColumn("n_sh", F.size("shs")).persist()
     truth = _jaccard_truth_bands(sets)
     found = winnow_candidate_pairs(docs)
-    frame = _recall_audit_frame(truth, found).localCheckpoint()
+    frame = _recall_audit_frame(truth, found)  # already eager-checkpointed inside
     sets.unpersist()
     return frame
 
